@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Tight-loop numeric kernels invoked from both interpreted `eval` and
+  * whole-stage-generated Java (top-level object ⇒ static forwarders, so
+  * generated code can call `graft.functions.VectorKernels.cosine(a, b)`).
+  *
+  * All accumulation is in Double regardless of element type; inputs are the
+  * engine's `ARRAY<FLOAT>` embedding columns (dimension is data-defined —
+  * 64 in the test fixtures, 1536 in the reference's
+  * `EmbeddingConfig.java:5`).
+  */
+object VectorKernels {
+
+  /** Cosine similarity of two float arrays; 0.0 for zero-norm inputs. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Dot product of two float arrays. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** L2 norm of a float array. */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Euclidean (L2) distance of two float arrays. */
+  def l2Distance(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** FNV-1a 64-bit over a string's UTF-16 code units with a seed mix —
+    * deterministic across JVMs (no dependence on String.hashCode).
+    */
+  def fnv1a64(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      h ^= (c & 0xff); h *= 0x100000001b3L
+      h ^= ((c >> 8) & 0xff); h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Deterministic signed-feature-hash embedding of a text into `dim`
+    * L2-normalized float buckets (offline stand-in for the reference's
+    * OpenAI embedding calls, `StreamingStoreKnowledge.java:94`):
+    * lowercase, split on non-alphanumerics, hash each token, add ±1 into
+    * `hash mod dim`, L2-normalize (⇒ cosine == dot on outputs).
+    */
+  def featureHashEmbed(text: String, dim: Int, seed: Long): ArrayData = {
+    val acc = new Array[Double](dim)
+    val s = text.toLowerCase
+    var start = -1
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val isWord = i < len && {
+        val c = s.charAt(i); Character.isLetterOrDigit(c)
+      }
+      if (isWord) { if (start < 0) start = i }
+      else if (start >= 0) {
+        val h = fnv1a64(s.substring(start, i), seed)
+        val bucket = ((h % dim) + dim) % dim
+        acc(bucket.toInt) += (if ((h & 0x8000000000000000L) == 0L) 1.0 else -1.0)
+        start = -1
+      }
+      i += 1
+    }
+    var nrm = 0.0
+    i = 0
+    while (i < dim) { nrm += acc(i) * acc(i); i += 1 }
+    nrm = math.sqrt(nrm)
+    val out = new Array[Float](dim)
+    if (nrm > 0.0) { i = 0; while (i < dim) { out(i) = (acc(i) / nrm).toFloat; i += 1 } }
+    new GenericArrayData(out)
+  }
+
+  /** Fixed-size overlapping character chunks: windows of `size` chars
+    * starting every `size - overlap` chars; final partial window kept.
+    */
+  def chunks(text: String, size: Int, overlap: Int): ArrayData = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunks(size=$size, overlap=$overlap): need size>0 and 0<=overlap<size")
+    val stride = size - overlap
+    val n = text.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    var done = false
+    while (!done) {
+      val end = math.min(pos + size, n)
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(
+        text.substring(pos, end))
+      if (end >= n) done = true else pos += stride
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

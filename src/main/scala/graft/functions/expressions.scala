@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst scalar expressions for the vector/RAG surface
+  * (SURVEY.md §4.3). Each is codegen'd via a single static-kernel call
+  * ([[VectorKernels]]) so they stay inside whole-stage codegen spans with
+  * no boxing per element — important because at 100 TB these run per-row
+  * inside the scan stage.
+  */
+private[graft] trait FloatArrayBinary { self: BinaryExpression =>
+  protected def okElem(t: DataType): Boolean =
+    t == FloatType || t == DoubleType
+
+  def checkFloatArrays(name: String): TypeCheckResult =
+    (self.left.dataType, self.right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+    }
+}
+
+/** cosine_sim(ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE.
+  * Spark-native replacement for the reference's OpenSearch k-NN scoring
+  * (`RAG.java:51-59`): the similarity itself runs in-engine and feeds
+  * standard `ORDER BY ... LIMIT k` (planned as TakeOrderedAndProject).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayBinary {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays("cosine_sim")
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** vector_dot(ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE. */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayBinary {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays("vector_dot")
+  override def prettyName: String = "vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** l2_distance(ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayBinary {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays("l2_distance")
+  override def prettyName: String = "l2_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2Distance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.l2Distance($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** vector_norm(ARRAY<FLOAT>) → DOUBLE (L2). */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_norm"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vector_norm requires ARRAY<FLOAT>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.norm(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.norm($a)")
+
+  override protected def withNewChildInternal(nc: Expression): VectorNorm = copy(nc)
+}
+
+/** feature_hash_embed(STRING, dim, seed) → ARRAY<FLOAT>.
+  * Deterministic offline embedding (stand-in for A3/A6 of the reference,
+  * `RAG.java:47`): signed feature hashing, L2-normalized. dim/seed must be
+  * foldable.
+  */
+case class FeatureHashEmbed(child: Expression, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "feature_hash_embed"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"feature_hash_embed requires STRING, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.featureHashEmbed(a.asInstanceOf[UTF8String].toString, dim, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.featureHashEmbed($a.toString(), $dim, ${seed}L)")
+
+  override protected def withNewChildInternal(nc: Expression): FeatureHashEmbed =
+    copy(child = nc)
+}
+
+/** chunks(STRING, size, overlap) → ARRAY<STRING> — fixed-size overlapping
+  * character windows; `explode(chunks(...))` is the engine's text-chunking
+  * UDTF surface (SURVEY.md §2.2 `text_chunk`).
+  */
+case class Chunks(child: Expression, size: Int, overlap: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "chunks"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if size > 0 && overlap >= 0 && overlap < size =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"chunks(size=$size, overlap=$overlap): need size>0 and 0<=overlap<size")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"chunks requires STRING, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.chunks(a.asInstanceOf[UTF8String].toString, size, overlap)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.chunks($a.toString(), $size, $overlap)")
+
+  override protected def withNewChildInternal(nc: Expression): Chunks =
+    copy(child = nc)
+}

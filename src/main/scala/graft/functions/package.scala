@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, GraftSql, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{functions => F}
+
+/** Public Column-level API of the engine's custom functions —
+  * the Scala-facing equivalent of `org.apache.spark.sql.functions`.
+  *
+  * {{{
+  * import graft.functions._
+  * embeddings.select(cosine_sim($"embedding", lit_vector(probe)))
+  * }}}
+  */
+package object functions {
+
+  /** Cosine similarity of two ARRAY<FLOAT> columns → DOUBLE. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftSql.column(CosineSim(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Dot product of two ARRAY<FLOAT> columns → DOUBLE. */
+  def vector_dot(a: Column, b: Column): Column =
+    GraftSql.column(VectorDot(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** L2 distance of two ARRAY<FLOAT> columns → DOUBLE. */
+  def l2_distance(a: Column, b: Column): Column =
+    GraftSql.column(L2Distance(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** L2 norm of an ARRAY<FLOAT> column → DOUBLE. */
+  def vector_norm(a: Column): Column =
+    GraftSql.column(VectorNorm(GraftSql.expression(a)))
+
+  /** Deterministic feature-hash embedding STRING → ARRAY<FLOAT>[dim]. */
+  def feature_hash_embed(text: Column, dim: Int = 64, seed: Long = 42L): Column =
+    GraftSql.column(FeatureHashEmbed(GraftSql.expression(text), dim, seed))
+
+  /** Overlapping character chunks STRING → ARRAY<STRING>. */
+  def chunks(text: Column, size: Int, overlap: Int): Column =
+    GraftSql.column(Chunks(GraftSql.expression(text), size, overlap))
+
+  /** A literal ARRAY<FLOAT> column from a local vector (probe vectors). */
+  def lit_vector(v: Array[Float]): Column =
+    F.lit(v).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false))
+
+  /** Mutable buffer for [[VectorAvg]]: running element-wise sum + count. */
+  case class VecBuf(sum: Array[Double], n: Long)
+
+  /** Element-wise mean of ARRAY<FLOAT> groups (centroid). UDAF surface of
+    * the engine: `Aggregator[IN, BUF, OUT]` with map-side partial merge —
+    * a genuinely distributed centroid (no collect), usable at any scale.
+    */
+  class VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
+    override def zero: VecBuf = VecBuf(Array.empty[Double], 0L)
+    override def reduce(b: VecBuf, in: Array[Float]): VecBuf = {
+      if (in == null) return b
+      val acc = if (b.sum.isEmpty) new Array[Double](in.length) else b.sum
+      var i = 0
+      while (i < in.length && i < acc.length) { acc(i) += in(i); i += 1 }
+      VecBuf(acc, b.n + 1L)
+    }
+    override def merge(x: VecBuf, y: VecBuf): VecBuf = {
+      if (x.sum.isEmpty) return y
+      if (y.sum.isEmpty) return x
+      val acc = x.sum
+      var i = 0
+      while (i < acc.length && i < y.sum.length) { acc(i) += y.sum(i); i += 1 }
+      VecBuf(acc, x.n + y.n)
+    }
+    override def finish(b: VecBuf): Array[Float] =
+      if (b.n == 0L) Array.empty[Float]
+      else b.sum.map(x => (x / b.n).toFloat)
+    override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    override def outputEncoder: Encoder[Array[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+  }
+
+  private lazy val vectorAvgUdaf = F.udaf(new VectorAvg)
+
+  /** vector_avg as a ready-to-use aggregate Column function. */
+  def vector_avg(c: Column): Column = vectorAvgUdaf(c)
+
+  /** Register all SQL-callable names on a live session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    GraftSql.registerFunction(spark, "cosine_sim", es => CosineSim(es(0), es(1)))
+    GraftSql.registerFunction(spark, "vector_dot", es => VectorDot(es(0), es(1)))
+    GraftSql.registerFunction(spark, "l2_distance", es => L2Distance(es(0), es(1)))
+    GraftSql.registerFunction(spark, "vector_norm", es => VectorNorm(es(0)))
+  }
+}

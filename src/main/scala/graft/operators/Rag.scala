@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The RAG operator chain, Spark-first (SURVEY.md §2.1 A5–A11, §7.2).
+  *
+  * The reference implements retrieve-augment-generate as per-record network
+  * calls (OpenAI embed `RAG.java:47`, OpenSearch k-NN `RAG.java:51-59`,
+  * chat completion `RAG.java:87-98`). Here the same semantic chain is a
+  * declarative DataFrame program over a parquet-backed vector store:
+  * embed → cosine top-k (TakeOrderedAndProject, no full sort) → score-ordered
+  * context concat → prompt render → deterministic extractive mock answer.
+  *
+  * Scale posture: the probe side is a broadcast of O(k) rows; the store side
+  * streams through the scan stage — no shuffle at any k, any store size.
+  */
+object Rag {
+
+  /** Prompt template carried verbatim from `RAG.java:68-74`. */
+  val PromptTemplate: String =
+    """Answer the following question to the best of your ability:
+      |
+      |Question:
+      |{{question}}
+      |
+      |Base your answer on the following information:
+      |{{information}}""".stripMargin
+
+  val FixedQuestion = "how does a query filter rows in a stream"
+
+  /** Deterministic probe: store vector with vec_id = 0 (lets DuckDB oracle
+    * the k-NN search via a scalar subquery on the same table).
+    */
+  private def withProbe(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("probe"))
+    e.crossJoin(broadcast(probe))
+  }
+
+  /** Top-k rows (vec_id, score) for the fixed probe — A7/A8. */
+  def knnTopK(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    withProbe(s, d)
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("probe")).as("score"))
+      .where(col("score") >= 0.0) // reference's minScore(0.0), RAG.java:54
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
+  val defs: Seq[Q] = Seq(
+
+    Q("rag_knn_topk",
+      """SELECT vec_id, round(score, 6) AS score FROM (
+        |  SELECT vec_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+        |    ) AS score
+        |  FROM embeddings WHERE vec_id <> 0)
+        |WHERE score >= 0.0
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      knnTopK(s, d).select(col("vec_id"), round(col("score"), 6).as("score"))
+    },
+
+    Q("rag_context_assemble",
+      """SELECT string_agg(text, chr(10) || chr(10) ORDER BY score DESC, vec_id)
+        |         AS context
+        |FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+        |    ) AS score,
+        |    d.text
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin) { (s, d) =>
+      // A9: texts of the top-k matches joined with "\n\n" in score order
+      // (RAG.java:76-78). Deterministic: sort_array on (-score, vec_id).
+      val top = knnTopK(s, d)
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+      top.agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(negate(col("score")).as("ns"),
+              col("vec_id").as("v"), col("text").as("t")))),
+            x => x.getField("t")),
+          "\n\n").as("context"))
+    },
+
+    Q("rag_prompt_render",
+      s"""SELECT replace(replace(
+         |  'Answer the following question to the best of your ability:' || chr(10)
+         |    || chr(10) || 'Question:' || chr(10) || '{{question}}' || chr(10)
+         |    || chr(10) || 'Base your answer on the following information:'
+         |    || chr(10) || '{{information}}',
+         |  '{{question}}', '${FixedQuestion}'),
+         |  '{{information}}', context) AS prompt
+         |FROM (
+         |  SELECT string_agg(text, chr(10) || chr(10)
+         |           ORDER BY score DESC, vec_id) AS context
+         |  FROM (
+         |    SELECT e.vec_id,
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+         |      ) AS score,
+         |      d.text
+         |    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |    WHERE e.vec_id <> 0
+         |    ORDER BY score DESC, vec_id LIMIT 10))""".stripMargin) { (s, d) =>
+      // A10: template substitution of RAG.java:67-84.
+      val ctx = defs.find(_.name == "rag_context_assemble").get.fn(s, d)
+      ctx.select(
+        regexp_replace(
+          regexp_replace(lit(PromptTemplate), lit("\\{\\{question\\}\\}"),
+            lit(FixedQuestion)),
+          lit("\\{\\{information\\}\\}"), col("context")).as("prompt"))
+    },
+
+    Q.noOracle("rag_embed_deterministic") { (s, d) =>
+      // A3/A6 stand-in: algorithm-defined (feature hashing), no SQL oracle;
+      // covered by FunctionSpec properties + downstream flagship determinism.
+      Tables.documents(s, d)
+        .select(col("doc_id"), feature_hash_embed(col("text"), 64).as("embedding"))
+        .orderBy("doc_id")
+    },
+
+    Q("dedup_exact",
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Exact dedup, keep-first by doc_id. At 100 TB: a single hash
+      // shuffle on md5(text) — the canonical exact-dedup plan.
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+  )
+
+  /** Flagship end-to-end query (`SparkEntry.entry`): the reference's full
+    * A5–A11 semantic chain as ONE DataFrame program over sf0.001 with zero
+    * network — embed the corpus + the question (feature hashing), exact
+    * cosine top-10, score-ordered context, prompt render, extractive mock
+    * answer (first sentence of the best match — deterministic stand-in for
+    * the chat call at RAG.java:87-98).
+    */
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        feature_hash_embed(col("text"), 64).as("embedding"))
+    val q = s.range(1).select(
+      lit(FixedQuestion).as("question"),
+      feature_hash_embed(lit(FixedQuestion), 64).as("qvec"))
+    val scored = docs.crossJoin(broadcast(q))
+      .select(col("question"), col("doc_id"), col("text"),
+        cosine_sim(col("embedding"), col("qvec")).as("score"))
+      .where(col("score") >= 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+    scored
+      .groupBy(col("question"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(negate(col("score")).as("ns"),
+              col("doc_id").as("v"), col("text").as("t")))),
+            x => x.getField("t")),
+          "\n\n").as("context"),
+        max(struct(col("score"), col("doc_id"), col("text"))).as("best"))
+      .select(
+        col("question"),
+        col("context"),
+        regexp_replace(
+          regexp_replace(lit(PromptTemplate), lit("\\{\\{question\\}\\}"),
+            col("question")),
+          lit("\\{\\{information\\}\\}"), col("context")).as("prompt"),
+        concat(lit("[extractive] "),
+          substring_index(col("best.text"), ".", 1)).as("answer"))
+  }
+}

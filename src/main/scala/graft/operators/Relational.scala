@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters — the base relational surface
+  * (SURVEY.md §2.2 "Scans / sources / sinks" + "Projection / filter").
+  *
+  * All predicates/projections here push into the vectorized parquet scan
+  * (asserted in PlanSpec): at 100 TB these queries read only the referenced
+  * columns and row groups, never the full table.
+  */
+object Relational {
+
+  val defs: Seq[Q] = Seq(
+
+    Q("scan_parquet",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("scan_pruned_filtered",
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+               col("l_shipdate") <  lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("sink_parquet_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      // Exercises the parquet sink + re-read path explicitly: result is
+      // written columnar and scanned back (Verify additionally round-trips
+      // every query result).
+      val out = s.conf.get("spark.local.dir", "/tmp") +
+        s"/graft_roundtrip_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.orders(s, d).groupBy("o_orderstatus").agg(count("*").as("n"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("o_orderstatus")
+    },
+
+    Q("filter_pred_and_or",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+        |   OR (o_orderstatus = 'O' AND o_totalprice < 5000.0)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where((col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0) ||
+              (col("o_orderstatus") === "O" && col("o_totalprice") < 5000.0))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    Q("project_expr",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |       * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS net_price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      // decimal arithmetic keeps the computed value engine-exact
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)")) *
+          (lit(1) + col("l_tax").cast("decimal(12,2)"))
+        ).cast("double").as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("filter_in_between_like",
+      """SELECT p_partkey, p_name, p_brand, p_size
+        |FROM part
+        |WHERE p_brand IN ('Brand#1', 'Brand#3')
+        |  AND p_size BETWEEN 10 AND 40
+        |  AND p_type LIKE 'PROM%'
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .where(col("p_brand").isin("Brand#1", "Brand#3") &&
+               col("p_size").between(10, 40) &&
+               col("p_type").like("PROM%"))
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    },
+  )
+}

@@ -13,6 +13,10 @@ object SparkEntry {
   /** All declared queries, in SURVEY.md §2.2 order. */
   def all: Seq[Q] =
     operators.Relational.defs ++
+    operators.Joins.defs ++
+    operators.Aggregations.defs ++
+    operators.Windows.defs ++
+    operators.SetSort.defs ++
     operators.Rag.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

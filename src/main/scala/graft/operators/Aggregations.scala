@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.2 "Aggregations").
+  *
+  * Money sums follow the decimal-exact discipline (Q scaladoc): partial
+  * aggregation (map-side combine) still applies — decimal sum is
+  * associative, so the two-phase HashAggregate plan is unchanged.
+  */
+object Aggregations {
+
+  /** sum(cast(x as decimal(12,2))) cast back to double — engine-exact. */
+  private def dsum(c: String) = sum(col(c).cast("decimal(12,2)")).cast("double")
+
+  val defs: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: tiny key space ⇒ map-side partials reduce ~all rows
+    // before the shuffle; final agg is 6 groups regardless of scale.
+    Q("agg_hash_group",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_price"),
+          (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // High-cardinality group (one group per order): partials barely reduce;
+    // exercises hash-agg spill / sort-agg fallback. At 100 TB this is the
+    // shape to watch for skew — keys here are uniform.
+    Q("agg_sort_fallback",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    },
+
+    // Exact distinct: Expand + two-phase agg in Spark.
+    Q("agg_count_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")
+    },
+
+    // HLL sketch — no oracle (sketches differ across engines); FunctionSpec
+    // asserts ±5% of exact. The 100 TB answer to count-distinct: fixed
+    // memory, one pass, mergeable partials.
+    Q.noOracle("agg_approx_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    Q("agg_rollup",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    Q("agg_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    Q("agg_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_prio,
+          |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // Deterministic list aggregation rendered as a string (array text forms
+    // differ across engines; the joined string is engine-neutral).
+    Q("agg_collect_sorted",
+      """SELECT c_mktsegment,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM (SELECT c_mktsegment, c_name FROM customer WHERE c_custkey <= 200)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .where(col("c_custkey") <= 200)
+        .groupBy("c_mktsegment")
+        .agg(array_join(sort_array(collect_list(col("c_name"))), "|").as("names"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Vector centroid per label via the engine's UDAF surface — oracled
+    // against DuckDB list aggregation, with per-element rounding.
+    Q("agg_vector_centroid",
+      """SELECT label,
+        |  round(CAST(CAST(sum(embedding[1]) / count(*) AS FLOAT) AS DOUBLE), 4) AS c0,
+        |  round(CAST(CAST(sum(embedding[2]) / count(*) AS FLOAT) AS DOUBLE), 4) AS c1,
+        |  count(*) AS n
+        |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS embedding
+        |      FROM embeddings)
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      // vector_avg computes the full 64-dim centroid; the oracled
+      // projection checks the first two components (rounded).
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(vector_avg(col("embedding")).as("centroid"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          round(element_at(col("centroid"), 1).cast("double"), 4).as("c0"),
+          round(element_at(col("centroid"), 2).cast("double"), 4).as("c1"),
+          col("n"))
+        .orderBy("label")
+    },
+  )
+}

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The join surface (SURVEY.md §2.2 "Joins"): every Spark join strategy,
+  * each pinned via hints so the physical plan is deterministic under test
+  * (asserted in PlanSpec).
+  *
+  * Scale notes per query in comments: which side broadcasts, where the
+  * shuffle lands, and why the plan survives 100×.
+  */
+object Joins {
+
+  val defs: Seq[Q] = Seq(
+
+    // Small build side (part is ~1/30 of lineitem): broadcast hash join —
+    // no shuffle of the big side at any scale where part fits in memory.
+    Q("join_broadcast_inner",
+      """SELECT l_orderkey, l_linenumber, p.p_name, p.p_brand
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "inner")
+        .select(l("l_orderkey"), l("l_linenumber"), p("p_name"), p("p_brand"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Shuffled hash join: both sides shuffle on the key, build the smaller.
+    // Preferred over sort-merge when one side is much smaller per key and
+    // sorting 100 TB is the bottleneck.
+    Q("join_shuffle_hash",
+      """SELECT o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).hint("shuffle_hash")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_name"), c("c_mktsegment"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // Large ⋈ large: sort-merge — both sides shuffle+sort on the key;
+    // the default robust plan for two 100 TB fact tables.
+    Q("join_sort_merge",
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).hint("merge")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(l("l_orderkey"), l("l_linenumber"), o("o_orderstatus"), o("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("join_left_outer",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_orderstatus
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_outer")
+        .select(c("c_custkey"), o("o_orderkey"), o("o_orderstatus"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    },
+
+    // Full outer of two per-nation aggregates (some nations have customers
+    // but no suppliers and vice versa at small sf).
+    Q("join_full_outer",
+      """SELECT cn.nk AS c_nk, sn.nk AS s_nk, cn.n_cust, sn.n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) cn
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1) sn
+        |ON cn.nk = sn.nk
+        |ORDER BY c_nk NULLS FIRST, s_nk NULLS FIRST""".stripMargin) { (s, d) =>
+      val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count("*").as("n_cust"))
+      val sn = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count("*").as("n_supp"))
+      cn.join(sn, cn("nk") === sn("nk"), "full_outer")
+        .select(cn("nk").as("c_nk"), sn("nk").as("s_nk"),
+          col("n_cust"), col("n_supp"))
+        .orderBy(col("c_nk").asc_nulls_first, col("s_nk").asc_nulls_first)
+    },
+
+    // EXISTS: semi join never materializes right columns — at scale the
+    // right side reduces to a distinct-key broadcast or shuffled semi.
+    Q("join_left_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q("join_left_anti",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Pure theta (non-equi) join: nested loop with the tiny side broadcast.
+    // Only valid at scale when one side is provably small — supplier here.
+    Q("join_theta_nl",
+      """SELECT s.s_suppkey, c.c_custkey
+        |FROM supplier s JOIN customer c
+        |  ON s.s_acctbal > c.c_acctbal AND s.s_acctbal <= c.c_acctbal + 50.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      broadcast(sup).join(c,
+          sup("s_acctbal") > c("c_acctbal") &&
+          sup("s_acctbal") <= c("c_acctbal") + 50.0)
+        .select(sup("s_suppkey"), c("c_custkey"))
+        .orderBy("s_suppkey", "c_custkey")
+    },
+
+    // Range join: equi key (user_id) + time band — planned as a hash join
+    // with the band as a post-filter, which scales (shuffle on user_id);
+    // never a cross product.
+    Q("join_range_interval",
+      """SELECT e1.event_id AS left_id, e2.event_id AS right_id
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        | AND e1.event_id <> e2.event_id
+        |ORDER BY left_id, right_id""".stripMargin) { (s, d) =>
+      val e1 = Tables.events(s, d).alias("e1")
+      val e2 = Tables.events(s, d).alias("e2")
+      e1.join(e2,
+          col("e1.user_id") === col("e2.user_id") &&
+          col("e2.ts") >= col("e1.ts") &&
+          col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTE") &&
+          col("e1.event_id") =!= col("e2.event_id"))
+        .select(col("e1.event_id").as("left_id"), col("e2.event_id").as("right_id"))
+        .orderBy("left_id", "right_id")
+    },
+
+    // As-of join: for each purchase, the latest click of the same user
+    // at-or-before its ts. Spark lacks ASOF — emulated scalably with ONE
+    // shuffle: union both sides, sort per user by time, carry the last
+    // click forward (last_value IGNORE NULLS) — the gaps-and-islands
+    // pattern; no per-row subquery, no skewed self-join.
+    Q("join_asof",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          lit(0).as("tag"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          lit(1).as("tag"))
+      val unioned = clicks.select(col("user_id"), col("ts"), col("tag"),
+          col("click_id"), lit(null).cast("long").as("purchase_id"))
+        .unionByName(purchases.select(col("user_id"), col("ts"), col("tag"),
+          lit(null).cast("long").as("click_id"), col("purchase_id")))
+      // clicks sort before purchases at equal ts (tag 0 < 1) ⇒ p.ts >= c.ts
+      // inclusive, matching ASOF. Ties between clicks: event_id order ⇒ the
+      // carried click is the max event_id at the max ts — DuckDB ASOF picks
+      // the max ts too (ties impossible in data: ts unique).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("tag").asc, col("click_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .select(col("purchase_id"), col("asof_click").as("click_id"))
+        .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_first)
+    },
+
+    // k-NN join: 5 probe vectors × store, exact top-3 per probe.
+    // Scale path: probes broadcast; store streams; per-probe heaps via
+    // window rank on (probe, score) — shuffle is k×probes rows only after
+    // partial TakeOrdered per partition under AQE.
+    Q("join_knn_topk",
+      """SELECT probe_id, rnk, vec_id, round(score, 6) AS score FROM (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(p.embedding AS DOUBLE[])) AS score,
+        |    row_number() OVER (
+        |      PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                 CAST(p.embedding AS DOUBLE[])) DESC, e.vec_id) AS rnk
+        |  FROM embeddings e, embeddings p
+        |  WHERE p.vec_id < 5 AND e.vec_id <> p.vec_id)
+        |WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val p = Tables.embeddings(s, d).where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      val scored = e.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine_sim(col("embedding"), col("probe")).as("score"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("probe_id"), col("rnk"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("probe_id", "rnk")
+    },
+  )
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function surface (SURVEY.md §2.2 "Window functions") plus the
+  * oracled batch twins of the streaming window queries.
+  *
+  * Determinism rules: rank/dense_rank order by real (tie-prone) keys —
+  * their results are functions of key values only; row_number/ntile and
+  * frame-based aggregates order by a unique key suffix so both engines see
+  * the same row sequence.
+  */
+object Windows {
+
+  private def dsum(c: String) = sum(col(c).cast("decimal(12,2)")).cast("double")
+
+  val defs: Seq[Q] = Seq(
+
+    Q("win_rank_dense_ntile",
+      """SELECT o_custkey, o_orderkey,
+        |  rank()       OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS drnk,
+        |  ntile(4)     OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS quart
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val byYear = Window.partitionBy(col("o_custkey"))
+        .orderBy(year(col("o_orderdate")).desc)
+      val unique = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(byYear).as("rnk"),
+          dense_rank().over(byYear).as("drnk"),
+          ntile(4).over(unique).as("quart"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Top-N per group: the canonical "top-2 orders per customer" — one
+    // shuffle on the partition key; at scale AQE handles skewed customers.
+    Q("win_row_number_topn",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Day-over-day delta of daily order totals (lag/lead).
+    Q("win_lag_lead",
+      """SELECT d, total,
+        |  lag(total)  OVER (ORDER BY d) AS prev_total,
+        |  lead(total) OVER (ORDER BY d) AS next_total
+        |FROM (
+        |  SELECT date_trunc('day', o_orderdate) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |ORDER BY d""".stripMargin) { (s, d) =>
+      // TIMESTAMP (not DATE) output: engines agree on timestamp binary
+      // form; DATE pandas/arrow readbacks differ.
+      val daily = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+        .agg(dsum("o_totalprice").as("total"))
+      val w = Window.orderBy(col("d"))
+      daily.select(col("d"), col("total"),
+          lag(col("total"), 1).over(w).as("prev_total"),
+          lead(col("total"), 1).over(w).as("next_total"))
+        .orderBy("d")
+    },
+
+    // Running sum, ROWS frame (needs unique ordering for determinism).
+    Q("win_frame_rows",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // 30-day moving average per customer, RANGE frame over a day ordinal.
+    // sum and count computed separately, divided as doubles — determinism
+    // holds because both are exact (decimal sum / long count).
+    Q("win_frame_range",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS moving_avg
+        |FROM (SELECT *, date_diff('day', DATE '1995-01-01',
+        |                          CAST(o_orderdate AS DATE)) AS day_ord
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_ord
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .withColumn("day_ord",
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_ord"))
+        .rangeBetween(-30, Window.currentRow)
+      base.select(
+          col("o_custkey"), col("o_orderkey"),
+          (sum(col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double")
+            / count(lit(1)).over(w)).as("moving_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- Batch twins of the streaming windows (SURVEY §2.2 Streaming) ----
+
+    // Tumbling 1-hour window = date_trunc group-by in batch.
+    Q("win_tumbling_batch",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // Sliding 1-hour/15-min window: each event lands in 4 covering windows —
+    // batch twin generates the 4 starts per event and unnests.
+    Q("win_sliding_batch",
+      """SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT unnest(generate_series(
+        |      time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 45 MINUTE,
+        |      time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)),
+        |      INTERVAL 15 MINUTE)) AS win_start,
+        |    event_type
+        |  FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      // Spark's window() generator emits the 4 covering epoch-aligned
+      // 15-min-slide windows per event; the oracle generates the same
+      // starts via time_bucket + generate_series.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // Session windows (30-min gap) per user: gaps-and-islands — the exact
+    // algorithm DuckDB runs in the oracle, and the batch twin of
+    // session_window() in streaming.
+    Q("win_session_batch",
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts2) AS session_start, max(ts2) AS session_end
+        |FROM (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                > INTERVAL 30 MINUTE
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_session",
+          when(lag(col("ts"), 1).over(byTs).isNull ||
+               col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
+                 > 30L * 60L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Batch twin of streaming dropDuplicates.
+    Q("dedup_exact_batch",
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("ts").asc, col("user_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+  )
+}

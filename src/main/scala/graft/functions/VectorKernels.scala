@@ -13,9 +13,21 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object VectorKernels {
 
+  /** Dimension check shared by all binary kernels: a silent truncation to
+    * min(len) would mask data corruption with plausible-looking scores, so
+    * mismatched inputs fail loudly instead (ADVICE r1).
+    */
+  private def sameDim(a: ArrayData, b: ArrayData, op: String): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$op: vector dimensions differ (${n} vs ${b.numElements()})")
+    n
+  }
+
   /** Cosine similarity of two float arrays; 0.0 for zero-norm inputs. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim(a, b, "cosine_sim")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -30,7 +42,7 @@ object VectorKernels {
 
   /** Dot product of two float arrays. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim(a, b, "vector_dot")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -48,7 +60,7 @@ object VectorKernels {
 
   /** Euclidean (L2) distance of two float arrays. */
   def l2Distance(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDim(a, b, "l2_distance")
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -52,19 +52,25 @@ package object functions {
     */
   class VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
     override def zero: VecBuf = VecBuf(Array.empty[Double], 0L)
+    private def requireDim(expected: Int, got: Int): Unit =
+      if (expected != got)
+        throw new IllegalArgumentException(
+          s"vector_avg: vector dimensions differ ($expected vs $got)")
     override def reduce(b: VecBuf, in: Array[Float]): VecBuf = {
       if (in == null) return b
       val acc = if (b.sum.isEmpty) new Array[Double](in.length) else b.sum
+      requireDim(acc.length, in.length)
       var i = 0
-      while (i < in.length && i < acc.length) { acc(i) += in(i); i += 1 }
+      while (i < in.length) { acc(i) += in(i); i += 1 }
       VecBuf(acc, b.n + 1L)
     }
     override def merge(x: VecBuf, y: VecBuf): VecBuf = {
       if (x.sum.isEmpty) return y
       if (y.sum.isEmpty) return x
+      requireDim(x.sum.length, y.sum.length)
       val acc = x.sum
       var i = 0
-      while (i < acc.length && i < y.sum.length) { acc(i) += y.sum(i); i += 1 }
+      while (i < acc.length) { acc(i) += y.sum(i); i += 1 }
       VecBuf(acc, x.n + y.n)
     }
     override def finish(b: VecBuf): Array[Float] =

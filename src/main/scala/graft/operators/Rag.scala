@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The RAG operator chain, Spark-first (SURVEY.md §2.1 A5–A11, §7.2).
@@ -49,6 +49,29 @@ object Rag {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
 
+  /** Top-k (vec_id, score, text): scores joined to `documents` BEFORE the
+    * limit, mirroring the oracle's order of operations exactly (ADVICE r1 —
+    * limiting first would silently select a different set if any top-k
+    * vec_id lacked a documents row).
+    */
+  def knnTopKWithText(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    withProbe(s, d)
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("probe")).as("score"))
+      .where(col("score") >= 0.0)
+      .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
+  /** Literal template substitution — `replace` has plain-string semantics on
+    * both engines, unlike `regexp_replace` whose Java `Matcher` replacement
+    * treats `$`/`\` specially (ADVICE r1).
+    */
+  private def renderPrompt(question: Column, information: Column): Column =
+    replace(
+      replace(lit(PromptTemplate), lit("{{question}}"), question),
+      lit("{{information}}"), information)
+
   val defs: Seq[Q] = Seq(
 
     Q("rag_knn_topk",
@@ -78,8 +101,7 @@ object Rag {
         |  ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin) { (s, d) =>
       // A9: texts of the top-k matches joined with "\n\n" in score order
       // (RAG.java:76-78). Deterministic: sort_array on (-score, vec_id).
-      val top = knnTopK(s, d)
-        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+      val top = knnTopKWithText(s, d)
       top.agg(
         array_join(
           transform(
@@ -111,18 +133,26 @@ object Rag {
          |    ORDER BY score DESC, vec_id LIMIT 10))""".stripMargin) { (s, d) =>
       // A10: template substitution of RAG.java:67-84.
       val ctx = defs.find(_.name == "rag_context_assemble").get.fn(s, d)
-      ctx.select(
-        regexp_replace(
-          regexp_replace(lit(PromptTemplate), lit("\\{\\{question\\}\\}"),
-            lit(FixedQuestion)),
-          lit("\\{\\{information\\}\\}"), col("context")).as("prompt"))
+      ctx.select(renderPrompt(lit(FixedQuestion), col("context")).as("prompt"))
     },
 
     Q.noOracle("rag_embed_deterministic") { (s, d) =>
       // A3/A6 stand-in: algorithm-defined (feature hashing), no SQL oracle;
       // covered by FunctionSpec properties + downstream flagship determinism.
+      // The result projects the embedding to sortable SCALARS (norm + leading
+      // components, rounded) — the driver's rows-only canonicalization cannot
+      // hash a raw ARRAY<FLOAT> column (ADVICE r1).
       Tables.documents(s, d)
         .select(col("doc_id"), feature_hash_embed(col("text"), 64).as("embedding"))
+        .select(
+          col("doc_id"),
+          round(vector_norm(col("embedding")), 4).as("nrm"),
+          round(element_at(col("embedding"), 1).cast("double"), 5).as("e0"),
+          round(element_at(col("embedding"), 2).cast("double"), 5).as("e1"),
+          round(element_at(col("embedding"), 3).cast("double"), 5).as("e2"),
+          round(element_at(col("embedding"), 4).cast("double"), 5).as("e3"),
+          expr("aggregate(embedding, 0, (acc, x) -> acc + if(x != 0f, 1, 0))")
+            .as("nnz"))
         .orderBy("doc_id")
     },
 
@@ -178,10 +208,7 @@ object Rag {
       .select(
         col("question"),
         col("context"),
-        regexp_replace(
-          regexp_replace(lit(PromptTemplate), lit("\\{\\{question\\}\\}"),
-            col("question")),
-          lit("\\{\\{information\\}\\}"), col("context")).as("prompt"),
+        renderPrompt(col("question"), col("context")).as("prompt"),
         concat(lit("[extractive] "),
           substring_index(col("best.text"), ".", 1)).as("answer"))
   }

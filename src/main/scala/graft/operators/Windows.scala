@@ -184,10 +184,13 @@ object Windows {
       val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
+        // Gap compared in MICROSECONDS (unix_micros) — cast-to-long floors
+        // to whole seconds and diverges from the oracle's exact INTERVAL
+        // compare on sub-second timestamps (ADVICE r1).
         .withColumn("new_session",
           when(lag(col("ts"), 1).over(byTs).isNull ||
-               col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
-                 > 30L * 60L, 1).otherwise(0))
+               unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byTs))
+                 > 30L * 60L * 1000000L, 1).otherwise(0))
         .withColumn("session_id", sum(col("new_session")).over(cum).cast("long"))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),

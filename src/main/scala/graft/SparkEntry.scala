@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Aggregations.defs ++
     operators.Windows.defs ++
     operators.SetSort.defs ++
+    operators.Functions.defs ++
     operators.Rag.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function families (SURVEY.md §2.2 "Scalar functions") — one query
+  * per family, several functions each, all codegen'd built-ins (no UDFs in
+  * the hot path; at 100 TB these run inside the scan stage's whole-stage
+  * codegen span).
+  *
+  * Oracle-parity notes baked into each query:
+  *   - DuckDB `regexp_replace` is first-match-only without the 'g' flag;
+  *     Spark's replaces all — oracle always passes 'g'.
+  *   - Spark `dayofweek` is 1=Sunday..7; DuckDB `dayofweek` 0=Sunday..6.
+  *   - Spark `floor`/`ceil` return BIGINT; DuckDB return DOUBLE — oracle
+  *     casts.
+  *   - float arrays are cast to DOUBLE before any arithmetic on BOTH
+  *     engines, so accumulation error stays ~1e-15 and rounding to 4-6
+  *     decimals is order-insensitive in practice.
+  *   - libm-backed fns (ln/log10/pow) are rounded to 6 decimals: engines'
+  *     libms may differ in the last ulp.
+  */
+object Functions {
+
+  val defs: Seq[Q] = Seq(
+
+    Q("fn_string",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_name, 1, 6) AS sub,
+        |  length(p_name) AS len,
+        |  concat_ws('-', p_brand, p_type) AS cw,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
+        |  string_split(p_name, ' ')[1] AS tok1,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+        |  trim(concat('  ', p_name, '  ')) AS trm
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 6).as("sub"),
+          length(col("p_name")).as("len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("devowel"),
+          element_at(split(col("p_name"), " "), 1).as("tok1"),
+          lpad(col("p_size").cast("string"), 4, "0").as("pad"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trm"))
+        .orderBy("p_partkey")
+    },
+
+    Q("fn_date",
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS mon,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+        |  dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dsince,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("mon"),
+          year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mth"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).as("dsince"),
+          date_add(col("o_orderdate").cast("date"), 30)
+            .cast("timestamp").as("plus30"),
+          last_day(col("o_orderdate")).cast("timestamp").as("eom"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    },
+
+    Q("fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS r1,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS fl,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+        |  abs(l_quantity - 25) AS ab,
+        |  round(pow(l_quantity, 2), 4) AS pw,
+        |  round(sqrt(l_extendedprice), 6) AS sq,
+        |  round(ln(l_extendedprice + 1), 6) AS lg,
+        |  round(log10(l_extendedprice + 1), 6) AS l10,
+        |  greatest(l_tax, l_discount) AS gr,
+        |  least(l_tax, l_discount) AS le,
+        |  ((l_orderkey % 7) + 7) % 7 AS pm,
+        |  CAST(sign(l_discount - 0.05) AS INT) AS sg
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          floor(col("l_discount") * 100).as("fl"),
+          ceil(col("l_discount") * 100).as("ce"),
+          abs(col("l_quantity") - 25).as("ab"),
+          round(pow(col("l_quantity"), 2), 4).as("pw"),
+          round(sqrt(col("l_extendedprice")), 6).as("sq"),
+          round(log(col("l_extendedprice") + 1), 6).as("lg"),
+          round(log10(col("l_extendedprice") + 1), 6).as("l10"),
+          greatest(col("l_tax"), col("l_discount")).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"),
+          pmod(col("l_orderkey"), lit(7)).as("pm"),
+          signum(col("l_discount") - 0.05).cast("int").as("sg"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Higher-order array functions over the embedding column; all arithmetic
+    // on DOUBLE (cast first on both engines — see object scaladoc).
+    Q("fn_array",
+      """SELECT vec_id, n, el6, mx, second, s_pos, nrm2 FROM (
+        |  SELECT vec_id,
+        |    len(e) AS n,
+        |    round(e[6], 5) AS el6,
+        |    round(list_aggregate(e, 'max'), 5) AS mx,
+        |    round(list_sort(e)[2], 5) AS second,
+        |    round(list_sum(list_filter(e, x -> x > 0)), 4) AS s_pos,
+        |    round(list_sum(list_transform(e, x -> x * x)), 4) AS nrm2
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings))
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .select(
+          col("vec_id"),
+          size(col("e")).as("n"),
+          round(element_at(slice(col("e"), 5, 3), 2), 5).as("el6"),
+          round(array_max(col("e")), 5).as("mx"),
+          round(element_at(array_sort(col("e")), 2), 5).as("second"),
+          round(aggregate(filter(col("e"), x => x > 0),
+            lit(0.0), (a, x) => a + x), 4).as("s_pos"),
+          round(aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+            lit(0.0), (a, x) => a + x), 4).as("nrm2"))
+        .orderBy("vec_id")
+    },
+
+    Q("fn_map",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS kval,
+        |  len(json_keys(props)) AS nk,
+        |  json_keys(props)[1] AS kname,
+        |  value AS ev_val
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"), lit("map<string,int>"))
+      Tables.events(s, d)
+        .withColumn("m", m)
+        // map_from_entries round-trip: rebuild a map from (type, value)
+        // entries and read `value` back out of it.
+        .withColumn("m2", map_from_entries(
+          array(struct(col("event_type"), col("value")))))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("kval"),
+          size(map_keys(col("m"))).as("nk"),
+          element_at(map_keys(col("m")), 1).as("kname"),
+          element_at(map_values(col("m2")), 1).as("ev_val"))
+        .orderBy("event_id")
+    },
+
+    Q("fn_json",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS gj,
+        |  json_extract_string(props, '$.k') AS jtk,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS kv,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS kv2
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("props"),
+          get_json_object(col("props"), "$.k").as("gj"),
+          from_json(col("props"), lit("struct<k:int>")).getField("k").as("kv"))
+        .select(col("event_id"), col("gj"),
+          json_tuple(col("props"), "k").as("jtk"),
+          col("kv"), (col("kv") * 2).as("kv2"))
+        .select("event_id", "gj", "jtk", "kv", "kv2")
+        .orderBy("event_id")
+    },
+
+    Q("fn_conditional",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS co,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        |       THEN 'has' ELSE 'none' END AS nn,
+        |  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS pos
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+            .as("co"),
+          expr("nvl2(nullif(c_mktsegment, 'BUILDING'), 'has', 'none')").as("nn"),
+          expr("if(c_acctbal > 0, 1, 0)").as("pos"))
+        .orderBy("c_custkey")
+    },
+
+    // md5 + sha256 oracled; xxhash64/crc32 have no DuckDB twin and are
+    // exercised by the minhash/fingerprint operators + unit tests instead.
+    Q("fn_hash",
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha"))
+        .orderBy("doc_id")
+    },
+  )
+}

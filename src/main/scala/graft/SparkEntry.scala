@@ -18,6 +18,8 @@ object SparkEntry {
     operators.Windows.defs ++
     operators.SetSort.defs ++
     operators.Functions.defs ++
+    operators.Text.defs ++
+    operators.Dedup.defs ++
     operators.Rag.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -119,6 +119,66 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash document sketch: tokenize (lowercased letter/digit
+    * runs), FNV-1a-hash each token, per-bit majority vote over token
+    * hashes. Near-duplicate texts land within small Hamming distance —
+    * the pairwise-free dedup sketch for 100 TB corpora (compare via
+    * `bit_count(a ^ b)` after a cheap band/prefix bucketing).
+    */
+  def simhash64(text: String, seed: Long): Long = {
+    val votes = new Array[Int](64)
+    val s = text.toLowerCase
+    var start = -1
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val isWord = i < len && Character.isLetterOrDigit(s.charAt(i))
+      if (isWord) { if (start < 0) start = i }
+      else if (start >= 0) {
+        val h = fnv1a64(s.substring(start, i), seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        start = -1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Winnowing document fingerprint (rolling hash): hash every k-gram of
+    * characters, slide a window of `w` consecutive k-gram hashes, keep each
+    * window's minimum (rightmost on ties), return the distinct selected
+    * hashes sorted ascending. Standard winnowing guarantees: any shared
+    * substring of length >= w + k - 1 yields a shared fingerprint.
+    */
+  def winnowFingerprint(text: String, k: Int, w: Int, seed: Long): ArrayData = {
+    require(k > 0 && w > 0, s"winnow_fingerprint(k=$k, w=$w): need k>0, w>0")
+    val n = text.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = fnv1a64(text.substring(i, i + k), seed); i += 1 }
+    val sel = scala.collection.mutable.SortedSet.empty[Long]
+    var p = 0
+    val last = math.max(0, m - w)
+    while (p <= last) {
+      val wEnd = math.min(p + w, m)
+      var best = p
+      var j = p + 1
+      while (j < wEnd) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      sel += hs(best)
+      p += 1
+    }
+    new GenericArrayData(sel.toArray.map(_.asInstanceOf[Any]))
+  }
+
   /** Fixed-size overlapping character chunks: windows of `size` chars
     * starting every `size - overlap` chars; final partial window kept.
     */

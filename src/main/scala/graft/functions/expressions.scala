@@ -135,6 +135,60 @@ case class FeatureHashEmbed(child: Expression, dim: Int, seed: Long)
     copy(child = nc)
 }
 
+/** simhash64(STRING, seed) → LONG — 64-bit SimHash sketch (per-bit majority
+  * vote over token hashes); near-dup texts differ in few bits. Pairwise-free
+  * dedup at scale: bucket by prefix/band, compare `bit_count(a ^ b)`.
+  */
+case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires STRING, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.simhash64(a.asInstanceOf[UTF8String].toString, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.simhash64($a.toString(), ${seed}L)")
+
+  override protected def withNewChildInternal(nc: Expression): SimHash64 =
+    copy(child = nc)
+}
+
+/** winnow_fingerprint(STRING, k, w) → ARRAY<LONG> — winnowing rolling-hash
+  * fingerprint (distinct window-min k-gram hashes, sorted). Any shared
+  * substring of length >= w + k - 1 yields a shared fingerprint hash.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprint"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k > 0 && w > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint(k=$k, w=$w): need k>0 and w>0")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint requires STRING, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.winnowFingerprint(
+      a.asInstanceOf[UTF8String].toString, k, w, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.winnowFingerprint($a.toString(), $k, $w, ${seed}L)")
+
+  override protected def withNewChildInternal(nc: Expression): WinnowFingerprint =
+    copy(child = nc)
+}
+
 /** chunks(STRING, size, overlap) → ARRAY<STRING> — fixed-size overlapping
   * character windows; `explode(chunks(...))` is the engine's text-chunking
   * UDTF surface (SURVEY.md §2.2 `text_chunk`).

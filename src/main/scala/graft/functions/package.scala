@@ -38,6 +38,15 @@ package object functions {
   def chunks(text: Column, size: Int, overlap: Int): Column =
     GraftSql.column(Chunks(GraftSql.expression(text), size, overlap))
 
+  /** 64-bit SimHash sketch of a STRING → LONG. */
+  def simhash64(text: Column, seed: Long = 42L): Column =
+    GraftSql.column(SimHash64(GraftSql.expression(text), seed))
+
+  /** Winnowing rolling-hash fingerprint STRING → ARRAY<LONG>. */
+  def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16,
+      seed: Long = 42L): Column =
+    GraftSql.column(WinnowFingerprint(GraftSql.expression(text), k, w, seed))
+
   /** A literal ARRAY<FLOAT> column from a local vector (probe vectors). */
   def lit_vector(v: Array[Float]): Column =
     F.lit(v).cast(org.apache.spark.sql.types.ArrayType(

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{cosine_sim, simhash64}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection suite (north-star LLM-data-pipeline surface):
+  * exact n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine — the
+  * four standard corpus-dedup families, each with its 100 TB story:
+  *
+  *  - n-gram Jaccard is exact but O(n²); it runs here on a bounded block
+  *    (doc_id < 200) as the verification oracle for the sketch methods.
+  *  - MinHash+LSH is the scale path: signatures are scan-side, candidates
+  *    come from a band-hash shuffle (equi-join, no cross product), and only
+  *    candidates pay the exact-Jaccard verification.
+  *  - SimHash reduces each doc to 64 bits; banding by 16-bit prefix keeps
+  *    the pair search to hash-equal buckets.
+  *  - Embedding-cosine finds semantic near-dups; blocking (here: `label`,
+  *    in production: LSH/IVF cell) bounds the pair space.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles of `text` (whitespace-tokenized). */
+  private val ShingleSql =
+    """array_distinct(transform(
+      |  sequence(1, size(split(text, ' ')) - 2),
+      |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+      |                      element_at(split(text, ' '), i + 1),
+      |                      element_at(split(text, ' '), i + 2))))""".stripMargin
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr(ShingleSql).as("sh"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double")
+      / size(array_union(a, b)), 4)
+
+  /** DuckDB-side 3-shingle list (mirrors [[ShingleSql]]). */
+  private val OracleShingle =
+    """list_distinct(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i+1] || ' ' ||
+      |           string_split(text, ' ')[i+2]))""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+
+    // Exact pairwise n-gram Jaccard on a bounded block — the ground truth
+    // the sketch methods are judged against.
+    Q("dedup_ngram_jaccard",
+      s"""WITH s AS (
+         |  SELECT doc_id, $OracleShingle AS sh
+         |  FROM documents
+         |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3)
+         |SELECT doc_a, doc_b, jac FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 4) AS jac
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |WHERE jac >= 0.05
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d).where(col("doc_id") < 200)
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sha"), col("shb")).as("jac"))
+        .where(col("jac") >= 0.05)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash (32 hashes) + LSH (8 bands × 4 rows): candidates from
+    // band-hash equi-buckets only, then exact-Jaccard verification of the
+    // candidates. Hash-permutation-defined → no SQL oracle; recall vs the
+    // exact method is property-tested in DedupSpec.
+    Q.noOracle("dedup_minhash_lsh") { (s, d) =>
+      val sh = shingled(s, d)
+      val sig = sh.select(col("doc_id"),
+        expr("""transform(sequence(0, 31),
+               |  j -> array_min(transform(sh, x -> xxhash64(x, j))))"""
+          .stripMargin).as("sig"))
+      val bands = sig.select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, 7), b -> named_struct(
+              |  'band', b,
+              |  'bh', xxhash64(element_at(sig, 4*b + 1), element_at(sig, 4*b + 2),
+              |                 element_at(sig, 4*b + 3), element_at(sig, 4*b + 4))))"""
+              .stripMargin)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sha"), col("shb")).as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash: 64-bit sketch per doc, 16-bit-prefix banding, Hamming
+    // distance <= 6 within buckets. Sketch-defined → no SQL oracle.
+    Q.noOracle("dedup_simhash") { (s, d) =>
+      val sk = Tables.documents(s, d)
+        .select(col("doc_id"), simhash64(col("text")).as("sh"))
+        .withColumn("band", shiftrightunsigned(col("sh"), 48))
+      sk.as("x").join(sk.as("y"),
+          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .where(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding-cosine near-dup on a blocked pair space (label = the
+    // LSH/IVF-cell stand-in; vec_id bound keeps the pair count fixed
+    // across scale factors).
+    Q("dedup_embedding_cosine",
+      """SELECT doc_a, doc_b, c FROM (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])), 4) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 2000 AND b.vec_id < 2000)
+        |WHERE c >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).where(col("vec_id") < 2000)
+      val a = e.select(col("vec_id").as("doc_a"), col("label"),
+        col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("doc_b"),
+        col("label").as("label_b"), col("embedding").as("eb"))
+      a.join(b, col("label") === col("label_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(cosine_sim(col("ea"), col("eb")), 4).as("c"))
+        .where(col("c") >= 0.4)
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+}

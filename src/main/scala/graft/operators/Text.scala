@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{chunks, winnow_fingerprint}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus (north-star
+  * LLM-data-pipeline surface): tokenization stats, chunking (the UDTF
+  * surface via `posexplode`), language-ID heuristic, quality scoring,
+  * token counting, and document fingerprinting.
+  *
+  * All are scan-side, shuffle-free per-row computations except the token
+  * aggregations — exactly the shape that scales linearly to 100 TB (the
+  * groupBys shuffle only (token)-sized keys, with map-side partial
+  * aggregation).
+  */
+object Text {
+
+  /** Small English stopword list shared by lang-ID and quality scoring. */
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private def stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[Q] = Seq(
+
+    Q("text_tokenize_stats",
+      """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok
+        |ORDER BY n DESC, tok""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("tok"))
+    },
+
+    // Chunking: 100-char windows, 20-char overlap (stride 80). The oracle
+    // reproduces the window arithmetic with generate_series + substr.
+    Q("text_chunk",
+      """SELECT doc_id, i AS chunk_idx, substr(text, i * 80 + 1, 100) AS chunk
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CASE WHEN length(text) <= 100 THEN 0
+        |           ELSE CAST(ceil((length(text) - 100) / 80.0) AS INT) END)) AS i
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(chunks(col("text"), 100, 20)).as(Seq("chunk_idx", "chunk")))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Language-ID heuristic: stopword-hit ratio over whitespace tokens.
+    // (The synthetic corpus draws all langs from one vocab, so the declared
+    // `lang` column is echoed alongside for comparison, not predicted.)
+    Q("text_lang_id",
+      s"""SELECT doc_id, lang, n_tok, n_stop,
+         |  round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+         |  CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.05
+         |       THEN 'en' ELSE 'unk' END AS guess
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(list_filter(string_split(text, ' '),
+         |        x -> x IN ($stopList))) AS n_stop
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tok"),
+          size(filter(split(col("text"), " "),
+            x => x.isInCollection(Stopwords))).as("n_stop"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("n_stop"),
+          round(col("n_stop").cast("double") / col("n_tok"), 4).as("stop_ratio"),
+          when(col("n_stop").cast("double") / col("n_tok") >= 0.05, "en")
+            .otherwise("unk").as("guess"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length, punctuation ratio, mean token length,
+    // composite in [0, 1].
+    Q("text_quality_score",
+      """SELECT doc_id, n_chars2, n_tok, punct_ratio, mean_tok_len,
+        |  round(least(1.0, n_tok / 100.0) * (1.0 - punct_ratio), 4) AS quality
+        |FROM (
+        |  SELECT doc_id, length(text) AS n_chars2,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |          AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) AS mean_tok_len
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars2"),
+          size(split(col("text"), " ")).as("n_tok"),
+          round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+            .cast("double") / length(col("text")), 4).as("punct_ratio"),
+          round(length(replace(col("text"), lit(" "), lit(""))).cast("double")
+            / size(split(col("text"), " ")), 4).as("mean_tok_len"))
+        .select(col("doc_id"), col("n_chars2"), col("n_tok"),
+          col("punct_ratio"), col("mean_tok_len"),
+          round(least(lit(1.0), col("n_tok") / 100.0)
+            * (lit(1.0) - col("punct_ratio")), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace split, BPE-ish regex token runs, and the
+    // chars/4 estimate common in LLM budgeting.
+    Q("text_token_count",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"),
+          ceil(length(col("text")) / 4.0).as("bpe_est"))
+        .orderBy("doc_id")
+    },
+
+    // Content-defined fingerprint of the canonicalized text (exact-dup
+    // detection robust to case/punctuation/whitespace noise).
+    Q("text_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),
+        |         1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(canon).as("fp"),
+          substring(md5(canon), 1, 8).as("fp8"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing rolling-hash fingerprint — algorithm-defined (no SQL
+    // oracle); scalar projections keep the driver's rows-only check happy.
+    Q.noOracle("text_winnow_fingerprint") { (s, d) =>
+      val fp = winnow_fingerprint(col("text"), 8, 16)
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("fp_min"),
+          element_at(col("fp"), -1).as("fp_max"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -20,6 +20,8 @@ object SparkEntry {
     operators.Functions.defs ++
     operators.Text.defs ++
     operators.Dedup.defs ++
+    operators.Ann.defs ++
+    operators.Multimodal.defs ++
     operators.Rag.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -119,6 +119,41 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Deterministic pseudo-random hyperplanes for [[lshBucket]], cached per
+    * (dim, nbits, seed). Component values are fnv-derived in [-1, 1] — no
+    * RNG state, so every executor regenerates identical planes.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  private def planes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim, nbits, seed), { _ =>
+      Array.tabulate(nbits, dim) { (j, i) =>
+        ((fnv1a64(s"$j:$i", seed) % 2001L + 2001L) % 2001L - 1000L) / 1000.0
+      }
+    })
+
+  /** Random-hyperplane LSH bucket of a vector: bit j = sign of the dot
+    * product with deterministic hyperplane j. Cosine-similar vectors land
+    * in buckets with small Hamming distance — the ANN pre-filter that
+    * replaces a full scan at 100 TB (probe bucket ± a few flipped bits).
+    */
+  def lshBucket(v: ArrayData, nbits: Int, seed: Long): Int = {
+    val dim = v.numElements()
+    val ps = planes(dim, nbits, seed)
+    var bucket = 0
+    var j = 0
+    while (j < nbits) {
+      val p = ps(j)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += v.getFloat(i).toDouble * p(i); i += 1 }
+      if (dot > 0.0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** 64-bit SimHash document sketch: tokenize (lowercased letter/digit
     * runs), FNV-1a-hash each token, per-bit majority vote over token
     * hashes. Near-duplicate texts land within small Hamming distance —

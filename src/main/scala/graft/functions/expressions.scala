@@ -135,6 +135,35 @@ case class FeatureHashEmbed(child: Expression, dim: Int, seed: Long)
     copy(child = nc)
 }
 
+/** lsh_bucket(ARRAY<FLOAT>, nbits, seed) → INT — random-hyperplane LSH
+  * bucket id; the ANN pre-filter (probe the bucket and its low-Hamming
+  * neighbors instead of scanning the full store).
+  */
+case class LshBucket(child: Expression, nbits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_bucket"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if nbits > 0 && nbits <= 30 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket(nbits=$nbits): need 0 < nbits <= 30")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires ARRAY<FLOAT>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.lshBucket(a.asInstanceOf[ArrayData], nbits, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.lshBucket($a, $nbits, ${seed}L)")
+
+  override protected def withNewChildInternal(nc: Expression): LshBucket =
+    copy(child = nc)
+}
+
 /** simhash64(STRING, seed) → LONG — 64-bit SimHash sketch (per-bit majority
   * vote over token hashes); near-dup texts differ in few bits. Pairwise-free
   * dedup at scale: bucket by prefix/band, compare `bit_count(a ^ b)`.

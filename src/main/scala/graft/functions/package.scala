@@ -38,6 +38,10 @@ package object functions {
   def chunks(text: Column, size: Int, overlap: Int): Column =
     GraftSql.column(Chunks(GraftSql.expression(text), size, overlap))
 
+  /** Random-hyperplane LSH bucket of an ARRAY<FLOAT> → INT. */
+  def lsh_bucket(v: Column, nbits: Int = 12, seed: Long = 42L): Column =
+    GraftSql.column(LshBucket(GraftSql.expression(v), nbits, seed))
+
   /** 64-bit SimHash sketch of a STRING → LONG. */
   def simhash64(text: Column, seed: Long = 42L): Column =
     GraftSql.column(SimHash64(GraftSql.expression(text), seed))

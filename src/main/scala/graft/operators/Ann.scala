@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding store
+  * (north-star similarity-search surface). Exact brute-force top-k is
+  * `rag_knn_topk`/`join_knn_topk`; these are the two standard scale paths:
+  *
+  *  - LSH: bucket every vector by random-hyperplane signature at write
+  *    time; a probe scans only buckets within small Hamming distance of
+  *    its own signature. At 100 TB the bucket column is a partition/
+  *    cluster key, so the probe prunes partitions instead of filtering
+  *    rows.
+  *  - IVF: partition vectors into cells (here the fixture's `label` plays
+  *    the k-means assignment), keep per-cell centroids (distributed
+  *    `vector_avg` UDAF — no driver collect), probe the nprobe nearest
+  *    cells exactly.
+  *
+  * Both are hash/assignment-defined → no SQL oracle; AnnSpec asserts
+  * recall against the exact scan.
+  */
+object Ann {
+
+  val defs: Seq[Q] = Seq(
+
+    Q.noOracle("ann_lsh_topk") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .withColumn("b", lsh_bucket(col("embedding"), 12))
+      val probe = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("probe"), col("b").as("pb"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        // multiprobe: own bucket plus neighbors within Hamming distance 2
+        .where(bit_count(col("b").bitwiseXOR(col("pb"))) <= 2)
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("probe")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    Q.noOracle("ann_ivf_topk") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cents = e.groupBy("label")
+        .agg(vector_avg(col("embedding")).as("cent"))
+      val probe = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      val top2 = cents.crossJoin(broadcast(probe))
+        .select(col("label"), cosine_sim(col("cent"), col("probe")).as("cs"))
+        .orderBy(col("cs").desc, col("label"))
+        .limit(2)
+      e.join(broadcast(top2.select("label")), "label")
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("probe")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+  )
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column surface (north-star): media payloads are opaque
+  * `BINARY` columns with typed metadata alongside. The decode step is a
+  * clearly-marked deterministic STUB (no codec libraries in this
+  * environment); everything around it — schema, binary plumbing, per-
+  * partition decoder lifecycle, frame fan-out shape — is real and tested.
+  *
+  * Scale notes: decode/feature-extract are scan-side per-row (or per-frame
+  * after the fan-out) with no shuffle; the typed `mapPartitions` pipeline
+  * initializes its "codec" once per partition, the Spark analog of the
+  * reference's per-task `open()` (`StreamingStoreKnowledge.java:86-89`).
+  */
+object Multimodal {
+
+  /** A media row: opaque bytes + metadata (the at-rest shape). */
+  case class MediaRow(doc_id: Long, data: Array[Byte], mime: String)
+
+  /** "Decoded" media metadata (the post-decode shape). */
+  case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
+      channels: Int, sig: Long)
+
+  /** STUB DECODER — stands in for an image/audio codec, which this
+    * environment does not ship. Deterministic function of the bytes only;
+    * a real deployment swaps `decode` for e.g. a JPEG header parse keeping
+    * the identical signature and the per-partition init pattern.
+    */
+  final class StubCodec {
+    def decode(r: MediaRow): MediaMeta = {
+      val n = r.data.length
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) { h ^= (r.data(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      MediaMeta(r.doc_id, n, n % 640, (n * 7) % 480, 3, h)
+    }
+  }
+
+  /** Typed decode pipeline: one codec per partition, streamed rows. */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new StubCodec // per-partition init, not per-row
+      rows.map(codec.decode)
+    }
+  }
+
+  /** The documents table recast as media rows (text bytes play the blob). */
+  def asMedia(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"),
+        lit("application/octet-stream").as("mime"))
+      .as[MediaRow]
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // One wide row per document: text metadata + vector + scalars from the
+    // embedding — the "multimodal columns" at-rest layout.
+    Q("multimodal_columns",
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+        |  round(CAST(e.embedding[1] AS DOUBLE), 5) AS e0
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("label"),
+          round(element_at(col("embedding"), 1).cast("double"), 5).as("e0"))
+        .orderBy("doc_id")
+    },
+
+    // Binary-column decode, SQL flavor: metadata derived from the opaque
+    // bytes (deterministic stub arithmetic — both engines compute it from
+    // octet_length, so the plumbing is oracled even though the "decode" is
+    // fake).
+    Q("multimodal_decode_stub",
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  octet_length(encode(text)) % 640 AS width,
+        |  (octet_length(encode(text)) * 7) % 480 AS height,
+        |  octet_length(encode(text)) % 24 + 1 AS n_frames,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("data", encode(col("text"), "utf-8"))
+        .select(col("doc_id"),
+          octet_length(col("data")).as("byte_len"),
+          (octet_length(col("data")) % 640).as("width"),
+          (octet_length(col("data")) * 7 % 480).as("height"),
+          (octet_length(col("data")) % 24 + 1).as("n_frames"),
+          md5(col("text")).as("checksum"))
+        .orderBy("doc_id")
+    },
+
+    // Frame-sampling fan-out: every 5th frame index of each "video",
+    // with a per-frame byte offset and signature — the row→frames shape a
+    // video pipeline needs (explode keeps it scan-side; no shuffle).
+    Q("multimodal_frame_sample",
+      """SELECT doc_id, frame_idx,
+        |  frame_idx * (byte_len // n_frames) AS frame_off,
+        |  md5(substr(text, frame_idx * 17 + 1, 16)) AS frame_sig
+        |FROM (
+        |  SELECT doc_id, text,
+        |    octet_length(encode(text)) AS byte_len,
+        |    octet_length(encode(text)) % 24 + 1 AS n_frames
+        |  FROM documents),
+        |  LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("byte_len", octet_length(encode(col("text"), "utf-8")))
+        .withColumn("n_frames", col("byte_len") % 24 + 1)
+        .select(col("doc_id"), col("text"), col("byte_len"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * expr("byte_len div n_frames")).as("frame_off"),
+          md5(expr("substring(text, frame_idx * 17 + 1, 16)")).as("frame_sig"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // Typed mapPartitions decode pipeline (per-partition codec init).
+    // Algorithm-defined sig → no SQL oracle; MultimodalSpec pins values.
+    Q.noOracle("multimodal_decode_typed") { (s, d) =>
+      decodeMeta(asMedia(s, d)).toDF()
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("channels"), col("sig"))
+        .orderBy("doc_id")
+    },
+  )
+}

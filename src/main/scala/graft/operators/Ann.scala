@@ -32,8 +32,12 @@ object Ann {
         .select(col("embedding").as("probe"), col("b").as("pb"))
       e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
-        // multiprobe: own bucket plus neighbors within Hamming distance 2
-        .where(bit_count(col("b").bitwiseXOR(col("pb"))) <= 2)
+        // multiprobe: own bucket plus neighbors within Hamming distance 5
+        // (the fixture's embeddings are near-random, so similar vectors sit
+        // at cosine ~0.4 ⇒ ~0.34 per-plane flip probability; distance 5 of
+        // 12 trades a ~2.7× candidate prune for ~70% recall — real
+        // clustered embeddings prune far harder at the same recall)
+        .where(bit_count(col("b").bitwiseXOR(col("pb"))) <= 5)
         .select(col("vec_id"),
           round(cosine_sim(col("embedding"), col("probe")), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))

@@ -104,17 +104,27 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash: 64-bit sketch per doc, 16-bit-prefix banding, Hamming
-    // distance <= 6 within buckets. Sketch-defined → no SQL oracle.
+    // SimHash: 64-bit sketch per doc, 4 bands × 16 bits (pigeonhole: any
+    // pair within Hamming distance 3 shares a band; distance 4-6 is caught
+    // with high probability), Hamming <= 6 verification within buckets.
+    // Sketch-defined → no SQL oracle.
     Q.noOracle("dedup_simhash") { (s, d) =>
       val sk = Tables.documents(s, d)
         .select(col("doc_id"), simhash64(col("text")).as("sh"))
-        .withColumn("band", shiftrightunsigned(col("sh"), 48))
-      sk.as("x").join(sk.as("y"),
-          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      val bands = sk.select(col("doc_id"), col("sh"),
+          explode(expr(
+            """transform(sequence(0, 3), b -> named_struct(
+              |  'band', b,
+              |  'bv', (sh >> (16 * b)) & 65535))""".stripMargin)).as("e"))
+        .select(col("doc_id"), col("sh"),
+          col("e.band").as("band"), col("e.bv").as("bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
         .where(col("hamming") <= 6)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions: the engine must not only be correct but plan
+  * the way a 100 TB deployment needs — pushdown reaching the scan,
+  * broadcast where hinted, top-k without a full sort.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def physical(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def planString(name: String): String = physical(name).toString
+
+  test("scan_pruned_filtered pushes predicate and prunes columns") {
+    val p = planString("scan_pruned_filtered")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan"), p.take(2000))
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_comment") && read.nonEmpty)
+  }
+
+  test("join_broadcast_inner plans a BroadcastHashJoin") {
+    assert(planString("join_broadcast_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("join_shuffle_hash plans a ShuffledHashJoin") {
+    assert(planString("join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("join_sort_merge plans a SortMergeJoin") {
+    assert(planString("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("sort_topk_limit avoids a global sort (TakeOrderedAndProject)") {
+    assert(planString("sort_topk_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("rag_knn_topk plans top-k, not full sort, over the vector scan") {
+    assert(planString("rag_knn_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_hash_group uses partial (map-side) hash aggregation") {
+    val p = planString("agg_hash_group")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), "expected partial aggregation before shuffle")
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    // AQE hides codegen spans until the plan is final — execute first,
+    // then inspect the final adaptive plan.
+    val df = SparkEntry.queries("rag_knn_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    // '*(n)' prefixes mark whole-stage-codegen spans in the compact tree;
+    // the Project computing cosine_sim must carry one
+    assert("\\*\\(\\d+\\) Project \\[vec_id".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+}

@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Dedup.defs ++
     operators.Ann.defs ++
     operators.Multimodal.defs ++
+    operators.Streaming.defs ++
     operators.Rag.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.Q
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator surface (SURVEY.md §2.2 "Streaming").
+  *
+  * Each query EXECUTES a real streaming job (file/memory/rate source →
+  * stateful transform → memory sink, AvailableNow trigger) and returns the
+  * sink table, so the driver's gate exercises genuine incremental
+  * execution. Where one AvailableNow pass over the fixture is semantically
+  * equal to the batch query (complete-mode windows, dedup keys, final
+  * running counts, stream-stream inner join), the result is ORACLED
+  * against the same DuckDB SQL as its batch twin; multi-batch watermark
+  * behavior (late-data drop) is sketch-free but algorithmically pinned in
+  * StreamingSpec plus the no-oracle `stream_late_data` demo below.
+  */
+object Streaming {
+
+  /** Typed event row for stateful APIs. */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class UserCount(user_id: Long, running_n: Long)
+
+  val defs: Seq[Q] = Seq(
+
+    // Tumbling 1-hour windows (A-layer window upgrade): complete-mode
+    // memory sink after one AvailableNow pass == the batch group-by.
+    Q("stream_tumbling_agg",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      val agg = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      Streams.runToTable(agg, "complete").orderBy("win_start", "event_type")
+    },
+
+    // Sliding 1-hour / 15-minute windows.
+    Q("stream_sliding_agg",
+      """SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT unnest(generate_series(
+        |      time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 45 MINUTE,
+        |      time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)),
+        |      INTERVAL 15 MINUTE)) AS win_start,
+        |    event_type
+        |  FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      val agg = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      Streams.runToTable(agg, "complete").orderBy("win_start", "event_type")
+    },
+
+    // Session windows, 30-minute gap. Spark closes a session when the next
+    // event is >= gap after the previous — the oracle's gaps-and-islands
+    // uses the same >= comparison.
+    Q("stream_session_window",
+      """SELECT user_id, session_start, session_end, n_events FROM (
+        |  SELECT user_id, min(ts2) AS session_start, max(ts2) AS session_end,
+        |         count(*) AS n_events
+        |  FROM (
+        |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |      CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |    FROM (
+        |      SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM events))
+        |  GROUP BY user_id, sid)
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val agg = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+      Streams.runToTable(agg, "complete").orderBy("user_id", "session_start")
+    },
+
+    // Streaming dedup on the event key within the watermark.
+    Q("stream_dedup",
+      """SELECT DISTINCT event_id FROM events ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+      val dd = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .select("event_id")
+      Streams.runToTable(dd, "append").orderBy("event_id")
+    },
+
+    // Arbitrary stateful processing: running per-user count via
+    // flatMapGroupsWithState; after the AvailableNow pass the last update
+    // per user equals the batch count.
+    Q("stream_stateful_running",
+      """SELECT user_id, count(*) AS running_n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val evs = Streams.eventsStream(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      val updates = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.NoTimeout()) {
+          (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            Iterator(UserCount(uid, n))
+        }
+      val out = Streams.runToTable(updates.toDF(), "update")
+      // last update per user = final running count
+      out.groupBy("user_id").agg(max("running_n").as("running_n"))
+        .orderBy("user_id")
+    },
+
+    // Stream-stream inner join: events ⋈ events on user_id within a
+    // [0, +5 min] band, both sides watermarked.
+    Q("stream_stream_join",
+      """SELECT a.event_id AS eid_a, b.event_id AS eid_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY eid_a, eid_b""".stripMargin) { (s, d) =>
+      val l = Streams.eventsStream(s, d).withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("eid_a"), col("user_id").as("uid_a"),
+          col("ts").as("ts_a"))
+      val r = Streams.eventsStream(s, d).withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("eid_b"), col("user_id").as("uid_b"),
+          col("ts").as("ts_b"))
+      val j = l.join(r,
+        col("uid_a") === col("uid_b") && col("eid_a") =!= col("eid_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+        .select("eid_a", "eid_b")
+      Streams.runToTable(j, "append").orderBy("eid_a", "eid_b")
+    },
+
+    // Late-data drop across micro-batches (algorithm-defined fixture —
+    // no SQL oracle): batch 1 sets the watermark; batch 2 delivers one
+    // in-order event and one 70-minutes-late event, which is dropped, so
+    // the 10:00 window closes at n=2, and the late 09:00 window never
+    // appears.
+    Q.noOracle("stream_late_data") { (s, _) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ms = MemoryStream[(java.sql.Timestamp, Long)]
+      def t(hhmm: String) =
+        java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+      val agg = ms.toDF().toDF("ts", "uid")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n"))
+      val name = "late_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        ms.addData((t("10:00"), 1L), (t("10:05"), 1L))
+        q.processAllAvailable() // watermark -> 09:55
+        ms.addData((t("10:20"), 1L), (t("09:00"), 2L)) // 09:00 is dropped
+        q.processAllAvailable() // watermark -> 10:10, closes 10:00 window
+      } finally q.stop()
+      s.table(name).orderBy("win_start")
+    },
+
+    // Rate source smoke: deterministic rate-micro-batch, windowless agg.
+    Q.noOracle("source_rate_stream") { (s, _) =>
+      val rate = s.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "100")
+        .option("startTimestamp", "0")
+        .load()
+        .select(col("value"))
+      val agg = rate.agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      Streams.runToTable(agg, "complete")
+    },
+
+    // Layer-A end-to-end parity (A1–A13 with file/memory transports):
+    // ingest knowledge lines into the parquet vector store, then answer a
+    // question — deterministic embed + extractive mock generator
+    // (SURVEY.md §7.4). Includes the README's freshness scenario fact
+    // ("The capital of France is Paris.", README.md:241-267).
+    Q.noOracle("stream_kafka_rag_parity") { (s, _) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rag_").toString
+      val store = s"$tmp/store"; val out = s"$tmp/answers"
+
+      val knowledge = MemoryStream[String]
+      knowledge.addData(
+        "The capital of France is Paris.",
+        "Spark plans queries with the Catalyst optimizer.",
+        "Flink processes unbounded streams with low latency.")
+      Streams.ingest(knowledge.toDF().toDF("line"), store)
+
+      val questions = MemoryStream[String]
+      questions.addData("What is the capital of France?")
+      Streams.answer(questions.toDF().toDF("line"), store, out, k = 2)
+
+      s.read.parquet(out).select("question", "answer").orderBy("question")
+    },
+  )
+}

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.Tables
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming sources + the two reference-parity pipelines
+  * (SURVEY.md §2.1 / §3.4), Spark-first:
+  *
+  *  - reference `AiJob` (Kafka questions → per-record RAG map → Kafka
+  *    answers, `AiJob.java:16-57`) → [[AnswerPipeline]]: a streaming
+  *    DataFrame of questions answered per micro-batch against a
+  *    parquet-backed vector store — set-oriented retrieval instead of one
+  *    network round-trip per record.
+  *  - reference `StreamingStoreKnowledge` (Kafka knowledge_updates →
+  *    per-record embed → per-record OpenSearch write,
+  *    `StreamingStoreKnowledge.java:28-76`) → [[IngestPipeline]]:
+  *    embed in the scan stage (codegen'd expression, no per-record client)
+  *    and append whole partitions to the parquet store per batch.
+  *
+  * Delivery: Spark's Kafka sink and file sink under checkpointing are
+  * at-least-once — the same guarantee the reference declares
+  * (`DeliveryGuarantee.AT_LEAST_ONCE`, `AiJob.java:32`).
+  */
+object Streams {
+
+  /** Kafka-shaped source (A1/A2): value-only string payloads, mirroring
+    * `SimpleStringSchema` + `setValueOnlyDeserializer` (`AiJob.java:19-24`).
+    * Never started in tests (zero-egress environment); the plan shape and
+    * options are what parity requires.
+    */
+  def kafkaLines(s: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS line")
+
+  /** File-backed stand-in for a Kafka topic of value-only strings. */
+  def fileLines(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("line",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(dir)
+
+  /** The events table as a file stream (same µs-rebuild as Tables.events —
+    * parquet TIMESTAMP(NANOS) is read as long and rebuilt). The file
+    * source wants a directory, and the fixture is a single file — a temp
+    * dir with one symlink bridges that (created once per (session, sf)).
+    */
+  private val streamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = streamDirs.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_events_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      d.toString
+    })
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into an in-memory table and
+    * return the result as a batch DataFrame (AvailableNow trigger).
+    */
+  def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** IngestPipeline (A2–A4): lines → deterministic embedding →
+    * append-only parquet vector store, batched per micro-batch (replaces
+    * the reference's one-HTTP-call-per-record sink,
+    * `StreamingStoreKnowledge.java:68-71`).
+    */
+  def ingest(lines: DataFrame, storeDir: String, dim: Int = 64): Unit = {
+    val q = lines
+      .select(
+        xxhash64(col("line")).as("vec_id"),
+        col("line").as("text"),
+        feature_hash_embed(col("line"), dim).as("embedding"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(storeDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** AnswerPipeline (A5–A12): per micro-batch, answer every question in
+    * the batch against the parquet vector store with ONE set-oriented
+    * plan: embed questions → cosine vs store → top-k per question →
+    * context assembly → prompt render → extractive mock answer
+    * (deterministic stand-in for the chat call, `RAG.java:87-98`).
+    * Results append to `outDir` as parquet.
+    */
+  def answer(questions: DataFrame, storeDir: String, outDir: String,
+      k: Int = 10, dim: Int = 64): Unit = {
+    val q = questions
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val store = s.read.parquet(storeDir)
+        val qs = batch.select(col("line").as("question"),
+          feature_hash_embed(col("line"), dim).as("qvec"))
+        import org.apache.spark.sql.expressions.Window
+        val scored = store.crossJoin(broadcast(qs))
+          .select(col("question"), col("text"),
+            cosine_sim(col("embedding"), col("qvec")).as("score"))
+          .where(col("score") >= 0.0) // minScore(0.0), RAG.java:54
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("question"))
+              .orderBy(col("score").desc, col("text"))))
+          .where(col("rn") <= k)
+        val answers = scored
+          .groupBy(col("question"))
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(negate(col("score")).as("ns"),
+                col("text").as("t")))),
+              x => x.getField("t")), "\n\n").as("context"),
+            max(struct(col("score"), col("text"))).as("best"))
+          .select(
+            col("question"),
+            col("context"),
+            replace(
+              replace(lit(graft.operators.Rag.PromptTemplate),
+                lit("{{question}}"), col("question")),
+              lit("{{information}}"), col("context")).as("prompt"),
+            concat(lit("[extractive] "),
+              substring_index(col("best.text"), ".", 1)).as("answer"))
+        answers.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

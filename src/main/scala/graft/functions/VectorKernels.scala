@@ -154,6 +154,65 @@ object VectorKernels {
     bucket
   }
 
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over n-word shingles of a whitespace-tokenized
+    * text: each shingle is string-hashed ONCE, then the k lanes are
+    * derived with splitmix64 streams (h + j·φ, finalized) — O(shingles)
+    * string work + O(k·shingles) integer mixes, instead of k full string
+    * hashes per shingle. Returns empty when the text has < n tokens
+    * (callers must filter, or empty signatures collide).
+    */
+  def minhashShingles(text: String, k: Int, n: Int, seed: Long): ArrayData = {
+    require(k > 0 && n > 0, s"minhash_shingles(k=$k, n=$n): need k>0, n>0")
+    // token start/end offsets of the space-separated tokens
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val len = text.length
+    var i = 0
+    var inTok = false
+    while (i <= len) {
+      val isSep = i == len || text.charAt(i) == ' '
+      if (!isSep && !inTok) { starts += i; inTok = true }
+      else if (isSep && inTok) inTok = false
+      i += 1
+    }
+    val nTok = starts.length
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    while (s + n <= nTok) {
+      // hash the shingle = tokens s..s+n-1 joined by one space, without
+      // materializing the substring (token chars + single separators)
+      var h = 0xcbf29ce484222325L ^ seed
+      var t = s
+      while (t < s + n) {
+        var p = starts(t)
+        while (p < len && text.charAt(p) != ' ') {
+          val c = text.charAt(p)
+          h ^= (c & 0xff); h *= 0x100000001b3L
+          h ^= ((c >> 8) & 0xff); h *= 0x100000001b3L
+          p += 1
+        }
+        if (t < s + n - 1) { h ^= ' '.toInt & 0xff; h *= 0x100000001b3L; h ^= 0; h *= 0x100000001b3L }
+        t += 1
+      }
+      var j = 0
+      while (j < k) {
+        val x = mix64(h + j * 0x9e3779b97f4a7c15L)
+        if (x < mins(j)) mins(j) = x
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins.map(_.asInstanceOf[Any]))
+  }
+
   /** 64-bit SimHash document sketch: tokenize (lowercased letter/digit
     * runs), FNV-1a-hash each token, per-bit majority vote over token
     * hashes. Near-duplicate texts land within small Hamming distance —

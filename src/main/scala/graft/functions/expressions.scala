@@ -135,6 +135,35 @@ case class FeatureHashEmbed(child: Expression, dim: Int, seed: Long)
     copy(child = nc)
 }
 
+/** minhash_shingles(STRING, k, n, seed) → ARRAY<LONG> — k-lane MinHash
+  * signature over n-word shingles (one string hash per shingle, splitmix64
+  * lane derivation). The scan-side half of MinHash+LSH dedup.
+  */
+case class MinHashShingles(child: Expression, k: Int, n: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k > 0 && n > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"minhash_shingles(k=$k, n=$n): need k>0 and n>0")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_shingles requires STRING, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.minhashShingles(
+      a.asInstanceOf[UTF8String].toString, k, n, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.minhashShingles($a.toString(), $k, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(nc: Expression): MinHashShingles =
+    copy(child = nc)
+}
+
 /** lsh_bucket(ARRAY<FLOAT>, nbits, seed) → INT — random-hyperplane LSH
   * bucket id; the ANN pre-filter (probe the bucket and its low-Hamming
   * neighbors instead of scanning the full store).

@@ -38,6 +38,11 @@ package object functions {
   def chunks(text: Column, size: Int, overlap: Int): Column =
     GraftSql.column(Chunks(GraftSql.expression(text), size, overlap))
 
+  /** k-lane MinHash signature over n-word shingles STRING → ARRAY<LONG>. */
+  def minhash_shingles(text: Column, k: Int = 32, n: Int = 3,
+      seed: Long = 42L): Column =
+    GraftSql.column(MinHashShingles(GraftSql.expression(text), k, n, seed))
+
   /** Random-hyperplane LSH bucket of an ARRAY<FLOAT> → INT. */
   def lsh_bucket(v: Column, nbits: Int = 12, seed: Long = 42L): Column =
     GraftSql.column(LshBucket(GraftSql.expression(v), nbits, seed))

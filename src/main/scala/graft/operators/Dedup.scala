@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{cosine_sim, simhash64}
+import graft.functions.{cosine_sim, minhash_shingles, simhash64}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,10 +78,13 @@ object Dedup {
     // exact method is property-tested in DedupSpec.
     Q.noOracle("dedup_minhash_lsh") { (s, d) =>
       val sh = shingled(s, d)
-      val sig = sh.select(col("doc_id"),
-        expr("""transform(sequence(0, 31),
-               |  j -> array_min(transform(sh, x -> xxhash64(x, j))))"""
-          .stripMargin).as("sig"))
+      // scan-side signature: one string hash per shingle + 32 splitmix
+      // lanes (the nested-HOF formulation recomputed ~1G string hashes at
+      // sf0.1 — 100×+ slower than this kernel)
+      val sig = Tables.documents(s, d)
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          minhash_shingles(col("text"), 32, 3).as("sig"))
       val bands = sig.select(col("doc_id"),
           explode(expr(
             """transform(sequence(0, 7), b -> named_struct(

@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Aggregations.defs ++
     operators.Windows.defs ++
     operators.SetSort.defs ++
+    operators.Extended.defs ++
     operators.Functions.defs ++
     operators.Text.defs ++
     operators.Dedup.defs ++

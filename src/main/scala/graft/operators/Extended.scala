@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Relational-completeness extensions: subqueries (EXISTS / IN /
+  * correlated scalar — exercising Catalyst's decorrelation rewrites),
+  * pivot/unpivot, text source/sink round-trips (CSV, JSON lines), inline
+  * VALUES relations, union-by-name, FILTER-clause aggregates, and
+  * first/last/nth window navigation.
+  */
+object Extended {
+
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  val defs: Seq[Q] = Seq(
+
+    // EXISTS subquery → RewritePredicateSubquery → left-semi join.
+    Q("join_exists_subquery",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_totalprice > 200000)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // NOT IN subquery (null-aware anti join).
+    Q("join_in_subquery",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT n_nationkey, n_name FROM nation
+              |WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
+              |ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // Correlated scalar subquery → decorrelated outer join + aggregate.
+    Q("agg_scalar_subquery",
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey,
+              |  (SELECT count(*) FROM orders o
+              |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+              |FROM customer c ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Pivot: order counts per status × priority (fixed value list so the
+    // output schema is static; oracle = conditional aggregation).
+    Q("pivot_priority",
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Priorities)
+        .count()
+        .na.fill(0L)
+        .select(col("o_orderstatus"),
+          col("`1-URGENT`").as("urgent"), col("`2-HIGH`").as("high"),
+          col("`3-MEDIUM`").as("medium"),
+          col("`4-NOT SPECIFIED`").as("notspec"), col("`5-LOW`").as("low"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Unpivot via stack() — wide → long.
+    Q("unpivot_stack",
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer)
+        |ORDER BY c_custkey, metric""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("""stack(2, 'acctbal', c_acctbal,
+                 |         'nationkey', CAST(c_nationkey AS DOUBLE))
+                 |  AS (metric, value)""".stripMargin))
+        .orderBy("c_custkey", "metric")
+    },
+
+    // CSV round-trip: write → schema-ful read → identical rows.
+    Q("source_csv_roundtrip",
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""") {
+      (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      Tables.region(s, d).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("r_regionkey INT, r_name STRING").csv(tmp)
+        .orderBy("r_regionkey")
+    },
+
+    // JSON-lines round-trip.
+    Q("source_json_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      Tables.nation(s, d).write.mode("overwrite").json(tmp)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(tmp)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
+    // Inline VALUES relation (LocalRelation) broadcast-joined to a table.
+    Q("values_inline",
+      """SELECT v.code, r.r_name FROM (VALUES (0, 'zero'), (1, 'one'),
+        |  (2, 'two')) AS v(rk, code)
+        |JOIN region r ON r.r_regionkey = v.rk
+        |ORDER BY v.code""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val v = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("rk", "code")
+      Tables.region(s, d)
+        .join(broadcast(v), col("r_regionkey") === col("rk"))
+        .select(col("code"), col("r_name"))
+        .orderBy("code")
+    },
+
+    // unionByName: same schema, different column order on one side.
+    Q("union_by_name",
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey, r_name""".stripMargin) { (s, d) =>
+      val a = Tables.region(s, d).select("r_regionkey", "r_name")
+      val b = Tables.region(s, d).select("r_name", "r_regionkey")
+      a.unionByName(b).orderBy("r_regionkey", "r_name")
+    },
+
+    // FILTER-clause aggregates (ANSI) — one pass, many conditions.
+    Q("agg_filter_clause",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+        |       FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+          sum(when(col("l_tax") > 0.04, col("l_quantity").cast("decimal(12,2)")))
+            .cast("double").as("qty_taxed"))
+        .orderBy("l_returnflag")
+    },
+
+    // first/last/nth window navigation with an explicit full frame
+    // (last_value over the default frame is a well-known footgun).
+    Q("win_first_last_nth",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey)  OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+  )
+}

@@ -77,7 +77,6 @@ object Dedup {
     // candidates. Hash-permutation-defined → no SQL oracle; recall vs the
     // exact method is property-tested in DedupSpec.
     Q.noOracle("dedup_minhash_lsh") { (s, d) =>
-      val sh = shingled(s, d)
       // scan-side signature: one string hash per shingle + 32 splitmix
       // lanes (the nested-HOF formulation recomputed ~1G string hashes at
       // sf0.1 — 100×+ slower than this kernel)
@@ -98,8 +97,22 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+        // candidates are O(dup clusters) tiny; persisting stops the band
+        // join from being recomputed for the id-list and the verification
+        .persist()
+      // exact shingles ONLY for candidate docs (a semi-join first — the
+      // shingle HOF over the full corpus costs more than the whole sketch)
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      // join BEFORE the shingle projection — declared the other way round,
+      // the HOF would run over the full corpus and only then be filtered
+      val candSh = Tables.documents(s, d)
+        .join(broadcast(candIds), "doc_id")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), expr(ShingleSql).as("sh"))
+      val a = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
       cand.join(a, "doc_a").join(b, "doc_b")
         .select(col("doc_a"), col("doc_b"),
           jaccard(col("sha"), col("shb")).as("jac"))

@@ -70,16 +70,28 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Run `body` with a reduced shuffle-partition count — stateful
+    * streaming ops allocate one state store per shuffle partition, and at
+    * test scale 32 near-empty stores cost more than the data. (At 100 TB
+    * the inverse applies: size state partitions to the key space.)
+    */
+  def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the result as a batch DataFrame (AvailableNow trigger).
     */
-  def runToTable(df: DataFrame, mode: String): DataFrame = {
-    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
-  }
+  def runToTable(df: DataFrame, mode: String): DataFrame =
+    withStatePartitions(df.sparkSession, 8) {
+      val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
 
   /** IngestPipeline (A2–A4): lines → deterministic embedding →
     * append-only parquet vector store, batched per micro-batch (replaces

@@ -56,10 +56,12 @@ package object functions {
       seed: Long = 42L): Column =
     GraftSql.column(WinnowFingerprint(GraftSql.expression(text), k, w, seed))
 
-  /** A literal ARRAY<FLOAT> column from a local vector (probe vectors). */
-  def lit_vector(v: Array[Float]): Column =
-    F.lit(v).cast(org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.FloatType, containsNull = false))
+  /** A literal ARRAY<FLOAT> column from a local vector (probe vectors).
+    * `lit` on a primitive float array already carries
+    * ARRAY<FLOAT> (containsNull=false); casting to the same type with
+    * non-null elements is rejected by the analyzer, so no cast.
+    */
+  def lit_vector(v: Array[Float]): Column = F.lit(v)
 
   /** Mutable buffer for [[VectorAvg]]: running element-wise sum + count. */
   case class VecBuf(sum: Array[Double], n: Long)

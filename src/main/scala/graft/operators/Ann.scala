@@ -44,6 +44,26 @@ object Ann {
         .limit(10)
     },
 
+    // The optimizer-rule path (SURVEY §4.3 stretch goal): an EXACT top-k
+    // program — no LSH in the user's query — rewritten by AnnTopKRewrite
+    // into a bucket-pruned candidate scan because the session opted in.
+    Q.noOracle("ann_rewrite_topk") { (s, d) =>
+      import graft.plans.AnnTopKRewrite
+      if (!s.experimental.extraOptimizations.contains(AnnTopKRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ AnnTopKRewrite
+      s.conf.set(AnnTopKRewrite.EnabledKey, "true")
+      val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Tables.embeddings(s, d)
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          cosine_sim(col("embedding"), lit_vector(probe)).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    },
+
     Q.noOracle("ann_ivf_topk") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val cents = e.groupBy("label")

@@ -14,6 +14,47 @@ object Extended {
   private val Priorities =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
+  /** Bucketed tables are written once per (session, sfDir) into a temp
+    * warehouse; the join then needs no Exchange on either side — the
+    * co-location pattern that makes repeated large-large joins shuffle-free
+    * at 100 TB (bucket count would be sized to the cluster there).
+    */
+  private val bucketed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def bucketedJoin(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (ot, lt) = bucketed.computeIfAbsent(d, { _ =>
+      val tag = math.abs(d.hashCode).toString
+      val (ot, lt) = (s"graft_orders_b$tag", s"graft_lineitem_b$tag")
+      // a previous JVM may have left the managed location behind while this
+      // session's in-memory catalog has no such table — clear both
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = java.nio.file.Paths.get(wh, name)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      reset(ot); reset(lt)
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables.lineitem(s, d).select("l_orderkey").write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      (ot, lt)
+    })
+    val cnt = s.table(lt).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("cnt"))
+    s.table(ot)
+      .join(cnt, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("cnt"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[Q] = Seq(
 
     // EXISTS subquery → RewritePredicateSubquery → left-semi join.
@@ -159,6 +200,54 @@ object Extended {
           sum(when(col("l_tax") > 0.04, col("l_quantity").cast("decimal(12,2)")))
             .cast("double").as("qty_taxed"))
         .orderBy("l_returnflag")
+    },
+
+    // Statistical aggregate family (one pass, grouped).
+    Q("agg_stats_family",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cv,
+        |  round(stddev_samp(l_discount), 6) AS sd,
+        |  round(var_samp(l_discount), 6) AS vr,
+        |  round(avg(l_quantity), 6) AS mean_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"),
+          round(stddev_samp(col("l_discount")), 6).as("sd"),
+          round(var_samp(col("l_discount")), 6).as("vr"),
+          round(avg(col("l_quantity")), 6).as("mean_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Exact interpolated percentiles (same linear-interpolation definition
+    // as DuckDB's quantile_cont).
+    Q("agg_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // Bucketed co-located join: both sides written bucketed on the join
+    // key — the 100 TB pattern that removes the shuffle entirely
+    // (BucketedJoinSpec asserts no Exchange in the plan).
+    Q("join_bucketed",
+      """SELECT o.o_orderkey, o.o_totalprice, c.cnt
+        |FROM orders o JOIN (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+        |) c ON c.l_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      bucketedJoin(s, d)
     },
 
     // first/last/nth window navigation with an explicit full frame

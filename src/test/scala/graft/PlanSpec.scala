@@ -48,6 +48,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), "expected partial aggregation before shuffle")
   }
 
+  test("join_bucketed is shuffle-free: no hash Exchange below the join") {
+    // disable broadcast so the plan shows what bucketing buys at
+    // large-large scale (at test size AQE would broadcast the small side)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      // aggregation and join both reuse the table bucketing: the only
+      // Exchange is the final ORDER BY's range partitioning
+      assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        p.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // AQE hides codegen spans until the plan is final — execute first,
     // then inspect the final adaptive plan.

@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: JVM/codegen/parquet-reader init otherwise lands on
+    // whichever query the map iterates first (~3 s of non-operator cost)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
+      spark.range(10).select(org.apache.spark.sql.functions.sum("id")).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

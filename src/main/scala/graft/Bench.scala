@@ -15,6 +15,15 @@ object Bench {
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
       spark.range(10).select(org.apache.spark.sql.functions.sum("id")).count()
+      // streaming machinery (incremental planner, state-store managers,
+      // RocksDB native library) is also one-time init, not operator cost
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val warm = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "10").load()
+        .groupBy("value").count()
+      graft.streaming.Streams.runToTable(warm, "complete", 2).count()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

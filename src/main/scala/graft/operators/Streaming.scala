@@ -26,6 +26,28 @@ object Streaming {
 
   case class UserCount(user_id: Long, running_n: Long)
 
+  /** Running max(value) per event_type on the transformWithState API
+    * (Spark 4's arbitrary-state surface; requires the RocksDB provider).
+    */
+  class MaxValueProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Ev, (String, Double)] {
+    @transient private var mx: org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      mx = getHandle.getValueState[Double]("mx",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Double)] = {
+      val prev = if (mx.exists()) mx.get() else Double.NegativeInfinity
+      val m = rows.foldLeft(prev)((a, e) => math.max(a, e.value))
+      mx.update(m)
+      Iterator((key, m))
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Tumbling 1-hour windows (A-layer window upgrade): complete-mode
@@ -131,6 +153,39 @@ object Streaming {
         .orderBy("user_id")
     },
 
+    // transformWithState (Spark 4 arbitrary-state API, RocksDB-backed):
+    // running max(value) per event_type; the final update per key equals
+    // the batch max.
+    Q("stream_transform_with_state",
+      """SELECT event_type, max(value) AS mx
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      import s.implicits._
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val evs = Streams.eventsStream(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+        val updates = evs.groupByKey(_.event_type)
+          .transformWithState(new MaxValueProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("event_type", "mx")
+        // 2 state partitions: each is a RocksDB instance, and there are
+        // only a handful of event_type keys
+        val out = Streams.runToTable(updates, "update", statePartitions = 2)
+        out.groupBy("event_type").agg(max("mx").as("mx"))
+          .orderBy("event_type")
+      } finally prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+
     // Stream-stream inner join: events ⋈ events on user_id within a
     // [0, +5 min] band, both sides watermarked.
     // (user_id < 100 bounds join state so the bench measures the operator,
@@ -156,7 +211,8 @@ object Streaming {
           col("ts_b") >= col("ts_a") &&
           col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
         .select("eid_a", "eid_b")
-      Streams.runToTable(j, "append").orderBy("eid_a", "eid_b")
+      Streams.runToTable(j, "append", statePartitions = 4)
+        .orderBy("eid_a", "eid_b")
     },
 
     // Late-data drop across micro-batches (algorithm-defined fixture —
@@ -177,14 +233,16 @@ object Streaming {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("win_start"), col("n"))
       val name = "late_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        ms.addData((t("10:00"), 1L), (t("10:05"), 1L))
-        q.processAllAvailable() // watermark -> 09:55
-        ms.addData((t("10:20"), 1L), (t("09:00"), 2L)) // 09:00 is dropped
-        q.processAllAvailable() // watermark -> 10:10, closes 10:00 window
-      } finally q.stop()
+      Streams.withStatePartitions(s, 2) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          ms.addData((t("10:00"), 1L), (t("10:05"), 1L))
+          q.processAllAvailable() // watermark -> 09:55
+          ms.addData((t("10:20"), 1L), (t("09:00"), 2L)) // 09:00 is dropped
+          q.processAllAvailable() // watermark -> 10:10, closes 10:00 window
+        } finally q.stop()
+      }
       s.table(name).orderBy("win_start")
     },
 

@@ -84,8 +84,9 @@ object Streams {
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the result as a batch DataFrame (AvailableNow trigger).
     */
-  def runToTable(df: DataFrame, mode: String): DataFrame =
-    withStatePartitions(df.sparkSession, 8) {
+  def runToTable(df: DataFrame, mode: String, statePartitions: Int = 8)
+      : DataFrame =
+    withStatePartitions(df.sparkSession, statePartitions) {
       val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()

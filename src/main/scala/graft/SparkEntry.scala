@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Windows.defs ++
     operators.SetSort.defs ++
     operators.Extended.defs ++
+    operators.ScaleOps.defs ++
     operators.Functions.defs ++
     operators.Text.defs ++
     operators.Dedup.defs ++

@@ -66,6 +66,24 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("scan_partition_pruned reads only the selected partitions") {
+    val p = planString("scan_partition_pruned")
+    assert(p.contains("PartitionFilters:"), p.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
+  test("join_dpp_partitioned plans a dynamic partition pruning filter") {
+    val p = planString("join_dpp_partitioned")
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
+  }
+
+  test("agg_salted_skew: both phases are hash aggregates with partials") {
+    val p = planString("agg_salted_skew")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4,
+      p.take(3000))
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // AQE hides codegen spans until the plan is final — execute first,
     // then inspect the final adaptive plan.

@@ -209,5 +209,85 @@ object Functions {
           sha2(col("text"), 256).as("h_sha"))
         .orderBy("doc_id")
     },
+
+    Q("fn_bitwise",
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 4096 AS b_or,
+        |  xor(event_id, 21845) AS b_xor,
+        |  event_id << 3 AS b_shl,
+        |  event_id >> 2 AS b_shr,
+        |  bit_count(event_id) AS b_cnt
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(
+          col("event_id"),
+          col("event_id").bitwiseAND(255).as("b_and"),
+          col("event_id").bitwiseOR(4096).as("b_or"),
+          col("event_id").bitwiseXOR(21845).as("b_xor"),
+          shiftleft(col("event_id"), 3).as("b_shl"),
+          shiftright(col("event_id"), 2).as("b_shr"),
+          bit_count(col("event_id")).cast("long").as("b_cnt"))
+        .orderBy("event_id")
+    },
+
+    // printf-style formatting — identical C format-string semantics.
+    Q("fn_format",
+      """SELECT p_partkey,
+        |  printf('%s#%04d', p_brand, p_size) AS tag,
+        |  printf('%.2f', p_retailprice) AS price_s,
+        |  repeat('*', p_size % 5) AS stars,
+        |  reverse(p_name) AS rev,
+        |  translate(p_name, 'aeiou', '01234') AS tr
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          format_string("%s#%04d", col("p_brand"), col("p_size")).as("tag"),
+          format_string("%.2f", col("p_retailprice")).as("price_s"),
+          repeat(lit("*"), col("p_size") % 5).as("stars"),
+          reverse(col("p_name")).as("rev"),
+          translate(col("p_name"), "aeiou", "01234").as("tr"))
+        .orderBy("p_partkey")
+    },
+
+    Q("fn_string2",
+      """SELECT p_partkey,
+        |  position(' ' IN p_name) AS sp,
+        |  left(p_name, 4) AS l4,
+        |  right(p_name, 4) AS r4,
+        |  replace(p_type, 'O', '0') AS rep,
+        |  contains(p_name, 'bolt') AS has_bolt,
+        |  starts_with(p_type, 'PROMO') AS is_promo,
+        |  ends_with(p_name, 'widget') AS is_widget
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          expr("instr(p_name, ' ')").as("sp"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 4)").as("r4"),
+          replace(col("p_type"), lit("O"), lit("0")).as("rep"),
+          col("p_name").contains("bolt").as("has_bolt"),
+          col("p_type").startsWith("PROMO").as("is_promo"),
+          col("p_name").endsWith("widget").as("is_widget"))
+        .orderBy("p_partkey")
+    },
+
+    Q("fn_date2",
+      """SELECT o_orderkey,
+        |  quarter(o_orderdate) AS q,
+        |  dayofyear(CAST(o_orderdate AS DATE)) AS doy,
+        |  weekofyear(CAST(o_orderdate AS DATE)) AS woy,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+        |  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          add_months(col("o_orderdate").cast("date"), 3)
+            .cast("timestamp").as("plus3m"),
+          date_trunc("week", col("o_orderdate")).as("wk"))
+        .orderBy("o_orderkey")
+    },
   )
 }

@@ -114,52 +114,101 @@ object Streams {
     q.awaitTermination()
   }
 
-  /** AnswerPipeline (A5–A12): per micro-batch, answer every question in
-    * the batch against the parquet vector store with ONE set-oriented
-    * plan: embed questions → cosine vs store → top-k per question →
+  /** One micro-batch of RAG answering (A5–A11) as a reusable batch
+    * transform: embed questions → cosine vs store → top-k per question →
     * context assembly → prompt render → extractive mock answer
     * (deterministic stand-in for the chat call, `RAG.java:87-98`).
-    * Results append to `outDir` as parquet.
     */
-  def answer(questions: DataFrame, storeDir: String, outDir: String,
-      k: Int = 10, dim: Int = 64): Unit = {
-    val q = questions
-      .writeStream
-      .trigger(Trigger.AvailableNow())
+  def answerBatch(batch: DataFrame, storeDir: String,
+      k: Int = 10, dim: Int = 64): DataFrame = {
+    val s = batch.sparkSession
+    val store = s.read.parquet(storeDir)
+    val qs = batch.select(col("line").as("question"),
+      feature_hash_embed(col("line"), dim).as("qvec"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = store.crossJoin(broadcast(qs))
+      .select(col("question"), col("text"),
+        cosine_sim(col("embedding"), col("qvec")).as("score"))
+      .where(col("score") >= 0.0) // minScore(0.0), RAG.java:54
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("question"))
+          .orderBy(col("score").desc, col("text"))))
+      .where(col("rn") <= k)
+    scored
+      .groupBy(col("question"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(negate(col("score")).as("ns"),
+            col("text").as("t")))),
+          x => x.getField("t")), "\n\n").as("context"),
+        max(struct(col("score"), col("text"))).as("best"))
+      .select(
+        col("question"),
+        col("context"),
+        replace(
+          replace(lit(graft.operators.Rag.PromptTemplate),
+            lit("{{question}}"), col("question")),
+          lit("{{information}}"), col("context")).as("prompt"),
+        concat(lit("[extractive] "),
+          substring_index(col("best.text"), ".", 1)).as("answer"))
+  }
+
+  private def runAnswer(questions: DataFrame, storeDir: String, k: Int,
+      dim: Int, checkpointDir: Option[String])(sink: DataFrame => Unit)
+      : Unit = {
+    val writer = questions.writeStream.trigger(Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(writer)(c => writer.option("checkpointLocation", c))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val store = s.read.parquet(storeDir)
-        val qs = batch.select(col("line").as("question"),
-          feature_hash_embed(col("line"), dim).as("qvec"))
-        import org.apache.spark.sql.expressions.Window
-        val scored = store.crossJoin(broadcast(qs))
-          .select(col("question"), col("text"),
-            cosine_sim(col("embedding"), col("qvec")).as("score"))
-          .where(col("score") >= 0.0) // minScore(0.0), RAG.java:54
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("question"))
-              .orderBy(col("score").desc, col("text"))))
-          .where(col("rn") <= k)
-        val answers = scored
-          .groupBy(col("question"))
-          .agg(
-            array_join(transform(
-              array_sort(collect_list(struct(negate(col("score")).as("ns"),
-                col("text").as("t")))),
-              x => x.getField("t")), "\n\n").as("context"),
-            max(struct(col("score"), col("text"))).as("best"))
-          .select(
-            col("question"),
-            col("context"),
-            replace(
-              replace(lit(graft.operators.Rag.PromptTemplate),
-                lit("{{question}}"), col("question")),
-              lit("{{information}}"), col("context")).as("prompt"),
-            concat(lit("[extractive] "),
-              substring_index(col("best.text"), ".", 1)).as("answer"))
-        answers.write.mode("append").parquet(outDir)
+        sink(answerBatch(batch, storeDir, k, dim))
       }
       .start()
     q.awaitTermination()
   }
+
+  /** AnswerPipeline (A5–A12), parquet sink: per micro-batch, answer every
+    * question in the batch against the parquet vector store with ONE
+    * set-oriented plan; results append to `outDir` as parquet.
+    */
+  def answer(questions: DataFrame, storeDir: String, outDir: String,
+      k: Int = 10, dim: Int = 64): Unit =
+    runAnswer(questions, storeDir, k, dim, None) {
+      _.write.mode("append").parquet(outDir)
+    }
+
+  /** AnswerPipeline with the reference's Kafka answers sink (A12):
+    * answers are produced to `topic` at-least-once — checkpointed source
+    * offsets + a non-transactional producer give exactly the
+    * `DeliveryGuarantee.AT_LEAST_ONCE` contract of `AiJob.java:25-33,53-55`
+    * (a batch retried after a crash between produce and checkpoint
+    * re-sends, never drops). Value-only string payloads mirror
+    * `SimpleStringSchema`.
+    */
+  def answerToKafka(questions: DataFrame, storeDir: String, servers: String,
+      topic: String, checkpointDir: String, k: Int = 10, dim: Int = 64)
+      : Unit =
+    runAnswer(questions, storeDir, k, dim, Some(checkpointDir)) { answers =>
+      answers.select(col("answer").cast("string").as("value"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .save()
+    }
+
+  /** Generic streaming Kafka sink (A12 surface): any streaming DataFrame
+    * with a string-castable `valueCol` → `topic`, at-least-once under
+    * `checkpointDir` — the direct `writeStream.format("kafka")` counterpart
+    * of [[kafkaLines]]. Never started in tests (zero-egress environment);
+    * StreamingSpec proves the real kafka sink is requested by its
+    * connector-lookup error.
+    */
+  def kafkaSink(df: DataFrame, servers: String, topic: String,
+      checkpointDir: String, valueCol: String = "answer")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.select(col(valueCol).cast("string").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -73,6 +73,72 @@ object ScaleOps {
         .orderBy("event_type")
     },
 
+    // AQE skew-join: ~25% of lineitem rows are remapped onto one hot key —
+    // the classic hot-partition join that stalls a 1000-executor cluster on
+    // one straggler task. With spark.sql.adaptive.skewJoin enabled the
+    // runtime splits the hot partition into advisory-sized chunks
+    // (PlanSpec asserts skew=true under production-shaped thresholds);
+    // the downstream aggregate groups on a DIFFERENT key, so the split
+    // adds no extra shuffle and AQE accepts it. The answer is identical
+    // with or without the split — that equality is the oracle.
+    Q("join_skew_aqe",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_orderkey END
+        |               AS k,
+        |             l_quantity FROM lineitem) l
+        |JOIN orders o ON o.o_orderkey = l.k
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 4 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+      val o = Tables.orders(s, d).hint("merge")
+      l.join(o, col("k") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q3-shaped flagship: 3-table join + aggregate + top-k with NO
+    // hints — Catalyst/AQE pick the join order and strategies. The
+    // filtered customer dim broadcasts down the chain and the top-10
+    // plans as TakeOrderedAndProject (PlanSpec-asserted) — the optimizer
+    // behavior a 100 TB star query lives or dies on.
+    Q("q3_shipping_priority",
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .where(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
     // Salted two-phase aggregation: hot grouping keys are split across 16
     // salt buckets (phase 1: map-side-friendly partial agg on (key, salt)),
     // then recombined (phase 2). The answer is identical to the direct

@@ -84,6 +84,37 @@ class PlanSpec extends SparkSuite {
       p.take(3000))
   }
 
+  test("join_skew_aqe splits the hot partition at runtime (skew=true)") {
+    // Production-shaped thresholds scaled to fixture bytes: the hot key
+    // (~25% of lineitem) exceeds max(threshold, factor x median) and is
+    // split into advisory-sized chunks by OptimizeSkewedJoin.
+    val tuned = Seq(
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("join_skew_aqe")(spark, "/root/testdata/sf0.01")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(4000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("q3_shipping_priority broadcasts the dim chain and plans top-k") {
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // AQE hides codegen spans until the plan is final — execute first,
     // then inspect the final adaptive plan.

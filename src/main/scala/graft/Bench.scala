@@ -45,14 +45,21 @@ object Bench {
       (q.name, (System.nanoTime() - t0) / 1e9, err)
     }
     val failed = results.collect { case (n, _, Some(e)) => (n, e) }
+    // 3-decimal seconds keep the whole line ~3 KB for 100+ queries: the
+    // round driver captures only a bounded stdout tail, and a longer line
+    // (9+ digits per value) overflowed it in round 3 → unparseable bench.
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // failures are null here (numeric consumers can sum/plot) and carry the
+    // message in "errors"
     val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "\"error\"" else v.toString)
+      "\"" + k + "\":" + (if (err.isDefined) "null" else sec(v))
     }.mkString("{", ",", "}")
     val errJson = failed.map { case (n, e) =>
-      "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "'") + "\""
+      "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "'")
+        .replaceAll("[\\x00-\\x1F]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,23 @@ object ScaleOps {
       dir
     })
 
+  /** The join_skew_aqe shape over explicit inputs, so PlanSpec can run it
+    * against a multi-file lineitem layout (see the query's comment).
+    */
+  private[graft] def skewJoinShape(l0: DataFrame, o0: DataFrame): DataFrame = {
+    val l = l0.select(
+      when(col("l_orderkey") % 2 === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"),
+      col("l_extendedprice"))
+    val o = o0.hint("merge")
+    l.join(o, col("k") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+          .as("price"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Static partition pruning: the IN-list reaches the directory listing
@@ -73,33 +90,32 @@ object ScaleOps {
         .orderBy("event_type")
     },
 
-    // AQE skew-join: ~25% of lineitem rows are remapped onto one hot key —
-    // the classic hot-partition join that stalls a 1000-executor cluster on
+    // AQE skew-join: half of lineitem is remapped onto one hot key — the
+    // classic hot-partition join that stalls a 1000-executor cluster on
     // one straggler task. With spark.sql.adaptive.skewJoin enabled the
-    // runtime splits the hot partition into advisory-sized chunks
-    // (PlanSpec asserts skew=true under production-shaped thresholds);
-    // the downstream aggregate groups on a DIFFERENT key, so the split
-    // adds no extra shuffle and AQE accepts it. The answer is identical
-    // with or without the split — that equality is the oracle.
+    // runtime splits the hot partition into advisory-sized chunks along
+    // map-block boundaries. Two measured traps shape this query and its
+    // PlanSpec assertion:
+    //   (1) AQE detects skew in shuffle BYTES — a constant hot key with a
+    //       low-cardinality payload compresses to under the 2x-median bar,
+    //       so the carried column is l_extendedprice (high-entropy);
+    //   (2) a skewed partition is only splittable if it spans >1 map
+    //       block, and the single-row-group fixture parquet yields exactly
+    //       one non-empty map task per scan — so PlanSpec drives this same
+    //       shape (skewJoinShape) over a multi-file copy, the layout any
+    //       real large table has.
+    // The split must not change the answer — that equality is the oracle.
     Q("join_skew_aqe",
       """SELECT o.o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
-        |FROM (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_orderkey END
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS price
+        |FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_orderkey END
         |               AS k,
-        |             l_quantity FROM lineitem) l
+        |             l_extendedprice FROM lineitem) l
         |JOIN orders o ON o.o_orderkey = l.k
         |GROUP BY o.o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-      val l = Tables.lineitem(s, d).select(
-        when(col("l_orderkey") % 4 === 0, lit(1L))
-          .otherwise(col("l_orderkey")).as("k"),
-        col("l_quantity"))
-      val o = Tables.orders(s, d).hint("merge")
-      l.join(o, col("k") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
-        .orderBy("o_orderpriority")
+      skewJoinShape(Tables.lineitem(s, d), Tables.orders(s, d))
     },
 
     // TPC-H Q3-shaped flagship: 3-table join + aggregate + top-k with NO

@@ -86,24 +86,38 @@ class PlanSpec extends SparkSuite {
 
   test("join_skew_aqe splits the hot partition at runtime (skew=true)") {
     // Production-shaped thresholds scaled to fixture bytes: the hot key
-    // (~25% of lineitem) exceeds max(threshold, factor x median) and is
-    // split into advisory-sized chunks by OptimizeSkewedJoin.
+    // (~50% of lineitem, carrying the high-entropy l_extendedprice) exceeds
+    // max(threshold, factor x median) and is split by OptimizeSkewedJoin.
+    // The left side is a multi-FILE copy of lineitem: AQE splits a skewed
+    // partition along map-block boundaries, and the single-row-group
+    // fixture parquet yields exactly one non-empty map task per scan — a
+    // fixture artifact no real many-file table has (see ScaleOps comment).
     val tuned = Seq(
       "spark.sql.shuffle.partitions" -> "16",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
-      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB")
     val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
     tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    val multi = java.nio.file.Files.createTempDirectory("graft_skew_l_").toString
     try {
-      val df = SparkEntry.queries("join_skew_aqe")(spark, "/root/testdata/sf0.01")
+      Tables.lineitem(spark, "/root/testdata/sf0.01").repartition(5)
+        .write.mode("overwrite").parquet(multi)
+      val df = operators.ScaleOps.skewJoinShape(
+        spark.read.parquet(multi),
+        Tables.orders(spark, "/root/testdata/sf0.01"))
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"), p.take(4000))
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(multi)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
     }
   }
 

@@ -110,15 +110,26 @@ class StreamingSpec extends SparkSuite {
     import spark.implicits._
     implicit val sq: SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
-    val chk = java.nio.file.Files.createTempDirectory("graft_kchk_").toString
+    val chkDir = java.nio.file.Files.createTempDirectory("graft_kchk_")
     try {
-      val q = streaming.Streams.kafkaSink(ms.toDF().toDF("answer"),
-        "broker:9092", "answers", chk)
-      q.stop() // connector on classpath: plan built, nothing sent
-    } catch {
-      case e: Exception =>
-        assert(Option(e.getMessage).exists(_.toLowerCase.contains("kafka")),
-          s"unexpected failure: $e")
+      val thrown =
+        try {
+          val q = streaming.Streams.kafkaSink(ms.toDF().toDF("answer"),
+            "broker:9092", "answers", chkDir.toString)
+          q.stop()
+          None
+        } catch { case e: Exception => Some(e) }
+      // this environment ships no kafka connector, so a started query means
+      // the sink silently bound to something other than the real writer
+      assert(thrown.isDefined, "kafka sink started without a connector on " +
+        "the classpath — it did not request the real kafka format")
+      assert(thrown.flatMap(e => Option(e.getMessage))
+          .exists(_.toLowerCase.contains("kafka")),
+        s"unexpected failure: ${thrown.get}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(chkDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

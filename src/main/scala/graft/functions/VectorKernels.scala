@@ -25,6 +25,15 @@ object VectorKernels {
     n
   }
 
+  /** Null-returning cosine for dirty corpora: one malformed embedding must
+    * not kill a 10-hour 100 TB job — the row scores NULL and a downstream
+    * `IS NOT NULL` quarantines it. The throwing [[cosine]] stays the
+    * default (fail loudly when dimensions SHOULD agree).
+    */
+  def tryCosine(a: ArrayData, b: ArrayData): java.lang.Double =
+    if (a.numElements() != b.numElements()) null
+    else java.lang.Double.valueOf(cosine(a, b))
+
   /** Cosine similarity of two float arrays; 0.0 for zero-norm inputs. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = sameDim(a, b, "cosine_sim")

@@ -50,6 +50,35 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** try_cosine_sim(ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE, NULL on dimension
+  * mismatch (ANSI try_-style). [[CosineSim]] throws there — right when the
+  * pipeline guarantees a single dimension; this variant is for scoring
+  * dirty corpora where one bad row must not kill the job.
+  */
+case class TryCosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayBinary {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkFloatArrays("try_cosine_sim")
+  override def prettyName: String = "try_cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.tryCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_t = graft.functions.VectorKernels.tryCosine($a, $b);
+      if (${ev.value}_t == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_t.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TryCosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** vector_dot(ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE. */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression with FloatArrayBinary {

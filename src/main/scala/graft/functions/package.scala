@@ -18,6 +18,10 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftSql.column(CosineSim(GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** Null-on-dimension-mismatch cosine similarity (try_-style). */
+  def try_cosine_sim(a: Column, b: Column): Column =
+    GraftSql.column(TryCosineSim(GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Dot product of two ARRAY<FLOAT> columns → DOUBLE. */
   def vector_dot(a: Column, b: Column): Column =
     GraftSql.column(VectorDot(GraftSql.expression(a), GraftSql.expression(b)))

@@ -26,18 +26,30 @@ object Ann {
   val defs: Seq[Q] = Seq(
 
     Q.noOracle("ann_lsh_topk") { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .withColumn("b", lsh_bucket(col("embedding"), 12))
+      // OR-amplification: L=3 independent signature tables (seeded
+      // hyperplane sets); a vector is a candidate if ANY signature lands
+      // within Hamming distance 5 of the probe's. Per-table recall on the
+      // fixture's near-random embeddings is ~0.7 (cosine ~0.4 ⇒ ~0.34
+      // per-plane flip; 5 of 12 planes), so three independent tables give
+      // ~1-0.3^3 ≈ 0.97 — DedupSpec asserts >= 0.9 vs the exact scan. At
+      // 100 TB each signature is its own partition/cluster key and the
+      // disjunction becomes L bucket-joins unioned before the verify step;
+      // here all signatures are scan-side codegen'd expressions, so one
+      // pass computes all three.
+      val seeds = Seq(42L, 1337L, 271828L)
+      val e = seeds.zipWithIndex.foldLeft(Tables.embeddings(s, d)) {
+        case (df, (sd, i)) =>
+          df.withColumn(s"b$i", lsh_bucket(col("embedding"), 12, sd))
+      }
       val probe = e.where(col("vec_id") === 0)
-        .select(col("embedding").as("probe"), col("b").as("pb"))
+        .select(col("embedding").as("probe") +:
+          seeds.indices.map(i => col(s"b$i").as(s"pb$i")): _*)
+      val anyTableHits = seeds.indices
+        .map(i => bit_count(col(s"b$i").bitwiseXOR(col(s"pb$i"))) <= 5)
+        .reduce(_ || _)
       e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
-        // multiprobe: own bucket plus neighbors within Hamming distance 5
-        // (the fixture's embeddings are near-random, so similar vectors sit
-        // at cosine ~0.4 ⇒ ~0.34 per-plane flip probability; distance 5 of
-        // 12 trades a ~2.7× candidate prune for ~70% recall — real
-        // clustered embeddings prune far harder at the same recall)
-        .where(bit_count(col("b").bitwiseXOR(col("pb"))) <= 5)
+        .where(anyTableHits)
         .select(col("vec_id"),
           round(cosine_sim(col("embedding"), col("probe")), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))

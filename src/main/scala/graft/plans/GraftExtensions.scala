@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(fn("cosine_sim", es => CosineSim(es(0), es(1))))
+    e.injectFunction(fn("try_cosine_sim", es => TryCosineSim(es(0), es(1))))
     e.injectFunction(fn("vector_dot", es => VectorDot(es(0), es(1))))
     e.injectFunction(fn("l2_distance", es => L2Distance(es(0), es(1))))
     e.injectFunction(fn("vector_norm", es => VectorNorm(es(0))))

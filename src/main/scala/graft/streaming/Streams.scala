@@ -99,7 +99,8 @@ object Streams {
     * the reference's one-HTTP-call-per-record sink,
     * `StreamingStoreKnowledge.java:68-71`).
     */
-  def ingest(lines: DataFrame, storeDir: String, dim: Int = 64): Unit = {
+  def ingest(lines: DataFrame, storeDir: String, dim: Int = 64,
+      filesPerBatch: Int = 1): Unit = {
     val q = lines
       .select(
         xxhash64(col("line")).as("vec_id"),
@@ -107,11 +108,45 @@ object Streams {
         feature_hash_embed(col("line"), dim).as("embedding"))
       .writeStream
       .trigger(Trigger.AvailableNow())
+      // one file-set per micro-batch still accumulates forever; coalesce
+      // bounds files-per-batch (micro-batches are small relative to the
+      // store by definition) and compactStore bounds the long-run total
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(storeDir)
+        batch.coalesce(filesPerBatch).write.mode("append").parquet(storeDir)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Rewrite an append-only parquet store into ~`targetFileBytes` files —
+    * the OPTIMIZE/compaction step a per-micro-batch append store needs so
+    * scan cost stays O(data), not O(batches). The reference's OpenSearch
+    * store self-compacts (Lucene segment merges); a parquet store must do
+    * it explicitly. Out-of-place rewrite then swap: readers started before
+    * the swap see the old file list, the store is never half-written. (On
+    * a real cluster the swap is a metastore/table-format transaction — a
+    * directory rename here, same structure.) Returns the new file count.
+    */
+  def compactStore(s: SparkSession, storeDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(storeDir)
+    def parquetFiles(p: java.nio.file.Path) =
+      java.nio.file.Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val totalBytes = parquetFiles(root).map(java.nio.file.Files.size).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+    s.read.parquet(storeDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: drop the old generation, move the compacted files in
+    java.nio.file.Files.list(root).iterator().asScala.toSeq
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.list(tmp).iterator().asScala.toSeq.foreach { f =>
+      java.nio.file.Files.move(f, root.resolve(f.getFileName.toString))
+    }
+    java.nio.file.Files.delete(tmp)
+    nFiles
   }
 
   /** One micro-batch of RAG answering (A5–A11) as a reusable batch

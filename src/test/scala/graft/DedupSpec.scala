@@ -41,7 +41,8 @@ class DedupSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf)
       .collect().map(_.getLong(0)).toSet
-    assert(exact.intersect(lsh).size >= 5,
+    // OR-amplified (3 signature tables): expected recall ~0.97, gate 0.9
+    assert(exact.intersect(lsh).size >= 9,
       s"LSH recall ${exact.intersect(lsh).size}/10")
     assert(exact.intersect(ivf).size >= 3,
       s"IVF recall ${exact.intersect(ivf).size}/10")

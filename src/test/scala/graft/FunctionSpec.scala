@@ -38,6 +38,23 @@ class FunctionSpec extends SparkSuite {
     assert(ex.getMessage != null)
   }
 
+  test("try_cosine_sim: null on dimension mismatch, else same as cosine_sim") {
+    // dirty-data semantics: a bad row scores NULL instead of killing the job
+    val mismatch = df1(vec(1f, 2f), vec(1f, 2f, 3f))
+      .select(try_cosine_sim(col("a"), col("b"))).head()
+    assert(mismatch.isNullAt(0))
+    val (a, b) = (vec(1f, 0f, -2f, 4f), vec(-3f, 1f, 0.5f, 2f))
+    val same = df1(a, b)
+      .select(try_cosine_sim(col("a"), col("b")),
+        cosine_sim(col("a"), col("b"))).head()
+    assert(same.getDouble(0) == same.getDouble(1))
+    // null input propagates as null (not an error)
+    import spark.implicits._
+    val withNull = Seq((Option(vec(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b").select(try_cosine_sim(col("a"), col("b"))).head()
+    assert(withNull.isNullAt(0))
+  }
+
   test("vector_dot / vector_norm / l2_distance agree with hand math") {
     val r = df1(vec(3f, 4f), vec(1f, 2f))
       .select(vector_dot(col("a"), col("b")), vector_norm(col("a")),

@@ -66,16 +66,46 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** Leaf file scans of an executed (possibly adaptive) plan. */
+  private def fileScans(plan: SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    plan.collect {
+      case s: FileSourceScanExec    => Seq(s)
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec        => fileScans(q.plan)
+    }.flatten
+  }
+
+  /** Executed-plan partition-read counts of every partitioned file scan —
+    * the runtime truth the plan-string assertions approximate.
+    */
+  private def partitionsRead(name: String): Seq[Long] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    fileScans(df.queryExecution.executedPlan)
+      .filter(_.metrics.contains("numPartitions"))
+      .map(_.metrics("numPartitions").value)
+  }
+
   test("scan_partition_pruned reads only the selected partitions") {
     val p = planString("scan_partition_pruned")
     assert(p.contains("PartitionFilters:"), p.take(3000))
     assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
       p.take(3000))
+    // runtime metric, not plan string: exactly 2 of the 5 event_type
+    // partition directories were actually listed into the scan
+    assert(partitionsRead("scan_partition_pruned") == Seq(2L))
   }
 
   test("join_dpp_partitioned plans a dynamic partition pruning filter") {
     val p = planString("join_dpp_partitioned")
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
+    // runtime metric: the dim filter (w=1 → only 'click') pruned the fact
+    // scan to 1 of 5 partitions at execution time
+    val reads = partitionsRead("join_dpp_partitioned")
+    assert(reads.contains(1L), s"fact scan read $reads partitions, wanted 1")
   }
 
   test("agg_salted_skew: both phases are hash aggregates with partials") {

@@ -64,16 +64,27 @@ object Ann {
       if (!s.experimental.extraOptimizations.contains(AnnTopKRewrite))
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ AnnTopKRewrite
-      s.conf.set(AnnTopKRewrite.EnabledKey, "true")
       val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      Tables.embeddings(s, d)
+      val exact = Tables.embeddings(s, d)
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"),
           cosine_sim(col("embedding"), lit_vector(probe)).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
+      // The rewrite fires at OPTIMIZATION time — i.e. when this frame is
+      // executed, after this fn has returned — so the enable flag cannot
+      // simply be set here and unset by the caller. Leaving it set leaked
+      // session state: any later literal-probe cosine top-k in the same
+      // session was silently rewritten to an approximate scan. Instead,
+      // execute the k-row result eagerly under the flag (localCheckpoint
+      // materializes the optimized — i.e. rewritten — plan distributedly;
+      // k bounds the footprint) and always drop the flag in `finally`.
+      // ExtensionsSpec proves a subsequent exact top-k is NOT rewritten.
+      s.conf.set(AnnTopKRewrite.EnabledKey, "true")
+      try exact.localCheckpoint(true)
+      finally s.conf.unset(AnnTopKRewrite.EnabledKey)
     },
 
     Q.noOracle("ann_ivf_topk") { (s, d) =>

@@ -94,10 +94,60 @@ object Streams {
       df.sparkSession.table(name)
     }
 
+  // ---- vector-store layout: flat append dir, upgraded on first
+  // compaction to generation directories + an atomic CURRENT pointer ----
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Directory holding the store's LIVE parquet data: the generation named
+    * by the `CURRENT` pointer once the store has been compacted at least
+    * once, else the flat root (ingest's plain append layout — a store that
+    * was never compacted needs no pointer).
+    */
+  def storeDataDir(storeDir: String): String = {
+    val root = java.nio.file.Paths.get(storeDir)
+    val cur = root.resolve("CURRENT")
+    if (java.nio.file.Files.exists(cur))
+      root.resolve(new String(java.nio.file.Files.readAllBytes(cur), Utf8).trim)
+        .toString
+    else storeDir
+  }
+
+  /** Read the store's live generation (resolved at plan time — a reader
+    * holds one consistent generation for its whole lifetime).
+    */
+  def storeRead(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(storeDataDir(storeDir))
+
+  /** Regular files under `p` ending in `suffix`; empty for a non-dir.
+    * (Files.list must be closed — it holds a directory handle.)
+    */
+  private def listFiles(p: java.nio.file.Path, suffix: String)
+      : Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+      st.iterator().asScala.filter(f =>
+        java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(suffix)).toSeq
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val all = scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.iterator().asScala.toSeq)
+      all.reverse.foreach(f =>
+        try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+  }
+
   /** IngestPipeline (A2–A4): lines → deterministic embedding →
     * append-only parquet vector store, batched per micro-batch (replaces
     * the reference's one-HTTP-call-per-record sink,
-    * `StreamingStoreKnowledge.java:68-71`).
+    * `StreamingStoreKnowledge.java:68-71`). Appends land in the store's
+    * live generation so a compacted store keeps ingesting correctly.
     */
   def ingest(lines: DataFrame, storeDir: String, dim: Int = 64,
       filesPerBatch: Int = 1): Unit = {
@@ -112,40 +162,66 @@ object Streams {
       // bounds files-per-batch (micro-batches are small relative to the
       // store by definition) and compactStore bounds the long-run total
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.coalesce(filesPerBatch).write.mode("append").parquet(storeDir)
+        batch.coalesce(filesPerBatch).write.mode("append")
+          .parquet(storeDataDir(storeDir))
       }
       .start()
     q.awaitTermination()
   }
 
-  /** Rewrite an append-only parquet store into ~`targetFileBytes` files —
-    * the OPTIMIZE/compaction step a per-micro-batch append store needs so
-    * scan cost stays O(data), not O(batches). The reference's OpenSearch
-    * store self-compacts (Lucene segment merges); a parquet store must do
-    * it explicitly. Out-of-place rewrite then swap: readers started before
-    * the swap see the old file list, the store is never half-written. (On
-    * a real cluster the swap is a metastore/table-format transaction — a
-    * directory rename here, same structure.) Returns the new file count.
+  /** Rewrite the store into ~`targetFileBytes` files — the OPTIMIZE/
+    * compaction step a per-micro-batch append store needs so scan cost
+    * stays O(data), not O(batches). The reference's OpenSearch store
+    * self-compacts (Lucene segment merges); a parquet store must do it
+    * explicitly.
+    *
+    * Swap protocol (the local analogue of a table-format commit): the
+    * compacted generation is written to a fresh `gen-N` directory, then
+    * published by atomically renaming a `CURRENT.tmp` pointer file over
+    * `CURRENT`. Readers resolve `CURRENT` once at plan time, so a reader
+    * concurrent with compaction sees EITHER the old or the new generation,
+    * never a partial mix; the immediately-previous generation is retained
+    * (purged on the NEXT compaction) so already-planned readers never hit
+    * FileNotFound. A crash before the pointer flip leaves the old
+    * generation live; leftover half-written `gen-N` garbage is overwritten
+    * by the next compaction. Returns the new file count (0 = empty store,
+    * nothing to do).
     */
   def compactStore(s: SparkSession, storeDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(storeDir)
-    def parquetFiles(p: java.nio.file.Path) =
-      java.nio.file.Files.list(p).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    val totalBytes = parquetFiles(root).map(java.nio.file.Files.size).sum
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
-    s.read.parquet(storeDir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // swap: drop the old generation, move the compacted files in
-    java.nio.file.Files.list(root).iterator().asScala.toSeq
-      .foreach(java.nio.file.Files.delete)
-    java.nio.file.Files.list(tmp).iterator().asScala.toSeq.foreach { f =>
-      java.nio.file.Files.move(f, root.resolve(f.getFileName.toString))
+    val dataDir = java.nio.file.Paths.get(storeDataDir(storeDir))
+    val parquets = listFiles(dataDir, ".parquet")
+    if (parquets.isEmpty) return 0 // empty store: no schema to infer, no-op
+    val totalBytes = parquets.map(java.nio.file.Files.size).sum
+    val nFiles =
+      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val curGen = // flat root counts as generation 0
+      if (dataDir == root) 0
+      else dataDir.getFileName.toString.stripPrefix("gen-").toInt
+    val nextDir = root.resolve(s"gen-${curGen + 1}")
+    s.read.parquet(dataDir.toString).repartition(nFiles)
+      .write.mode("overwrite").parquet(nextDir.toString)
+    // publish: write-then-atomic-rename of the pointer file
+    val tmp = root.resolve("CURRENT.tmp")
+    java.nio.file.Files.write(tmp, s"gen-${curGen + 1}".getBytes(Utf8))
+    java.nio.file.Files.move(tmp, root.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // retention: keep the previous generation for in-flight readers; purge
+    // everything older (generations < curGen, and — once the previous
+    // generation is itself a gen dir — the original flat-root files)
+    scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("gen-") &&
+            name.stripPrefix("gen-").forall(_.isDigit) &&
+            name.stripPrefix("gen-").toInt < curGen)
+          deleteTree(p)
+      }
     }
-    java.nio.file.Files.delete(tmp)
+    if (curGen >= 1)
+      listFiles(root, ".parquet").foreach(java.nio.file.Files.deleteIfExists(_))
     nFiles
   }
 
@@ -157,7 +233,7 @@ object Streams {
   def answerBatch(batch: DataFrame, storeDir: String,
       k: Int = 10, dim: Int = 64): DataFrame = {
     val s = batch.sparkSession
-    val store = s.read.parquet(storeDir)
+    val store = storeRead(s, storeDir)
     val qs = batch.select(col("line").as("question"),
       feature_hash_embed(col("line"), dim).as("qvec"))
     import org.apache.spark.sql.expressions.Window

@@ -58,6 +58,25 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("ann_rewrite_topk does not leak the rewrite into later queries") {
+    // run the inventory query itself (it injects the rule + sets the flag
+    // internally, and must reset the flag before returning)
+    val out = SparkEntry.queries("ann_rewrite_topk")(spark, sf)
+    assert(out.count() == 10)
+    // the flag must be gone from the session...
+    assert(spark.conf.getOption(AnnTopKRewrite.EnabledKey).isEmpty)
+    // ...and a literal-probe EXACT top-k issued afterwards must be planned
+    // exactly — no Hamming-radius candidate filter smuggled in
+    val after = topk(10).queryExecution.optimizedPlan.toString
+    assert(!after.contains("bit_count"), after.take(2000))
+    // while the query's own result DID run under the rewrite: it matches
+    // the exact scoring restricted to bucket candidates (subset, same order)
+    val exact = topk(500).collect().map(_.getLong(0)).toSeq
+    val approx = out.collect().map(_.getLong(0)).toSeq
+    val positions = approx.map(exact.indexOf)
+    assert(positions.forall(_ >= 0) && positions.sameElements(positions.sorted))
+  }
+
   test("GraftExtensions registers functions + rule on a fresh session") {
     val df = spark.newSession() // same context; check injection path compiles
     // withExtensions route: build on the existing context

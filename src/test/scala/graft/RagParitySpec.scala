@@ -10,77 +10,113 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 class RagParitySpec extends SparkSuite {
 
+  private def withTmp(prefix: String)(body: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try body(tmp.toString)
+    finally { // best-effort recursive cleanup so repeated runs don't accumulate
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(tmp))(
+        _.iterator().asScala.toSeq).reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Exception => () })
+    }
+  }
+
   test("ingest then answer returns the ingested fact (README freshness scenario)") {
     import spark.implicits._
     implicit val sq: SQLContext = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_parity_").toString
-    val store = s"$tmp/store"; val out = s"$tmp/answers"
+    withTmp("graft_parity_") { tmp =>
+      val store = s"$tmp/store"; val out = s"$tmp/answers"
 
-    val knowledge = MemoryStream[String]
-    knowledge.addData(
-      "The capital of France is Paris.",
-      "Spark plans queries with the Catalyst optimizer.",
-      "Flink processes unbounded streams with low latency.")
-    streaming.Streams.ingest(knowledge.toDF().toDF("line"), store)
+      val knowledge = MemoryStream[String]
+      knowledge.addData(
+        "The capital of France is Paris.",
+        "Spark plans queries with the Catalyst optimizer.",
+        "Flink processes unbounded streams with low latency.")
+      streaming.Streams.ingest(knowledge.toDF().toDF("line"), store)
 
-    val stored = spark.read.parquet(store)
-    assert(stored.count() == 3)
-    assert(stored.columns.toSet == Set("vec_id", "text", "embedding"))
+      val stored = spark.read.parquet(store)
+      assert(stored.count() == 3)
+      assert(stored.columns.toSet == Set("vec_id", "text", "embedding"))
 
-    val questions = MemoryStream[String]
-    questions.addData("What is the capital of France?")
-    streaming.Streams.answer(questions.toDF().toDF("line"), store, out, k = 2)
+      val questions = MemoryStream[String]
+      questions.addData("What is the capital of France?")
+      streaming.Streams.answer(questions.toDF().toDF("line"), store, out, k = 2)
 
-    val rows = spark.read.parquet(out).collect()
-    assert(rows.length == 1)
-    val r = rows.head
-    val answer = r.getAs[String]("answer")
-    assert(answer.contains("Paris"), s"answer was: $answer")
-    val prompt = r.getAs[String]("prompt")
-    assert(prompt.contains("What is the capital of France?"))
-    assert(!prompt.contains("{{question}}") && !prompt.contains("{{information}}"))
-    // determinism: running the same question again appends an identical row
-    val questions2 = MemoryStream[String]
-    questions2.addData("What is the capital of France?")
-    streaming.Streams.answer(questions2.toDF().toDF("line"), store, out, k = 2)
-    val again = spark.read.parquet(out).collect()
-    assert(again.length == 2 && again.map(_.toString).distinct.length == 1)
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      val answer = r.getAs[String]("answer")
+      assert(answer.contains("Paris"), s"answer was: $answer")
+      val prompt = r.getAs[String]("prompt")
+      assert(prompt.contains("What is the capital of France?"))
+      assert(!prompt.contains("{{question}}") && !prompt.contains("{{information}}"))
+      // determinism: running the same question again appends an identical row
+      val questions2 = MemoryStream[String]
+      questions2.addData("What is the capital of France?")
+      streaming.Streams.answer(questions2.toDF().toDF("line"), store, out, k = 2)
+      val again = spark.read.parquet(out).collect()
+      assert(again.length == 2 && again.map(_.toString).distinct.length == 1)
+    }
   }
 
-  test("compactStore shrinks the file count without changing answers") {
+  test("compactStore publishes atomically: a concurrent reader sees one whole generation") {
     import spark.implicits._
     implicit val sq: SQLContext = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_t_").toString
-    val store = s"$tmp/store"
+    withTmp("graft_compact_t_") { tmp =>
+      val store = s"$tmp/store"
 
-    // three ingest runs = three appended file generations
-    Seq("The capital of France is Paris.",
-        "Spark plans queries with the Catalyst optimizer.",
-        "Flink processes unbounded streams with low latency.").foreach { fact =>
-      val ms = MemoryStream[String]
-      ms.addData(fact)
-      streaming.Streams.ingest(ms.toDF().toDF("line"), store)
+      // three ingest runs = three appended file generations in the flat root
+      Seq("The capital of France is Paris.",
+          "Spark plans queries with the Catalyst optimizer.",
+          "Flink processes unbounded streams with low latency.").foreach { fact =>
+        val ms = MemoryStream[String]
+        ms.addData(fact)
+        streaming.Streams.ingest(ms.toDF().toDF("line"), store)
+      }
+      def flatParquetCount = new java.io.File(store).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(flatParquetCount >= 3, s"expected >=3 file generations")
+      def sortedRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      val rowsBefore = sortedRows(streaming.Streams.storeRead(spark, store))
+
+      // a reader PLANNED before the swap (its file listing is resolved now)
+      val preSwapReader = streaming.Streams.storeRead(spark, store)
+
+      val n = streaming.Streams.compactStore(spark, store)
+      assert(n == 1, s"expected 1 compacted file, got $n")
+      val live = streaming.Streams.storeDataDir(store)
+      assert(live != store, "CURRENT pointer should name a generation dir")
+      assert(new java.io.File(live).listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1)
+
+      // the pre-swap reader still executes against its (retained) old
+      // generation — no FileNotFound, no partial store
+      assert(sortedRows(preSwapReader) == rowsBefore)
+      // a post-swap reader sees identical rows from the new generation
+      assert(sortedRows(streaming.Streams.storeRead(spark, store)) == rowsBefore)
+
+      // ingest after compaction lands in the live generation
+      val ms4 = MemoryStream[String]
+      ms4.addData("DuckDB is the oracle engine for this test suite.")
+      streaming.Streams.ingest(ms4.toDF().toDF("line"), store)
+      assert(streaming.Streams.storeRead(spark, store).count() == 4)
+
+      // a second compaction purges the now-two-generations-old flat files
+      val n2 = streaming.Streams.compactStore(spark, store)
+      assert(n2 == 1)
+      assert(flatParquetCount == 0,
+        "flat-root generation should be purged after the second compaction")
+      assert(streaming.Streams.storeRead(spark, store).count() == 4)
+
+      // retrieval against the compacted store is unchanged
+      val questions = MemoryStream[String]
+      questions.addData("What is the capital of France?")
+      val outDir = s"$tmp/answers"
+      streaming.Streams.answer(questions.toDF().toDF("line"), store, outDir, k = 2)
+      val answer = spark.read.parquet(outDir).collect().head.getAs[String]("answer")
+      assert(answer.contains("Paris"), s"answer was: $answer")
     }
-    def parquetCount = new java.io.File(store).listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    val filesBefore = parquetCount
-    assert(filesBefore >= 3, s"expected >=3 file generations, got $filesBefore")
-    val rowsBefore = spark.read.parquet(store).collect()
-      .map(_.toString).sorted.toSeq
-
-    val n = streaming.Streams.compactStore(spark, store)
-    assert(n == 1 && parquetCount == 1,
-      s"expected 1 compacted file, got n=$n files=$parquetCount")
-    val rowsAfter = spark.read.parquet(store).collect()
-      .map(_.toString).sorted.toSeq
-    assert(rowsAfter == rowsBefore)
-
-    // retrieval against the compacted store is unchanged
-    val questions = MemoryStream[String]
-    questions.addData("What is the capital of France?")
-    val outDir = s"$tmp/answers"
-    streaming.Streams.answer(questions.toDF().toDF("line"), store, outDir, k = 2)
-    val answer = spark.read.parquet(outDir).collect().head.getAs[String]("answer")
-    assert(answer.contains("Paris"), s"answer was: $answer")
   }
 }

@@ -133,6 +133,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("answerToKafka runs the RAG batch and requests the real kafka producer (A12)") {
+    // Symmetric to the kafkaSink test: the full answers pipeline under a
+    // checkpoint must hand its per-batch output to the REAL kafka batch
+    // writer (AiJob.java:25-33) — proven, in this connector-less
+    // environment, by the kafka lookup error surfacing through the
+    // checkpointed foreachBatch run.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_a2k_")
+    try {
+      val store = s"$tmp/store"
+      val ingest = MemoryStream[String]
+      ingest.addData("The capital of France is Paris.")
+      streaming.Streams.ingest(ingest.toDF().toDF("line"), store)
+
+      val questions = MemoryStream[String]
+      questions.addData("What is the capital of France?")
+      val thrown =
+        try {
+          streaming.Streams.answerToKafka(questions.toDF().toDF("line"),
+            store, "broker:9092", "answers", s"$tmp/chk")
+          None
+        } catch { case e: Exception => Some(e) }
+      assert(thrown.isDefined, "answerToKafka completed without a kafka " +
+        "connector on the classpath — it did not request the real producer")
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .flatMap(c => Option(c.getMessage)).toSeq
+      assert(chain(thrown.get).exists(_.toLowerCase.contains("kafka")),
+        s"unexpected failure: ${chain(thrown.get).mkString(" | ")}")
+      // the run was checkpointed: the source offsets were committed under
+      // the caller's checkpoint dir before the sink attempt
+      assert(new java.io.File(s"$tmp/chk/offsets").exists(),
+        "checkpointLocation was not used")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("restart from checkpoint resumes where the stopped query left off") {
     // The reference's savepoint story (AiJob.java:41): stop, new data
     // arrives, restart from the SAME checkpoint — no loss, no duplicates.

@@ -46,6 +46,95 @@ object Dedup {
       |           string_split(text, ' ')[i+1] || ' ' ||
       |           string_split(text, ' ')[i+2]))""".stripMargin
 
+  /** MinHash(32)+LSH(8 bands × 4 rows) candidate pairs, exact-Jaccard
+    * verified at `threshold`: the scale path for corpus dedup (candidates
+    * from band-hash equi-buckets only — never a cross product).
+    */
+  private[graft] def minhashVerifiedPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    // scan-side signature: one string hash per shingle + 32 splitmix
+    // lanes (the nested-HOF formulation recomputed ~1G string hashes at
+    // sf0.1 — 100×+ slower than this kernel)
+    val sig = Tables.documents(s, d)
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        minhash_shingles(col("text"), 32, 3).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 7), b -> named_struct(
+            |  'band', b,
+            |  'bh', xxhash64(element_at(sig, 4*b + 1), element_at(sig, 4*b + 2),
+            |                 element_at(sig, 4*b + 3), element_at(sig, 4*b + 4))))"""
+            .stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      // candidates are O(dup clusters) tiny; persisting stops the band
+      // join from being recomputed for the id-list and the verification
+      .persist()
+    // exact shingles ONLY for candidate docs (a semi-join first — the
+    // shingle HOF over the full corpus costs more than the whole sketch)
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    // join BEFORE the shingle projection — declared the other way round,
+    // the HOF would run over the full corpus and only then be filtered
+    val candSh = Tables.documents(s, d)
+      .join(broadcast(candIds), "doc_id")
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr(ShingleSql).as("sh"))
+    val a = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node's label converges to the minimum
+    * doc_id reachable from it. Join-based — each round is one shuffle
+    * join + aggregate, the standard Spark formulation; rounds needed =
+    * graph diameter (dup clusters are near-cliques, so 2–3 in practice),
+    * `maxIter` bounds pathological chains. `localCheckpoint` truncates
+    * the growing lineage each round (on a cluster: checkpoint to durable
+    * storage); convergence is detected by an empty changed-label diff.
+    * Returns (doc_id, cluster_id) for every doc in >=1 pair.
+    */
+  private[graft] def collapseClusters(pairs: DataFrame, maxIter: Int = 10)
+      : DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .where(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Exact pairwise n-gram Jaccard on a bounded block — the ground truth
@@ -77,47 +166,43 @@ object Dedup {
     // candidates. Hash-permutation-defined → no SQL oracle; recall vs the
     // exact method is property-tested in DedupSpec.
     Q.noOracle("dedup_minhash_lsh") { (s, d) =>
-      // scan-side signature: one string hash per shingle + 32 splitmix
-      // lanes (the nested-HOF formulation recomputed ~1G string hashes at
-      // sf0.1 — 100×+ slower than this kernel)
-      val sig = Tables.documents(s, d)
-        .where(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"),
-          minhash_shingles(col("text"), 32, 3).as("sig"))
-      val bands = sig.select(col("doc_id"),
-          explode(expr(
-            """transform(sequence(0, 7), b -> named_struct(
-              |  'band', b,
-              |  'bh', xxhash64(element_at(sig, 4*b + 1), element_at(sig, 4*b + 2),
-              |                 element_at(sig, 4*b + 3), element_at(sig, 4*b + 4))))"""
-              .stripMargin)).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        // candidates are O(dup clusters) tiny; persisting stops the band
-        // join from being recomputed for the id-list and the verification
-        .persist()
-      // exact shingles ONLY for candidate docs (a semi-join first — the
-      // shingle HOF over the full corpus costs more than the whole sketch)
-      val candIds = cand
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct()
-      // join BEFORE the shingle projection — declared the other way round,
-      // the HOF would run over the full corpus and only then be filtered
-      val candSh = Tables.documents(s, d)
-        .join(broadcast(candIds), "doc_id")
-        .where(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), expr(ShingleSql).as("sh"))
-      val a = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      cand.join(a, "doc_a").join(b, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          jaccard(col("sha"), col("shb")).as("jac"))
-        .where(col("jac") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+      minhashVerifiedPairs(s, d, 0.5).orderBy("doc_a", "doc_b")
+    },
+
+    // Cluster collapse — the output a training-data pipeline actually
+    // consumes: verified near-dup pairs → connected components (iterative
+    // min-label propagation, join-based) → keep the min doc per cluster.
+    // Oracled: on this corpus every jac>=0.5 pair sits at jac>=0.9, where
+    // the 8x4-band LSH miss probability is <=1e-4 per pair and the seeded
+    // sketch is deterministic — check.py proves candidate recall is exactly
+    // 1 at every shipped SF, so the sketch pipeline hash-matches the exact
+    // all-pairs oracle. The recursive CTE is the ground-truth component
+    // closure; keep = "is the cluster representative".
+    Q("dedup_minhash_collapse",
+      s"""WITH RECURSIVE
+         |s AS (
+         |  SELECT doc_id, $OracleShingle AS sh
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS doc_id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+         |FROM (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      collapseClusters(minhashVerifiedPairs(s, d, 0.5)
+          .select("doc_a", "doc_b"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("keep"))
+        .orderBy("doc_id")
     },
 
     // SimHash: 64-bit sketch per doc, 4 bands × 16 bits (pigeonhole: any

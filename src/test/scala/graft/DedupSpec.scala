@@ -48,6 +48,35 @@ class DedupSpec extends SparkSuite {
       s"IVF recall ${exact.intersect(ivf).size}/10")
   }
 
+  test("collapseClusters: transitive closure + keep-min on a constructed graph") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: exercises iteration, not just cliques),
+    // clique {10,11,12}, isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup.collapseClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), got.toString)
+  }
+
+  test("dedup_minhash_collapse: one keeper per cluster, pairs co-clustered") {
+    val rows = SparkEntry.queries("dedup_minhash_collapse")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // exactly one keeper per cluster, and it is the cluster min
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cid keepers != 1")
+      assert(members.map(_._1).min == cid, s"cluster $cid id not min member")
+    }
+    // every verified pair ends up in one cluster
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val pairs = operators.Dedup.minhashVerifiedPairs(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters") }
+  }
+
   test("dedup_exact is idempotent") {
     val q = SparkEntry.queries("dedup_exact")
     val once = q(spark, sf)

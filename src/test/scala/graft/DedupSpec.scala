@@ -44,7 +44,9 @@ class DedupSpec extends SparkSuite {
     // OR-amplified (3 signature tables): expected recall ~0.97, gate 0.9
     assert(exact.intersect(lsh).size >= 9,
       s"LSH recall ${exact.intersect(lsh).size}/10")
-    assert(exact.intersect(ivf).size >= 3,
+    // computed k-means cells (k=4, 3 iters), nprobe=3: gate 0.9 (the
+    // near-random fixture embeddings cap recall — see Ann.scala comment)
+    assert(exact.intersect(ivf).size >= 9,
       s"IVF recall ${exact.intersect(ivf).size}/10")
   }
 

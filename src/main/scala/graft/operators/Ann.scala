@@ -119,7 +119,59 @@ object Ann {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     },
+
+    // The persisted-index lifecycle: build the IVF index ONCE (cells as
+    // parquet partition directories + a k-row centroid table), then every
+    // probe reads only its nprobe cell partitions — static partition
+    // pruning, PlanSpec-asserted by runtime scan metrics (3 of 4
+    // partitions listed). The nprobe cell ids must be LITERALS for the
+    // pruning to be static, so probe routing collects them — an O(nprobe)
+    // driver read of a k-row table, the same bounded pattern as the
+    // probe-vector head(); everything data-sized stays distributed.
+    Q.noOracle("ann_ivf_persisted") { (s, d) =>
+      val dir = ivfIndex(s, d)
+      val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      val cells = s.read.parquet(s"$dir/centroids")
+        .crossJoin(broadcast(probe))
+        .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(3)
+        .select("cell").collect().map(_.getString(0))
+      s.read.parquet(s"$dir/cells")
+        .where(col("cell").isin(cells.toIndexedSeq: _*))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("probe")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
   )
+
+  private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One-time persisted IVF index (built once per (session, sf), like the
+    * other layout builders): the k-means assignment written as parquet
+    * PARTITIONED BY cell — on a real table this is the cluster/partition
+    * key — plus the per-cell centroid table (k rows) used for probe
+    * routing.
+    */
+  private[graft] def ivfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    indexDirs.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_")
+        .toString
+      val assign = kmeansCells(Tables.embeddings(s, d), k = 4, iters = 3)
+        .withColumn("cell", col("cell").cast("string")) // stable partition-column type
+      assign.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/cells")
+      assign.groupBy("cell")
+        .agg(vector_avg(col("embedding")).as("cent"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      dir
+    })
 
   /** Distributed k-means over the embedding column: returns the final
     * (vec_id, embedding, cell) assignment. Init takes the k

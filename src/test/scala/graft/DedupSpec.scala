@@ -48,6 +48,11 @@ class DedupSpec extends SparkSuite {
     // near-random fixture embeddings cap recall — see Ann.scala comment)
     assert(exact.intersect(ivf).size >= 9,
       s"IVF recall ${exact.intersect(ivf).size}/10")
+    // the persisted-index variant probes the same cells/nprobe
+    val ivfP = SparkEntry.queries("ann_ivf_persisted")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(ivfP).size >= 9,
+      s"persisted IVF recall ${exact.intersect(ivfP).size}/10")
   }
 
   test("collapseClusters: transitive closure + keep-min on a constructed graph") {

@@ -99,6 +99,13 @@ class PlanSpec extends SparkSuite {
     assert(partitionsRead("scan_partition_pruned") == Seq(2L))
   }
 
+  test("ann_ivf_persisted reads only the nprobe cell partitions") {
+    val reads = partitionsRead("ann_ivf_persisted")
+    // the probe's literal IN-list prunes the cell directories statically:
+    // 3 of the 4 k-means cell partitions are listed into the scan
+    assert(reads == Seq(3L), s"cell scan read $reads partitions, wanted 3")
+  }
+
   test("join_dpp_partitioned plans a dynamic partition pruning filter") {
     val p = planString("join_dpp_partitioned")
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))

@@ -155,6 +155,87 @@ object ScaleOps {
         .limit(10)
     },
 
+    // TPC-H Q5 shape: the 6-way star — region→nation→supplier fold into
+    // ONE broadcast dim chain (each step is k rows), while
+    // customer⋈orders⋈lineitem shuffles on its keys; the extra
+    // c_nationkey = s_nationkey condition rides the broadcast join. At
+    // 100 TB the fact-side join order is AQE's call; nothing here pins it.
+    Q("q5_local_supplier_volume",
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q10 shape: returned-item revenue per customer over one year —
+    // fact-side shuffle joins + one broadcast dim, top-20 by revenue
+    // (TakeOrderedAndProject, no global sort at scale).
+    Q("q10_returned_items",
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // Salted two-phase aggregation: hot grouping keys are split across 16
     // salt buckets (phase 1: map-side-friendly partial agg on (key, salt)),
     // then recombined (phase 2). The answer is identical to the direct

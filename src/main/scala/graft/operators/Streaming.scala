@@ -130,6 +130,27 @@ object Streaming {
       Streams.runToTable(dd, "append").orderBy("event_id")
     },
 
+    // Streaming near-dup dedup: the MinHash signature (identical shingle
+    // set ⟺ identical signature) is the state key, so exact and
+    // signature-identical near-duplicates are dropped as documents STREAM
+    // IN — the incremental front door to the batch MinHash pipeline. The
+    // surviving representative per signature is arrival-order dependent,
+    // so the declared output is the invariant: the distinct-signature
+    // count (DedupSpec pins it to the batch count). No watermark: the
+    // signature space is the state bound (= distinct corpus), the honest
+    // setting for global dedup; bound by time instead where staleness is
+    // acceptable.
+    Q.noOracle("stream_minhash_dedup") { (s, d) =>
+      import graft.functions.minhash_shingles
+      val dd = Streams.documentsStream(s, d)
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          xxhash64(minhash_shingles(col("text"), 32, 3)).as("sig_hash"))
+        .dropDuplicates("sig_hash")
+      Streams.runToTable(dd, "append")
+        .agg(count(lit(1)).as("n_unique"))
+    },
+
     // Arbitrary stateful processing: running per-user count via
     // flatMapGroupsWithState; after the AvailableNow pass the last update
     // per user equals the batch count.

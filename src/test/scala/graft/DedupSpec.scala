@@ -84,6 +84,17 @@ class DedupSpec extends SparkSuite {
       assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters") }
   }
 
+  test("stream_minhash_dedup count equals the batch distinct-signature count") {
+    val streamed = SparkEntry.queries("stream_minhash_dedup")(spark, sf)
+      .head().getLong(0)
+    val batch = Tables.documents(spark, sf)
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(xxhash64(functions.minhash_shingles(col("text"), 32, 3))
+        .as("sig_hash"))
+      .distinct().count()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("dedup_exact is idempotent") {
     val q = SparkEntry.queries("dedup_exact")
     val once = q(spark, sf)

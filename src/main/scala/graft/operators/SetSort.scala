@@ -79,5 +79,30 @@ object SetSort {
         .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")
     },
+
+    // Multiset intersection: per-nation min(customer count, supplier
+    // count) copies survive — the bag semantics `set_intersect` discards.
+    Q("set_intersect_all",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(
+          Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // Multiset difference: customer copies minus supplier copies per key.
+    Q("set_except_all",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(
+          Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
   )
 }

@@ -123,6 +123,27 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Distribution ranks: percent_rank/cume_dist over a unique total
+    // order (the o_orderkey tiebreak makes every row its own peer group,
+    // so both functions are exact integer ratios — bit-identical doubles
+    // across engines; round(6) belts-and-braces them).
+    Q("win_percent_cume",
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
     // ---- Batch twins of the streaming windows (SURVEY §2.2 Streaming) ----
 
     // Tumbling 1-hour window = date_trunc group-by in batch.

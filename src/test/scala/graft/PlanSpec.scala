@@ -99,6 +99,17 @@ class PlanSpec extends SparkSuite {
     assert(partitionsRead("scan_partition_pruned") == Seq(2L))
   }
 
+  test("q5/q10: dim sides broadcast, top-k avoids a global sort") {
+    val q5 = planString("q5_local_supplier_volume")
+    // the region->nation->supplier chain folds into broadcast join(s);
+    // no cartesian product anywhere in the 6-way star
+    assert(q5.contains("BroadcastHashJoin"), q5.take(3000))
+    assert(!q5.contains("CartesianProduct"), q5.take(3000))
+    val q10 = planString("q10_returned_items")
+    assert(q10.contains("TakeOrderedAndProject"), q10.take(3000))
+    assert(q10.contains("BroadcastHashJoin"), q10.take(3000))
+  }
+
   test("ann_ivf_persisted reads only the nprobe cell partitions") {
     val reads = partitionsRead("ann_ivf_persisted")
     // the probe's literal IN-list prunes the cell directories statically:

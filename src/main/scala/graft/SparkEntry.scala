@@ -21,6 +21,7 @@ object SparkEntry {
     operators.ScaleOps.defs ++
     operators.Functions.defs ++
     operators.Text.defs ++
+    operators.Retrieval.defs ++
     operators.Sampling.defs ++
     operators.Dedup.defs ++
     operators.Ann.defs ++

@@ -117,6 +117,58 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** quantize_i8(ARRAY<FLOAT>) → BINARY: symmetric int8 quantization
+  * (q = round(127·v/max|v|)). Cosine is per-vector-scale-invariant, so
+  * the quantized store needs no stored scale and is 4× smaller — the
+  * memory-side lever for a 100 TB vector store ([[CosineSimI8]] scores
+  * it directly).
+  */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_i8"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantize_i8 requires ARRAY<FLOAT>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantizeI8(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.quantizeI8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+/** cosine_sim_i8(BINARY, BINARY) → DOUBLE over int8-quantized vectors:
+  * integer accumulators (exact, order-independent), one double division.
+  */
+case class CosineSimI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim_i8"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim_i8 requires two BINARY arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineI8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineI8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimI8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** vector_norm(ARRAY<FLOAT>) → DOUBLE (L2). */
 case class VectorNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType

@@ -34,6 +34,15 @@ package object functions {
   def vector_norm(a: Column): Column =
     GraftSql.column(VectorNorm(GraftSql.expression(a)))
 
+  /** Symmetric int8 quantization ARRAY<FLOAT> → BINARY (4× smaller;
+    * cosine-compatible without a stored scale). */
+  def quantize_i8(v: Column): Column =
+    GraftSql.column(QuantizeI8(GraftSql.expression(v)))
+
+  /** Cosine similarity of two int8-quantized BINARY vectors → DOUBLE. */
+  def cosine_sim_i8(a: Column, b: Column): Column =
+    GraftSql.column(CosineSimI8(GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Deterministic feature-hash embedding STRING → ARRAY<FLOAT>[dim]. */
   def feature_hash_embed(text: Column, dim: Int = 64, seed: Long = 42L): Column =
     GraftSql.column(FeatureHashEmbed(GraftSql.expression(text), dim, seed))
@@ -116,5 +125,8 @@ package object functions {
     GraftSql.registerFunction(spark, "vector_dot", es => VectorDot(es(0), es(1)))
     GraftSql.registerFunction(spark, "l2_distance", es => L2Distance(es(0), es(1)))
     GraftSql.registerFunction(spark, "vector_norm", es => VectorNorm(es(0)))
+    GraftSql.registerFunction(spark, "quantize_i8", es => QuantizeI8(es(0)))
+    GraftSql.registerFunction(spark, "cosine_sim_i8",
+      es => CosineSimI8(es(0), es(1)))
   }
 }

@@ -120,6 +120,25 @@ object Ann {
         .limit(10)
     },
 
+    // Quantized scoring: the store carries int8-quantized vectors (4×
+    // smaller — at 100 TB that is the difference between an in-memory and
+    // a spilling store) and is scored DIRECTLY on the quantized bytes
+    // with integer accumulators; cosine's per-vector scale invariance
+    // means no dequantization and no stored scale. AnnSpec gates recall
+    // and the quantization error bound vs exact float cosine.
+    Q.noOracle("ann_quantized_topk") { (s, d) =>
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize_i8(col("embedding")).as("qe"))
+      val probe = q.where(col("vec_id") === 0)
+        .select(col("qe").as("qprobe"))
+      q.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(cosine_sim_i8(col("qe"), col("qprobe")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // The persisted-index lifecycle: build the IVF index ONCE (cells as
     // parquet partition directories + a k-row centroid table), then every
     // probe reads only its nprobe cell partitions — static partition

@@ -53,6 +53,11 @@ class DedupSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(exact.intersect(ivfP).size >= 9,
       s"persisted IVF recall ${exact.intersect(ivfP).size}/10")
+    // int8-quantized scoring: full scan, only the scores are approximate
+    val quant = SparkEntry.queries("ann_quantized_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(quant).size >= 9,
+      s"quantized recall ${exact.intersect(quant).size}/10")
   }
 
   test("collapseClusters: transitive closure + keep-min on a constructed graph") {

@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Text.defs ++
     operators.Retrieval.defs ++
     operators.Sampling.defs ++
+    operators.Pipeline.defs ++
     operators.Dedup.defs ++
     operators.Ann.defs ++
     operators.Multimodal.defs ++

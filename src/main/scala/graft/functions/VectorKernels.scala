@@ -87,6 +87,27 @@ object VectorKernels {
     else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** Morton/Z-order interleave of the low 16 bits of two ints into one
+    * 32-bit key (bit i of `a` → bit 2i, bit i of `b` → bit 2i+1). The
+    * classic bit-spread: at 100 TB, sorting a table by this key before a
+    * range-partitioned write clusters rows that are close in BOTH
+    * dimensions into the same files, so min/max file statistics prune 2-D
+    * box predicates — multi-dimensional clustering with a 1-D sort.
+    */
+  def interleave16(a: Int, b: Int): Long = {
+    var x = (a & 0xffff).toLong
+    var y = (b & 0xffff).toLong
+    x = (x | (x << 8)) & 0x00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0fL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    y = (y | (y << 8)) & 0x00ff00ffL
+    y = (y | (y << 4)) & 0x0f0f0f0fL
+    y = (y | (y << 2)) & 0x33333333L
+    y = (y | (y << 1)) & 0x55555555L
+    x | (y << 1)
+  }
+
   /** Dot product of two float arrays. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = sameDim(a, b, "vector_dot")

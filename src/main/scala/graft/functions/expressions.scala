@@ -169,6 +169,34 @@ case class CosineSimI8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** zorder_key(INT, INT) → BIGINT: Morton interleave of the low 16 bits of
+  * each input. Sorting by this key is the layout primitive behind
+  * multi-dimensional file clustering ([[VectorKernels.interleave16]]).
+  */
+case class ZOrderKey(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "zorder_key"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"zorder_key requires two INT arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.interleave16(a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.interleave16($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrderKey =
+    copy(left = newLeft, right = newRight)
+}
+
 /** vector_norm(ARRAY<FLOAT>) → DOUBLE (L2). */
 case class VectorNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType

@@ -43,6 +43,10 @@ package object functions {
   def cosine_sim_i8(a: Column, b: Column): Column =
     GraftSql.column(CosineSimI8(GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** Morton/Z-order interleave of two INT columns → BIGINT layout key. */
+  def zorder_key(a: Column, b: Column): Column =
+    GraftSql.column(ZOrderKey(GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Deterministic feature-hash embedding STRING → ARRAY<FLOAT>[dim]. */
   def feature_hash_embed(text: Column, dim: Int = 64, seed: Long = 42L): Column =
     GraftSql.column(FeatureHashEmbed(GraftSql.expression(text), dim, seed))
@@ -128,5 +132,6 @@ package object functions {
     GraftSql.registerFunction(spark, "quantize_i8", es => QuantizeI8(es(0)))
     GraftSql.registerFunction(spark, "cosine_sim_i8",
       es => CosineSimI8(es(0), es(1)))
+    GraftSql.registerFunction(spark, "zorder_key", es => ZOrderKey(es(0), es(1)))
   }
 }

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.zorder_key
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance and pipeline operators a large-scale training-data /
+  * warehouse deployment runs daily but that no single relational operator
+  * expresses: snapshot diffing (CDC), time-series gap-fill + forward-fill,
+  * small-file compaction, Z-order layout clustering, and mergeable
+  * HyperLogLog sketches.
+  *
+  * No reference equivalent (zonbloop/flink-rag is a streaming RAG chain);
+  * these complete the SURVEY §2.2 [EXT] pipeline story at the 100 TB
+  * operating point.
+  */
+object Pipeline {
+
+  /** DuckDB-side Morton interleave of the low 16 bits of BIGINTs `x`/`y`
+    * — the arithmetic mirror of [[graft.functions.VectorKernels.interleave16]]
+    * (32 shift/mask terms; bit i of x → bit 2i, bit i of y → bit 2i+1).
+    */
+  private val zkeySql: String =
+    (0 until 16).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  val defs: Seq[Q] = Seq(
+
+    // CDC snapshot diff: two snapshots of the same keyed aggregate (orders
+    // per customer as of two cut dates) full-outer-joined on the key;
+    // rows classified added / removed / changed, unchanged rows dropped.
+    // Scale shape: both snapshots come from ONE scan, each aggregates with
+    // a map-side partial into the same hash partitioning on o_custkey, so
+    // the full-outer join needs no extra Exchange — one shuffle total, and
+    // the diff output is bounded by the churn, not the table size.
+    Q("cdc_snapshot_diff",
+      """WITH olds AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY o_custkey),
+        |news AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
+        |  CASE WHEN o.o_custkey IS NULL THEN 'added'
+        |       WHEN n.o_custkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  COALESCE(o.n, 0) AS old_n, COALESCE(n.n, 0) AS new_n,
+        |  CAST(COALESCE(n.tot, 0) AS DOUBLE) AS new_tot
+        |FROM news n FULL OUTER JOIN olds o ON n.o_custkey = o.o_custkey
+        |WHERE o.o_custkey IS NULL OR n.o_custkey IS NULL
+        |   OR o.n <> n.n OR o.tot <> n.tot
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      def snapshot(cut: String) = Tables.orders(s, d)
+        .where(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+      val olds = snapshot("1996-01-01")
+        .select(col("o_custkey").as("k"), col("n").as("old_n"),
+          col("tot").as("old_tot"))
+      val news = snapshot("1998-01-01")
+      news.join(olds, news("o_custkey") === olds("k"), "full_outer")
+        .where(col("k").isNull || col("o_custkey").isNull ||
+          col("old_n") =!= col("n") || col("old_tot") =!= col("tot"))
+        .select(
+          coalesce(col("o_custkey"), col("k")).as("o_custkey"),
+          when(col("k").isNull, "added")
+            .when(col("o_custkey").isNull, "removed")
+            .otherwise("changed").as("change"),
+          coalesce(col("old_n"), lit(0L)).as("old_n"),
+          coalesce(col("n"), lit(0L)).as("new_n"),
+          coalesce(col("tot"), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("new_tot"))
+        .orderBy("o_custkey")
+    },
+
+    // Time-series gap-fill + forward-fill: a sparse daily aggregate (only
+    // high-value events) is re-gridded onto the full (event_type × day)
+    // calendar with `sequence`+`explode`, missing counts zeroed and the
+    // last observed average carried forward per type. The grid side is
+    // O(types × days) — broadcast — so the only data-sized shuffles are
+    // the sparse aggregate and one window per type. Averages are rounded
+    // BEFORE the fill so both engines carry identical doubles forward.
+    Q("ts_gapfill_ffill",
+      """WITH sparse AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |         round(avg(value), 6) AS avg_v
+        |  FROM events WHERE value > 480 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        |  FROM events),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT t.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN days d)
+        |SELECT g.event_type, CAST(g.day AS VARCHAR) AS day,
+        |  COALESCE(sp.n, 0) AS n,
+        |  COALESCE(last_value(sp.avg_v IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+        |    AS avg_filled
+        |FROM grid g LEFT JOIN sparse sp
+        |  ON sp.event_type = g.event_type AND sp.day = g.day
+        |ORDER BY g.event_type, g.day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sparse = ev.where(col("value") > 480)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+      val days = ev.agg(to_date(min(col("ts"))).as("d0"),
+          to_date(max(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+      val ffill = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(sparse, Seq("event_type", "day"), "left")
+        // DATE survives both engines but not the driver's pandas compare
+        // (DuckDB DATE → datetime64); emit the ISO string, same order.
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(last(col("avg_v"), ignoreNulls = true).over(ffill),
+            lit(0.0)).as("avg_filled"))
+        .orderBy("event_type", "day")
+    },
+
+    // Small-file compaction — the table-maintenance job every parquet lake
+    // runs: a fragmented write (64 shards here; thousands of tiny
+    // commit-sized files at 100 TB) is coalesced to ceil(bytes / target)
+    // files WITHOUT a shuffle (`coalesce`, not `repartition` — compaction
+    // moves bytes, it must not also repartition them). Result is the
+    // compacted store's content, oracled against the source table;
+    // PipelineSpec asserts the file counts actually collapsed.
+    Q("maintenance_compact_files",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val base = s.conf.get("spark.local.dir", "/tmp")
+      val small = s"$base/graft_compact_small_$tag"
+      val out = s"$base/graft_compact_out_$tag"
+      Tables.events(s, d).select("event_id", "event_type", "value")
+        .repartition(64).write.mode("overwrite").parquet(small)
+      compactParquet(s, small, out, targetBytes = 8L << 20)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+        .orderBy("event_type")
+    },
+
+    // Z-order layout key: Morton-interleave two bounded dimensions into
+    // one sort key (codegen'd `zorder_key` Expression). Sorting a write by
+    // this key clusters rows close in BOTH dimensions into the same files,
+    // so per-file min/max stats prune 2-D box predicates — the layout
+    // lever behind "z-ordered" lakehouse tables. PipelineSpec proves the
+    // aligned-box locality guarantee: a 2^m-aligned box maps to ONE
+    // contiguous key range of exactly 4^m keys.
+    Q("layout_zorder",
+      s"""WITH pts AS (
+        |  SELECT event_id,
+        |    CAST(user_id % 256 AS BIGINT) AS x,
+        |    CAST(CAST(floor(value) AS BIGINT) % 256 AS BIGINT) AS y
+        |  FROM events)
+        |SELECT event_id, x, y, CAST($zkeySql AS BIGINT) AS zkey
+        |FROM pts
+        |ORDER BY zkey, event_id
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          (col("user_id") % 256).as("x"),
+          (floor(col("value")).cast("long") % 256).as("y"))
+        .select(col("event_id"), col("x"), col("y"),
+          zorder_key(col("x").cast("int"), col("y").cast("int")).as("zkey"))
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    },
+
+    // Mergeable HyperLogLog sketches (Apache DataSketches, built into
+    // Spark): one sketch per source partition, estimates per source plus a
+    // global estimate from `hll_union_agg` — WITHOUT rescanning. This is
+    // the 100 TB cardinality pattern: sketch once at ingest granularity,
+    // merge at query time; re-aggregation cost is per-sketch (1.5 KB), not
+    // per-row. No DuckDB oracle (different sketch internals) — PipelineSpec
+    // gates every estimate within ±5% of exact COUNT(DISTINCT).
+    Q.noOracle("agg_hll_sketch_merge") { (s, d) =>
+      val sk = Tables.documents(s, d).groupBy("source")
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      val perSource = sk.select(col("source"),
+        hll_sketch_estimate(col("sk")).as("est"))
+      val global = sk.agg(hll_union_agg(col("sk")).as("u"))
+        .select(lit("__all__").as("source"),
+          hll_sketch_estimate(col("u")).as("est"))
+      perSource.unionAll(global).orderBy("source")
+    }
+  )
+
+  /** Compact the parquet files under `in` into ceil(bytes/targetBytes)
+    * files at `out` with `coalesce` (no shuffle — compaction moves bytes,
+    * it must not repartition them). Returns (filesBefore, filesAfter).
+    */
+  private[graft] def compactParquet(s: org.apache.spark.sql.SparkSession,
+      in: String, out: String, targetBytes: Long): (Int, Int) = {
+    val before = parquetFileCount(in)
+    val bytes = parquetBytes(in)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(in).coalesce(nFiles)
+      .write.mode("overwrite").parquet(out)
+    (before, parquetFileCount(out))
+  }
+
+  /** Total size of the parquet data files under `dir` (local fs). */
+  private def parquetBytes(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+  }
+
+  /** Parquet data-file count under `dir` (used by PipelineSpec). */
+  private[graft] def parquetFileCount(dir: String): Int = {
+    val p = java.nio.file.Paths.get(dir)
+    scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+  }
+}

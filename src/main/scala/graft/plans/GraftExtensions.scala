@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("vector_norm", es => VectorNorm(es(0))))
     e.injectFunction(fn("quantize_i8", es => QuantizeI8(es(0))))
     e.injectFunction(fn("cosine_sim_i8", es => CosineSimI8(es(0), es(1))))
+    e.injectFunction(fn("zorder_key", es => ZOrderKey(es(0), es(1))))
     e.injectOptimizerRule(_ => AnnTopKRewrite)
   }
 }

@@ -51,7 +51,62 @@ object ScaleOps {
       .orderBy("o_orderpriority")
   }
 
+  /** The join_bloom_runtime shape: fact joins a selectively-filtered dim
+    * on a non-partition key. With the bloom confs active, Catalyst's
+    * InjectRuntimeFilter builds a Bloom filter from the filtered dim keys
+    * and pushes `might_contain` into the fact scan — rows that cannot
+    * join are dropped BEFORE the shuffle. At 100 TB this is the runtime
+    * analogue of DPP for non-partition keys: shuffle volume scales with
+    * the dim's selectivity, not the fact's size.
+    */
+  private[graft] def bloomJoinShape(l: DataFrame, o: DataFrame): DataFrame =
+    l.join(o.where(col("o_orderpriority") === "1-URGENT"),
+        l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+          .as("rev"))
+      .orderBy("l_returnflag")
+
+  /** Run `body` with runtime Bloom-filter injection enabled (and broadcast
+    * disabled so the join actually shuffles — at test scale every dim is
+    * broadcast-able, which would bypass the feature being exercised);
+    * always restores the previous session confs.
+    */
+  private[graft] def withBloomConfs[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Runtime Bloom-filter join (see bloomJoinShape). The injection fires
+    // at optimization time, so the k-row result is materialized eagerly
+    // under the confs (same discipline as ann_rewrite_topk); the confs
+    // never leak. PlanSpec asserts might_contain lands in the fact scan.
+    Q("join_bloom_runtime",
+      """SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS rev
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      withBloomConfs(s) {
+        bloomJoinShape(Tables.lineitem(s, d), Tables.orders(s, d))
+          .localCheckpoint(true)
+      }
+    },
 
     // Static partition pruning: the IN-list reaches the directory listing
     // (PartitionFilters in the scan, PlanSpec-asserted) — only 2 of 5

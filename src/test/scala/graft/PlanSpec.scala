@@ -126,6 +126,21 @@ class PlanSpec extends SparkSuite {
     assert(reads.contains(1L), s"fact scan read $reads partitions, wanted 1")
   }
 
+  test("join_bloom_runtime injects might_contain into the fact side") {
+    operators.ScaleOps.withBloomConfs(spark) {
+      val df = operators.ScaleOps.bloomJoinShape(
+        Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p.take(4000))
+      assert(p.contains("bloom_filter_agg"), p.take(4000))
+    }
+    // and the conf scope restores: a plain re-plan has no bloom filter
+    val clean = operators.ScaleOps.bloomJoinShape(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("might_contain"), clean.take(2000))
+  }
+
   test("agg_salted_skew: both phases are hash aggregates with partials") {
     val p = planString("agg_salted_skew")
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4,

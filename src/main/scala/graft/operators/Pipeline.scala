@@ -202,6 +202,71 @@ object Pipeline {
         .select(lit("__all__").as("source"),
           hll_sketch_estimate(col("u")).as("est"))
       perSource.unionAll(global).orderBy("source")
+    },
+
+    // Materialized-rollup reaggregation — the pre-aggregation pattern that
+    // makes dashboards affordable at 100 TB: ingest persists fine-grained
+    // partials (per day × type: count + exact decimal sum — both
+    // re-mergeable, unlike avg), queries reaggregate the rollup instead of
+    // the raw table. The rollup here is ~1e2 rows standing in for 1e8 raw;
+    // the final avg is derived from the merged partials. Oracled against
+    // the raw table: reaggregation must be lossless.
+    Q("agg_partial_reaggregate",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*), 6) AS mean_v
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val rollupDir =
+        s"${s.conf.get("spark.local.dir", "/tmp")}/graft_rollup_$tag"
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .write.mode("overwrite").parquet(rollupDir)
+      val rollup = s.read.parquet(rollupDir)
+      rollup.groupBy("event_type")
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("sv")).cast("double").as("sv"))
+        .select(col("event_type"), col("n"), col("sv"),
+          round(col("sv") / col("n"), 6).as("mean_v"))
+        .orderBy("event_type")
+    },
+
+    // The literal-SQL surface: TPC-H Q1 pasted as ANSI text into
+    // `spark.sql` over registered temp views — proving a reference user
+    // can bring their SQL unchanged (the rest of the inventory exercises
+    // the DataFrame API; the SQL parser/analyzer path is an API surface of
+    // its own). Disc price is double-multiplied THEN decimal-cast so both
+    // engines round the identical product.
+    Q("sql_q1_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(14,4)))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+          AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(14,4)))
+          AS DOUBLE) AS sum_disc_price,
+        round(avg(l_quantity), 6) AS avg_qty,
+        count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
     }
   )
 

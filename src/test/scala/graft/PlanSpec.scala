@@ -126,6 +126,12 @@ class PlanSpec extends SparkSuite {
     assert(reads.contains(1L), s"fact scan read $reads partitions, wanted 1")
   }
 
+  test("cdc_snapshot_diff joins on the aggregation partitioning: 2 shuffles") {
+    val p = planString("cdc_snapshot_diff")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected one shuffle per snapshot agg, got $shuffles:\n${p.take(4000)}")
+  }
+
   test("join_bloom_runtime injects might_contain into the fact side") {
     operators.ScaleOps.withBloomConfs(spark) {
       val df = operators.ScaleOps.bloomJoinShape(

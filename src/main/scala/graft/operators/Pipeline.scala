@@ -111,14 +111,21 @@ object Pipeline {
         |FROM grid g LEFT JOIN sparse sp
         |  ON sp.event_type = g.event_type AND sp.day = g.day
         |ORDER BY g.event_type, g.day""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val sparse = ev.where(col("value") > 480)
+      // ONE scan of the fact table: the (type × day) aggregate carries
+      // both the unfiltered presence (for grid bounds/types) and the
+      // sparse >480 stats; it is tiny (types × days rows), so it is
+      // materialized once (localCheckpoint) and reused three ways —
+      // naively deriving bounds, types, and the join side from `events`
+      // directly would be three full scans at 100 TB.
+      val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
-      val days = ev.agg(to_date(min(col("ts"))).as("d0"),
-          to_date(max(col("ts"))).as("d1"))
+        .agg(count(when(col("value") > 480, 1)).as("n"),
+          round(avg(when(col("value") > 480, col("value"))), 6).as("avg_v"))
+        .localCheckpoint(true)
+      val sparse = daily.where(col("n") > 0)
+      val days = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      val grid = ev.select("event_type").distinct()
+      val grid = daily.select("event_type").distinct()
         .crossJoin(broadcast(days))
       val ffill = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -274,6 +274,67 @@ object Pipeline {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")
+    },
+
+    // The pretrain-corpus flagship: the full training-data chain in ONE
+    // declarative DAG — language filter → quality gate → exact dedup
+    // (keep-min via min_by, no join-back) → content-hash split → per-split
+    // audit. Shuffle inventory at 100 TB: stages 1–2 and 4 are scan-side
+    // projections/filters; dedup is the one data-sized shuffle (on the
+    // text hash); the audit agg is partial+final on 3 splits. Every stage
+    // is deterministic (content-hash, not RNG), so the corpus is
+    // re-buildable bit-for-bit — the auditability property a training
+    // pipeline needs.
+    Q("pipeline_pretrain_corpus",
+      """WITH scored AS (
+        |  SELECT doc_id, text, source,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |          AS DOUBLE) / length(text), 4) AS punct_ratio
+        |  FROM documents WHERE lang = 'en'),
+        |gated AS (
+        |  SELECT * FROM scored WHERE n_tok >= 30 AND punct_ratio <= 0.25),
+        |deduped AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    arg_min(source, doc_id) AS source,
+        |    arg_min(n_tok, doc_id) AS n_tok
+        |  FROM gated GROUP BY md5(text))
+        |SELECT
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+        |         THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT source) AS n_sources
+        |FROM deduped
+        |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("text"), col("source"),
+          size(split(col("text"), " ")).as("n_tok"),
+          round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+            .cast("double") / length(col("text")), 4).as("punct_ratio"))
+      val gated = scored
+        .where(col("n_tok") >= 30 && col("punct_ratio") <= 0.25)
+      val deduped = gated.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("source"), col("doc_id")).as("source"),
+          min_by(col("n_tok"), col("doc_id")).as("n_tok"))
+      deduped
+        .select(
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+            "train")
+            .when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e",
+              "valid")
+            .otherwise("test").as("split"),
+          col("n_tok"), col("source"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("split")
     }
   )
 

@@ -48,6 +48,26 @@ object Streaming {
     }
   }
 
+  /** Merge one micro-batch of events into the (day × type) rollup store —
+    * shared by `stream_incremental_rollup` and StreamingSpec's multi-batch
+    * proof. `sv` is held as DECIMAL(30,2) in the store so repeated merges
+    * stay exact (double accumulation would drift across batches).
+    */
+  private[graft] def mergeRollupBatch(batch: DataFrame, store: String): Unit = {
+    val partial = batch
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(30,2)").as("sv"))
+    Streams.upsertGeneration(batch.sparkSession, store) {
+      case None => partial
+      case Some(cur) => cur.unionByName(partial)
+        .groupBy("day", "event_type")
+        .agg(sum(col("n")).as("n"),
+          sum(col("sv")).cast("decimal(30,2)").as("sv"))
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Tumbling 1-hour windows (A-layer window upgrade): complete-mode
@@ -149,6 +169,34 @@ object Streaming {
         .dropDuplicates("sig_hash")
       Streams.runToTable(dd, "append")
         .agg(count(lit(1)).as("n_unique"))
+    },
+
+    // Streaming materialized view: each micro-batch's PARTIAL aggregate
+    // (day × type: count + exact decimal sum — both re-mergeable) is
+    // merged into a persisted rollup store via the gen-N + atomic-CURRENT
+    // protocol (Streams.upsertGeneration). Merge work is rollup-sized,
+    // not raw-sized; the final store is oracled against the batch answer
+    // over all events, and StreamingSpec proves the store equals the
+    // batch answer after EVERY micro-batch, not just the last.
+    Q("stream_incremental_rollup",
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_rollup_mv_").toString
+      val q = Streams.eventsStream(s, d).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          mergeRollupBatch(batch, store)
+        }
+        .start()
+      q.awaitTermination()
+      Streams.storeRead(s, store)
+        .select(col("day"), col("event_type"), col("n"),
+          col("sv").cast("double").as("sv"))
+        .orderBy("day", "event_type")
     },
 
     // Arbitrary stateful processing: running per-user count via

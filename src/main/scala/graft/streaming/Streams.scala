@@ -247,6 +247,45 @@ object Streams {
     nFiles
   }
 
+  /** Incremental materialized-view upsert: replace the store's live table
+    * with `next(current)` — `None` on the first call — under the same
+    * gen-N + atomic-`CURRENT` protocol as [[compactStore]]: readers see
+    * either the old or the new generation, never a mix, and the previous
+    * generation is retained one cycle for already-planned readers. The
+    * caller's `next` does rollup-sized work (old rollup ∪ micro-batch
+    * partial, re-grouped), NOT raw-data-sized work — that asymmetry is
+    * what makes a streaming materialized view affordable at 100 TB.
+    */
+  def upsertGeneration(s: SparkSession, storeDir: String)(
+      next: Option[DataFrame] => DataFrame): Unit = {
+    val root = java.nio.file.Paths.get(storeDir)
+    java.nio.file.Files.createDirectories(root)
+    val dataDir = java.nio.file.Paths.get(storeDataDir(storeDir))
+    val cur =
+      if (listFiles(dataDir, ".parquet").nonEmpty)
+        Some(s.read.parquet(dataDir.toString))
+      else None
+    val curGen =
+      if (dataDir == root) 0
+      else dataDir.getFileName.toString.stripPrefix("gen-").toInt
+    val nextDir = root.resolve(s"gen-${curGen + 1}")
+    next(cur).write.mode("overwrite").parquet(nextDir.toString)
+    val tmp = root.resolve("CURRENT.tmp")
+    java.nio.file.Files.write(tmp, s"gen-${curGen + 1}".getBytes(Utf8))
+    java.nio.file.Files.move(tmp, root.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("gen-") &&
+            name.stripPrefix("gen-").forall(_.isDigit) &&
+            name.stripPrefix("gen-").toInt < curGen)
+          deleteTree(p)
+      }
+    }
+  }
+
   /** One micro-batch of RAG answering (A5–A11) as a reusable batch
     * transform: embed questions → cosine vs store → top-k per question →
     * context assembly → prompt render → extractive mock answer

@@ -196,6 +196,48 @@ class StreamingSpec extends SparkSuite {
     assert(got == Seq(1L, 2L, 3L, 4L, 5L), got.toString)
   }
 
+  test("incremental rollup store equals the batch answer after EVERY batch") {
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_mv_t").toString
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = ms.toDF().toDF("ts", "event_type", "value").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.Streaming.mergeRollupBatch(b, store)
+      }
+      .start()
+    val batches = Seq(
+      Seq((t("10:00"), "click", 1.5), (t("10:10"), "view", 2.0)),
+      Seq((t("11:00"), "click", 0.5)), // same day, new hour
+      Seq((t("10:30"), "click", 3.25))) // merges back into existing keys
+    var fed = Seq.empty[(java.sql.Timestamp, String, Double)]
+    try {
+      batches.foreach { b =>
+        fed = fed ++ b
+        ms.addData(b: _*)
+        q.processAllAvailable()
+        val got = streaming.Streams.storeRead(spark, store)
+          .orderBy("day", "event_type")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDecimal(3).doubleValue())).toSeq
+        val want = fed.toDF("ts", "event_type", "value")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+          .orderBy("day", "event_type")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+        assert(got == want, s"after ${fed.size} rows: $got vs $want")
+      }
+    } finally q.stop()
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Exception => () }
+  }
+
   test("kafka-shaped source builds the value-only string plan (A1 parity)") {
     // This environment ships no spark-sql-kafka connector; the builder must
     // request the REAL kafka data source (proven by the lookup error).

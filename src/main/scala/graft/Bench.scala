@@ -54,8 +54,19 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (t1, e1) = once()
-      if (e1.isDefined) (q.name, t1, e1)
-      else { val (t2, e2) = once(); (q.name, math.min(t1, t2), e2.orElse(None)) }
+      val out =
+        if (e1.isDefined) (q.name, t1, e1)
+        else { val (t2, e2) = once(); (q.name, math.min(t1, t2), e2.orElse(None)) }
+      // Release blocks the query pinned (persist + localCheckpoint): with
+      // an 8g driver heap, 130 queries' leaked blocks otherwise crowd the
+      // unified-memory storage region and late queries pay in spills —
+      // r05's dedup_minhash_collapse measured 7.3 s in-sweep vs 2.7 s
+      // isolated. Dataset.unpersist can't reach localCheckpoint blocks
+      // (RDD-level, not CacheManager), hence the getPersistentRDDs sweep.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      out
     }
     val failed = results.collect { case (n, _, Some(e)) => (n, e) }
     // 3-decimal seconds keep the whole line ~3 KB for 100+ queries: the

@@ -75,23 +75,28 @@ object Dedup {
       // candidates are O(dup clusters) tiny; persisting stops the band
       // join from being recomputed for the id-list and the verification
       .persist()
-    // exact shingles ONLY for candidate docs (a semi-join first — the
-    // shingle HOF over the full corpus costs more than the whole sketch)
-    val candIds = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    // join BEFORE the shingle projection — declared the other way round,
-    // the HOF would run over the full corpus and only then be filtered
-    val candSh = Tables.documents(s, d)
-      .join(broadcast(candIds), "doc_id")
-      .where(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), expr(ShingleSql).as("sh"))
-    val a = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sha"), col("shb")).as("jac"))
-      .where(col("jac") >= threshold)
+    try {
+      // exact shingles ONLY for candidate docs (a semi-join first — the
+      // shingle HOF over the full corpus costs more than the whole sketch)
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      // join BEFORE the shingle projection — declared the other way round,
+      // the HOF would run over the full corpus and only then be filtered
+      val candSh = Tables.documents(s, d)
+        .join(broadcast(candIds), "doc_id")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), expr(ShingleSql).as("sh"))
+      val a = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sha"), col("shb")).as("jac"))
+        .where(col("jac") >= threshold)
+        // eager, O(verified pairs) rows: pins the result so `cand` can be
+        // released immediately instead of living for the session
+        .localCheckpoint(true)
+    } finally cand.unpersist(false)
   }
 
   /** Connected components over an undirected pair list by iterative
@@ -116,22 +121,26 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+      // labels/nbrMin are O(nodes) tiny next to edges — broadcast both
+      // joins so a round never shuffles the edge list (its only shuffle
+      // is the groupBy, map-side combined)
+      val nbrMin = edges.join(broadcast(labels), edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"),
+      // one materialization per round carries BOTH the new labels and the
+      // convergence diff (a second labels-vs-next join per round doubled
+      // the per-iteration job count)
+      val joined = labels.join(broadcast(nbrMin),
+          labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old_cid"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .where(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels = next
+      converged = joined.where(col("cluster_id") =!= col("old_cid")).isEmpty
+      labels = joined.select(col("doc_id"), col("cluster_id"))
       it += 1
     }
-    edges.unpersist()
+    edges.unpersist(false)
     labels
   }
 

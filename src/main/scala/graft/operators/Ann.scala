@@ -166,6 +166,34 @@ object Ann {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     },
+
+    // Range search — the similarity family's other query shape: not the
+    // k nearest but EVERYTHING above a similarity floor (the form dedup
+    // thresholds and retrieval filters actually use). Exact scan, O(3)
+    // probes broadcast against the store; fully SQL-expressible, so this
+    // one carries a DuckDB oracle for the whole cosine kernel path.
+    Q("ann_range_search",
+      """SELECT probe_id, vec_id, c FROM (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(p.embedding AS DOUBLE[])), 4)
+        |      AS c
+        |  FROM embeddings e
+        |  JOIN (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id IN (0, 1, 2)) p
+        |    ON e.vec_id <> p.vec_id)
+        |WHERE c >= 0.3
+        |ORDER BY probe_id, vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probes = e.where(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine_sim(col("embedding"), col("pe")), 4).as("c"))
+        .where(col("c") >= 0.3)
+        .orderBy("probe_id", "vec_id")
+    },
   )
 
   private val indexDirs =

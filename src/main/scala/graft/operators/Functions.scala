@@ -289,5 +289,28 @@ object Functions {
           date_trunc("week", col("o_orderdate")).as("wk"))
         .orderBy("o_orderkey")
     },
+
+    // Regex family over the corpus: extract / extract-all / count-via-len /
+    // global replace / match-test. Patterns stay in the RE2 ∩ java.util
+    // .regex common subset (char classes + greedy quantifiers, leftmost
+    // non-overlapping matching in both engines). DuckDB's regexp_replace
+    // is first-match-only without the 'g' flag — the classic parity trap.
+    Q("fn_regex",
+      """SELECT doc_id,
+        |  regexp_extract(text, '(s[a-z]+)', 1) AS first_s,
+        |  CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT) AS n_s,
+        |  length(regexp_replace(text, 's[a-z]+', '#', 'g')) AS redacted_len,
+        |  regexp_matches(text, 'query') AS has_query
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          regexp_extract(col("text"), "(s[a-z]+)", 1).as("first_s"),
+          size(regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0)))
+            .cast("long").as("n_s"),
+          length(regexp_replace(col("text"), "s[a-z]+", "#"))
+            .cast("long").as("redacted_len"),
+          col("text").rlike("query").as("has_query"))
+        .orderBy("doc_id")
+    },
   )
 }

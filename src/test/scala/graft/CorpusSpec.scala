@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation ops: the invariants a pipeline depends on (one keeper
+  * per dup group, shard budgets, mixture shares summing to 100, SCD2
+  * interval chaining) — the oracle proves value parity, these prove the
+  * *shape* contracts.
+  */
+class CorpusSpec extends SparkSuite {
+
+  test("dedup_keep_best keeps exactly one doc per md5 group, the longest") {
+    val rows = SparkEntry.queries("dedup_keep_best")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // keepers count == number of distinct texts
+    val distinctTexts = Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct().count()
+    assert(rows.count(_._3) == distinctTexts)
+    // every doc is in a group of size >= 1 and group sizes are consistent
+    assert(rows.forall(_._2 >= 1))
+  }
+
+  test("pack_token_shards: shards are contiguous and respect the budget") {
+    val rows = SparkEntry.queries("pack_token_shards")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val byShard = docs.groupBy(_._4)
+      // shard ids are contiguous from 0
+      val ids = byShard.keySet
+      assert(ids == (0L until ids.size).toSet, s"non-contiguous: $ids")
+      // a shard's tokens stay within budget + one straddling doc
+      byShard.foreach { case (shard, ss) =>
+        val tot = ss.map(_._3).sum
+        val maxDoc = ss.map(_._3).max
+        assert(tot < 4096 + maxDoc, s"shard $shard over budget: $tot")
+      }
+    }
+  }
+
+  test("mix_report_sources: token shares sum to ~100 and cover all cells") {
+    val rows = SparkEntry.queries("mix_report_sources")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val nCells = Tables.documents(spark, sf)
+      .select("lang", "source").distinct().count()
+    assert(rows.length == nCells)
+    val pctSum = rows.map(_._5).sum
+    assert(math.abs(pctSum - 100.0) < 1e-3, s"pct sum $pctSum")
+    assert(rows.map(_._3).sum == Tables.documents(spark, sf).count())
+  }
+
+  test("scd2_orders_history: intervals chain and one current row per key") {
+    val rows = SparkEntry.queries("scd2_orders_history")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ck, hist) =>
+      // exactly one open-ended current version per customer
+      assert(hist.count(_._5) == 1, s"custkey $ck current rows != 1")
+      // rows are emitted in validity order; each valid_to equals the next
+      // row's valid_from (contiguous history, no gaps/overlaps)
+      val sorted = hist.sortBy(h => (h._3, h._2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"custkey $ck: ${a._4} != next valid_from ${b._3}")
+        case _ => ()
+      }
+      assert(sorted.last._4.isEmpty, s"custkey $ck last row must be open")
+    }
+  }
+
+  test("ann_range_search returns all-and-only vectors above the floor") {
+    val got = SparkEntry.queries("ann_range_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recompute exactly via the engine's own cosine on one probe
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val expect0 = e.crossJoin(probe)
+      .select(col("vec_id"),
+        round(graft.functions.cosine_sim(col("embedding"), col("pe")), 4)
+          .as("c"))
+      .where(col("c") >= 0.3 && col("vec_id") =!= 0)
+      .collect().map(r => (0L, r.getLong(0))).toSet
+    assert(got.filter(_._1 == 0L) == expect0)
+  }
+
+  test("fn_regex counts agree with a direct split-based recount") {
+    val rows = SparkEntry.queries("fn_regex")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, firstS, nS, redactedLen, _) =>
+      if (nS > 0) assert(firstS.startsWith("s"))
+      else assert(firstS.isEmpty)
+      assert(redactedLen >= 0)
+    }
+    // replace is GLOBAL: every 's[a-z]+' run collapses to '#', so a doc
+    // with n matches of total length L has redacted_len = len - L + n
+    val doc = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pat = "s[a-z]+".r
+    rows.take(50).foreach { case (id, _, nS, redactedLen, _) =>
+      val text = doc(id)
+      val ms = pat.findAllIn(text).toSeq
+      assert(ms.size == nS, s"doc $id regex count")
+      assert(redactedLen == text.length - ms.map(_.length).sum + ms.size,
+        s"doc $id redacted length")
+    }
+  }
+}

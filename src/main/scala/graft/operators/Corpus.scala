@@ -26,6 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** SCD2 interval build over (o_custkey, o_orderkey, o_orderdate):
+    * validity [valid_from, valid_to) as ISO strings + is_current. Shared
+    * by the batch history query and the streaming incremental upsert
+    * (`stream_scd2_upsert`), which rebuilds ONLY touched customers with
+    * this same function — incremental == batch by construction.
+    */
+  private[graft] def scd2Intervals(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    base.select(col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+      date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd")
+        .as("valid_to"),
+      lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Exact-dup groups keyed by md5(text) (the one hash both engines
@@ -120,15 +137,7 @@ object Corpus {
         |    IS NULL AS is_current
         |FROM orders WHERE o_custkey < 500
         |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-      Tables.orders(s, d)
-        .where(col("o_custkey") < 500)
-        .select(col("o_custkey"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
-          date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd")
-            .as("valid_to"),
-          lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+      scd2Intervals(Tables.orders(s, d).where(col("o_custkey") < 500))
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
   )

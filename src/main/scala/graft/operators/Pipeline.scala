@@ -276,6 +276,28 @@ object Pipeline {
         ORDER BY l_returnflag, l_linestatus""")
     },
 
+    // The SQL surface of the CUSTOM kernels: the engine's codegen'd
+    // cosine_sim Expression called BY NAME from literal ANSI SQL (temp
+    // view + scalar subquery probe) — proving a reference user gets the
+    // vector ops without touching the Column API. Oracled against
+    // DuckDB's own list_cosine_similarity, so the SQL-registration path
+    // is hash-checked end-to-end.
+    Q("sql_vector_search",
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS score
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.functions.registerAll(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      s.sql("""SELECT vec_id,
+        round(cosine_sim(embedding,
+          (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS score
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT 10""")
+    },
+
     // The pretrain-corpus flagship: the full training-data chain in ONE
     // declarative DAG — language filter → quality gate → exact dedup
     // (keep-min via min_by, no join-back) → content-hash split → per-split

@@ -85,6 +85,21 @@ object Streams {
     s.readStream.schema(schema).parquet(dir)
   }
 
+  /** The orders table as a file stream (same symlink bridge as
+    * [[eventsStream]]; `o_orderdate` is µs parquet, no rebuild needed).
+    */
+  def ordersStream(s: SparkSession, sfDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$sfDir/orders.parquet").schema
+    val dir = streamDirs.computeIfAbsent(sfDir + "#orders", { _ =>
+      val dd = java.nio.file.Files.createTempDirectory("graft_orders_")
+      java.nio.file.Files.createSymbolicLink(
+        dd.resolve("orders.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/orders.parquet"))
+      dd.toString
+    })
+    s.readStream.schema(schema).parquet(dir)
+  }
+
   /** Run `body` with a reduced shuffle-partition count — stateful
     * streaming ops allocate one state store per shuffle partition, and at
     * test scale 32 near-empty stores cost more than the data. (At 100 TB

@@ -87,6 +87,47 @@ class CorpusSpec extends SparkSuite {
     assert(got.filter(_._1 == 0L) == expect0)
   }
 
+  test("mergeScd2Batch: incremental == batch after every batch; untouched rows carried") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("scd2_test_").toString
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+      def scd2Of(rows: Seq[(Long, Long, java.sql.Timestamp)]) =
+        operators.Corpus.scd2Intervals(
+          rows.toDF("o_custkey", "o_orderkey", "o_orderdate"))
+          .orderBy("o_custkey", "valid_from", "o_orderkey")
+          .collect().map(_.toSeq).toSeq
+      def storeNow() = graft.streaming.Streams.storeRead(spark, store)
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+        .collect().map(_.toSeq).toSeq
+
+      val b1 = Seq((1L, 10L, ts("1995-01-01")), (1L, 11L, ts("1996-01-01")),
+        (2L, 20L, ts("1995-06-01")))
+      operators.Streaming.mergeScd2Batch(
+        b1.toDF("o_custkey", "o_orderkey", "o_orderdate"), store)
+      assert(storeNow() == scd2Of(b1))
+
+      // batch 2: new order for existing customer 1 (its chain must
+      // re-close), brand-new customer 3, and a REDELIVERY of order 20
+      // (must stay idempotent); customer 2 untouched-by-rebuild
+      val b2 = Seq((1L, 12L, ts("1997-01-01")), (3L, 30L, ts("1996-06-01")),
+        (2L, 20L, ts("1995-06-01")))
+      operators.Streaming.mergeScd2Batch(
+        b2.toDF("o_custkey", "o_orderkey", "o_orderdate"), store)
+      assert(storeNow() == scd2Of(b1 ++ Seq(b2(0), b2(1))))
+      // customer 1's 1996 row is now closed by the 1997 order
+      val c1 = storeNow().filter(_.head == 1L)
+      assert(c1.count(r => r(4) == true) == 1)
+      assert(c1.exists(r => r(2) == "1996-01-01" && r(3) == "1997-01-01"))
+    } finally {
+      val root = java.nio.file.Paths.get(store)
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(root))(
+        _.iterator().asScala.toSeq).reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("fn_regex counts agree with a direct split-based recount") {
     val rows = SparkEntry.queries("fn_regex")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

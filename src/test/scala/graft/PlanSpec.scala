@@ -198,6 +198,36 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
   }
 
+  test("pack_token_shards: the running sum is a PARTITIONED window, not a global one") {
+    val p = planString("pack_token_shards")
+    // the window's exchange must hash on the partition key; the only
+    // SinglePartition exchange allowed is the final presentation sort's
+    // (none — orderBy plans a range exchange). A global-order running sum
+    // would show 'Exchange SinglePartition' feeding the Window node.
+    val win = p.linesIterator.filter(_.contains("Window")).mkString
+    assert(win.contains("source"), s"window not keyed by source: $win")
+    assert(!p.contains("Exchange SinglePartition"),
+      "running sum collapsed to a single partition")
+  }
+
+  test("dedup_keep_best reuses ONE md5 shuffle for both window functions") {
+    val p = planString("dedup_keep_best")
+    // count-per-group and row_number share the md5(text) partitioning:
+    // exactly one hashpartitioning exchange in the whole plan
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).size
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(3000)}")
+  }
+
+  test("scd2_orders_history: one entity-key shuffle, filter pushed to scan") {
+    val p = planString("scd2_orders_history")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(o_custkey"),
+      "o_custkey bound must reach the parquet scan")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     // AQE hides codegen spans until the plan is final — execute first,
     // then inspect the final adaptive plan.

@@ -1,0 +1,110 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The library facade: the engine's composite operators as frame-
+  * parametric functions over the CALLER's DataFrames — the surface a user
+  * switching from the reference actually programs against (the
+  * `SparkEntry.queries` map is the driver-contract view of the same
+  * operators, bound to the test fixtures).
+  *
+  * Column contracts are positional-by-name and minimal:
+  *   docs  — (doc_id LONG, text STRING)
+  *   store — (id LONG, embedding ARRAY<FLOAT>)
+  * Everything returns a lazy DataFrame; no collect, no session state.
+  */
+object Graft {
+
+  /** Register the engine's SQL-callable kernels (cosine_sim, vector_dot,
+    * l2_distance, vector_norm, quantize_i8, cosine_sim_i8, zorder_key)
+    * on `spark` — after this, plain `spark.sql` can use them by name.
+    * Alternative: set `spark.sql.extensions=graft.plans.GraftExtensions`
+    * at session build time.
+    */
+  def register(spark: SparkSession): Unit = graft.functions.registerAll(spark)
+
+  /** Exact cosine top-k of `store` (id, embedding) for every row of
+    * `probes` (probe_id, probe): the probes side is broadcast (O(probes)
+    * small by contract); the store streams through one scan, ranked per
+    * probe. 100 TB shape: no shuffle of the store, one window over the
+    * probe key after scan-side scoring.
+    */
+  def cosineTopK(store: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = store.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("id"),
+        graft.functions.cosine_sim(col("embedding"), col("probe")).as("score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** All store vectors within `minScore` cosine of each probe — the
+    * range-query twin of [[cosineTopK]] (dedup thresholds, retrieval
+    * floors). Same broadcast/no-store-shuffle shape.
+    */
+  def cosineRange(store: DataFrame, probes: DataFrame,
+      minScore: Double): DataFrame =
+    store.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("id"),
+        graft.functions.cosine_sim(col("embedding"), col("probe")).as("score"))
+      .where(col("score") >= minScore)
+
+  /** MinHash(32) + LSH(8×4) near-duplicate pairs of `docs` (doc_id,
+    * text), exact-Jaccard verified at `threshold`. Candidates come from
+    * band-hash equi-buckets only — never a cross product; only candidate
+    * docs pay the exact-shingle verification.
+    */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    graft.operators.Dedup.minhashVerifiedPairsOf(docs, threshold)
+
+  /** Connected components over an undirected (doc_a, doc_b) pair list:
+    * (doc_id, cluster_id) with cluster_id = min reachable doc_id.
+    * Join-based iterative min-label propagation, rounds = graph diameter.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    graft.operators.Dedup.collapseClusters(pairs)
+
+  /** End-to-end near-dup keep/drop list: [[minhashNearDupPairs]] →
+    * [[dedupClusters]] → keep = "is the cluster representative".
+    * Docs in no cluster are implicitly kept (absent from the output).
+    */
+  def nearDupKeepList(docs: DataFrame, threshold: Double): DataFrame =
+    dedupClusters(minhashNearDupPairs(docs, threshold)
+        .select("doc_a", "doc_b"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+
+  /** SCD2 validity intervals [valid_from, valid_to) + is_current from
+    * (o_custkey, o_orderkey, o_orderdate)-shaped snapshots — one shuffle
+    * on the entity key.
+    */
+  def scd2Intervals(base: DataFrame): DataFrame =
+    graft.operators.Corpus.scd2Intervals(base)
+
+  /** Greedy contiguous token-budget shards per `byCol` group (running
+    * sums stay partitioned — no global-order window): adds (tokens,
+    * shard) to `docs`.
+    */
+  def packTokenShards(docs: DataFrame, budget: Int,
+      byCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(byCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("shard", expr(s"(cum - tokens) div $budget"))
+      .drop("cum")
+  }
+
+  /** Deterministic content-hash Bernoulli filter: keep rows whose
+    * md5-hex bucket of `key` falls in [0, keepBuckets) of 16 — the same
+    * rows on every run, every engine (md5 is the one cross-engine hash).
+    */
+  def hashSample(df: DataFrame, key: Column, keepBuckets: Int): DataFrame =
+    df.where(conv(substring(md5(key.cast("string")), 1, 1), 16, 10)
+      .cast("int") < keepBuckets)
+}

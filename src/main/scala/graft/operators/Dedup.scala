@@ -51,11 +51,18 @@ object Dedup {
     * from band-hash equi-buckets only — never a cross product).
     */
   private[graft] def minhashVerifiedPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame =
+    minhashVerifiedPairsOf(Tables.documents(s, d), threshold)
+
+  /** Frame-parametric core (the library-user surface, re-exported as
+    * `graft.api.Graft.minhashNearDupPairs`): `docs` needs (doc_id, text).
+    */
+  private[graft] def minhashVerifiedPairsOf(docs: DataFrame,
       threshold: Double): DataFrame = {
     // scan-side signature: one string hash per shingle + 32 splitmix
     // lanes (the nested-HOF formulation recomputed ~1G string hashes at
     // sf0.1 — 100×+ slower than this kernel)
-    val sig = Tables.documents(s, d)
+    val sig = docs
       .where(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         minhash_shingles(col("text"), 32, 3).as("sig"))
@@ -83,7 +90,7 @@ object Dedup {
         .distinct()
       // join BEFORE the shingle projection — declared the other way round,
       // the HOF would run over the full corpus and only then be filtered
-      val candSh = Tables.documents(s, d)
+      val candSh = docs
         .join(broadcast(candIds), "doc_id")
         .where(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), expr(ShingleSql).as("sh"))
@@ -163,10 +170,16 @@ object Dedup {
       val sh = shingled(s, d).where(col("doc_id") < 200)
       val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      // both predicates live IN the join condition, cheap one first: a
+      // trailing .where(jac >= …) gets pushed into the BNLJ condition
+      // ANDed in FRONT of doc_a < doc_b, evaluating the O(|sh|) jaccard
+      // for every ORDERED pair (2× the work) instead of short-circuiting
+      // on the id test; survivors (a handful) recompute jac in the
+      // projection for free.
+      a.join(b, col("doc_a") < col("doc_b") &&
+          jaccard(col("sha"), col("shb")) >= 0.05)
         .select(col("doc_a"), col("doc_b"),
           jaccard(col("sha"), col("shb")).as("jac"))
-        .where(col("jac") >= 0.05)
         .orderBy("doc_a", "doc_b")
     },
 

@@ -217,5 +217,26 @@ object Joins {
           round(col("score"), 6).as("score"))
         .orderBy("probe_id", "rnk")
     },
+
+    // LATERAL correlated subquery (top-2 customers per nation): the
+    // dependent-join surface — Spark's analyzer decorrelates the LIMIT'd
+    // lateral into a ranked window join, the plan a 100 TB run wants
+    // anyway (no per-outer-row re-execution).
+    Q("join_lateral_topn",
+      """SELECT n_name, c_name, c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT n_name, c_name, c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n_name, c_acctbal DESC, c_name""")
+    },
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -258,6 +258,27 @@ object Streaming {
       q.awaitTermination()
       Streams.storeRead(s, store)
         .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+
+    // Stream-static join: the stream enriched against a broadcast batch
+    // dimension (STATELESS — no watermark, no join state; the static
+    // side is re-broadcast per micro-batch). The canonical streaming
+    // enrichment shape at 100 TB: dim fits broadcast, fact streams.
+    Q("stream_static_join",
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sv
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = Streams.eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sv"))
+      Streams.runToTable(joined, "complete")
+        .orderBy("c_mktsegment")
     },
 
     // Arbitrary stateful processing: running per-user count via

@@ -236,5 +236,47 @@ object Windows {
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     },
+
+    // Relative-position analytics: cume_dist and percent_rank are exact
+    // ratios of tie-aware counts — k/n in IEEE double is bit-identical
+    // across engines, no rounding needed.
+    Q("win_cume_dist",
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM lineitem WHERE l_orderkey < 1000
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber"""
+        .stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+      Tables.lineitem(s, d)
+        .where(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"),
+          col("l_quantity"))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .drop("l_quantity")
+    },
+
+    // Distinct counting over a window partition: Spark rejects
+    // COUNT(DISTINCT) OVER outright — size(collect_set() OVER) is the
+    // engine's equivalent (whole-partition frame), matched to DuckDB's
+    // native COUNT(DISTINCT) OVER.
+    Q("win_count_distinct",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(DISTINCT o_orderpriority) OVER (
+        |    PARTITION BY o_custkey) AS BIGINT) AS n_prios
+        |FROM orders WHERE o_custkey < 500
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .where(col("o_custkey") < 500)
+        .select(col("o_custkey"), col("o_orderkey"),
+          size(collect_set(col("o_orderpriority")).over(w))
+            .cast("long").as("n_prios"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
   )
 }

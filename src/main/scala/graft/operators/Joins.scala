@@ -238,5 +238,28 @@ object Joins {
           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         ORDER BY n_name, c_acctbal DESC, c_name""")
     },
+
+    // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of vanishing. Still a hash join — the null-safe
+    // operator IS an equi-join key for Spark's planner, so this stays a
+    // shuffle/broadcast hash join at scale, not a nested loop.
+    Q("join_null_safe",
+      """SELECT a.k AS k, a.n1 AS n1, b.n2 AS n2
+        |FROM (SELECT nullif(o_orderstatus, 'F') AS k, count(*) AS n1
+        |      FROM orders GROUP BY 1) a
+        |JOIN (SELECT nullif(l_linestatus, 'F') AS k, count(*) AS n2
+        |      FROM lineitem GROUP BY 1) b
+        |  ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d)
+        .groupBy(expr("nullif(o_orderstatus, 'F')").as("k"))
+        .agg(count(lit(1)).as("n1"))
+      val b = Tables.lineitem(s, d)
+        .groupBy(expr("nullif(l_linestatus, 'F')").as("bk"))
+        .agg(count(lit(1)).as("n2"))
+      a.join(b, col("k") <=> col("bk"))
+        .select(col("k"), col("n1"), col("n2"))
+        .orderBy(col("k").asc_nulls_first)
+    },
   )
 }

@@ -310,5 +310,37 @@ object ScaleOps {
           sum(col("pq")).cast("double").as("qty"))
         .orderBy("l_returnflag")
     },
+
+    // TPC-H Q18 (large-volume orders): the HAVING-subquery + 3-way join
+    // headline. At scale the inner aggregate is a map-side-combined shuffle
+    // on l_orderkey producing a small key set; Spark plans the IN as a
+    // left-semi join, so the big lineitem table is never re-shuffled for
+    // the outer aggregate beyond the same l_orderkey partitioning.
+    Q("q18_large_orders",
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .where(col("q") > 250)
+        .select(col("l_orderkey").as("big_ok"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    },
   )
 }

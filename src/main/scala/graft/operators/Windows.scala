@@ -278,5 +278,27 @@ object Windows {
             .cast("long").as("n_prios"))
         .orderBy("o_custkey", "o_orderkey")
     },
+
+    // Time-interval RANGE frame: a true event-time sliding window per row
+    // (last 10 minutes per user), distinct from the numeric-offset RANGE
+    // of win_frame_range. RANGE peers are tie-aware on both engines; the
+    // sum is decimal-exact so per-frame accumulation order is irrelevant.
+    Q("win_time_range_frame",
+      """SELECT event_id,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sv_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_trf")
+      s.sql("""SELECT event_id,
+          count(*) OVER w AS n_10m,
+          CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sv_10m
+        FROM events_trf
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    },
   )
 }

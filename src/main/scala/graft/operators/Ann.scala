@@ -194,6 +194,44 @@ object Ann {
         .where(col("c") >= 0.3)
         .orderBy("probe_id", "vec_id")
     },
+
+    // Metadata-filtered vector search: top-5 per probe AMONG rows matching
+    // a structured predicate (label = 1) — the "filtered ANN" shape every
+    // production vector store serves (tenant / language / date filters).
+    // The predicate is applied BEFORE scoring, pushed to the parquet scan
+    // (PushedFilters), so the cosine kernel runs on the filtered subset
+    // only; at 100 TB the filter column is a partition key and this
+    // becomes partition pruning. Exact within the subset → SQL oracle.
+    Q("ann_filtered_topk",
+      """SELECT probe_id, rnk, vec_id, round(score, 6) AS score FROM (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(p.embedding AS DOUBLE[])) AS score,
+        |    row_number() OVER (
+        |      PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                 CAST(p.embedding AS DOUBLE[])) DESC, e.vec_id) AS rnk
+        |  FROM (SELECT * FROM embeddings WHERE label = 1) e,
+        |       (SELECT * FROM embeddings WHERE vec_id < 3) p
+        |  WHERE e.vec_id <> p.vec_id)
+        |WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      val store = Tables.embeddings(s, d).where(col("label") === 1)
+      val probes = Tables.embeddings(s, d).where(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      store.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine_sim(col("embedding"), col("pe")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("probe_id", "rnk")
+    },
   )
 
   private val indexDirs =

@@ -122,6 +122,131 @@ object Corpus {
         .orderBy("lang", "source")
     },
 
+    // Benchmark decontamination: flag corpus docs whose 3-gram overlap
+    // with a held-out eval set (doc_id % 97 = 0 — stand-in for a public
+    // benchmark) exceeds 5%. The eval gram set is SMALL BY NATURE
+    // (benchmarks are thousands of items, the corpus is billions), so it
+    // broadcasts; the corpus side stays a scan + map-side explode + one
+    // doc_id-keyed aggregate — linear to 100 TB, no corpus-side shuffle
+    // on gram.
+    Q("contamination_ngram",
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(${Text.oracleGram(3)}) AS gram
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  count(ev.gram) AS n_hit,
+         |  round(CAST(count(ev.gram) AS DOUBLE) / count(*), 4) AS hit_frac,
+         |  CAST(count(ev.gram) AS DOUBLE) / count(*) >= 0.05 AS contaminated
+         |FROM g LEFT JOIN ev USING (gram)
+         |WHERE g.doc_id % 97 <> 0
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), explode(expr(Text.gramSql(3))).as("gram"))
+      val ev = g.where(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct()
+        .withColumn("hit", lit(1))
+      g.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(ev), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_grams"), 4).as("hit_frac"),
+          (col("n_hit").cast("double") / col("n_grams") >= 0.05)
+            .as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style rule filter: each doc gets per-rule booleans and the
+    // conjunction (`keep`) — the explainable shape a curation pipeline
+    // ships (you audit WHICH rule dropped a doc, not just that it
+    // dropped). All rules are scan-side row-local expressions: zero
+    // shuffle, linear to 100 TB, and Catalyst collapses the whole thing
+    // into one codegen'd projection.
+    Q("quality_filter_rules",
+      s"""SELECT doc_id, r_len, r_word_len, r_stop, r_rep,
+         |  r_len AND r_word_len AND r_stop AND r_rep AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    n_tok BETWEEN 20 AND 1000 AS r_len,
+         |    mean_len >= 2 AND mean_len <= 8 AS r_word_len,
+         |    stop_frac >= 0.02 AS r_stop,
+         |    dup_frac <= 0.10 AS r_rep
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(string_split(text, ' ')) AS n_tok,
+         |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS mean_len,
+         |      CAST(len(list_filter(string_split(text, ' '),
+         |             x -> x IN (${Text.stopList}))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) AS stop_frac,
+         |      CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST(0 AS DOUBLE)
+         |           ELSE 1.0 - CAST(len(list_distinct(${Text.oracleGram(2)}))
+         |                           AS DOUBLE) / len(${Text.oracleGram(2)}) END
+         |        AS dup_frac
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"),
+          (length(replace(col("text"), lit(" "), lit(""))).cast("double")
+            / size(split(col("text"), " "))).as("mean_len"),
+          (size(filter(split(col("text"), " "),
+            x => x.isInCollection(Text.Stopwords))).cast("double")
+            / size(split(col("text"), " "))).as("stop_frac"),
+          when(size(split(col("text"), " ")) < 2, lit(0.0))
+            .otherwise(lit(1.0) - size(array_distinct(expr(Text.gramSql(2))))
+              .cast("double") / size(expr(Text.gramSql(2)))).as("dup_frac"))
+        .select(col("doc_id"),
+          col("n_tok").between(20, 1000).as("r_len"),
+          (col("mean_len") >= 2 && col("mean_len") <= 8).as("r_word_len"),
+          (col("stop_frac") >= 0.02).as("r_stop"),
+          (col("dup_frac") <= 0.10).as("r_rep"))
+        .select(col("doc_id"), col("r_len"), col("r_word_len"),
+          col("r_stop"), col("r_rep"),
+          (col("r_len") && col("r_word_len") && col("r_stop") && col("r_rep"))
+            .as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Language-mixture rebalance: downsample every language to the
+    // smallest language's doc count via a deterministic md5 coin — the
+    // "uniform mix" step of a pretraining data recipe. Per-lang rates come
+    // from one tiny aggregate (broadcast back); the keep decision is
+    // row-local (lexicographic compare of an md5 prefix against the
+    // rate-derived hex threshold, identical in both engines), so the
+    // corpus-side plan is scan → broadcast join → filter: no shuffle of
+    // the corpus, stable under resampling (same doc always gets the same
+    // coin), linear to 100 TB.
+    Q("corpus_mix_rebalance",
+      """WITH rates AS (
+        |  SELECT lang, count(*) AS docs,
+        |    CAST(min(count(*)) OVER () AS DOUBLE) / count(*) AS rate
+        |  FROM documents GROUP BY lang)
+        |SELECT r.lang AS lang, r.docs, round(r.rate, 6) AS rate,
+        |  count(*) AS kept
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE r.rate >= 1.0
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |      < lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))), 4, '0')
+        |GROUP BY r.lang, r.docs, r.rate
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val rates = docs.groupBy("lang").agg(count(lit(1)).as("docs"))
+        .withColumn("rate",
+          min(col("docs")).over(Window.partitionBy()).cast("double")
+            / col("docs"))
+      docs.join(broadcast(rates), "lang")
+        .where(col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 4) <
+            lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+        .groupBy(col("lang"), col("docs"), round(col("rate"), 6).as("rate"))
+        .agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    },
+
     // SCD2 history build: each customer's order stream becomes validity
     // intervals [valid_from, valid_to) with an is_current flag — the
     // slowly-changing-dimension shape every warehouse load job produces.

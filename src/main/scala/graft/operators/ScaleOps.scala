@@ -342,5 +342,28 @@ object ScaleOps {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(100)
     },
+
+    // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    // headline. Everything pushes to the parquet scan (date range +
+    // discount band + quantity as PushedFilters, 3-column ReadSchema);
+    // the aggregate is a map-side partial to one row. Decimal-exact
+    // product then a final cast keeps both engines bit-identical.
+    Q("q6_forecast_revenue",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) {
+      (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * col("l_discount").cast("decimal(12,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
   )
 }

@@ -17,8 +17,26 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Small English stopword list shared by lang-ID and quality scoring. */
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-  private def stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] val Stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[operators] def stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Spark SQL expression: the word n-grams of `text` (whitespace tokens),
+    * in document order, duplicates preserved. */
+  private[operators] def gramSql(n: Int): String = {
+    val words = (0 until n)
+      .map(j => s"element_at(split(text, ' '), i + $j)").mkString(", ")
+    s"""transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+       |  i -> concat_ws(' ', $words))""".stripMargin
+  }
+
+  /** DuckDB twin of [[gramSql]]. */
+  private[operators] def oracleGram(n: Int): String = {
+    val words = (0 until n)
+      .map(j => s"string_split(text, ' ')[i + $j]").mkString(" || ' ' || ")
+    s"""list_transform(generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
+       |      i -> $words)""".stripMargin
+  }
 
   val defs: Seq[Q] = Seq(
 
@@ -151,6 +169,60 @@ object Text {
           element_at(col("fp"), 1).as("fp_min"),
           element_at(col("fp"), -1).as("fp_max"))
         .orderBy("doc_id")
+    },
+
+    // Intra-document repetition signals (Gopher-style): duplicate 2-gram
+    // and 3-gram fractions per doc. Pure row-local HOFs — one codegen'd
+    // projection, no shuffle, linear to 100 TB. (The cross-document
+    // counterpart is `text_boilerplate_ngrams`.)
+    Q("text_repetition_score",
+      s"""SELECT doc_id, n_2grams,
+         |  round(1.0 - CAST(len(list_distinct(${oracleGram(2)}))
+         |              AS DOUBLE) / len(${oracleGram(2)}), 4) AS dup2_frac,
+         |  round(1.0 - CAST(len(list_distinct(${oracleGram(3)}))
+         |              AS DOUBLE) / len(${oracleGram(3)}), 4) AS dup3_frac
+         |FROM (SELECT doc_id, text,
+         |        len(string_split(text, ' ')) - 1 AS n_2grams
+         |      FROM documents WHERE len(string_split(text, ' ')) >= 3)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def dupFrac(n: Int) =
+        round(lit(1.0) - size(array_distinct(expr(gramSql(n)))).cast("double")
+          / size(expr(gramSql(n))), 4)
+      Tables.documents(s, d)
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) - 1).as("n_2grams"),
+          dupFrac(2).as("dup2_frac"),
+          dupFrac(3).as("dup3_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-document boilerplate detection: 5-grams shared by >= 3
+    // distinct docs (headers/footers/license blocks in a real corpus).
+    // Per-doc-distinct grams explode map-side, then ONE count shuffle on
+    // gram with map-side partials; the >= filter collapses the output to
+    // the boilerplate set and top-100 bounds it. At 100 TB the gram key
+    // space is what shuffles — high-cardinality but combiner-friendly
+    // (singleton grams dominate and die in the HAVING).
+    Q("text_boilerplate_ngrams",
+      s"""SELECT gram, n_docs FROM (
+         |  SELECT gram, count(*) AS n_docs FROM (
+         |    SELECT DISTINCT doc_id, unnest(list_distinct(${oracleGram(5)}))
+         |           AS gram
+         |    FROM documents WHERE len(string_split(text, ' ')) >= 5)
+         |  GROUP BY gram)
+         |WHERE n_docs >= 3
+         |ORDER BY n_docs DESC, gram
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"),
+          explode(array_distinct(expr(gramSql(5)))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(100)
     },
   )
 }

@@ -151,4 +151,46 @@ class CorpusSpec extends SparkSuite {
         s"doc $id redacted length")
     }
   }
+
+  test("contamination_ngram: eval docs excluded, flag == frac >= 0.05") {
+    val rows = SparkEntry.queries("contamination_ngram")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 97 != 0), "eval docs must not be scored")
+    rows.foreach { case (id, nGrams, nHit, frac, flag) =>
+      assert(nHit <= nGrams && nGrams > 0, s"doc $id counts")
+      // round(x, 4) is HALF_UP in Spark — compare within half an ulp of
+      // the 4-decimal grid rather than re-deriving the rounding mode
+      assert(math.abs(frac - nHit.toDouble / nGrams) <= 5.001e-5,
+        s"doc $id frac")
+      assert(flag == (nHit.toDouble / nGrams >= 0.05), s"doc $id flag")
+    }
+  }
+
+  test("quality_filter_rules: keep is exactly the rule conjunction") {
+    val rows = SparkEntry.queries("quality_filter_rules")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { case (id, rLen, rWord, rStop, rRep, keep) =>
+      assert(keep == (rLen && rWord && rStop && rRep), s"doc $id keep")
+    }
+  }
+
+  test("corpus_mix_rebalance: min lang keeps all, others downsample toward it") {
+    val rows = SparkEntry.queries("corpus_mix_rebalance")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val nLangs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(rows.length == nLangs)
+    val minDocs = rows.map(_._2).min
+    rows.foreach { case (lang, docs, rate, kept) =>
+      assert(kept <= docs, s"$lang kept > docs")
+      if (docs == minDocs) assert(kept == docs, s"min lang $lang must keep all")
+      // md5 coin is uniform: kept ≈ docs*rate within a binomial bound
+      val expect = docs * rate
+      val tol = 4 * math.sqrt(expect max 1.0) + 1
+      assert(math.abs(kept - expect) <= tol, s"$lang kept=$kept expect=$expect")
+    }
+  }
 }

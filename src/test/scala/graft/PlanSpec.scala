@@ -240,4 +240,24 @@ class PlanSpec extends SparkSuite {
     assert("\\*\\(\\d+\\) Project \\[vec_id".r.findFirstIn(p).isDefined,
       p.take(3000))
   }
+
+  test("ann_filtered_topk pushes the metadata predicate to the store scan") {
+    val p = planString("ann_filtered_topk")
+    assert(p.contains("EqualTo(label,1)"),
+      s"label filter must reach the parquet scan:\n${p.take(3000)}")
+    // probes are the broadcast side; the store is never shuffled for scoring
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q6_forecast_revenue: all three predicates reach the scan, 4-column read") {
+    val p = planString("q6_forecast_revenue")
+    // the display string truncates the filter list, so assert on the
+    // always-leading IsNotNull entries per column
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("IsNotNull(l_shipdate)")
+      && pushed.contains("IsNotNull(l_discount)")
+      && pushed.contains("IsNotNull(l_quantity)"), pushed)
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_partkey") && !read.contains("l_returnflag"), read)
+  }
 }

@@ -341,6 +341,36 @@ object VectorKernels {
     new GenericArrayData(sel.toArray.map(_.asInstanceOf[Any]))
   }
 
+  /** Word n-grams of a space-separated text, document order, duplicates
+    * kept: the i-th gram is tokens i..i+n-1 joined by one space. Matches
+    * `string_split(text, ' ')`-based SQL exactly (empty tokens from
+    * consecutive/trailing spaces are preserved). One split + one linear
+    * pass — the HOF formulation (`transform(sequence(...), i ->
+    * concat_ws(' ', element_at(split(text, ' '), i), ...))`) re-runs
+    * `split` per element reference and measured 40×+ slower on corpus
+    * scans.
+    */
+  def wordNgrams(text: String, n: Int): ArrayData = {
+    require(n > 0, s"word_ngrams(n=$n): need n>0")
+    val toks = text.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fixed-size overlapping character chunks: windows of `size` chars
     * starting every `size - overlap` chars; final partial window kept.
     */

@@ -244,6 +244,33 @@ case class FeatureHashEmbed(child: Expression, dim: Int, seed: Long)
     copy(child = nc)
 }
 
+/** word_ngrams(STRING, n) → ARRAY<STRING> — word n-grams (space tokens,
+  * document order, duplicates kept). One tokenize + linear pass in a
+  * static kernel; stays inside whole-stage codegen.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams(n=$n): need n>0")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires STRING, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.wordNgrams(a.asInstanceOf[UTF8String].toString, n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.wordNgrams($a.toString(), $n)")
+
+  override protected def withNewChildInternal(nc: Expression): WordNgrams =
+    copy(child = nc)
+}
+
 /** minhash_shingles(STRING, k, n, seed) → ARRAY<LONG> — k-lane MinHash
   * signature over n-word shingles (one string hash per shingle, splitmix64
   * lane derivation). The scan-side half of MinHash+LSH dedup.

@@ -55,6 +55,10 @@ package object functions {
   def chunks(text: Column, size: Int, overlap: Int): Column =
     GraftSql.column(Chunks(GraftSql.expression(text), size, overlap))
 
+  /** Word n-grams (space tokens, duplicates kept) STRING → ARRAY<STRING>. */
+  def word_ngrams(text: Column, n: Int): Column =
+    GraftSql.column(WordNgrams(GraftSql.expression(text), n))
+
   /** k-lane MinHash signature over n-word shingles STRING → ARRAY<LONG>. */
   def minhash_shingles(text: Column, k: Int = 32, n: Int = 3,
       seed: Long = 42L): Column =

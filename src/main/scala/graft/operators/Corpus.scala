@@ -142,13 +142,17 @@ object Corpus {
          |WHERE g.doc_id % 97 <> 0
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val g = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .where(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), explode(expr(Text.gramSql(3))).as("gram"))
-      val ev = g.where(col("doc_id") % 97 === 0)
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          explode(graft.functions.word_ngrams(col("text"), 3)).as("gram"))
+      // eval filter BEFORE the explode — the eval gram set never scans
+      // the full corpus
+      val ev = grams(docs.where(col("doc_id") % 97 === 0))
         .select(col("gram")).distinct()
         .withColumn("hit", lit(1))
-      g.where(col("doc_id") % 97 =!= 0)
+      grams(docs.where(col("doc_id") % 97 =!= 0))
         .join(broadcast(ev), Seq("gram"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
@@ -197,8 +201,11 @@ object Corpus {
             x => x.isInCollection(Text.Stopwords))).cast("double")
             / size(split(col("text"), " "))).as("stop_frac"),
           when(size(split(col("text"), " ")) < 2, lit(0.0))
-            .otherwise(lit(1.0) - size(array_distinct(expr(Text.gramSql(2))))
-              .cast("double") / size(expr(Text.gramSql(2)))).as("dup_frac"))
+            .otherwise(lit(1.0)
+              - size(array_distinct(graft.functions.word_ngrams(col("text"), 2)))
+                .cast("double")
+              / size(graft.functions.word_ngrams(col("text"), 2)))
+            .as("dup_frac"))
         .select(col("doc_id"),
           col("n_tok").between(20, 1000).as("r_len"),
           (col("mean_len") >= 2 && col("mean_len") <= 8).as("r_word_len"),

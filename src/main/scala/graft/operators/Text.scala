@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{chunks, winnow_fingerprint}
+import graft.functions.{chunks, winnow_fingerprint, word_ngrams}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus (north-star
@@ -21,16 +21,7 @@ object Text {
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private[operators] def stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Spark SQL expression: the word n-grams of `text` (whitespace tokens),
-    * in document order, duplicates preserved. */
-  private[operators] def gramSql(n: Int): String = {
-    val words = (0 until n)
-      .map(j => s"element_at(split(text, ' '), i + $j)").mkString(", ")
-    s"""transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-       |  i -> concat_ws(' ', $words))""".stripMargin
-  }
-
-  /** DuckDB twin of [[gramSql]]. */
+  /** DuckDB twin of the `word_ngrams` kernel expression. */
   private[operators] def oracleGram(n: Int): String = {
     val words = (0 until n)
       .map(j => s"string_split(text, ' ')[i + $j]").mkString(" || ' ' || ")
@@ -186,8 +177,9 @@ object Text {
          |      FROM documents WHERE len(string_split(text, ' ')) >= 3)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       def dupFrac(n: Int) =
-        round(lit(1.0) - size(array_distinct(expr(gramSql(n)))).cast("double")
-          / size(expr(gramSql(n))), 4)
+        round(lit(1.0)
+          - size(array_distinct(word_ngrams(col("text"), n))).cast("double")
+          / size(word_ngrams(col("text"), n)), 4)
       Tables.documents(s, d)
         .where(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"),
@@ -217,7 +209,7 @@ object Text {
       Tables.documents(s, d)
         .where(size(split(col("text"), " ")) >= 5)
         .select(col("doc_id"),
-          explode(array_distinct(expr(gramSql(5)))).as("gram"))
+          explode(array_distinct(word_ngrams(col("text"), 5))).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n_docs"))
         .where(col("n_docs") >= 3)

@@ -90,6 +90,27 @@ class FunctionSpec extends SparkSuite {
     assert(cs.last.takeRight(1) == text.takeRight(1))
   }
 
+  test("word_ngrams: matches the HOF split formulation, keeps duplicates") {
+    import spark.implicits._
+    val texts = Seq("a b c d e", "x y", "one", "dup dup dup dup", "a  b c")
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val kernel = df.select(word_ngrams(col("text"), n).as("g"))
+        .collect().map(_.getSeq[String](0).toList)
+      val hof = df.selectExpr(
+        s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
+           |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+           |  i -> array_join(slice(split(text, ' '), i, $n), ' ')) END AS g"""
+            .stripMargin)
+        .collect().map(_.getSeq[String](0).toList)
+      assert(kernel.toSeq == hof.toSeq, s"n=$n")
+    }
+    // duplicates preserved in document order
+    val g2 = Seq("dup dup dup").toDF("text")
+      .select(word_ngrams(col("text"), 2)).head().getSeq[String](0)
+    assert(g2 == Seq("dup dup", "dup dup"))
+  }
+
   test("simhash64: identical texts collide; near texts are close; far are far") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 8

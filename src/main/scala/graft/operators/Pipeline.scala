@@ -357,7 +357,43 @@ object Pipeline {
           sum(col("n_tok")).as("total_tokens"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy("split")
-    }
+    },
+
+    // MERGE INTO / upsert semantics without a table format: target rows
+    // matched by the source take the source's values (update), unmatched
+    // source keys append (insert), untouched target rows carry. One
+    // co-partitioned full-outer shuffle join on the key — with a bucketed
+    // target (join_bucketed's layout) the target side doesn't even
+    // re-shuffle at 100 TB; the streaming incremental twin is
+    // `stream_scd2_upsert`'s generation store.
+    Q("merge_into_upsert",
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+        |s AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10.00 AS DOUBLE) AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  coalesce(s.p, t.o_totalprice) AS o_totalprice,
+        |  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+        |       WHEN s.o_orderkey IS NULL THEN 'carry'
+        |       ELSE 'update' END AS action
+        |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val t = Tables.orders(s, d).where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("tk"), col("o_totalprice"))
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("sk"),
+          (col("o_totalprice").cast("decimal(12,2)") + lit(10.00))
+            .cast("double").as("p"))
+      t.join(src, col("tk") === col("sk"), "full_outer")
+        .select(coalesce(col("tk"), col("sk")).as("o_orderkey"),
+          coalesce(col("p"), col("o_totalprice")).as("o_totalprice"),
+          when(col("tk").isNull, "insert")
+            .when(col("sk").isNull, "carry")
+            .otherwise("update").as("action"))
+        .orderBy("o_orderkey")
+    },
   )
 
   /** Compact the parquet files under `in` into ceil(bytes/targetBytes)

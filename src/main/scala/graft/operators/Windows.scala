@@ -300,5 +300,39 @@ object Windows {
           RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
         ORDER BY event_id""")
     },
+
+    // Gaps-and-islands: maximal runs of CONSECUTIVE active minutes per
+    // user via the classic ordinal-minus-row_number grouping — the
+    // sessionization dual that keys on value adjacency, not time gaps
+    // (those are win_session_batch / stream_session_window). Minute
+    // ordinals are integers on both engines (the ns-timestamp trap never
+    // surfaces). Two shuffles: the (user, minute) distinct and the
+    // per-user window — at scale pre-partitioning by user collapses them
+    // to one.
+    Q("win_gaps_islands",
+      """SELECT user_id, min(m) AS start_min, max(m) AS end_min,
+        |  count(*) AS n_minutes
+        |FROM (
+        |  SELECT user_id, m,
+        |    m - row_number() OVER (PARTITION BY user_id ORDER BY m) AS grp
+        |  FROM (
+        |    SELECT DISTINCT user_id,
+        |      CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 AS m
+        |    FROM events))
+        |GROUP BY user_id, grp
+        |ORDER BY user_id, start_min""".stripMargin) { (s, d) =>
+      val m = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_timestamp(date_trunc('minute', ts)) div 60").as("m"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("m")
+      m.withColumn("grp", col("m") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("m").as("start_min"), max("m").as("end_min"),
+          count(lit(1)).as("n_minutes"))
+        .select(col("user_id"), col("start_min"), col("end_min"),
+          col("n_minutes"))
+        .orderBy("user_id", "start_min")
+    },
   )
 }

@@ -38,4 +38,42 @@ class RetrievalSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(a.map(_._1).toSeq != vecTop, "fusion identical to vector arm")
   }
+
+  test("rag_mmr_rerank replays the greedy exactly; first pick is top-1") {
+    val got = SparkEntry.queries("rag_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.length == 5)
+    // independent replay: candidates = exact top-20 with embeddings
+    val probe = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val cand = Tables.embeddings(spark, sf).crossJoin(broadcast(probe))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.cosine_sim(col("embedding"), col("probe")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(c => (-c._3, c._1))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / na / nb
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    val used = scala.collection.mutable.Set.empty[Long]
+    (1 to 5).foreach { r =>
+      val (id, emb, score) = cand.filterNot(c => used(c._1)).map { c =>
+        val div = if (chosen.isEmpty) 0.0 else chosen.map(p => cos(c._2, p._2)).max
+        (c._1, c._2, 0.7 * c._3 - 0.3 * div)
+      }.maxBy(c => (c._3, -c._1))
+      used += id; chosen += ((id, emb))
+      assert(got(r - 1)._2 == id, s"rank $r expected $id, got ${got(r - 1)._2}")
+      assert(math.abs(got(r - 1)._3 - math.rint(score * 1e6) / 1e6) < 1e-9,
+        s"rank $r score")
+    }
+    // rank 1 must be the plain exact top-1
+    assert(got.head._2 == operators.Rag.knnTopK(spark, sf, 1)
+      .collect().head.getLong(0))
+  }
 }

@@ -107,4 +107,57 @@ object Graft {
   def hashSample(df: DataFrame, key: Column, keepBuckets: Int): DataFrame =
     df.where(conv(substring(md5(key.cast("string")), 1, 1), 16, 10)
       .cast("int") < keepBuckets)
+
+  /** Benchmark decontamination: per `corpus` doc (doc_id, text), the
+    * fraction of its word n-grams appearing in ANY `eval` doc's grams,
+    * plus a `contaminated` flag at `flagAt`. Eval grams broadcast (eval
+    * sets are small by nature); the corpus never shuffles on gram.
+    */
+  def contaminationReport(corpus: DataFrame, eval: DataFrame,
+      n: Int = 3, flagAt: Double = 0.05): DataFrame =
+    graft.operators.Corpus.contaminationOf(corpus, eval, n, flagAt)
+
+  /** Gopher-style quality-rule filter over (doc_id, text): per-rule
+    * booleans + the `keep` conjunction — audit WHICH rule dropped a doc.
+    * One codegen'd scan-side projection, zero shuffle.
+    */
+  def qualityRules(docs: DataFrame): DataFrame =
+    graft.operators.Corpus.qualityRulesOf(docs)
+
+  /** Downsample every `groupCol` group of `df` to the smallest group's
+    * row count with a deterministic md5 coin on `idCol` (stable across
+    * runs and engines); the group's (docs, rate) ride along. Row-local
+    * keep decision — `df` itself never shuffles.
+    */
+  def rebalanceMix(df: DataFrame, groupCol: String, idCol: String): DataFrame =
+    graft.operators.Corpus.rebalanceBy(df, groupCol, idCol)
+
+  /** MERGE INTO / upsert without a table format: same-schema `target`
+    * and `source`; matched `key` rows take the source's values, unmatched
+    * source keys insert, untouched target rows carry — plus an `action`
+    * audit column. One co-partitioned full-outer shuffle join on the key.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String): DataFrame =
+    graft.operators.Pipeline.mergeUpsertOf(target, source, key)
+
+  /** Gaps-and-islands: maximal runs of consecutive `ordCol` integers per
+    * `partCol` → (partCol, grp, start, end, n).
+    */
+  def gapsIslands(df: DataFrame, partCol: String, ordCol: String): DataFrame =
+    graft.operators.Windows.gapsIslandsOf(df, partCol, ordCol)
+
+  /** MMR diversity re-rank: greedy λ-tradeoff selection of `k` from the
+    * exact cosine top-`pool` of `store` (id, embedding) for the one-row
+    * `probes` frame (probe). The pool is bounded by construction, so the
+    * sequential greedy runs in ONE task — no driver collect.
+    */
+  def mmrRerank(store: DataFrame, probes: DataFrame, k: Int,
+      pool: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val cand = store.crossJoin(broadcast(probes))
+      .select(col("id").as("vec_id"), col("embedding"),
+        graft.functions.cosine_sim(col("embedding"), col("probe")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+    graft.operators.Rag.mmrSelect(cand, k, lambda)
+  }
 }

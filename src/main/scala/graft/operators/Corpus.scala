@@ -43,6 +43,80 @@ object Corpus {
       lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
   }
 
+  /** Frame-parametric decontamination core (re-exported as
+    * `graft.api.Graft.contaminationReport`): per `corpus` doc, the
+    * fraction of its word n-grams found in ANY `eval` doc's grams, plus
+    * the >= `flagAt` flag. Both frames need (doc_id, text). The eval gram
+    * set broadcasts (benchmarks are small by nature); the corpus side is
+    * scan + map-side explode + one doc_id-keyed aggregate.
+    */
+  private[graft] def contaminationOf(corpus: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame, n: Int, flagAt: Double)
+      : org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.word_ngrams(col("text"), n)).as("gram"))
+    val ev = grams(eval).select(col("gram")).distinct()
+      .withColumn("hit", lit(1))
+    grams(corpus)
+      .join(broadcast(ev), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("hit_frac"),
+        (col("n_hit").cast("double") / col("n_grams") >= flagAt)
+          .as("contaminated"))
+  }
+
+  /** Frame-parametric Gopher-style rule filter (re-exported as
+    * `graft.api.Graft.qualityRules`): (doc_id, per-rule booleans, keep).
+    * One codegen'd scan-side projection, zero shuffle.
+    */
+  private[graft] def qualityRulesOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"),
+        (length(replace(col("text"), lit(" "), lit(""))).cast("double")
+          / size(split(col("text"), " "))).as("mean_len"),
+        (size(filter(split(col("text"), " "),
+          x => x.isInCollection(Text.Stopwords))).cast("double")
+          / size(split(col("text"), " "))).as("stop_frac"),
+        when(size(split(col("text"), " ")) < 2, lit(0.0))
+          .otherwise(lit(1.0)
+            - size(array_distinct(graft.functions.word_ngrams(col("text"), 2)))
+              .cast("double")
+            / size(graft.functions.word_ngrams(col("text"), 2)))
+          .as("dup_frac"))
+      .select(col("doc_id"),
+        col("n_tok").between(20, 1000).as("r_len"),
+        (col("mean_len") >= 2 && col("mean_len") <= 8).as("r_word_len"),
+        (col("stop_frac") >= 0.02).as("r_stop"),
+        (col("dup_frac") <= 0.10).as("r_rep"))
+      .select(col("doc_id"), col("r_len"), col("r_word_len"),
+        col("r_stop"), col("r_rep"),
+        (col("r_len") && col("r_word_len") && col("r_stop") && col("r_rep"))
+          .as("keep"))
+
+  /** Frame-parametric mixture rebalance (re-exported as
+    * `graft.api.Graft.rebalanceMix`): the rows of `df` kept after
+    * downsampling every `groupCol` group to the smallest group's count
+    * with a deterministic md5 coin on `idCol`; (docs, rate) of the row's
+    * group ride along. Row-local keep decision — `df` never shuffles.
+    */
+  private[graft] def rebalanceBy(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val rates = df.groupBy(groupCol).agg(count(lit(1)).as("docs"))
+      .withColumn("rate",
+        min(col("docs")).over(Window.partitionBy()).cast("double")
+          / col("docs"))
+    df.join(broadcast(rates), groupCol)
+      .where(col("rate") >= 1.0 ||
+        substring(md5(col(idCol).cast("string")), 1, 4) <
+          lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Exact-dup groups keyed by md5(text) (the one hash both engines
@@ -143,23 +217,8 @@ object Corpus {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-        .where(size(split(col("text"), " ")) >= 3)
-      def grams(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("doc_id"),
-          explode(graft.functions.word_ngrams(col("text"), 3)).as("gram"))
-      // eval filter BEFORE the explode — the eval gram set never scans
-      // the full corpus
-      val ev = grams(docs.where(col("doc_id") % 97 === 0))
-        .select(col("gram")).distinct()
-        .withColumn("hit", lit(1))
-      grams(docs.where(col("doc_id") % 97 =!= 0))
-        .join(broadcast(ev), Seq("gram"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
-        .select(col("doc_id"), col("n_grams"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_grams"), 4).as("hit_frac"),
-          (col("n_hit").cast("double") / col("n_grams") >= 0.05)
-            .as("contaminated"))
+      contaminationOf(docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0), n = 3, flagAt = 0.05)
         .orderBy("doc_id")
     },
 
@@ -192,30 +251,7 @@ object Corpus {
          |        AS dup_frac
          |    FROM documents))
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).as("n_tok"),
-          (length(replace(col("text"), lit(" "), lit(""))).cast("double")
-            / size(split(col("text"), " "))).as("mean_len"),
-          (size(filter(split(col("text"), " "),
-            x => x.isInCollection(Text.Stopwords))).cast("double")
-            / size(split(col("text"), " "))).as("stop_frac"),
-          when(size(split(col("text"), " ")) < 2, lit(0.0))
-            .otherwise(lit(1.0)
-              - size(array_distinct(graft.functions.word_ngrams(col("text"), 2)))
-                .cast("double")
-              / size(graft.functions.word_ngrams(col("text"), 2)))
-            .as("dup_frac"))
-        .select(col("doc_id"),
-          col("n_tok").between(20, 1000).as("r_len"),
-          (col("mean_len") >= 2 && col("mean_len") <= 8).as("r_word_len"),
-          (col("stop_frac") >= 0.02).as("r_stop"),
-          (col("dup_frac") <= 0.10).as("r_rep"))
-        .select(col("doc_id"), col("r_len"), col("r_word_len"),
-          col("r_stop"), col("r_rep"),
-          (col("r_len") && col("r_word_len") && col("r_stop") && col("r_rep"))
-            .as("keep"))
-        .orderBy("doc_id")
+      qualityRulesOf(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // Language-mixture rebalance: downsample every language to the
@@ -240,15 +276,7 @@ object Corpus {
         |      < lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))), 4, '0')
         |GROUP BY r.lang, r.docs, r.rate
         |ORDER BY lang""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val rates = docs.groupBy("lang").agg(count(lit(1)).as("docs"))
-        .withColumn("rate",
-          min(col("docs")).over(Window.partitionBy()).cast("double")
-            / col("docs"))
-      docs.join(broadcast(rates), "lang")
-        .where(col("rate") >= 1.0 ||
-          substring(md5(col("doc_id").cast("string")), 1, 4) <
-            lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+      rebalanceBy(Tables.documents(s, d), "lang", "doc_id")
         .groupBy(col("lang"), col("docs"), round(col("rate"), 6).as("rate"))
         .agg(count(lit(1)).as("kept"))
         .orderBy("lang")

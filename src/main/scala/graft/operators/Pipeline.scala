@@ -381,20 +381,33 @@ object Pipeline {
         |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val t = Tables.orders(s, d).where(col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey").as("tk"), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice"))
       val src = Tables.orders(s, d).where(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey").as("sk"),
+        .select(col("o_orderkey"),
           (col("o_totalprice").cast("decimal(12,2)") + lit(10.00))
-            .cast("double").as("p"))
-      t.join(src, col("tk") === col("sk"), "full_outer")
-        .select(coalesce(col("tk"), col("sk")).as("o_orderkey"),
-          coalesce(col("p"), col("o_totalprice")).as("o_totalprice"),
-          when(col("tk").isNull, "insert")
-            .when(col("sk").isNull, "carry")
-            .otherwise("update").as("action"))
-        .orderBy("o_orderkey")
+            .cast("double").as("o_totalprice"))
+      mergeUpsertOf(t, src, "o_orderkey").orderBy("o_orderkey")
     },
   )
+
+  /** Frame-parametric MERGE INTO / upsert (re-exported as
+    * `graft.api.Graft.mergeUpsert`): `target` and `source` share a schema;
+    * matched `key` rows take the source's values (update), unmatched
+    * source keys append (insert), untouched target rows carry — plus an
+    * `action` audit column. One co-partitioned full-outer shuffle join.
+    */
+  private[graft] def mergeUpsertOf(target: org.apache.spark.sql.DataFrame,
+      source: org.apache.spark.sql.DataFrame, key: String)
+      : org.apache.spark.sql.DataFrame = {
+    val cols = target.columns
+    val t = target.select(cols.map(c => col(c).as(s"t_$c")).toSeq: _*)
+    val sr = source.select(cols.map(c => col(c).as(s"s_$c")).toSeq: _*)
+    t.join(sr, col(s"t_$key") === col(s"s_$key"), "full_outer")
+      .select(cols.map(c => coalesce(col(s"s_$c"), col(s"t_$c")).as(c)).toSeq
+        :+ when(col(s"t_$key").isNull, "insert")
+          .when(col(s"s_$key").isNull, "carry")
+          .otherwise("update").as("action"): _*)
+  }
 
   /** Compact the parquet files under `in` into ceil(bytes/targetBytes)
     * files at `out` with `coalesce` (no shuffle — compaction moves bytes,

@@ -72,6 +72,58 @@ object Rag {
       replace(lit(PromptTemplate), lit("{{question}}"), question),
       lit("{{information}}"), information)
 
+  /** Greedy MMR selection over a BOUNDED candidate frame (vec_id,
+    * embedding ARRAY<FLOAT>, rel DOUBLE) — re-exported as
+    * `graft.api.Graft.mmrRerank`. Candidates are O(pool) by construction
+    * (distributed top-k upstream), so the inherently sequential greedy
+    * runs inside ONE task via mapPartitions on the coalesced rows — the
+    * bounded-small-side pattern, no driver collect. Returns
+    * (rank, vec_id, mmr_score rounded to 6).
+    */
+  private[graft] def mmrSelect(cand: DataFrame, k: Int, lambda: Double)
+      : DataFrame = {
+    val spark0 = cand.sparkSession
+    import spark0.implicits._
+    cand.select(col("vec_id"), col("embedding"), col("rel"))
+      .as[(Long, Array[Float], Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._1))
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0
+          else dot / math.sqrt(na) / math.sqrt(nb)
+        }
+        val used = Array.fill(cs.length)(false)
+        val picked = Seq.newBuilder[(Int, Long, Double)]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        var r = 1
+        while (r <= k && r <= cs.length) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            if (!used(i)) {
+              val div = if (chosen.isEmpty) 0.0
+                        else chosen.map(e => cos(cs(i)._2, e)).max
+              val score = lambda * cs(i)._3 - (1 - lambda) * div
+              // strict > keeps the earlier (higher-rel, lower-id) on ties
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          used(best) = true
+          chosen += cs(best)._2
+          picked += ((r, cs(best)._1, math.rint(bestScore * 1e6) / 1e6))
+          r += 1
+        }
+        picked.result().iterator
+      }
+      .toDF("rank", "vec_id", "mmr_score")
+  }
+
   val defs: Seq[Q] = Seq(
 
     Q("rag_knn_topk",
@@ -183,7 +235,6 @@ object Rag {
     // pattern as broadcast centroids, no driver collect. Greedy-defined →
     // no SQL oracle; RetrievalSpec replays the greedy independently.
     Q.noOracle("rag_mmr_rerank") { (s, d) =>
-      import s.implicits._
       val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
       val cand = Tables.embeddings(s, d).crossJoin(broadcast(probe))
@@ -192,44 +243,7 @@ object Rag {
           cosine_sim(col("embedding"), col("probe")).as("rel"))
         .orderBy(col("rel").desc, col("vec_id"))
         .limit(20)
-      cand.as[(Long, Array[Float], Double)]
-        .coalesce(1)
-        .mapPartitions { it =>
-          val cs = it.toArray.sortBy(c => (-c._3, c._1))
-          def cos(a: Array[Float], b: Array[Float]): Double = {
-            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < a.length) {
-              dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-            }
-            if (na == 0.0 || nb == 0.0) 0.0
-            else dot / math.sqrt(na) / math.sqrt(nb)
-          }
-          val lambda = 0.7
-          val used = Array.fill(cs.length)(false)
-          val picked = Seq.newBuilder[(Int, Long, Double)]
-          val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-          var r = 1
-          while (r <= 5 && r <= cs.length) {
-            var best = -1; var bestScore = Double.NegativeInfinity
-            var i = 0
-            while (i < cs.length) {
-              if (!used(i)) {
-                val div = if (chosen.isEmpty) 0.0
-                          else chosen.map(e => cos(cs(i)._2, e)).max
-                val score = lambda * cs(i)._3 - (1 - lambda) * div
-                // strict > keeps the earlier (higher-rel, lower-id) on ties
-                if (score > bestScore) { best = i; bestScore = score }
-              }
-              i += 1
-            }
-            used(best) = true
-            chosen += cs(best)._2
-            picked += ((r, cs(best)._1, math.rint(bestScore * 1e6) / 1e6))
-            r += 1
-          }
-          picked.result().iterator
-        }
-        .toDF("rank", "vec_id", "mmr_score")
+      mmrSelect(cand, k = 5, lambda = 0.7)
     },
   )
 

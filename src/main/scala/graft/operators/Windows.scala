@@ -16,6 +16,22 @@ object Windows {
 
   private def dsum(c: String) = sum(col(c).cast("decimal(12,2)")).cast("double")
 
+  /** Frame-parametric gaps-and-islands (re-exported as
+    * `graft.api.Graft.gapsIslands`): maximal runs of consecutive `ordCol`
+    * integers per `partCol` — (partCol, grp, start, end, n). Classic
+    * ordinal-minus-row_number grouping; the distinct and the window both
+    * hash on the partition key.
+    */
+  private[graft] def gapsIslandsOf(df: org.apache.spark.sql.DataFrame,
+      partCol: String, ordCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(ordCol)
+    df.select(col(partCol), col(ordCol)).distinct()
+      .withColumn("grp", col(ordCol) - row_number().over(w))
+      .groupBy(col(partCol), col("grp"))
+      .agg(min(ordCol).as("start"), max(ordCol).as("end"),
+        count(lit(1)).as("n"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     Q("win_rank_dense_ntile",
@@ -321,17 +337,12 @@ object Windows {
         |    FROM events))
         |GROUP BY user_id, grp
         |ORDER BY user_id, start_min""".stripMargin) { (s, d) =>
-      val m = Tables.events(s, d)
-        .select(col("user_id"),
-          expr("unix_timestamp(date_trunc('minute', ts)) div 60").as("m"))
-        .distinct()
-      val w = Window.partitionBy("user_id").orderBy("m")
-      m.withColumn("grp", col("m") - row_number().over(w))
-        .groupBy("user_id", "grp")
-        .agg(min("m").as("start_min"), max("m").as("end_min"),
-          count(lit(1)).as("n_minutes"))
-        .select(col("user_id"), col("start_min"), col("end_min"),
-          col("n_minutes"))
+      gapsIslandsOf(
+          Tables.events(s, d).select(col("user_id"),
+            expr("unix_timestamp(date_trunc('minute', ts)) div 60").as("m")),
+          "user_id", "m")
+        .select(col("user_id"), col("start").as("start_min"),
+          col("end").as("end_min"), col("n").as("n_minutes"))
         .orderBy("user_id", "start_min")
     },
   )

@@ -69,4 +69,58 @@ class ApiSpec extends SparkSuite {
       Tables.orders(spark, sf).where(col("o_custkey") < 50)
         .select("o_custkey").distinct().count())
   }
+
+  test("contaminationReport flags a planted duplicate; clean docs score low") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    // eval doc 10 shares doc 1's text exactly; doc 2 is disjoint
+    val eval = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val rep = Graft.contaminationReport(corpus, eval).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(rep(1L) == ((1.0, true)), rep.toString)
+    assert(rep(2L) == ((0.0, false)), rep.toString)
+  }
+
+  test("qualityRules/rebalanceMix/gapsIslands on caller frames") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val q = Graft.qualityRules(docs)
+    assert(q.count() == docs.count() && q.columns.contains("keep"))
+    val reb = Graft.rebalanceMix(docs, "lang", "doc_id")
+    val kept = reb.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == orig.keySet)
+    kept.foreach { case (l, k) => assert(k <= orig(l)) }
+    val isl = Graft.gapsIslands(
+      Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 5L)).toDF("k", "o"), "k", "o")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(isl.toSeq == Seq((1L, 10L, 11L, 2L), (1L, 13L, 13L, 1L),
+      (2L, 5L, 5L, 1L)))
+  }
+
+  test("mergeUpsert: matched update, unmatched insert, untouched carry") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val source = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v")
+    val out = Graft.mergeUpsert(target, source, "k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 10.0, "carry"), (2L, 99.0, "update"),
+      (3L, 30.0, "insert")))
+  }
+
+  test("mmrRerank picks k diverse rows from the pool; rank 1 is top-1") {
+    val probe = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val out = Graft.mmrRerank(store.where(col("id") =!= 0), probe, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.length == 3 && out.map(_._2).distinct.length == 3)
+    val top1 = operators.Rag.knnTopK(spark, sf, 1).collect().head.getLong(0)
+    assert(out.head._2 == top1)
+  }
 }

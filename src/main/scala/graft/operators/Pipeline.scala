@@ -388,7 +388,119 @@ object Pipeline {
             .cast("double").as("o_totalprice"))
       mergeUpsertOf(t, src, "o_orderkey").orderBy("o_orderkey")
     },
+
+    // Data-quality constraint audit (Deequ-style): null / uniqueness /
+    // domain / range checks share ONE aggregate scan; the FK existence
+    // check is a broadcast anti-join. The per-rule (violations, pass)
+    // rows are what a pipeline gates a 100 TB load on.
+    Q("dq_constraint_check",
+      """WITH c AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE o_orderkey IS NULL) AS v_null,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_dup,
+        |    count(*) FILTER (WHERE o_totalprice <= 0) AS v_price,
+        |    count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+        |      OR o_orderdate >= TIMESTAMP '2002-01-01') AS v_range
+        |  FROM orders),
+        |fk AS (
+        |  SELECT count(*) AS v_fk FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c2
+        |                    WHERE c2.c_custkey = o.o_custkey))
+        |SELECT rule, violations, violations = 0 AS pass FROM (
+        |  SELECT 'fk_custkey_exists' AS rule, v_fk AS violations FROM fk
+        |  UNION ALL SELECT 'orderdate_in_range', v_range FROM c
+        |  UNION ALL SELECT 'orderkey_not_null', v_null FROM c
+        |  UNION ALL SELECT 'orderkey_unique', v_dup FROM c
+        |  UNION ALL SELECT 'totalprice_positive', v_price FROM c)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      dqCheckOrders(Tables.orders(s, d), Tables.customer(s, d))
+        .orderBy("rule")
+    },
+
+    // Column profiling: n/nulls/distinct per column (+ min/max for the
+    // numeric ones) in ONE scan — the multi-countDistinct plans through
+    // Spark's Expand operator, still a single pass over the table. The
+    // table-health snapshot a lake catalog publishes next to each table.
+    Q("profile_columns",
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE o_orderstatus IS NULL) AS nl_st,
+        |    count(DISTINCT o_orderstatus) AS d_st,
+        |    count(*) FILTER (WHERE o_orderpriority IS NULL) AS nl_pr,
+        |    count(DISTINCT o_orderpriority) AS d_pr,
+        |    count(*) FILTER (WHERE o_custkey IS NULL) AS nl_ck,
+        |    count(DISTINCT o_custkey) AS d_ck,
+        |    CAST(min(o_custkey) AS DOUBLE) AS min_ck,
+        |    CAST(max(o_custkey) AS DOUBLE) AS max_ck,
+        |    count(*) FILTER (WHERE o_totalprice IS NULL) AS nl_tp,
+        |    count(DISTINCT o_totalprice) AS d_tp,
+        |    min(o_totalprice) AS min_tp, max(o_totalprice) AS max_tp
+        |  FROM orders)
+        |SELECT col, n, n_nulls, n_distinct, min_num, max_num FROM (
+        |  SELECT 'o_custkey' AS col, n, nl_ck AS n_nulls, d_ck AS n_distinct,
+        |         min_ck AS min_num, max_ck AS max_num FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n, nl_pr, d_pr, NULL, NULL FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n, nl_st, d_st, NULL, NULL FROM a
+        |  UNION ALL SELECT 'o_totalprice', n, nl_tp, d_tp, min_tp, max_tp FROM a)
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).as("nl_st"),
+        countDistinct(col("o_orderstatus")).as("d_st"),
+        sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).as("nl_pr"),
+        countDistinct(col("o_orderpriority")).as("d_pr"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("nl_ck"),
+        countDistinct(col("o_custkey")).as("d_ck"),
+        min(col("o_custkey")).cast("double").as("min_ck"),
+        max(col("o_custkey")).cast("double").as("max_ck"),
+        sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("nl_tp"),
+        countDistinct(col("o_totalprice")).as("d_tp"),
+        min(col("o_totalprice")).as("min_tp"),
+        max(col("o_totalprice")).as("max_tp"))
+      def row(name: String, nl: String, dn: String,
+          mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =
+        a.select(lit(name).as("col"), col("n"),
+          col(nl).cast("long").as("n_nulls"), col(dn).as("n_distinct"),
+          mn.as("min_num"), mx.as("max_num"))
+      val nul = lit(null).cast("double")
+      row("o_custkey", "nl_ck", "d_ck", col("min_ck"), col("max_ck"))
+        .unionAll(row("o_orderpriority", "nl_pr", "d_pr", nul, nul))
+        .unionAll(row("o_orderstatus", "nl_st", "d_st", nul, nul))
+        .unionAll(row("o_totalprice", "nl_tp", "d_tp",
+          col("min_tp"), col("max_tp")))
+        .orderBy("col")
+    },
   )
+
+  /** Data-quality constraint suite (Deequ-style): each rule is
+    * (rule, violations, pass). The counting rules share ONE scan (a
+    * single aggregate row); the FK rule is a broadcast anti-join. The
+    * audit a 100 TB load job gates on.
+    */
+  private[graft] def dqCheckOrders(orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = orders.agg(
+      sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("v_null"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+      sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("v_price"),
+      sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp")
+        || col("o_orderdate") >= lit("2002-01-01").cast("timestamp"), 1)
+        .otherwise(0)).as("v_range"))
+    val orphans = orders
+      .join(broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    val all = counts.crossJoin(orphans) // two 1-row frames
+    def rule(name: String, v: org.apache.spark.sql.Column) =
+      all.select(lit(name).as("rule"), v.cast("long").as("violations"),
+        (v === 0).as("pass"))
+    rule("fk_custkey_exists", col("v_fk"))
+      .unionAll(rule("orderdate_in_range", col("v_range")))
+      .unionAll(rule("orderkey_not_null", col("v_null")))
+      .unionAll(rule("orderkey_unique", col("v_dup")))
+      .unionAll(rule("totalprice_positive", col("v_price")))
+  }
 
   /** Frame-parametric MERGE INTO / upsert (re-exported as
     * `graft.api.Graft.mergeUpsert`): `target` and `source` share a schema;

@@ -365,5 +365,34 @@ object ScaleOps {
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))
     },
+
+    // TPC-H Q14 (promotion effect): month of lineitem joined to the part
+    // dim — the dim side broadcasts, the fact side's date filter pushes
+    // to the scan, and both sums are decimal-exact before the one double
+    // division (exact operands ⇒ bit-identical quotient on both engines).
+    Q("q14_promo_revenue",
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+        |  AS promo_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'"""
+        .stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(12,2)"))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-09-01"
+          && col("l_shipdate") < "1996-10-01")
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0)
+          * sum(when(col("p_type").like("PROMO%"), rev)
+              .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+          / sum(rev).cast("double"), 6).as("promo_pct"))
+    },
   )
 }

@@ -260,4 +260,17 @@ class PlanSpec extends SparkSuite {
     val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
     assert(!read.contains("l_partkey") && !read.contains("l_returnflag"), read)
   }
+
+  test("profile_columns prunes each union leg to its column; dq anti-joins broadcast") {
+    val prof = planString("profile_columns")
+    // Catalyst rewrites the shared aggregate into per-leg aggregates with
+    // per-leg column pruning: each scan reads ONLY its profiled column
+    // (total bytes == one wide pass, no Expand fan-out needed)
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(prof).toList
+    assert(reads.nonEmpty && reads.size <= 4, reads.toString)
+    assert(reads.forall(r => r.count(_ == ':') <= 2), reads.toString)
+    val dq = planString("dq_constraint_check")
+    assert(dq.contains("BroadcastHashJoin") && dq.contains("LeftAnti"),
+      dq.take(3000))
+  }
 }

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *    `vector_avg` UDAF — no driver collect), probe the nprobe nearest
   *    cells exactly.
   *
-  * Both are hash/assignment-defined → no SQL oracle; AnnSpec asserts
-  * recall against the exact scan.
+  * The sketch paths are hash/assignment-defined → no SQL oracle (AnnSpec
+  * asserts recall against the exact scan); the exact-scan family
+  * (`ann_range_search`, `ann_filtered_topk`) is fully oracled, hash-
+  * checking the cosine kernel itself against DuckDB.
   */
 object Ann {
 

@@ -260,6 +260,48 @@ object Streaming {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
 
+    // Multi-sink routing (side outputs): each micro-batch is persisted
+    // ONCE and split by a gate predicate into a valid store and a
+    // quarantine store — the streaming dq-gate / dead-letter pattern
+    // (the batch-side rules are `dq_constraint_check`). Both stores are
+    // plain parquet appends; the result re-reads them and is oracled
+    // against the equivalent batch split, proving no row is lost or
+    // double-routed across batches.
+    Q("stream_route_split",
+      """SELECT sink, n, sv FROM (
+        |  SELECT 'quarantine' AS sink, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv
+        |  FROM events WHERE value IS NULL OR value < 100
+        |  UNION ALL
+        |  SELECT 'valid', count(*),
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+        |  FROM events WHERE value >= 100)
+        |ORDER BY sink""".stripMargin) { (s, d) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_route_").toString
+      val (okDir, badDir) = (s"$base/valid", s"$base/quarantine")
+      val gate = col("value") >= 100
+      val q = Streams.eventsStream(s, d).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // one source pass per batch: cache, then two filtered appends
+          batch.persist()
+          try {
+            batch.where(gate).write.mode("append").parquet(okDir)
+            batch.where(!coalesce(gate, lit(false)))
+              .write.mode("append").parquet(badDir)
+          } finally { batch.unpersist(); () }
+        }
+        .start()
+      q.awaitTermination()
+      def aggOf(dir: String, name: String) = s.read.parquet(dir)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sv"))
+        .select(lit(name).as("sink"), col("n"), col("sv"))
+      aggOf(badDir, "quarantine").unionAll(aggOf(okDir, "valid"))
+        .orderBy("sink")
+    },
+
     // Stream-static join: the stream enriched against a broadcast batch
     // dimension (STATELESS — no watermark, no join state; the static
     // side is re-broadcast per micro-batch). The canonical streaming

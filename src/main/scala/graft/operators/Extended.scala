@@ -160,6 +160,80 @@ object Extended {
         .orderBy("n_nationkey")
     },
 
+    // ORC round-trip: the other columnar format Spark ships natively
+    // (DuckDB can't read ORC, so the oracle reads the SOURCE table — the
+    // round-trip itself is what's under test: full-fidelity write+read).
+    Q("source_orc_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+
+    // Dynamic partition overwrite — the lake backfill primitive: rewrite
+    // ONE partition in place, leave every other partition's files
+    // untouched. Store partitioned by event_type; the second write
+    // (filtered 'click' rows) replaces only that partition dir under
+    // partitionOverwriteMode=dynamic (conf scoped + restored). The final
+    // store content is oracled: full data for other types, the filtered
+    // subset for the overwritten one.
+    Q("sink_partitioned_overwrite",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv
+        |FROM events
+        |WHERE event_type <> 'click' OR value >= 100
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dynpart_").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        ev.where(col("event_type") === "click" && col("value") >= 100)
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sv"))
+        .orderBy("event_type")
+    },
+
+    // Error-safe scalar family: try_divide / try_cast / try_to_timestamp
+    // return NULL instead of failing — the dirty-data hygiene surface
+    // (DuckDB mirrors via CASE + TRY_CAST).
+    Q("fn_try_safe",
+      """SELECT id,
+        |  CASE WHEN b = 0 THEN NULL ELSE CAST(a AS DOUBLE) / b END AS dv,
+        |  TRY_CAST(sv AS INTEGER) AS ci,
+        |  TRY_CAST(tv AS TIMESTAMP) AS ct
+        |FROM (VALUES (1, 10, 2, '5', '2024-01-01 00:00:00'),
+        |             (2, 7, 0, 'x', 'not a timestamp'),
+        |             (3, NULL, 3, '12', NULL))
+        |  AS t(id, a, b, sv, tv)
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Seq((1, Some(10), 2, "5", Some("2024-01-01 00:00:00")),
+          (2, Some(7), 0, "x", Some("not a timestamp")),
+          (3, None, 3, "12", None))
+        .toDF("id", "a", "b", "sv", "tv")
+        .selectExpr("id",
+          "try_divide(CAST(a AS DOUBLE), b) AS dv",
+          "try_cast(sv AS INT) AS ci",
+          "try_to_timestamp(tv) AS ct")
+        .orderBy("id")
+    },
+
     // Inline VALUES relation (LocalRelation) broadcast-joined to a table.
     Q("values_inline",
       """SELECT v.code, r.r_name FROM (VALUES (0, 'zero'), (1, 'one'),

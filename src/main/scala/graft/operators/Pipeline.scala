@@ -193,6 +193,32 @@ object Pipeline {
         .limit(100)
     },
 
+    // Range-partitioned sorted layout: repartitionByRange + sort-within —
+    // the write-path that makes min/max zone maps selective (each output
+    // file covers a disjoint ts range, so a time-predicate scan prunes to
+    // one file). Content is oracled (layout must not change data);
+    // PipelineSpec asserts the RangePartitioning exchange and the
+    // per-file disjointness that zone-map pruning depends on.
+    Q("layout_range_sort",
+      """SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |FROM events
+        |ORDER BY event_id
+        |LIMIT 1000""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_rangesort_").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_timestamp(date_trunc('second', ts))").as("sec"))
+        .repartitionByRange(8, col("sec"))
+        .sortWithinPartitions("sec", "event_id")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .select("event_id", "user_id", "sec")
+        .orderBy("event_id")
+        .limit(1000)
+    },
+
     // Mergeable HyperLogLog sketches (Apache DataSketches, built into
     // Spark): one sketch per source partition, estimates per source plus a
     // global estimate from `hll_union_agg` — WITHOUT rescanning. This is

@@ -89,6 +89,38 @@ class PipelineSpec extends SparkSuite {
     assert(!rows.exists(_.getString(1) == "removed"))
   }
 
+  test("layout_range_sort: files cover disjoint sec ranges (zone-map-prunable)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_rangesort_test_").toString
+    try {
+      Tables.events(spark, sf)
+        .select(col("event_id"),
+          expr("unix_timestamp(date_trunc('second', ts))").as("sec"))
+        .repartitionByRange(4, col("sec"))
+        .sortWithinPartitions("sec", "event_id")
+        .write.mode("overwrite").parquet(tmp)
+      val ranges = spark.read.parquet(tmp)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("sec").as("lo"), max("sec").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(ranges.length > 1)
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 <= b._1, s"overlap: $a vs $b")
+        case _ => ()
+      }
+      // the layout write plans a RangePartitioning exchange
+      val p = Tables.events(spark, sf)
+        .select(expr("unix_timestamp(date_trunc('second', ts))").as("sec"))
+        .repartitionByRange(4, col("sec"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+        p.take(1500))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("ts_gapfill_ffill emits the full grid with zeros filled forward") {
     val out = SparkEntry.queries("ts_gapfill_ffill")(spark, sf)
     val types = Tables.events(spark, sf).select("event_type").distinct().count()

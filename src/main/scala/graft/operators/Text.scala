@@ -189,6 +189,40 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Bigram language-model statistics: corpus bigram counts with the
+    // conditional estimate P(w2|w1) ≈ c(w1 w2)/c(w1) (unigram-count
+    // denominator — the standard MLE up to end-of-doc truncation). The
+    // n-gram-LM / tokenizer-analysis building block: two combiner-friendly
+    // count shuffles + one join on the first token; both counts are exact
+    // longs so the one double division is bit-identical cross-engine.
+    Q("text_bigram_lm",
+      s"""WITH b AS (
+         |  SELECT g, count(*) AS c2 FROM (
+         |    SELECT unnest(${oracleGram(2)}) AS g
+         |    FROM documents WHERE len(string_split(text, ' ')) >= 2)
+         |  GROUP BY g),
+         |u AS (
+         |  SELECT tok, count(*) AS c1 FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok)
+         |SELECT g, c2, c1, round(CAST(c2 AS DOUBLE) / c1, 6) AS p
+         |FROM b JOIN u ON string_split(g, ' ')[1] = u.tok
+         |ORDER BY c2 DESC, g
+         |LIMIT 50""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val b = docs.where(size(split(col("text"), " ")) >= 2)
+        .select(explode(word_ngrams(col("text"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c2"))
+      val u = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      b.join(u, substring_index(col("g"), " ", 1) === col("tok"))
+        .select(col("g"), col("c2"), col("c1"),
+          round(col("c2").cast("double") / col("c1"), 6).as("p"))
+        .orderBy(col("c2").desc, col("g"))
+        .limit(50)
+    },
+
     // Cross-document boilerplate detection: 5-grams shared by >= 3
     // distinct docs (headers/footers/license blocks in a real corpus).
     // Per-doc-distinct grams explode map-side, then ONE count shuffle on

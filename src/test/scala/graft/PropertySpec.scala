@@ -73,6 +73,24 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("word_ngrams: count, arity, and reconstruction hold (40 cases)") {
+    import spark.implicits._
+    val caseGen = for {
+      t <- textGen
+      n <- Gen.choose(1, 6)
+    } yield (t, n)
+    samples(caseGen, 40).foreach { case (t, n) =>
+      val toks = t.split(" ", -1)
+      val gs = Seq(t).toDF("t").select(word_ngrams(col("t"), n))
+        .head().getSeq[String](0)
+      assert(gs.length == math.max(0, toks.length - n + 1), s"n=$n '$t'")
+      gs.zipWithIndex.foreach { case (g, i) =>
+        // each gram is exactly tokens i..i+n-1 rejoined
+        assert(g == toks.slice(i, i + n).mkString(" "), s"n=$n i=$i '$t'")
+      }
+    }
+  }
+
   test("minhash: identical text ⇒ identical signature; tail edit keeps lanes (30 cases)") {
     import spark.implicits._
     samples(textGen.suchThat(_.split(" ").length >= 3), 30).foreach { t =>

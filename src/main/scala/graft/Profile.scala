@@ -37,7 +37,13 @@ object Profile {
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           q.fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // same block release as Bench: queries that persist/localCheckpoint
+          // would otherwise inflate later reps (storage-region pressure)
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          dt
         }
         println(f"$n%-28s min=${times.min}%.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
       }

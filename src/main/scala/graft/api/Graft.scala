@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions._
   * Column contracts are positional-by-name and minimal:
   *   docs  — (doc_id LONG, text STRING)
   *   store — (id LONG, embedding ARRAY<FLOAT>)
-  * Everything returns a lazy DataFrame; no collect, no session state.
+  * Everything returns a DataFrame and nothing collects to the driver.
+  * Laziness caveat: the MinHash pipeline ([[minhashNearDupPairs]],
+  * [[dedupClusters]], [[nearDupKeepList]], and [[mmrRerank]]'s greedy)
+  * materializes bounded intermediates eagerly (persist/localCheckpoint
+  * of candidate/label frames — required so iterative stages don't replay
+  * the full sketch per round). Long-lived sessions issuing many such
+  * calls should release blocks between calls:
+  * `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))`.
   */
 object Graft {
 

@@ -111,10 +111,14 @@ object Corpus {
       .withColumn("rate",
         min(col("docs")).over(Window.partitionBy()).cast("double")
           / col("docs"))
+    // 32-bit coin resolution: a 16-bit threshold floors to zero for any
+    // group > 65536x the smallest (the dominant group would vanish); 8
+    // hex digits push that cliff past 4e9x skew, far beyond real corpora.
     df.join(broadcast(rates), groupCol)
       .where(col("rate") >= 1.0 ||
-        substring(md5(col(idCol).cast("string")), 1, 4) <
-          lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+        substring(md5(col(idCol).cast("string")), 1, 8) <
+          lpad(lower(hex(floor(col("rate") * 4294967296L).cast("long"))),
+            8, "0"))
   }
 
   val defs: Seq[Q] = Seq(
@@ -272,8 +276,9 @@ object Corpus {
         |  count(*) AS kept
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE r.rate >= 1.0
-        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
-        |      < lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))), 4, '0')
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296) AS BIGINT))),
+        |             8, '0')
         |GROUP BY r.lang, r.docs, r.rate
         |ORDER BY lang""".stripMargin) { (s, d) =>
       rebalanceBy(Tables.documents(s, d), "lang", "doc_id")

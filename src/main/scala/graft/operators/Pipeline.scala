@@ -400,7 +400,8 @@ object Pipeline {
         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10.00 AS DOUBLE) AS p
         |  FROM orders WHERE o_orderkey % 3 = 0)
         |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
-        |  coalesce(s.p, t.o_totalprice) AS o_totalprice,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.p
+        |       ELSE t.o_totalprice END AS o_totalprice,
         |  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
         |       WHEN s.o_orderkey IS NULL THEN 'carry'
         |       ELSE 'update' END AS action
@@ -540,8 +541,12 @@ object Pipeline {
     val cols = target.columns
     val t = target.select(cols.map(c => col(c).as(s"t_$c")).toSeq: _*)
     val sr = source.select(cols.map(c => col(c).as(s"s_$c")).toSeq: _*)
+    // branch on WHICH SIDE matched, not per-column coalesce: a matched
+    // source row's NULL is a legitimate update (MERGE ... UPDATE SET
+    // semantics), it must not silently keep the target's old value
     t.join(sr, col(s"t_$key") === col(s"s_$key"), "full_outer")
-      .select(cols.map(c => coalesce(col(s"s_$c"), col(s"t_$c")).as(c)).toSeq
+      .select(cols.map(c => when(col(s"s_$key").isNotNull, col(s"s_$c"))
+          .otherwise(col(s"t_$c")).as(c)).toSeq
         :+ when(col(s"t_$key").isNull, "insert")
           .when(col(s"s_$key").isNull, "carry")
           .otherwise("update").as("action"): _*)

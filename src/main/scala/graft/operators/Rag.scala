@@ -114,10 +114,15 @@ object Rag {
             }
             i += 1
           }
-          used(best) = true
-          chosen += cs(best)._2
-          picked += ((r, cs(best)._1, math.rint(bestScore * 1e6) / 1e6))
-          r += 1
+          // all-NaN scores (dirty caller embeddings) leave best = -1:
+          // stop selecting rather than crash mid-task
+          if (best < 0) { r = k + 1 }
+          else {
+            used(best) = true
+            chosen += cs(best)._2
+            picked += ((r, cs(best)._1, math.rint(bestScore * 1e6) / 1e6))
+            r += 1
+          }
         }
         picked.result().iterator
       }

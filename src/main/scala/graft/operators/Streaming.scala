@@ -294,10 +294,19 @@ object Streaming {
         }
         .start()
       q.awaitTermination()
-      def aggOf(dir: String, name: String) = s.read.parquet(dir)
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(14,2)")).cast("double").as("sv"))
-        .select(lit(name).as("sink"), col("n"), col("sv"))
+      // a route that received zero rows across all batches has no
+      // directory — report (n=0, sv=null) instead of failing the read
+      val schema = Tables.events(s, d).schema
+      def aggOf(dir: String, name: String) = {
+        val rows =
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+            s.read.schema(schema).parquet(dir)
+          else s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        rows.agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(14,2)")).cast("double").as("sv"))
+          .select(lit(name).as("sink"), col("n"), col("sv"))
+      }
       aggOf(badDir, "quarantine").unionAll(aggOf(okDir, "valid"))
         .orderBy("sink")
     },

@@ -112,6 +112,14 @@ class ApiSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, 10.0, "carry"), (2L, 99.0, "update"),
       (3L, 30.0, "insert")))
+    // a matched source row's NULL is a legitimate update (MERGE ... UPDATE
+    // SET semantics) — it must override the target's old value, not be
+    // coalesced away
+    val nullSrc = Seq((2L, Option.empty[Double])).toDF("k", "v")
+    val out2 = Graft.mergeUpsert(target, nullSrc, "k").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).sortBy(_._1)
+    assert(out2.toSeq == Seq((1L, Some(10.0), "carry"),
+      (2L, None, "update")))
   }
 
   test("mmrRerank picks k diverse rows from the pool; rank 1 is top-1") {

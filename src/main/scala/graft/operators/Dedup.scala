@@ -58,7 +58,7 @@ object Dedup {
     * `graft.api.Graft.minhashNearDupPairs`): `docs` needs (doc_id, text).
     */
   private[graft] def minhashVerifiedPairsOf(docs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = 1000): DataFrame = {
     // scan-side signature: one string hash per shingle + 32 splitmix
     // lanes (the nested-HOF formulation recomputed ~1G string hashes at
     // sf0.1 — 100×+ slower than this kernel)
@@ -66,7 +66,7 @@ object Dedup {
       .where(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         minhash_shingles(col("text"), 32, 3).as("sig"))
-    val bands = sig.select(col("doc_id"),
+    val rawBands = sig.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 7), b -> named_struct(
             |  'band', b,
@@ -74,6 +74,20 @@ object Dedup {
             |                 element_at(sig, 4*b + 3), element_at(sig, 4*b + 4))))"""
             .stripMargin)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    // hot-bucket cap — the 100 TB safety valve: a degenerate bucket with B
+    // members yields B² candidate pairs (one boilerplate-heavy shingle
+    // pattern can put millions of docs in one band bucket and melt the
+    // self-join). Buckets over `maxBucket` are dropped, matching
+    // production dedup practice (a pattern shared by >1000 docs is
+    // boilerplate, not near-duplication — `text_boilerplate_ngrams` is
+    // the operator that reports it). One extra combiner-friendly count
+    // shuffle on (band, bh); fixture buckets are far below any sane cap,
+    // so the oracled collapse pipeline is unchanged (gate-checked).
+    val okBuckets = rawBands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucket)
+      .select("band", "bh")
+    val bands = rawBands.join(okBuckets, Seq("band", "bh"), "left_semi")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

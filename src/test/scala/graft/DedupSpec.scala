@@ -100,6 +100,22 @@ class DedupSpec extends SparkSuite {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("minhash hot-bucket cap drops degenerate buckets, keeps normal ones") {
+    import spark.implicits._
+    // 10 identical docs → identical signatures → every band bucket has
+    // all 10 members; a cap below 10 must yield zero candidate pairs,
+    // a cap above it the full 45
+    val docs = (0L until 10L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val capped = operators.Dedup
+      .minhashVerifiedPairsOf(docs, 0.5, maxBucket = 5).count()
+    assert(capped == 0, s"cap=5 should drop the size-10 bucket, got $capped")
+    val uncapped = operators.Dedup
+      .minhashVerifiedPairsOf(docs, 0.5, maxBucket = 100).count()
+    assert(uncapped == 45, s"cap=100 keeps all 45 pairs, got $uncapped")
+  }
+
   test("dedup_exact is idempotent") {
     val q = SparkEntry.queries("dedup_exact")
     val once = q(spark, sf)

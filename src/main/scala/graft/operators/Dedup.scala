@@ -74,20 +74,28 @@ object Dedup {
             |                 element_at(sig, 4*b + 3), element_at(sig, 4*b + 4))))"""
             .stripMargin)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      // three consumers (bucket count + both self-join sides) would each
+      // recompute the scan + minhash kernel; pin the tiny (doc, band, bh)
+      // frame once instead (released in the finally below)
+      .persist()
     // hot-bucket cap — the 100 TB safety valve: a degenerate bucket with B
     // members yields B² candidate pairs (one boilerplate-heavy shingle
     // pattern can put millions of docs in one band bucket and melt the
     // self-join). Buckets over `maxBucket` are dropped, matching
     // production dedup practice (a pattern shared by >1000 docs is
     // boilerplate, not near-duplication — `text_boilerplate_ngrams` is
-    // the operator that reports it). One extra combiner-friendly count
-    // shuffle on (band, bh); fixture buckets are far below any sane cap,
-    // so the oracled collapse pipeline is unchanged (gate-checked).
-    val okBuckets = rawBands.groupBy("band", "bh")
+    // the operator that reports it). The HOT bucket list (size > cap) is
+    // near-empty by construction, so it broadcasts and the bands frame is
+    // filtered by a broadcast anti-join — never re-shuffled; the only
+    // extra cost is one map-side-combined count of bucket keys. Fixture
+    // buckets are far below any sane cap, so the oracled collapse
+    // pipeline is unchanged (gate-checked).
+    val hot = rawBands.groupBy("band", "bh")
       .agg(count(lit(1)).as("bn"))
-      .where(col("bn") <= maxBucket)
+      .where(col("bn") > maxBucket)
       .select("band", "bh")
-    val bands = rawBands.join(okBuckets, Seq("band", "bh"), "left_semi")
+    val bands = rawBands
+      .join(broadcast(hot), Seq("band", "bh"), "left_anti")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -117,7 +125,7 @@ object Dedup {
         // eager, O(verified pairs) rows: pins the result so `cand` can be
         // released immediately instead of living for the session
         .localCheckpoint(true)
-    } finally cand.unpersist(false)
+    } finally { cand.unpersist(false); rawBands.unpersist(false) }
   }
 
   /** Connected components over an undirected pair list by iterative

@@ -12,6 +12,34 @@ import org.apache.spark.sql.functions._
   */
 object Aggregations {
 
+  private val modeDefs: Seq[Q] = Seq(
+    // Statistical mode with a DETERMINISTIC tie-break (max count, then
+    // min value) — engines' native mode() functions break ties
+    // arbitrarily, so both sides use the same explicit rank formulation.
+    Q("agg_mode_deterministic",
+      """SELECT o_orderstatus, o_orderpriority AS mode_prio, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM (
+        |    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |    FROM orders GROUP BY 1, 2))
+        |WHERE rn = 1
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_prio"),
+          col("cnt"))
+        .orderBy("o_orderstatus")
+    },
+  )
+
   /** sum(cast(x as decimal(12,2))) cast back to double — engine-exact. */
   private def dsum(c: String) = sum(col(c).cast("decimal(12,2)")).cast("double")
 
@@ -166,5 +194,5 @@ object Aggregations {
           col("n"))
         .orderBy("label")
     },
-  )
+  ) ++ modeDefs
 }

@@ -130,5 +130,40 @@ object Multimodal {
           col("channels"), col("sig"))
         .orderBy("doc_id")
     },
+
+    // Vector-column hygiene profile: the ingest audit a vector store runs
+    // before indexing — null vectors, dimension consistency, non-finite
+    // components, norm range. One scan, everything scan-side HOFs; norms
+    // are sequential folds in BOTH engines (same accumulation order) and
+    // only rounded extremes are emitted — no sum-order drift.
+    Q("profile_embeddings",
+      """SELECT count(*) AS n,
+        |  count(*) FILTER (WHERE embedding IS NULL) AS null_vecs,
+        |  count(DISTINCT len(embedding)) AS n_dims,
+        |  min(len(embedding)) AS min_dim, max(len(embedding)) AS max_dim,
+        |  count(*) FILTER (WHERE len(list_filter(embedding,
+        |    x -> isnan(x) OR isinf(x))) > 0) AS nonfinite_vecs,
+        |  round(min(sqrt(list_sum(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS min_norm,
+        |  round(max(sqrt(list_sum(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS max_norm
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      val norm = sqrt(expr(
+        "aggregate(embedding, 0d, (acc, x) -> acc + cast(x as double) * cast(x as double))"))
+      Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("embedding").isNull, 1).otherwise(0)).cast("long")
+          .as("null_vecs"),
+        countDistinct(size(col("embedding"))).as("n_dims"),
+        min(size(col("embedding"))).as("min_dim"),
+        max(size(col("embedding"))).as("max_dim"),
+        sum(when(expr(
+          """exists(embedding, x -> isnan(x)
+            |  OR x = cast('Infinity' as float)
+            |  OR x = cast('-Infinity' as float))""".stripMargin), 1)
+          .otherwise(0)).cast("long").as("nonfinite_vecs"),
+        round(min(norm), 4).as("min_norm"),
+        round(max(norm), 4).as("max_norm"))
+    },
   )
 }

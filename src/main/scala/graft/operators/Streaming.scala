@@ -260,6 +260,38 @@ object Streaming {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
 
+    // Streaming top-k materialized view: the stream maintains the
+    // incremental (hour × type) counts (that's the streaming job); the
+    // top-2-per-window rank runs at QUERY time over the tiny MV — the
+    // production split for streaming top-k (rank is not incrementally
+    // maintainable in complete mode; the MV is, and it is window-count
+    // sized, so the query-time rank is O(windows), not O(events)).
+    Q("stream_window_topk_mv",
+      """SELECT win_start, event_type, n FROM (
+        |  SELECT win_start, event_type, n,
+        |    row_number() OVER (PARTITION BY win_start
+        |                       ORDER BY n DESC, event_type) AS rn
+        |  FROM (
+        |    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+        |      event_type, count(*) AS n
+        |    FROM events GROUP BY 1, 2))
+        |WHERE rn <= 2
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      val agg = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+      val mv = Streams.runToTable(agg, "complete")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("win_start").orderBy(col("n").desc, col("event_type"))
+      mv.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select("win_start", "event_type", "n")
+        .orderBy("win_start", "event_type")
+    },
+
     // Multi-sink routing (side outputs): each micro-batch is persisted
     // ONCE and split by a gate predicate into a valid store and a
     // quarantine store — the streaming dq-gate / dead-letter pattern

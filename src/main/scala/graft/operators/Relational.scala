@@ -12,6 +12,37 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  private val pageDefs: Seq[Q] = Seq(
+    // Keyset pagination — the scale-correct page fetch: WHERE key >
+    // last-seen ORDER BY key LIMIT n is a pushed range predicate + top-k
+    // (TakeOrderedAndProject), O(page) work per page. OFFSET pagination
+    // (skip-and-discard) re-scans and re-sorts everything before the page
+    // and is deliberately NOT in the inventory. Page 3 fetched here by
+    // chaining two keyset hops so the query proves the page boundary
+    // arithmetic, not just one filter.
+    Q("scan_keyset_page",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > (
+        |  SELECT max(o_orderkey) FROM (
+        |    SELECT o_orderkey FROM orders
+        |    WHERE o_orderkey > (
+        |      SELECT max(o_orderkey) FROM (
+        |        SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100))
+        |    ORDER BY o_orderkey LIMIT 100))
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      def pageAfter(lastKey: org.apache.spark.sql.DataFrame) =
+        Tables.orders(s, d)
+          .join(broadcast(lastKey), col("o_orderkey") > col("k"))
+          .orderBy("o_orderkey").limit(100)
+      val page1 = Tables.orders(s, d).orderBy("o_orderkey").limit(100)
+      def lastOf(p: org.apache.spark.sql.DataFrame) =
+        p.agg(max(col("o_orderkey")).as("k"))
+      pageAfter(lastOf(pageAfter(lastOf(page1))))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+  )
+
   val defs: Seq[Q] = Seq(
 
     Q("scan_parquet",
@@ -94,5 +125,5 @@ object Relational {
         .select("p_partkey", "p_name", "p_brand", "p_size")
         .orderBy("p_partkey")
     },
-  )
+  ) ++ pageDefs
 }

@@ -71,9 +71,20 @@ object Graft {
   /** Connected components over an undirected (doc_a, doc_b) pair list:
     * (doc_id, cluster_id) with cluster_id = min reachable doc_id.
     * Join-based iterative min-label propagation, rounds = graph diameter.
+    * The label frame is broadcast only while the graph has ≤20M nodes;
+    * larger graphs fall back to shuffle joins (AQE-chosen), so arbitrary
+    * caller pair lists cannot blow the broadcast/driver ceiling.
     */
   def dedupClusters(pairs: DataFrame): DataFrame =
     graft.operators.Dedup.collapseClusters(pairs)
+
+  /** SimHash near-duplicate pairs of `docs` (doc_id, text): 64-bit
+    * sketch, 4×16-bit bands, Hamming ≤ `maxHamming` verification within
+    * hash-equal buckets; buckets over 1000 members are dropped as
+    * boilerplate (the same hot-bucket cap as [[minhashNearDupPairs]]).
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    graft.operators.Dedup.simhashPairsOf(docs, maxHamming)
 
   /** End-to-end near-dup keep/drop list: [[minhashNearDupPairs]] →
     * [[dedupClusters]] → keep = "is the cluster representative".
@@ -143,6 +154,8 @@ object Graft {
     * and `source`; matched `key` rows take the source's values, unmatched
     * source keys insert, untouched target rows carry — plus an `action`
     * audit column. One co-partitioned full-outer shuffle join on the key.
+    * NULL-key source rows never equality-match, so they are emitted
+    * value-intact as `insert` (SQL MERGE WHEN-NOT-MATCHED semantics).
     */
   def mergeUpsert(target: DataFrame, source: DataFrame, key: String): DataFrame =
     graft.operators.Pipeline.mergeUpsertOf(target, source, key)

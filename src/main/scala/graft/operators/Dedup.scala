@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{cosine_sim, minhash_shingles, simhash64}
+import graft.functions.{cosine_sim, minhash_shingles, simhash64, word_ngrams}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,18 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-word shingles of `text` (whitespace-tokenized). */
-  private val ShingleSql =
-    """array_distinct(transform(
-      |  sequence(1, size(split(text, ' ')) - 2),
-      |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |                      element_at(split(text, ' '), i + 1),
-      |                      element_at(split(text, ' '), i + 2))))""".stripMargin
+  /** Distinct 3-word shingles of `text` (whitespace-tokenized) — the
+    * codegen'd `word_ngrams` kernel (one split + one linear pass), NOT the
+    * HOF-over-split formulation that re-evaluates `split` per element
+    * reference (measured 12–40× slower on corpus scans). Same token
+    * semantics as `string_split(text, ' ')`, so the DuckDB oracle twin
+    * ([[OracleShingle]]) is unchanged.
+    */
+  private def shingles3: Column =
+    array_distinct(word_ngrams(col("text"), 3))
 
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .where(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), expr(ShingleSql).as("sh"))
+      .select(col("doc_id"), shingles3.as("sh"))
 
   private def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double")
@@ -115,7 +117,7 @@ object Dedup {
       val candSh = docs
         .join(broadcast(candIds), "doc_id")
         .where(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), expr(ShingleSql).as("sh"))
+        .select(col("doc_id"), shingles3.as("sh"))
       val a = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
       val b = candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
       cand.join(a, "doc_a").join(b, "doc_b")
@@ -128,6 +130,48 @@ object Dedup {
     } finally { cand.unpersist(false); rawBands.unpersist(false) }
   }
 
+  /** SimHash near-dup pairs of `docs` (doc_id, text): 64-bit sketch per
+    * doc, 4 bands × 16 bits, Hamming <= `maxHamming` verification within
+    * hash-equal band buckets (equi-join — never a cross product). Same
+    * hot-bucket cap as the MinHash path: short/templated docs collapse to
+    * few sketch values, so one degenerate 16-bit band bucket with B
+    * members would yield B² candidates and melt the self-join at corpus
+    * scale; buckets over `maxBucket` are dropped (a band value shared by
+    * >1000 docs is boilerplate, not near-duplication). The hot list is
+    * near-empty by construction → broadcast anti-join; the only extra
+    * cost is one map-side-combined count of bucket keys.
+    */
+  private[graft] def simhashPairsOf(docs: DataFrame, maxHamming: Int = 6,
+      maxBucket: Int = 1000): DataFrame = {
+    val sk = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val rawBands = sk.select(col("doc_id"), col("sh"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> named_struct(
+            |  'band', b,
+            |  'bv', (sh >> (16 * b)) & 65535))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("sh"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+      // three consumers (bucket count + both self-join sides) would each
+      // recompute the scan + simhash kernel; pin the small frame once
+      .persist()
+    val hot = rawBands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucket)
+      .select("band", "bv")
+    val bands = rawBands.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+    try {
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .distinct()
+        // eager, O(verified pairs) rows — releases rawBands immediately
+        .localCheckpoint(true)
+    } finally rawBands.unpersist(false)
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every node's label converges to the minimum
     * doc_id reachable from it. Join-based — each round is one shuffle
@@ -137,9 +181,19 @@ object Dedup {
     * the growing lineage each round (on a cluster: checkpoint to durable
     * storage); convergence is detected by an empty changed-label diff.
     * Returns (doc_id, cluster_id) for every doc in >=1 pair.
+    *
+    * Broadcast posture at 100 TB: labels is O(nodes in the pair graph).
+    * For dedup-cluster-sized graphs it is tiny next to edges and
+    * broadcasting it keeps every round shuffle-free on the edge list —
+    * but a corpus where hundreds of millions of docs sit in ≥1 near-dup
+    * pair would blow the 8 GB broadcast ceiling. So the hint is
+    * size-guarded: labels' row count (free — the frame is already
+    * materialized by `localCheckpoint`) under `broadcastNodeLimit` →
+    * broadcast; over → plain joins, and AQE picks the join strategy from
+    * the actual sizes (shuffle-hash on the label key).
     */
-  private[graft] def collapseClusters(pairs: DataFrame, maxIter: Int = 10)
-      : DataFrame = {
+  private[graft] def collapseClusters(pairs: DataFrame, maxIter: Int = 10,
+      broadcastNodeLimit: Long = 20000000L): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -147,19 +201,24 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    // node count is fixed across rounds (labels keeps one row per node);
+    // counting the materialized checkpoint is a metadata-cheap job
+    val smallGraph = labels.count() <= broadcastNodeLimit
+    val hinted: DataFrame => DataFrame =
+      if (smallGraph) broadcast(_) else identity
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // labels/nbrMin are O(nodes) tiny next to edges — broadcast both
+      // labels/nbrMin are O(nodes) — under the size guard broadcast both
       // joins so a round never shuffles the edge list (its only shuffle
       // is the groupBy, map-side combined)
-      val nbrMin = edges.join(broadcast(labels), edges("dst") === labels("doc_id"))
+      val nbrMin = edges.join(hinted(labels), edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min("cluster_id").as("nbr_min"))
       // one materialization per round carries BOTH the new labels and the
       // convergence diff (a second labels-vs-next join per round doubled
       // the per-iteration job count)
-      val joined = labels.join(broadcast(nbrMin),
+      val joined = labels.join(hinted(nbrMin),
           labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"), col("cluster_id").as("old_cid"),
           least(col("cluster_id"),
@@ -254,23 +313,7 @@ object Dedup {
     // with high probability), Hamming <= 6 verification within buckets.
     // Sketch-defined → no SQL oracle.
     Q.noOracle("dedup_simhash") { (s, d) =>
-      val sk = Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(col("text")).as("sh"))
-      val bands = sk.select(col("doc_id"), col("sh"),
-          explode(expr(
-            """transform(sequence(0, 3), b -> named_struct(
-              |  'band', b,
-              |  'bv', (sh >> (16 * b)) & 65535))""".stripMargin)).as("e"))
-        .select(col("doc_id"), col("sh"),
-          col("e.band").as("band"), col("e.bv").as("bv"))
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-        .where(col("hamming") <= 6)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+      simhashPairsOf(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
     },
 
     // Embedding-cosine near-dup on a blocked pair space (label = the

@@ -116,6 +116,39 @@ class DedupSpec extends SparkSuite {
     assert(uncapped == 45, s"cap=100 keeps all 45 pairs, got $uncapped")
   }
 
+  test("simhash hot-bucket cap drops degenerate buckets, keeps normal ones") {
+    import spark.implicits._
+    // 5k identical short docs → one simhash value → every band bucket
+    // holds all 5000 members (25M candidate pairs without the cap); the
+    // default cap of 1000 must drop them and finish in bounded time
+    val degen = (0L until 5000L)
+      .map(i => (i, "buy now limited time offer act fast"))
+      .toDF("doc_id", "text")
+    val capped = operators.Dedup.simhashPairsOf(degen).count()
+    assert(capped == 0, s"default cap should drop the size-5000 bucket, got $capped")
+    // the same duplicates below the cap are all found (45 hamming-0 pairs)
+    val small = degen.where(col("doc_id") < 10)
+    val kept = operators.Dedup.simhashPairsOf(small).count()
+    assert(kept == 45, s"10 identical docs should give 45 pairs, got $kept")
+  }
+
+  test("collapseClusters: broadcast and shuffle-join paths agree on a chain") {
+    import spark.implicits._
+    // path graph 0-1-...-11: diameter 11 forces label propagation through
+    // every round, not just the near-clique 2-3 rounds of dup clusters
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val expected = (0L to 11L).map(_ -> 0L).toMap
+    val bc = operators.Dedup.collapseClusters(pairs, maxIter = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bc == expected, s"broadcast path: $bc")
+    // broadcastNodeLimit=0 forces the over-threshold posture: plain joins,
+    // AQE picks the strategy — results must be identical
+    val sh = operators.Dedup.collapseClusters(pairs, maxIter = 15,
+        broadcastNodeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh == expected, s"shuffle path: $sh")
+  }
+
   test("dedup_exact is idempotent") {
     val q = SparkEntry.queries("dedup_exact")
     val once = q(spark, sf)

@@ -195,9 +195,14 @@ object Extended {
       ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
       val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val repl = ev.where(col("event_type") === "click" && col("value") >= 100)
+      // dynamic overwrite with an EMPTY frame writes no partitions and
+      // silently leaves the old 'click' partition in place — fail loudly
+      // instead of diverging from the oracle on a degenerate fixture
+      require(!repl.isEmpty,
+        "sink_partitioned_overwrite: fixture has no 'click' rows with value >= 100")
       try
-        ev.where(col("event_type") === "click" && col("value") >= 100)
-          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        repl.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
       finally prev match {
         case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")

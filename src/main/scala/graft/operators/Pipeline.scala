@@ -540,15 +540,22 @@ object Pipeline {
       : org.apache.spark.sql.DataFrame = {
     val cols = target.columns
     val t = target.select(cols.map(c => col(c).as(s"t_$c")).toSeq: _*)
+      .withColumn("t_present", lit(true))
     val sr = source.select(cols.map(c => col(c).as(s"s_$c")).toSeq: _*)
+      .withColumn("s_present", lit(true))
     // branch on WHICH SIDE matched, not per-column coalesce: a matched
     // source row's NULL is a legitimate update (MERGE ... UPDATE SET
-    // semantics), it must not silently keep the target's old value
+    // semantics), it must not silently keep the target's old value. The
+    // side indicator is a literal presence flag, NOT the key column — a
+    // NULL-key source row never equality-matches, and keying the branch
+    // on s_key would emit it as an all-NULL 'insert'; the flag keeps its
+    // values and labels it 'insert' (SQL MERGE semantics: WHEN NOT
+    // MATCHED inserts the source row as-is, NULL key included).
     t.join(sr, col(s"t_$key") === col(s"s_$key"), "full_outer")
-      .select(cols.map(c => when(col(s"s_$key").isNotNull, col(s"s_$c"))
+      .select(cols.map(c => when(col("s_present"), col(s"s_$c"))
           .otherwise(col(s"t_$c")).as(c)).toSeq
-        :+ when(col(s"t_$key").isNull, "insert")
-          .when(col(s"s_$key").isNull, "carry")
+        :+ when(col("t_present").isNull, "insert")
+          .when(col("s_present").isNull, "carry")
           .otherwise("update").as("action"): _*)
   }
 

@@ -295,8 +295,12 @@ object Streaming {
     // Multi-sink routing (side outputs): each micro-batch is persisted
     // ONCE and split by a gate predicate into a valid store and a
     // quarantine store — the streaming dq-gate / dead-letter pattern
-    // (the batch-side rules are `dq_constraint_check`). Both stores are
-    // plain parquet appends; the result re-reads them and is oracled
+    // (the batch-side rules are `dq_constraint_check`). Each batch writes
+    // to a DETERMINISTIC per-batchId subpath with overwrite — a micro-
+    // batch replayed after a partial write rewrites its own subdir
+    // instead of double-appending, so the routing is idempotent under
+    // retry, not just on a failure-free pass. The result re-reads both
+    // stores (recursive lookup over the batch subdirs) and is oracled
     // against the equivalent batch split, proving no row is lost or
     // double-routed across batches.
     Q("stream_route_split",
@@ -315,13 +319,15 @@ object Streaming {
       val gate = col("value") >= 100
       val q = Streams.eventsStream(s, d).writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // one source pass per batch: cache, then two filtered appends
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // one source pass per batch: cache, then two filtered writes,
+          // each into its own batch subdir (overwrite = retry-idempotent)
           batch.persist()
           try {
-            batch.where(gate).write.mode("append").parquet(okDir)
-            batch.where(!coalesce(gate, lit(false)))
-              .write.mode("append").parquet(badDir)
+            batch.where(gate).write.mode("overwrite")
+              .parquet(s"$okDir/batch_$batchId")
+            batch.where(!coalesce(gate, lit(false))).write.mode("overwrite")
+              .parquet(s"$badDir/batch_$batchId")
           } finally { batch.unpersist(); () }
         }
         .start()
@@ -332,7 +338,8 @@ object Streaming {
       def aggOf(dir: String, name: String) = {
         val rows =
           if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-            s.read.schema(schema).parquet(dir)
+            s.read.schema(schema).option("recursiveFileLookup", "true")
+              .parquet(dir)
           else s.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         rows.agg(count(lit(1)).as("n"),

@@ -120,6 +120,14 @@ class ApiSpec extends SparkSuite {
       .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).sortBy(_._1)
     assert(out2.toSeq == Seq((1L, Some(10.0), "carry"),
       (2L, None, "update")))
+    // a NULL-key source row never equality-matches: it must come through
+    // value-intact as an insert, NOT as an all-NULL row
+    val nullKey = Seq((Option.empty[Long], Option(55.0))).toDF("k", "v")
+    val out3 = Graft.mergeUpsert(target, nullKey, "k").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2)))
+      .sortBy(_._1.map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))
+    assert(out3.toSeq == Seq((None, Some(55.0), "insert"),
+      (Some(1L), Some(10.0), "carry"), (Some(2L), Some(20.0), "carry")), out3.toSeq)
   }
 
   test("mmrRerank picks k diverse rows from the pool; rank 1 is top-1") {

@@ -63,10 +63,14 @@ class RetrievalSpec extends SparkSuite {
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
     val used = scala.collection.mutable.Set.empty[Long]
     (1 to 5).foreach { r =>
+      // same tie-break as mmrSelect: iterate in (rel desc, id asc) order
+      // (cand is already sorted that way) and keep the FIRST strict
+      // maximum — a maxBy((score, -id)) would break exact-score ties by
+      // id instead of pool order and flake on a tie across rel values
       val (id, emb, score) = cand.filterNot(c => used(c._1)).map { c =>
         val div = if (chosen.isEmpty) 0.0 else chosen.map(p => cos(c._2, p._2)).max
         (c._1, c._2, 0.7 * c._3 - 0.3 * div)
-      }.maxBy(c => (c._3, -c._1))
+      }.reduceLeft((best, c) => if (c._3 > best._3) c else best)
       used += id; chosen += ((id, emb))
       assert(got(r - 1)._2 == id, s"rank $r expected $id, got ${got(r - 1)._2}")
       assert(math.abs(got(r - 1)._3 - math.rint(score * 1e6) / 1e6) < 1e-9,

@@ -60,6 +60,95 @@ object Graft {
         graft.functions.cosine_sim(col("embedding"), col("probe")).as("score"))
       .where(col("score") >= minScore)
 
+  /** A built IVF index over a caller store: `assign` carries every store
+    * row plus its cell assignment (id, embedding, cell) — on a real table
+    * `cell` is the partition/cluster key — and `centroids` is the k-row
+    * routing table (cell, cent). Both are materialized (probing must not
+    * replay the k-means); release with [[IvfIndex.unpersist]] when done.
+    */
+  final case class IvfIndex(assign: DataFrame, centroids: DataFrame) {
+    def unpersist(): Unit = { assign.unpersist(); centroids.unpersist(); () }
+  }
+
+  /** Build an IVF index over `store` (id, embedding): distributed seeded
+    * k-means into `k` cells (`vector_avg` UDAF recompute per round, no
+    * driver collect — Ann.kmeansCells). This is the sub-linear ANN path
+    * at scale: vectors partition by cell, probes read only their nprobe
+    * nearest cells ([[ivfTopK]]).
+    */
+  def ivfBuild(store: DataFrame, k: Int, iters: Int = 3): IvfIndex = {
+    val assign = graft.operators.Ann.kmeansCells(
+        store.select(col("id").as("vec_id"), col("embedding")), k, iters)
+      .select(col("vec_id").as("id"), col("embedding"), col("cell"))
+      .persist()
+    val cents = assign.groupBy("cell")
+      .agg(graft.functions.vector_avg(col("embedding")).as("cent"))
+      .persist()
+    IvfIndex(assign, cents)
+  }
+
+  /** IVF top-k: route every `probes` row (probe_id, probe) to its
+    * `nprobe` nearest cells by centroid cosine (a k×probes-row crossJoin
+    * — metadata-sized), then score ONLY the routed cells' vectors. The
+    * store side never shuffles: the routing table broadcasts onto the
+    * cell-partitioned assignment (at 100 TB: partition pruning), and the
+    * per-probe ranking window runs over the candidate subset, scan
+    * fraction ≈ nprobe/k. Recall/scan trade-off is the caller's k/nprobe
+    * choice (ApiSpec proves ≥0.9 recall at 25% scan on clustered data).
+    */
+  def ivfTopK(index: IvfIndex, probes: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val rw = Window.partitionBy("probe_id")
+      .orderBy(col("cs").desc, col("cell"))
+    val routes = index.centroids.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("probe"), col("cell"),
+        graft.functions.cosine_sim(col("cent"), col("probe")).as("cs"))
+      .withColumn("rnk", row_number().over(rw))
+      .where(col("rnk") <= nprobe)
+      .select("probe_id", "probe", "cell")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("id"))
+    index.assign.join(broadcast(routes), "cell")
+      .select(col("probe_id"), col("id"),
+        graft.functions.cosine_sim(col("embedding"), col("probe")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** LSH top-k: OR-amplified random-hyperplane search — `tables`
+    * independent `bits`-bit signatures per vector (seeded, scan-side
+    * codegen'd expressions); a store row is a candidate for a probe if
+    * ANY of its signatures lands within Hamming `maxHamming` of the
+    * probe's, and only candidates pay the exact cosine. At 100 TB each
+    * signature is its own partition/cluster key and the disjunction
+    * becomes `tables` bucket-joins unioned before the verify step.
+    */
+  def lshTopK(store: DataFrame, probes: DataFrame, k: Int, bits: Int = 12,
+      tables: Int = 3, maxHamming: Int = 5): DataFrame = {
+    val seeds = (0 until tables).map(i => 42L + i * 1299721L)
+    val e = seeds.zipWithIndex.foldLeft(store) { case (df, (sd, i)) =>
+      df.withColumn(s"b$i",
+        graft.functions.lsh_bucket(col("embedding"), bits, sd))
+    }
+    val p = seeds.zipWithIndex.foldLeft(probes) { case (df, (sd, i)) =>
+      df.withColumn(s"pb$i",
+        graft.functions.lsh_bucket(col("probe"), bits, sd))
+    }
+    val anyTableHits = seeds.indices
+      .map(i => bit_count(col(s"b$i").bitwiseXOR(col(s"pb$i"))) <= maxHamming)
+      .reduce(_ || _)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("id"))
+    e.crossJoin(broadcast(p))
+      .where(anyTableHits)
+      .select(col("probe_id"), col("id"),
+        graft.functions.cosine_sim(col("embedding"), col("probe")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** MinHash(32) + LSH(8×4) near-duplicate pairs of `docs` (doc_id,
     * text), exact-Jaccard verified at `threshold`. Candidates come from
     * band-hash equi-buckets only — never a cross product; only candidate

@@ -130,6 +130,53 @@ class ApiSpec extends SparkSuite {
       (Some(1L), Some(10.0), "carry"), (Some(2L), Some(20.0), "carry")), out3.toSeq)
   }
 
+  test("ivfTopK/lshTopK: recall >= 0.9 at bounded scan on a clustered corpus") {
+    import spark.implicits._
+    // The sf fixtures' embeddings are near-random, which caps ANY
+    // sub-linear ANN's recall (Ann.scala documents the measurement) — so
+    // the recall/scan-fraction trade-off is proven here on a corpus with
+    // real cluster structure: 16 well-separated Gaussian clusters in
+    // 32-dim (intra-cluster cosine ~0.99, cross-cluster ~0), 100 points
+    // each, deterministic seed.
+    val rnd = new scala.util.Random(7)
+    val (dim, nClusters, per) = (32, 16, 100)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- 0 until nClusters; i <- 0 until per) yield
+      ((c * per + i).toLong,
+        unit(centers(c).map(_ + 0.15 * rnd.nextGaussian())))
+    val cstore = pts.toDF("id", "embedding")
+    val cprobes = cstore.where(col("id").isin(0L, 505L, 1010L))
+      .select(col("id").as("probe_id"), col("embedding").as("probe"))
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Graft.cosineTopK(cstore, cprobes, 10))
+    val idx = Graft.ivfBuild(cstore, k = nClusters)
+    try {
+      val ivf = topSets(Graft.ivfTopK(idx, cprobes, 10, nprobe = 4))
+      exact.foreach { case (p, ex) =>
+        val rec = ex.intersect(ivf(p)).size / 10.0
+        assert(rec >= 0.9, s"IVF recall $rec for probe $p")
+      }
+      // scan-fraction bound: a probe reads its nprobe routed cells only;
+      // even the 4 LARGEST cells must stay well under the full store
+      // (balanced k-means ⇒ ~25%; gate at 40% to absorb imbalance)
+      val sizes = idx.assign.groupBy("cell").count()
+        .collect().map(_.getLong(1)).sortBy(-_)
+      val scanned = sizes.take(4).sum.toDouble / (nClusters * per)
+      assert(scanned <= 0.4, s"IVF scan fraction $scanned")
+    } finally idx.unpersist()
+    val lsh = topSets(Graft.lshTopK(cstore, cprobes, 10))
+    exact.foreach { case (p, ex) =>
+      val rec = ex.intersect(lsh(p)).size / 10.0
+      assert(rec >= 0.9, s"LSH recall $rec for probe $p")
+    }
+  }
+
   test("mmrRerank picks k diverse rows from the pool; rank 1 is top-1") {
     val probe = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
       .select(col("embedding").as("probe"))

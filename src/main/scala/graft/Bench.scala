@@ -83,7 +83,38 @@ object Bench {
         .replaceAll("[\\x00-\\x1F]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
+    println(detail)
+    // Cross-round regression guard + full-detail artifact: the driver's
+    // 2000-char stdout tail keeps only ~90 of the per-query timings, so
+    // the complete map is persisted to BENCH_DETAIL.json (repo cwd). If a
+    // previous detail file exists for the SAME sf, any query >1.5× slower
+    // (and >0.3 s absolute — sub-0.1 s timings are scheduler noise) is
+    // flagged on stderr before the file is overwritten.
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    try {
+      if (java.nio.file.Files.isRegularFile(detailPath)) {
+        val prior = new String(java.nio.file.Files.readAllBytes(detailPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sameSf = prior.contains(s""""sf":"$sfDir"""")
+        val qsBlock = prior.indexOf("\"queries\":{")
+        if (sameSf && qsBlock >= 0) {
+          val block = prior.substring(qsBlock + 11,
+            prior.indexOf("}", qsBlock))
+          val priorTimes = """"([^"]+)":([0-9.]+)""".r
+            .findAllMatchIn(block)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          for ((name, t, err) <- results if err.isEmpty;
+               p <- priorTimes.get(name)
+               if t > 1.5 * p && t - p > 0.3)
+            System.err.println(
+              s"[bench-regress] $name: ${sec(p)} -> ${sec(t)} s")
+        }
+      }
+      java.nio.file.Files.write(detailPath,
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench-detail] persist/compare failed: $t") }
     // the detail line above is ~3 KB — longer than the driver's 2000-char
     // stdout tail, so its leading "value" was truncated away in rounds 1-4
     // (BENCH parsed:null). This short LAST line (~100 chars) always sits

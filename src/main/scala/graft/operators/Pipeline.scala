@@ -237,6 +237,27 @@ object Pipeline {
       perSource.unionAll(global).orderBy("source")
     },
 
+    // Mergeable approximate quantiles — HLL's partner in every 100 TB
+    // profiling stack (cardinality + distribution): per-source p50/p95/p99
+    // plus the global row, ONE scan. Spark's approx_percentile aggregates
+    // a Greenwald-Khanna QuantileSummaries sketch with map-side partial
+    // merge, so the rollup's global row is a SKETCH MERGE of the per-group
+    // partials (Expand + partial agg), never a re-sort of raw values —
+    // rank error is bounded by 1/accuracy. Sketch-defined → no DuckDB
+    // oracle; PipelineSpec gates every estimate against exact
+    // percentile() within tolerance.
+    Q.noOracle("agg_approx_percentile_sketch") { (s, d) =>
+      val qs = array(lit(0.5), lit(0.95), lit(0.99))
+      Tables.events(s, d)
+        .rollup(col("event_type"))
+        .agg(percentile_approx(col("value"), qs, lit(10000)).as("p"))
+        .select(coalesce(col("event_type"), lit("__all__")).as("source"),
+          element_at(col("p"), 1).as("p50"),
+          element_at(col("p"), 2).as("p95"),
+          element_at(col("p"), 3).as("p99"))
+        .orderBy("source")
+    },
+
     // Materialized-rollup reaggregation — the pre-aggregation pattern that
     // makes dashboards affordable at 100 TB: ingest persists fine-grained
     // partials (per day × type: count + exact decimal sum — both

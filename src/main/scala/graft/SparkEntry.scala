@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Retrieval.defs ++
     operators.Sampling.defs ++
     operators.Pipeline.defs ++
+    operators.Analytics.defs ++
     operators.Corpus.defs ++
     operators.Dedup.defs ++
     operators.Ann.defs ++

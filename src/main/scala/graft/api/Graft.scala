@@ -269,4 +269,16 @@ object Graft {
       .limit(pool)
     graft.operators.Rag.mmrSelect(cand, k, lambda)
   }
+
+  /** Exact top-`k` most frequent whitespace tokens of `textCol`, computed
+    * two-phase: per-partition Misra-Gries candidate summaries (the token
+    * tail never shuffles) + an exact recount of candidates only. Exact
+    * whenever every true top-k token is some partition's local top-`m`
+    * (guaranteed for heavy hitters above the MG frequency bound N_p/cap;
+    * AnalyticsSpec proves equality with the one-shuffle exact query
+    * under forced eviction pressure).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int,
+      m: Int = 64, cap: Int = 256): DataFrame =
+    graft.operators.Analytics.heavyHittersOf(docs, textCol, k, m, cap)
 }

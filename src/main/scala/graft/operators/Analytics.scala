@@ -1,0 +1,499 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.word_ngrams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/corpus analytics family (round 7): heavy hitters, ordered-step
+  * funnels, OHLC downsampling, linear gap interpolation, interval-overlap
+  * joins, zonemap file skipping, character entropy, and directional n-gram
+  * containment.
+  *
+  * These are the product-analytics / data-profiling queries a reference
+  * user runs next to the relational core (reference scope: the stream
+  * aggregation surface of `jobs/src` — `AiJob.java:19-57` — generalized the
+  * same way as the rest of Layer B). Every query here is oracled; the
+  * scale-sensitive ones (heavy hitters, zonemap) carry an explicit 100 TB
+  * design in their comments.
+  */
+object Analytics {
+
+  // ---------------------------------------------------------------------
+  // Heavy hitters
+  // ---------------------------------------------------------------------
+
+  /** Frame-parametric two-pass heavy hitters (re-exported as
+    * `graft.api.Graft.heavyHitters`): `docs` needs a string column
+    * `textCol`; returns the exact global top-`k` tokens by count.
+    *
+    * Pass 1 — per-partition Misra-Gries summaries (`cap` counters): each
+    * task streams its rows once through a bounded counter map; on
+    * overflow every counter is decremented (the MG step), so any token
+    * with partition frequency > N_p/cap provably survives. Each task
+    * emits its top-`m` surviving tokens as CANDIDATES. The long tail —
+    * the overwhelming majority of a 100 TB corpus's token mass — dies
+    * inside the task and never shuffles.
+    *
+    * Pass 2 — exact recount of candidates only: the candidate set is
+    * O(partitions × m), broadcast onto the token stream as an equi-join,
+    * and only matching tokens pay the count shuffle. Result is exact
+    * whenever every true top-k token is some partition's local top-m —
+    * guaranteed for k ≤ m under MG's frequency bound, and verified
+    * against the single-shuffle exact query by the shared oracle.
+    *
+    * Contrast with `agg_heavy_hitters`: the one-pass groupBy shuffles
+    * every distinct token (fine when the vocabulary fits the shuffle;
+    * pathological when it is web-scale n-gram-like). This is the standard
+    * two-phase trade: candidates-then-verify, same as the dedup family.
+    */
+  private[graft] def heavyHittersOf(docs: DataFrame, textCol: String,
+      k: Int, m: Int = 64, cap: Int = 256): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val candidates = docs.select(col(textCol).cast("string")).as[String]
+      .mapPartitions { rows =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { text =>
+          if (text != null) text.split(' ').foreach { tok =>
+            if (tok.nonEmpty) {
+              if (counts.contains(tok) || counts.size < cap)
+                counts(tok) = counts.getOrElse(tok, 0L) + 1L
+              else {
+                // Misra-Gries decrement: all counters down one, zeros out
+                val dead = List.newBuilder[String]
+                counts.keysIterator.foreach { key =>
+                  val c = counts(key) - 1L
+                  if (c == 0L) dead += key else counts(key) = c
+                }
+                dead.result().foreach(counts.remove)
+              }
+            }
+          }
+        }
+        counts.toSeq.sortBy { case (t, c) => (-c, t) }
+          .take(m).map(_._1).iterator
+      }
+      .toDF("tok").distinct()
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .join(broadcast(candidates), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** Shannon entropy (bits/char) over the char-array column named
+    * `chCol`: the fold runs over the SORTED distinct-char list so the
+    * summation order — and therefore the double result — is fully
+    * determined by the input. Row-local HOFs only: no shuffle, codegen'd,
+    * linear at 100 TB. Negated at the call site (H = -Σ p·log2 p).
+    */
+  private[graft] def charEntropyNeg(chCol: String)
+      : org.apache.spark.sql.Column = expr(
+    s"""aggregate(
+       |  transform(array_sort(array_distinct($chCol)),
+       |    c -> (cast(size(filter($chCol, x -> x = c)) as double)
+       |          / size($chCol))
+       |         * log2(cast(size(filter($chCol, x -> x = c)) as double)
+       |                / size($chCol))),
+       |  0D, (acc, x) -> acc + x)""".stripMargin)
+
+  // ---------------------------------------------------------------------
+  // Zonemap layout (materialized once per (JVM, sfDir), like
+  // ScaleOps.partitionedEvents: storage preparation, not per-query cost)
+  // ---------------------------------------------------------------------
+
+  private val zoneDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** events re-written range-partitioned + sorted by `value` into 8 files
+    * — the clustered layout that gives per-file min/max statistics their
+    * pruning power (random layout ⇒ every file covers the full range ⇒
+    * zonemaps prune nothing).
+    */
+  private[graft] def zonemapLayout(s: SparkSession, d: String): String =
+    zoneDirs.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_zonemap_")
+        .toString
+      Tables.events(s, d)
+        .repartitionByRange(8, col("value"))
+        .sortWithinPartitions("value")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** The file paths whose [min(value), max(value)] zone intersects
+    * [lo, hi]. The zonemap itself is O(files) metadata rows — the same
+    * bounded-collect class as ann_ivf_persisted's nprobe cell ids; at
+    * 100 TB this table lives in the catalog (Delta/Iceberg file stats)
+    * and the collect is a metadata read, not a data read.
+    */
+  private[graft] def zonemapPrunedFiles(s: SparkSession, dir: String,
+      lo: Double, hi: Double): (Array[String], Long) = {
+    val zones = s.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect()
+    val keep = zones.filter(r =>
+      r.getDouble(1) <= hi && r.getDouble(2) >= lo).map(_.getString(0))
+    (keep, zones.length.toLong)
+  }
+
+  // ---------------------------------------------------------------------
+
+  val defs: Seq[Q] = Seq(
+
+    // Exact heavy hitters, one combiner-friendly shuffle: tokens partial-
+    // aggregate map-side, the global top-k is a TakeOrdered (no full
+    // sort). The deterministic (cnt DESC, tok) tie-break makes top-k
+    // well-defined under the hash-compare.
+    Q("agg_heavy_hitters",
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok
+        |ORDER BY cnt DESC, tok
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(20)
+    },
+
+    // Two-pass heavy hitters (see heavyHittersOf): Misra-Gries candidates
+    // per partition, exact recount of candidates only — the tail never
+    // shuffles. Same oracle as the exact query: the candidate pruning
+    // must not change the answer.
+    Q("agg_heavy_hitters_twopass",
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok
+        |ORDER BY cnt DESC, tok
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      heavyHittersOf(Tables.documents(s, d), "text", 20)
+    },
+
+    // Ordered-step funnel (view → click ≤12 h → purchase ≤24 h), the
+    // MATCH_RECOGNIZE-class product query. All three step times are
+    // window mins over the SAME user partitioning — one Exchange total,
+    // the three Window operators stack on it (no per-step self-join,
+    // which would be three shuffles of the event stream at 100 TB).
+    Q("funnel_view_click_purchase",
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |                     AND ts <= t1 + INTERVAL 12 HOUR THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                     AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM w2)
+        |SELECT
+        |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+        |    AS u_view,
+        |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+        |    AS u_view_click,
+        |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+        |    AS u_full_funnel
+        |FROM w3""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+      val w1 = Tables.events(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      val w2 = w1.withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1")
+          && col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"), col("ts")))
+          .over(byUser))
+      val w3 = w2.withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+          && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"), col("ts")))
+          .over(byUser))
+      w3.agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id")))
+          .as("u_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id")))
+          .as("u_view_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id")))
+          .as("u_full_funnel"))
+    },
+
+    // OHLC downsampling (the time-series rollup every metrics store
+    // ships): per (event_type, day) the first/last value by (ts,
+    // event_id) plus high/low/count/volume. Both row_number passes share
+    // one hash Exchange on the group key (opposite sort orders, same
+    // partitioning); volume goes through DECIMAL so both engines sum
+    // exactly. First/last tie-break on event_id makes the answer
+    // deterministic under equal timestamps.
+    Q("ts_downsample_ohlc",
+      """WITH r AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vol
+        |FROM r
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+      val grp = Window.partitionBy("event_type", "day")
+      val r = base
+        .withColumn("rn_a",
+          row_number().over(grp.orderBy(col("ts").asc, col("event_id").asc)))
+        .withColumn("rn_d",
+          row_number().over(grp.orderBy(col("ts").desc, col("event_id").desc)))
+      r.groupBy(col("event_type"), col("day"))
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("vol"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n"), col("vol"))
+        .orderBy("event_type", "day")
+    },
+
+    // Linear interpolation onto an hourly spine — the gap-fill partner of
+    // ts_gapfill_ffill (carry-forward) with a genuinely different kernel:
+    // missing cells get (pv·(ΔT−Δt) + nv·Δt)/ΔT between their nearest
+    // known neighbors (edges clamp to the one known side). ONE scan of
+    // the fact table (the hourly aggregate carries bounds, types, and the
+    // sparse >150 sums); the spine is O(types × hours) — broadcast-sized.
+    // Cross-engine determinism: the series stays DECIMAL through the
+    // windows, the interpolation numerator is computed in exact DECIMAL
+    // (2-dp values × integer hour deltas), and the ONLY double operation
+    // is the final correctly-rounded division — bit-identical in both
+    // engines with no round() call (whose half-boundary semantics differ:
+    // Spark rounds the shortest decimal repr, DuckDB the binary value,
+    // and 2-dp × power-of-two fractions land exactly on boundaries).
+    Q("ts_interpolate_linear",
+      """WITH sparse AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events WHERE value > 150 GROUP BY 1, 2),
+        |b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM b),
+        |grid AS (
+        |  SELECT t.event_type, hh.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN hours hh),
+        |j AS (
+        |  SELECT g.event_type, g.h, sp.v
+        |  FROM grid g LEFT JOIN sparse sp
+        |    ON sp.event_type = g.event_type AND sp.h = g.h),
+        |w AS (
+        |  SELECT event_type, h, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CASE
+        |    WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      CAST(pv * (date_diff('hour', ph, nh)
+        |                 - date_diff('hour', ph, h))
+        |           + nv * date_diff('hour', ph, h) AS DOUBLE)
+        |      / CAST(date_diff('hour', ph, nh) AS DOUBLE)
+        |    WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+        |    WHEN nv IS NOT NULL THEN CAST(nv AS DOUBLE)
+        |    ELSE 0.0 END AS v_interp
+        |FROM w
+        |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      // one fact scan: the hourly aggregate carries presence (bounds,
+      // types) and the sparse sums; tiny (types × hours), pinned once
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("value") > 150, col("value"))
+          .cast("decimal(12,2)")).as("v"))
+        .localCheckpoint(true)
+      val sparse = hourly.where(col("v").isNotNull)
+      val hoursF = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val grid = hourly.select("event_type").distinct()
+        .crossJoin(broadcast(hoursF))
+      val byType = Window.partitionBy("event_type").orderBy("h")
+      val back = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = byType.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val knownH = when(col("v").isNotNull, col("h"))
+      val dt = expr("timestampdiff(HOUR, ph, h)")
+      val dT = expr("timestampdiff(HOUR, ph, nh)")
+      val w = grid.join(sparse, Seq("event_type", "h"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("ph", last(knownH, ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nh", first(knownH, ignoreNulls = true).over(fwd))
+      w.select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          when(col("v").isNotNull, col("v").cast("double"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              (col("pv") * (dT - dt) + col("nv") * dt).cast("double")
+                / dT.cast("double"))
+            .when(col("pv").isNotNull, col("pv").cast("double"))
+            .when(col("nv").isNotNull, col("nv").cast("double"))
+            .otherwise(lit(0.0)).as("v_interp"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+
+    // Interval-overlap join: urgent order windows [orderdate, +20 d]
+    // against lineitem ship intervals [shipdate, +7 d]; classic
+    // [s1 ≤ e2 AND s2 ≤ e1] predicate. The window set is dim-sized →
+    // broadcast nested-loop; at 100 TB with a data-sized right side the
+    // same query buckets both sides by coarse time range first (the
+    // join_range_interval pattern) so each bucket joins locally.
+    Q("join_interval_overlap",
+      """WITH win AS (
+        |  SELECT o_orderkey AS win_id, o_orderdate AS w_start,
+        |         o_orderdate + INTERVAL 20 DAY AS w_end
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 400),
+        |iv AS (
+        |  SELECT l_shipdate AS i_start,
+        |         l_shipdate + INTERVAL 7 DAY AS i_end
+        |  FROM lineitem WHERE l_partkey < 50)
+        |SELECT w.win_id, count(*) AS n_overlap
+        |FROM win w JOIN iv
+        |  ON iv.i_start <= w.w_end AND w.w_start <= iv.i_end
+        |GROUP BY w.win_id
+        |ORDER BY w.win_id""".stripMargin) { (s, d) =>
+      val win = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") < 400)
+        .select(col("o_orderkey").as("win_id"),
+          col("o_orderdate").as("w_start"),
+          date_add(col("o_orderdate"), 20).as("w_end"))
+      val iv = Tables.lineitem(s, d)
+        .where(col("l_partkey") < 50)
+        .select(col("l_shipdate").as("i_start"),
+          date_add(col("l_shipdate"), 7).as("i_end"))
+      iv.join(broadcast(win),
+          col("i_start") <= col("w_end") && col("w_start") <= col("i_end"))
+        .groupBy("win_id").agg(count(lit(1)).as("n_overlap"))
+        .orderBy("win_id")
+    },
+
+    // Zonemap (file-stats) pruning: the storage-side data-skipping every
+    // lakehouse table format does. The layout is range-clustered by
+    // `value` (see zonemapLayout), the per-file min/max table is bounded
+    // metadata, and the [240, 250] probe reads ONLY the intersecting
+    // files — AnalyticsSpec asserts the pruned list is a strict subset.
+    // The answer is oracled against the plain full scan: skipping must
+    // not change results.
+    Q("scan_zonemap_prune",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        |FROM events
+        |WHERE value BETWEEN 240 AND 250
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dir = zonemapLayout(s, d)
+      val (files, _) = zonemapPrunedFiles(s, dir, 240.0, 250.0)
+      s.read.parquet(files: _*)
+        .where(col("value").between(240, 250))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+        .orderBy("event_type")
+    },
+
+    // Character-level Shannon entropy per document — the gibberish /
+    // encoding-noise detector next to text_quality_score. Entirely
+    // row-local HOFs (no shuffle, linear at 100 TB); the fold runs over
+    // the SORTED distinct-char list so both engines sum identical terms
+    // in identical order (list_reduce / aggregate are sequential by
+    // definition — list_sum's accumulation order is unspecified).
+    Q("text_entropy_score",
+      """SELECT doc_id, length(text) AS n_chars,
+        |  round(-list_reduce(list_transform(
+        |      list_sort(list_distinct(string_split(text, ''))),
+        |      c -> (CAST(len(list_filter(string_split(text, ''),
+        |                                 x -> x = c)) AS DOUBLE)
+        |            / len(string_split(text, '')))
+        |           * log2(CAST(len(list_filter(string_split(text, ''),
+        |                                       x -> x = c)) AS DOUBLE)
+        |                  / len(string_split(text, '')))),
+        |    (a, b) -> a + b), 4) AS entropy
+        |FROM documents
+        |WHERE length(text) > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(length(col("text")) > 0)
+        .withColumn("ch", split(col("text"), ""))
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          round(-charEntropyNeg("ch"), 4).as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Directional n-gram containment |A∩B| / |A| — catches doc-IN-doc
+    // duplication that symmetric Jaccard dilutes (a page embedded in a
+    // larger page scores ~1.0 here but ~|A|/|B| there). Same bounded
+    // verification block as dedup_ngram_jaccard (doc_id < 200); at scale
+    // the pair source is the MinHash band join, not a block scan.
+    Q("corpus_containment_ngram",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1])) AS g
+        |  FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / len(a.g), 4) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / len(a.g) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .where(col("doc_id") < 200 && size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"),
+          array_distinct(word_ngrams(col("text"), 2)).as("g"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+      val contain =
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(col("ga"))
+      a.join(b, col("doc_a") =!= col("doc_b") && contain >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(contain, 4).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+}

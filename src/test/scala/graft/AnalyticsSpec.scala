@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Analytics family (round 7): heavy hitters, funnel, interpolation,
+  * zonemap skipping, entropy. The oracled queries are hash-gated by the
+  * driver; these cases cover what the oracle can't see — the two-pass
+  * pruning's exactness under Misra-Gries eviction pressure, the zonemap
+  * actually skipping files, funnel step ordering, and the entropy
+  * kernel's closed-form values.
+  */
+class AnalyticsSpec extends SparkSuite {
+
+  import operators.Analytics
+
+  test("two-pass heavy hitters == exact under MG eviction pressure") {
+    import spark.implicits._
+    // 200 distinct tokens, zipf-ish: token i appears ~ 4000/i times —
+    // with cap=16 counters per partition the MG decrement path runs
+    // constantly, yet the true top-10 must survive
+    val rows = (1 to 200).flatMap { i =>
+      Seq.fill(4000 / i)(s"tok$i")
+    }
+    val docs = scala.util.Random.shuffle(rows).grouped(50)
+      .map(_.mkString(" ")).toSeq.toDF("text").repartition(8)
+    val got = Analytics.heavyHittersOf(docs, "text", 10, m = 16, cap = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == exact.toSeq,
+      s"two-pass ${got.mkString(",")} != exact ${exact.mkString(",")}")
+  }
+
+  test("zonemap prunes files and skipping preserves the answer") {
+    val dir = Analytics.zonemapLayout(spark, sf)
+    val (files, total) = Analytics.zonemapPrunedFiles(spark, dir, 240.0, 250.0)
+    assert(files.length < total,
+      s"zonemap kept all $total files — range layout gave no pruning power")
+    assert(files.nonEmpty, "pruning dropped every file for an in-range probe")
+    val skipped = spark.read.parquet(files: _*)
+      .where(col("value").between(240, 250)).count()
+    val full = Tables.events(spark, sf)
+      .where(col("value").between(240, 250)).count()
+    assert(skipped == full, s"file skipping changed the answer: $skipped != $full")
+  }
+
+  test("funnel honors step order and time windows") {
+    import spark.implicits._
+    def t(min: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+    // u1 completes in-window; u2 clicks 13 h after view (> 12 h window);
+    // u3 purchases before clicking (order violated); u4 never views
+    val ev = Seq(
+      (1L, "view", t(0)), (1L, "click", t(60)), (1L, "purchase", t(120)),
+      (2L, "view", t(0)), (2L, "click", t(13 * 60)), (2L, "purchase", t(14 * 60)),
+      (3L, "view", t(0)), (3L, "purchase", t(30)), (3L, "click", t(60)),
+      (4L, "click", t(0)), (4L, "purchase", t(30))
+    ).toDF("user_id", "event_type", "ts")
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val w1 = ev.withColumn("t1",
+      min(when(col("event_type") === "view", col("ts"))).over(byUser))
+    val w2 = w1.withColumn("t2",
+      min(when(col("event_type") === "click" && col("ts") > col("t1")
+        && col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"), col("ts")))
+        .over(byUser))
+    val w3 = w2.withColumn("t3",
+      min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+        && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"), col("ts")))
+        .over(byUser))
+    val r = w3.agg(
+      countDistinct(when(col("t1").isNotNull, col("user_id"))),
+      countDistinct(when(col("t2").isNotNull, col("user_id"))),
+      countDistinct(when(col("t3").isNotNull, col("user_id")))).head()
+    // u3's click at +60 min is in-window, and its LATER purchase is not
+    // required — only u3's pre-click purchase must not count; u3 has no
+    // purchase after t2, so the full funnel is u1 alone
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)),
+      r.toString)
+  }
+
+  test("interpolation grid: full spine, known cells exact, gaps bounded") {
+    val out = SparkEntry.queries("ts_interpolate_linear")(spark, sf)
+      .collect()
+    val types = Tables.events(spark, sf).select("event_type")
+      .distinct().count()
+    assert(out.length % types == 0,
+      s"grid ${out.length} not a multiple of $types types")
+    // every interpolated value lies within the series' known range
+    val vals = out.map(_.getDouble(2))
+    assert(vals.forall(v => v >= 0.0 && v <= 100000.0))
+    // spine is dense: hours are consecutive within each type
+    val perType = out.groupBy(_.getString(0)).values
+    perType.foreach { rows =>
+      val hours = rows.map(_.getString(1)).sorted
+      assert(hours.distinct.length == hours.length, "duplicate spine hour")
+    }
+  }
+
+  test("char entropy: closed forms (uniform=2 bits, constant=0)") {
+    import spark.implicits._
+    val df = Seq("abcd", "aaaa", "aabb").toDF("text")
+      .withColumn("ch", split(col("text"), ""))
+      .select(round(-Analytics.charEntropyNeg("ch"), 4).as("e"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(2.0, 0.0, 1.0))
+  }
+}

@@ -461,6 +461,55 @@ object Analytics {
         .orderBy("doc_id")
     },
 
+    // Exponential moving average over each type's observed hourly series
+    // (α = 0.25 — an exact binary fraction, so both engines' multiply/add
+    // chains are bit-identical with NO rounding): the classic smoothing
+    // recurrence e_i = α·v_i + (1−α)·e_{i−1}, which no window frame can
+    // express. Spark runs it as an in-order array fold per series —
+    // per-group state is bounded by series length (the same contract as
+    // mapGroupsWithState), series are the shuffle key, so 100 TB of
+    // events reduce to one combiner-friendly hourly aggregate + one
+    // bounded fold per series. Oracle: recursive CTE (the same
+    // formulation discipline as dedup_minhash_collapse's CC oracle).
+    Q("ts_ema_hourly",
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, h, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        |  FROM hourly),
+        |ema AS (
+        |  SELECT event_type, h, v, i, v AS e FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.h, x.v, x.i, 0.25 * x.v + 0.75 * p.e
+        |  FROM idx x JOIN ema p
+        |    ON x.event_type = p.event_type AND x.i = p.i + 1)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       e AS ema
+        |FROM ema
+        |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+      hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("s"))
+        .select(col("event_type"),
+          expr("transform(s, x -> x.h)").as("hs"),
+          expr("""aggregate(transform(s, x -> x.v),
+                 |  cast(array() as array<double>),
+                 |  (acc, x) -> concat(acc, array(coalesce(
+                 |    0.25D * x + 0.75D * try_element_at(acc, -1), x))))"""
+            .stripMargin).as("es"))
+        .select(col("event_type"),
+          explode(arrays_zip(col("hs"), col("es"))).as("z"))
+        .select(col("event_type"),
+          date_format(col("z.hs"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("z.es").as("ema"))
+        .orderBy("event_type", "hour")
+    },
+
     // Directional n-gram containment |A∩B| / |A| — catches doc-IN-doc
     // duplication that symmetric Jaccard dilutes (a page embedded in a
     // larger page scores ~1.0 here but ~|A|/|B| there). Same bounded

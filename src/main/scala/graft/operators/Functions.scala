@@ -312,5 +312,38 @@ object Functions {
           col("text").rlike("query").as("has_query"))
         .orderBy("doc_id")
     },
+
+    // URL parsing family: Spark's dedicated parse_url (HOST / PATH /
+    // QUERY / per-key param) over deterministic synthetic URLs built from
+    // corpus columns; DuckDB has no parse_url, so the oracle mirrors each
+    // component with an anchored regexp — which also pins parse_url's
+    // exact component boundaries (PATH excludes the query, QUERY excludes
+    // '?', param is the raw value).
+    Q("fn_url_parse",
+      """SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+        |FROM (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' || doc_id
+        |      || '?lang=' || lang || '&v=2' AS url
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id"), lit("?lang="), col("lang"), lit("&v=2"))
+            .as("url"))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+        .orderBy("doc_id")
+    },
   )
 }

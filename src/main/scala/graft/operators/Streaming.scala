@@ -118,6 +118,48 @@ object Streaming {
       Streams.runToTable(agg, "complete").orderBy("win_start", "event_type")
     },
 
+    // Incrementally-maintained daily OHLC bars — the streaming twin of
+    // ts_downsample_ohlc. open/close are min_by/max_by over the
+    // (ts, event_id) struct: ORDER-FREE declarative aggregates that merge
+    // per micro-batch partial states (a row_number formulation cannot run
+    // incrementally — it needs the whole window's rows). Oracle keeps the
+    // batch rn formulation: the incremental MV must equal the batch
+    // recompute bar-for-bar.
+    Q("stream_ohlc_daily",
+      """WITH r AS (
+        |  SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start,
+        |    ts, event_id, value,
+        |    row_number() OVER (
+        |      PARTITION BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (
+        |      PARTITION BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, win_start,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r
+        |GROUP BY event_type, win_start
+        |ORDER BY event_type, win_start""".stripMargin) { (s, d) =>
+      val key = struct(col("ts"), col("event_id"))
+      val agg = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(min_by(col("value"), key).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), key).as("close"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("win_start"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+      Streams.runToTable(agg, "complete").orderBy("event_type", "win_start")
+    },
+
     // Sliding 1-hour / 15-minute windows.
     Q("stream_sliding_agg",
       """SELECT win_start, event_type, count(*) AS n FROM (

@@ -99,6 +99,32 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("funnel stacks all three step windows on ONE user Exchange") {
+    val plan = SparkEntry.queries("funnel_view_click_purchase")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val userExchanges =
+      "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected 1 user_id Exchange, saw $userExchanges:\n${plan.take(3000)}")
+    assert("Window".r.findAllIn(plan).length >= 3,
+      "three stacked Window operators expected")
+  }
+
+  test("interval overlap broadcasts the window set (no shuffle of facts)") {
+    val plan = SparkEntry.queries("join_interval_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("OHLC shares one hash Exchange across both window passes") {
+    val plan = SparkEntry.queries("ts_downsample_ohlc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val groupExchanges =
+      "hashpartitioning\\(event_type".r.findAllIn(plan).length
+    assert(groupExchanges == 1,
+      s"expected 1 (event_type, day) Exchange, saw $groupExchanges:\n${plan.take(3000)}")
+  }
+
   test("char entropy: closed forms (uniform=2 bits, constant=0)") {
     import spark.implicits._
     val df = Seq("abcd", "aaaa", "aabb").toDF("text")

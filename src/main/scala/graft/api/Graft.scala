@@ -281,4 +281,14 @@ object Graft {
   def heavyHitters(docs: DataFrame, textCol: String, k: Int,
       m: Int = 64, cap: Int = 256): DataFrame =
     graft.operators.Analytics.heavyHittersOf(docs, textCol, k, m, cap)
+
+  /** Ordered-step funnel: `steps` is (eventType, maxGapHours from the
+    * previous step; the gap is ignored for step 1). One row out:
+    * `u_step1..u_stepN` distinct `userCol` counts that reached each step
+    * in order. N steps cost ONE Exchange of `events` + N stacked Window
+    * operators (never N self-joins).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[(String, Int)]): DataFrame =
+    graft.operators.Analytics.funnelOf(events, userCol, typeCol, tsCol, steps)
 }

@@ -84,6 +84,46 @@ object Analytics {
       .limit(k)
   }
 
+  /** Frame-parametric ordered-step funnel (re-exported as
+    * `graft.api.Graft.funnel`): `steps` is (eventType, maxGapHours) —
+    * the gap bound applies from the PREVIOUS step's time (ignored for
+    * step 1). Every step time is a conditional window min over the SAME
+    * user partitioning, so N steps cost ONE Exchange of the event frame
+    * + N stacked Window operators (never N self-joins). Returns one row:
+    * `u_step1..u_stepN` distinct-user counts per reached step.
+    */
+  private[graft] def funnelOf(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String,
+      steps: Seq[(String, Int)]): DataFrame = {
+    val df = funnelTimes(events, userCol, typeCol, tsCol, steps)
+    val aggs = steps.indices.map(i =>
+      countDistinct(when(col(s"__t$i").isNotNull, col(userCol)))
+        .as(s"u_step${i + 1}"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The funnel window chain of [[funnelOf]] without the final count —
+    * per-event rows with `__t0..__tN-1` step-time columns (used by the
+    * time-to-convert query, which needs the step times themselves).
+    */
+  private[graft] def funnelTimes(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String,
+      steps: Seq[(String, Int)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val byUser = Window.partitionBy(userCol)
+    var df = events
+    steps.zipWithIndex.foreach { case ((et, gapH), i) =>
+      val cond =
+        if (i == 0) col(typeCol) === et
+        else col(typeCol) === et &&
+          col(tsCol) > col(s"__t${i - 1}") &&
+          col(tsCol) <= col(s"__t${i - 1}") + expr(s"INTERVAL $gapH HOURS")
+      df = df.withColumn(s"__t$i",
+        min(when(cond, col(tsCol))).over(byUser))
+    }
+    df
+  }
+
   /** Shannon entropy (bits/char) over the char-array column named
     * `chCol`: the fold runs over the SORTED distinct-char list so the
     * summation order — and therefore the double result — is fully
@@ -207,25 +247,81 @@ object Analytics {
         |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
         |    AS u_full_funnel
         |FROM w3""".stripMargin) { (s, d) =>
-      val byUser = Window.partitionBy("user_id")
-      val w1 = Tables.events(s, d)
-        .withColumn("t1",
-          min(when(col("event_type") === "view", col("ts"))).over(byUser))
-      val w2 = w1.withColumn("t2",
-        min(when(col("event_type") === "click" && col("ts") > col("t1")
-          && col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"), col("ts")))
-          .over(byUser))
-      val w3 = w2.withColumn("t3",
-        min(when(col("event_type") === "purchase" && col("ts") > col("t2")
-          && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"), col("ts")))
-          .over(byUser))
-      w3.agg(
-        countDistinct(when(col("t1").isNotNull, col("user_id")))
-          .as("u_view"),
-        countDistinct(when(col("t2").isNotNull, col("user_id")))
-          .as("u_view_click"),
-        countDistinct(when(col("t3").isNotNull, col("user_id")))
-          .as("u_full_funnel"))
+      funnelOf(Tables.events(s, d), "user_id", "event_type", "ts",
+          Seq(("view", 0), ("click", 12), ("purchase", 24)))
+        .select(col("u_step1").as("u_view"),
+          col("u_step2").as("u_view_click"),
+          col("u_step3").as("u_full_funnel"))
+    },
+
+    // Conversion-latency percentiles over the completed funnel: p50/p90
+    // of first-view→purchase seconds. Interpolated quantiles are a
+    // cross-engine trap (Spark `percentile` and DuckDB `quantile_cont`
+    // associate the lerp differently), so BOTH sides compute the
+    // interpolation explicitly over the sorted latency list with
+    // byte-identical arithmetic. The converted-user list is funnel-output
+    // sized (not event sized) — collect_list is bounded by conversions;
+    // at 100 TB you'd sketch it (agg_approx_percentile_sketch is the
+    // partner query).
+    Q("funnel_time_to_convert",
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |                     AND ts <= t1 + INTERVAL 12 HOUR THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                     AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM w2),
+        |pu AS (
+        |  SELECT user_id, min(t1) AS t1, min(t3) AS t3
+        |  FROM w3 WHERE t3 IS NOT NULL GROUP BY user_id),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         list_sort(list(date_diff('second', t1, t3))) AS ss
+        |  FROM pu)
+        |SELECT n AS n_converted,
+        |  CAST(ss[CAST(floor((n-1) * 0.5) AS BIGINT) + 1] AS DOUBLE)
+        |    + ((n-1) * 0.5 - floor((n-1) * 0.5))
+        |      * (ss[least(CAST(floor((n-1) * 0.5) AS BIGINT) + 2, n)]
+        |         - ss[CAST(floor((n-1) * 0.5) AS BIGINT) + 1]) AS p50_secs,
+        |  CAST(ss[CAST(floor((n-1) * 0.9) AS BIGINT) + 1] AS DOUBLE)
+        |    + ((n-1) * 0.9 - floor((n-1) * 0.9))
+        |      * (ss[least(CAST(floor((n-1) * 0.9) AS BIGINT) + 2, n)]
+        |         - ss[CAST(floor((n-1) * 0.9) AS BIGINT) + 1]) AS p90_secs
+        |FROM s""".stripMargin) { (s, d) =>
+      val times = funnelTimes(Tables.events(s, d), "user_id", "event_type",
+        "ts", Seq(("view", 0), ("click", 12), ("purchase", 24)))
+      val pu = times.where(col("__t2").isNotNull)
+        .groupBy("user_id")
+        .agg(min(col("__t0")).as("t1"), min(col("__t2")).as("t3"))
+      def lerp(p: String): String =
+        s"""cast(try_element_at(ss, cast(floor((n-1) * $p) as int) + 1)
+           |     as double)
+           |  + ((n-1) * $p - floor((n-1) * $p))
+           |    * (try_element_at(ss, cast(least(cast(floor((n-1) * $p)
+           |                                          as bigint) + 2, n)
+           |                               as int))
+           |       - try_element_at(ss, cast(floor((n-1) * $p) as int)
+           |                        + 1))
+           |""".stripMargin
+      // floor-to-epoch-seconds on EACH side before subtracting — the
+      // boundary-crossing semantics of DuckDB's date_diff('second');
+      // Spark's timestampdiff(SECOND) floors the full µs difference
+      // instead and disagrees by 1 when the fractional parts straddle
+      pu.agg(count(lit(1)).as("n"),
+          sort_array(collect_list(
+            unix_timestamp(col("t3")) - unix_timestamp(col("t1"))))
+            .as("ss"))
+        .select(col("n").as("n_converted"),
+          expr(lerp("0.5")).as("p50_secs"),
+          expr(lerp("0.9")).as("p90_secs"))
     },
 
     // OHLC downsampling (the time-series rollup every metrics store
@@ -425,7 +521,7 @@ object Analytics {
         |ORDER BY event_type""".stripMargin) { (s, d) =>
       val dir = zonemapLayout(s, d)
       val (files, _) = zonemapPrunedFiles(s, dir, 240.0, 250.0)
-      s.read.parquet(files: _*)
+      s.read.parquet(files.toIndexedSeq: _*)
         .where(col("value").between(240, 250))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -539,7 +635,13 @@ object Analytics {
       val contain =
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(col("ga"))
-      a.join(b, col("doc_a") =!= col("doc_b") && contain >= 0.5)
+      // cheap implied precondition first: |A∩B| ≤ |B|, so containment
+      // ≥ 0.5 needs |B| ≥ 0.5·|A| — prunes most pairs before the
+      // intersect evaluates (predicate order in a BNLJ condition is
+      // evaluation order; same trick as dedup_ngram_jaccard)
+      a.join(b, col("doc_a") =!= col("doc_b")
+          && size(col("gb")).cast("double") >= lit(0.5) * size(col("ga"))
+          && contain >= 0.5)
         .select(col("doc_a"), col("doc_b"),
           round(contain, 4).as("containment"))
         .orderBy("doc_a", "doc_b")

@@ -15,15 +15,18 @@ class AnalyticsSpec extends SparkSuite {
 
   test("two-pass heavy hitters == exact under MG eviction pressure") {
     import spark.implicits._
-    // 200 distinct tokens, zipf-ish: token i appears ~ 4000/i times —
-    // with cap=16 counters per partition the MG decrement path runs
-    // constantly, yet the true top-10 must survive
-    val rows = (1 to 200).flatMap { i =>
-      Seq.fill(4000 / i)(s"tok$i")
-    }
-    val docs = scala.util.Random.shuffle(rows).grouped(50)
+    // 10 heavy tokens (1k–10k occurrences) over a 500-token light tail
+    // (20 each): 510 distinct >> cap=128 counters, so the MG decrement
+    // path runs, while every heavy token's per-partition frequency sits
+    // WELL above the N_p/cap retention bound (~63) — survival is
+    // guaranteed by the MG theorem, not by luck (an earlier zipf fixture
+    // had top-10 tokens BELOW the bound and flaked). Seeded shuffle:
+    // the test must be deterministic.
+    val rows = (1 to 10).flatMap(i => Seq.fill(1000 * (11 - i))(s"tok$i")) ++
+      (1 to 500).flatMap(j => Seq.fill(20)(s"tail$j"))
+    val docs = new scala.util.Random(42).shuffle(rows).grouped(50)
       .map(_.mkString(" ")).toSeq.toDF("text").repartition(8)
-    val got = Analytics.heavyHittersOf(docs, "text", 10, m = 16, cap = 16)
+    val got = Analytics.heavyHittersOf(docs, "text", 10, m = 32, cap = 128)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val exact = docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -39,7 +42,7 @@ class AnalyticsSpec extends SparkSuite {
     assert(files.length < total,
       s"zonemap kept all $total files — range layout gave no pruning power")
     assert(files.nonEmpty, "pruning dropped every file for an in-range probe")
-    val skipped = spark.read.parquet(files: _*)
+    val skipped = spark.read.parquet(files.toIndexedSeq: _*)
       .where(col("value").between(240, 250)).count()
     val full = Tables.events(spark, sf)
       .where(col("value").between(240, 250)).count()
@@ -58,22 +61,8 @@ class AnalyticsSpec extends SparkSuite {
       (3L, "view", t(0)), (3L, "purchase", t(30)), (3L, "click", t(60)),
       (4L, "click", t(0)), (4L, "purchase", t(30))
     ).toDF("user_id", "event_type", "ts")
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id")
-    val w1 = ev.withColumn("t1",
-      min(when(col("event_type") === "view", col("ts"))).over(byUser))
-    val w2 = w1.withColumn("t2",
-      min(when(col("event_type") === "click" && col("ts") > col("t1")
-        && col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"), col("ts")))
-        .over(byUser))
-    val w3 = w2.withColumn("t3",
-      min(when(col("event_type") === "purchase" && col("ts") > col("t2")
-        && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"), col("ts")))
-        .over(byUser))
-    val r = w3.agg(
-      countDistinct(when(col("t1").isNotNull, col("user_id"))),
-      countDistinct(when(col("t2").isNotNull, col("user_id"))),
-      countDistinct(when(col("t3").isNotNull, col("user_id")))).head()
+    val r = Analytics.funnelOf(ev, "user_id", "event_type", "ts",
+      Seq(("view", 0), ("click", 12), ("purchase", 24))).head()
     // u3's click at +60 min is in-window, and its LATER purchase is not
     // required — only u3's pre-click purchase must not count; u3 has no
     // purchase after t2, so the full funnel is u1 alone

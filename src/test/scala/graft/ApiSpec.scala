@@ -177,6 +177,19 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("heavyHitters on a caller frame equals the exact one-pass top-k") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("text"))
+    val got = Graft.heavyHitters(docs, "text", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact, s"$got != $exact")
+  }
+
   test("mmrRerank picks k diverse rows from the pool; rank 1 is top-1") {
     val probe = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
       .select(col("embedding").as("probe"))

@@ -557,6 +557,40 @@ object Analytics {
         .orderBy("doc_id")
     },
 
+    // Cohort retention — the product-analytics partner of the funnel:
+    // users cohorted by first high-value-purchase week, retention = the
+    // (cohort, weeks-since) distinct-user triangle. ONE pass defines
+    // activity; cohorts derive from it (never a second fact scan); both
+    // joins key on user_id, so at 100 TB the activity frame shuffles
+    // once and the cohort map co-partitions with it. Week arithmetic is
+    // integer days/7 on week-truncated dates — exact in both engines.
+    Q("cohort_retention",
+      """WITH hv AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE event_type = 'purchase' AND value > 100),
+        |coh AS (
+        |  SELECT user_id, min(wk) AS cohort FROM hv GROUP BY user_id)
+        |SELECT CAST(c.cohort AS VARCHAR) AS cohort_week,
+        |       date_diff('week', c.cohort, a.wk) AS week_n,
+        |       count(DISTINCT a.user_id) AS users
+        |FROM hv a JOIN coh c ON a.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val hv = Tables.events(s, d)
+        .where(col("event_type") === "purchase" && col("value") > 100)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+        .localCheckpoint(true)
+      val coh = hv.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      hv.join(coh, Seq("user_id"))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("cohort_week", "week_n")
+    },
+
     // Exponential moving average over each type's observed hourly series
     // (α = 0.25 — an exact binary fraction, so both engines' multiply/add
     // chains are bit-identical with NO rounding): the classic smoothing

@@ -340,5 +340,40 @@ object Dedup {
         .where(col("c") >= 0.4)
         .orderBy("doc_a", "doc_b")
     },
+
+    // Edit-distance (fuzzy) near-dup verification — the fifth dedup
+    // family: character-level Levenshtein catches small in-place edits
+    // that shingle Jaccard dilutes and SimHash may miss. Bounded block
+    // (doc_id < 300, same discipline as dedup_ngram_jaccard) with the
+    // IMPLIED length prefilter first: |len(a)-len(b)| <= d is a lower
+    // bound on edit distance, so the O(n*m) DP runs only on pairs the
+    // cheap test admits (predicate order in the BNLJ condition is
+    // evaluation order). At corpus scale the pair source is the MinHash
+    // band join, and the same (length-prefilter -> DP) verify applies
+    // per candidate.
+    Q("dedup_edit_distance",
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.text, b.text) AS d
+        |FROM b a JOIN b b
+        |  ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 5
+        |WHERE levenshtein(a.text, b.text) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      val a = base.select(col("doc_id").as("doc_a"),
+        col("text").as("ta"), col("n").as("na"))
+      val b = base.select(col("doc_id").as("doc_b"),
+        col("text").as("tb"), col("n").as("nb"))
+      a.join(b, col("doc_a") < col("doc_b")
+          && abs(col("na") - col("nb")) <= 5
+          && levenshtein(col("ta"), col("tb")) <= 5)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("d"))
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }

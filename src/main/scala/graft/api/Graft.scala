@@ -291,4 +291,12 @@ object Graft {
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[(String, Int)]): DataFrame =
     graft.operators.Analytics.funnelOf(events, userCol, typeCol, tsCol, steps)
+
+  /** Edit-distance near-dup pairs over (doc_id, text): length-bucket
+    * blocked (equi-join on (maxDist+1)-wide length buckets), exact
+    * |Δlen| prefilter, Levenshtein DP only on admitted pairs. Returns
+    * (doc_a, doc_b, d) with doc_a < doc_b and d <= maxDist.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame =
+    graft.operators.Dedup.editDistancePairsOf(docs, maxDist)
 }

@@ -559,11 +559,13 @@ object Analytics {
 
     // Cohort retention — the product-analytics partner of the funnel:
     // users cohorted by first high-value-purchase week, retention = the
-    // (cohort, weeks-since) distinct-user triangle. ONE pass defines
-    // activity; cohorts derive from it (never a second fact scan); both
-    // joins key on user_id, so at 100 TB the activity frame shuffles
-    // once and the cohort map co-partitions with it. Week arithmetic is
-    // integer days/7 on week-truncated dates — exact in both engines.
+    // (cohort, weeks-since) distinct-user triangle. ONE data-sized
+    // shuffle: the fact scan groups straight to per-user week sets
+    // (bounded by the calendar, map-side combined), the cohort is
+    // array_min of the set — no join, no second fact pass; the re-
+    // aggregation to the triangle is over O(users × weeks) rows. Week
+    // arithmetic is integer days/7 on week-truncated dates — exact in
+    // both engines.
     Q("cohort_retention",
       """WITH hv AS (
         |  SELECT DISTINCT user_id,
@@ -577,14 +579,13 @@ object Analytics {
         |FROM hv a JOIN coh c ON a.user_id = c.user_id
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val hv = Tables.events(s, d)
+      Tables.events(s, d)
         .where(col("event_type") === "purchase" && col("value") > 100)
-        .select(col("user_id"),
-          date_trunc("week", col("ts")).cast("date").as("wk"))
-        .distinct()
-        .localCheckpoint(true)
-      val coh = hv.groupBy("user_id").agg(min(col("wk")).as("cohort"))
-      hv.join(coh, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(collect_set(date_trunc("week", col("ts")).cast("date"))
+          .as("wks"))
+        .select(col("user_id"), array_min(col("wks")).as("cohort"),
+          explode(col("wks")).as("wk"))
         .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
           (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
         .agg(countDistinct(col("user_id")).as("users"))

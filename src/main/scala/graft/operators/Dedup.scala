@@ -232,6 +232,34 @@ object Dedup {
     labels
   }
 
+  /** Frame-parametric edit-distance near-dup pairs (re-exported as
+    * `graft.api.Graft.editDistancePairs`): `docs` needs (doc_id, text).
+    * Length-bucket blocking (see the dedup_edit_distance comment): docs
+    * equi-join on (maxDist+1)-wide length buckets (left side fans out to
+    * self + adjacent buckets), the exact |Δlen| <= maxDist prefilter
+    * re-checks inside the bucket, and only admitted pairs pay the
+    * O(n·m) Levenshtein DP.
+    */
+  private[graft] def editDistancePairsOf(docs: DataFrame,
+      maxDist: Int): DataFrame = {
+    val bw = maxDist + 1
+    val base = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val a = base.select(col("doc_id").as("doc_a"),
+      col("text").as("ta"), col("n").as("na"),
+      explode(array(floor(col("n") / bw) - 1, floor(col("n") / bw),
+        floor(col("n") / bw) + 1)).as("bk"))
+    val b = base.select(col("doc_id").as("doc_b"),
+      col("text").as("tb"), col("n").as("nb"),
+      floor(col("n") / bw).as("bk"))
+    a.join(b, Seq("bk"))
+      .where(col("doc_a") < col("doc_b")
+        && abs(col("na") - col("nb")) <= maxDist
+        && levenshtein(col("ta"), col("tb")) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("d"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Exact pairwise n-gram Jaccard on a bounded block — the ground truth
@@ -343,14 +371,16 @@ object Dedup {
 
     // Edit-distance (fuzzy) near-dup verification — the fifth dedup
     // family: character-level Levenshtein catches small in-place edits
-    // that shingle Jaccard dilutes and SimHash may miss. Bounded block
-    // (doc_id < 300, same discipline as dedup_ngram_jaccard) with the
-    // IMPLIED length prefilter first: |len(a)-len(b)| <= d is a lower
-    // bound on edit distance, so the O(n*m) DP runs only on pairs the
-    // cheap test admits (predicate order in the BNLJ condition is
-    // evaluation order). At corpus scale the pair source is the MinHash
-    // band join, and the same (length-prefilter -> DP) verify applies
-    // per candidate.
+    // that shingle Jaccard dilutes and SimHash may miss. LENGTH-BUCKET
+    // BLOCKING, not a cross product: |len(a)-len(b)| <= d lower-bounds
+    // edit distance, so docs join only to their own and adjacent
+    // (maxDist+1)-wide length buckets (left side fans out to 3 bucket
+    // keys — an EQUI-join Catalyst hashes, never a BNLJ pair sweep),
+    // the exact |Δlen| test re-checks inside the bucket, and only
+    // admitted pairs pay the O(n·m) DP. The same (bucket -> prefilter ->
+    // DP) cascade is the 100 TB shape; the doc_id < 300 block bounds the
+    // oracle, not the join strategy. At corpus scale the pair source is
+    // the MinHash band join with this verify per candidate.
     Q("dedup_edit_distance",
       """WITH b AS (
         |  SELECT doc_id, text, length(text) AS n
@@ -361,18 +391,8 @@ object Dedup {
         |  ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 5
         |WHERE levenshtein(a.text, b.text) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d)
-        .where(col("doc_id") < 300)
-        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      val a = base.select(col("doc_id").as("doc_a"),
-        col("text").as("ta"), col("n").as("na"))
-      val b = base.select(col("doc_id").as("doc_b"),
-        col("text").as("tb"), col("n").as("nb"))
-      a.join(b, col("doc_a") < col("doc_b")
-          && abs(col("na") - col("nb")) <= 5
-          && levenshtein(col("ta"), col("tb")) <= 5)
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb")).as("d"))
+      editDistancePairsOf(
+          Tables.documents(s, d).where(col("doc_id") < 300), maxDist = 5)
         .orderBy("doc_a", "doc_b")
     },
   )

@@ -177,6 +177,23 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("editDistancePairs: bucket blocking finds cross-bucket neighbors") {
+    import spark.implicits._
+    // d("abcdef","abcdxx")=2 same bucket; "abcdefgh" vs "abcdef" d=2 with
+    // lengths 8 vs 6 — adjacent buckets (bw=3: 2 vs 2? lengths 6,8 ->
+    // floor(6/3)=2, floor(8/3)=2) and 9-char "abcdefghi" d=3 (bucket 3,
+    // adjacent) must still pair; far docs must not
+    val docs = Seq((1L, "abcdef"), (2L, "abcdxx"), (3L, "abcdefgh"),
+      (4L, "abcdefghi"), (5L, "zzzzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val got = Graft.editDistancePairs(docs, maxDist = 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"same-bucket pair missed: $got")
+    assert(got.contains((1L, 3L)), s"adjacent-bucket pair missed: $got")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L), s"far doc paired: $got")
+  }
+
   test("heavyHitters on a caller frame equals the exact one-pass top-k") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select(col("text"))

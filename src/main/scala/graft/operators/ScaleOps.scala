@@ -394,5 +394,124 @@ object ScaleOps {
               .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
           / sum(rev).cast("double"), 6).as("promo_pct"))
     },
+
+    // TPC-H Q7 (volume shipping): the 6-table join tree — both nation
+    // dims and supplier/customer broadcast, the fact table's date filter
+    // pushes to the scan, and the only data-sized shuffle is the final
+    // (nation-pair × year) aggregate. Revenue stays decimal-exact
+    // (2-dp factors multiplied in DECIMAL) until the final cast.
+    Q("q7_nation_volume",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l.l_shipdate) AS l_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS volume
+        |  FROM supplier s, lineitem l, orders o, customer c,
+        |       nation n1, nation n2
+        |  WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+        |    AND c.c_custkey = o.o_custkey
+        |    AND s.s_nationkey = n1.n_nationkey
+        |    AND c.c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+        |                         AND TIMESTAMP '1996-12-31')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(12,2)"))
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate").between("1995-01-01", "1996-12-31"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .where((col("supp_nation") === "NATION_1"
+            && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2"
+            && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(vol).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 (market share): NATION_1's share of ASIA-region PROMO-part
+    // revenue per order year. Numerator and denominator are exact
+    // DECIMAL sums; the single double division is correctly rounded on
+    // both engines. All dims broadcast; the fact shuffles once for the
+    // per-year aggregate.
+    Q("q8_market_share",
+      """SELECT o_year,
+        |  CAST(CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume
+        |                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |       / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS volume,
+        |    n1.n_name AS nation
+        |  FROM part p, supplier s, lineitem l, orders o, customer c,
+        |       nation n1, nation n2, region r
+        |  WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |    AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |    AND c.c_nationkey = n2.n_nationkey
+        |    AND n2.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |    AND s.s_nationkey = n1.n_nationkey
+        |    AND p.p_type = 'PROMO')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin) { (s, d) =>
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(12,2)"))
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk2"), col("n_regionkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).where(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("nation") === "NATION_2", vol)
+              .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+          / sum(vol).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q13 (customer order-count distribution): left join keeps
+    // customers with zero orders, two combiner-friendly count shuffles.
+    Q("q13_customer_distribution",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
   )
 }

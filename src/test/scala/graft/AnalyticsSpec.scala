@@ -114,6 +114,16 @@ class AnalyticsSpec extends SparkSuite {
       s"expected 1 (event_type, day) Exchange, saw $groupExchanges:\n${plan.take(3000)}")
   }
 
+  test("edit-distance blocking plans a hash equi-join on the bucket key") {
+    val plan = SparkEntry.queries("dedup_edit_distance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+      s"length-bucket blocking degenerated to a pair sweep:\n${plan.take(3000)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on bk:\n${plan.take(3000)}")
+  }
+
   test("char entropy: closed forms (uniform=2 bits, constant=0)") {
     import spark.implicits._
     val df = Seq("abcd", "aaaa", "aabb").toDF("text")

@@ -592,6 +592,94 @@ object Analytics {
         .orderBy("cohort_week", "week_n")
     },
 
+    // Per-series OLS linear trend via the NORMAL EQUATIONS over exact
+    // sums — the determinism trick that makes regression oracle-able:
+    // regr_slope/covar/var aggregates accumulate doubles in shuffle
+    // order (nondeterministic cross-engine), but n/Σx/Σy/Σxy/Σx² are
+    // exact (integers × DECIMAL), so slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²)
+    // needs ONE correctly-rounded double division. One fact scan, one
+    // tiny per-series stats row.
+    Q("ts_linear_trend",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(date_diff('day', DATE '2024-01-01', day)) AS BIGINT)
+        |      AS sx,
+        |    sum(y) AS sy,
+        |    sum(date_diff('day', DATE '2024-01-01', day) * y) AS sxy,
+        |    CAST(sum(date_diff('day', DATE '2024-01-01', day)
+        |           * date_diff('day', DATE '2024-01-01', day)) AS BIGINT)
+        |      AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |   - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS intercept
+        |FROM st
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val x = datediff(col("day"), lit("2024-01-01").cast("date"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("y"))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(col("y")).as("sy"),
+          sum(x * col("y")).as("sxy"), sum(x * x).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      st.select(col("event_type"), slope.as("slope"),
+          ((col("sy").cast("double") - slope * col("sx")) / col("n"))
+            .as("intercept"))
+        .orderBy("event_type")
+    },
+
+    // Hourly anomaly flags by z-score against the series' own
+    // mean/stddev — same exact-sums discipline as ts_linear_trend
+    // (n/Σv/Σv² are exact DECIMAL, variance = (nΣv²−(Σv)²)/n² needs one
+    // division + one correctly-rounded sqrt). The per-series stats row
+    // broadcasts back onto the hourly frame; |z| ≥ 2.5 bounds output.
+    Q("ts_anomaly_zscore",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+        |         sum(v) AS sv, sum(v * v) AS svv
+        |  FROM hourly GROUP BY 1),
+        |z AS (
+        |  SELECT h.event_type, h.h, CAST(h.v AS DOUBLE) AS v,
+        |    (CAST(h.v AS DOUBLE) - CAST(s.sv AS DOUBLE) / s.n)
+        |      / sqrt(CAST(s.n * s.svv - s.sv * s.sv AS DOUBLE)
+        |             / (CAST(s.n AS DOUBLE) * s.n)) AS z
+        |  FROM hourly h JOIN st s ON h.event_type = s.et)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, v, z
+        |FROM z WHERE abs(z) >= 2.5
+        |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+        .localCheckpoint(true)
+      val st = hourly.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      val z = (col("v").cast("double") - col("sv").cast("double") / col("n")) /
+        sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double")
+          / (col("n").cast("double") * col("n")))
+      hourly.join(broadcast(st), col("event_type") === col("et"))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v").cast("double").as("v"), z.as("z"))
+        .where(abs(col("z")) >= 2.5)
+        .orderBy("event_type", "hour")
+    },
+
     // Exponential moving average over each type's observed hourly series
     // (α = 0.25 — an exact binary fraction, so both engines' multiply/add
     // chains are bit-identical with NO rounding): the classic smoothing

@@ -124,6 +124,18 @@ class AnalyticsSpec extends SparkSuite {
       s"expected an equi-join on bk:\n${plan.take(3000)}")
   }
 
+  test("anomaly z-scores are standardized: no flags on a flat series") {
+    // a constant series has zero variance -> z is NaN/undefined; the
+    // fixture query must simply not flag anything ridiculous: every
+    // flagged |z| is >= 2.5 by construction and v lies outside mean
+    // +/- 2.5 sigma of ITS OWN series
+    val out = SparkEntry.queries("ts_anomaly_zscore")(spark, sf).collect()
+    assert(out.forall(r => math.abs(r.getDouble(3)) >= 2.5))
+    val perType = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perType.values.forall(_ < 100),
+      s"z >= 2.5 flagged implausibly many cells: $perType")
+  }
+
   test("char entropy: closed forms (uniform=2 bits, constant=0)") {
     import spark.implicits._
     val df = Seq("abcd", "aaaa", "aabb").toDF("text")

@@ -254,10 +254,12 @@ object Dedup {
       floor(col("n") / bw).as("bk"))
     a.join(b, Seq("bk"))
       .where(col("doc_a") < col("doc_b")
-        && abs(col("na") - col("nb")) <= maxDist
-        && levenshtein(col("ta"), col("tb")) <= maxDist)
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb")).as("d"))
+        && abs(col("na") - col("nb")) <= maxDist)
+      // compute the DP once: a levenshtein in the filter AND the
+      // projection would run the O(n·m) kernel twice per admitted pair
+      .withColumn("d", levenshtein(col("ta"), col("tb")))
+      .where(col("d") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("d"))
   }
 
   val defs: Seq[Q] = Seq(

@@ -592,6 +592,48 @@ object Analytics {
         .orderBy("cohort_week", "week_n")
     },
 
+    // Hour-of-day seasonal decomposition — the third member of the TS
+    // diagnostics trio (trend / anomaly / seasonality): the seasonal
+    // component is each (series, hour-of-day)'s mean over the whole
+    // window, the residual is what anomaly detection should run on when
+    // a series has a daily cycle. Same exact-sums discipline: seasonal
+    // mean = exact DECIMAL sum / exact count (one correctly-rounded
+    // division), residual one subtraction — NO rounding. The seasonal
+    // profile is O(series × 24) — broadcast back onto the series.
+    Q("ts_seasonal_decompose",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |seas AS (
+        |  SELECT event_type AS et, hour(h) AS hod,
+        |         CAST(count(*) AS BIGINT) AS n, sum(v) AS sv
+        |  FROM hourly GROUP BY 1, 2)
+        |SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(h.v AS DOUBLE) AS v,
+        |  CAST(s.sv AS DOUBLE) / s.n AS seasonal,
+        |  CAST(h.v AS DOUBLE) - CAST(s.sv AS DOUBLE) / s.n AS residual
+        |FROM hourly h JOIN seas s
+        |  ON h.event_type = s.et AND hour(h.h) = s.hod
+        |ORDER BY h.event_type, h.h""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+        .localCheckpoint(true)
+      val seas = hourly
+        .groupBy(col("event_type").as("et"), hour(col("h")).as("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val seasonal = col("sv").cast("double") / col("n")
+      hourly.join(broadcast(seas),
+          col("event_type") === col("et") && hour(col("h")) === col("hod"))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v").cast("double").as("v"),
+          seasonal.as("seasonal"),
+          (col("v").cast("double") - seasonal).as("residual"))
+        .orderBy("event_type", "hour")
+    },
+
     // Per-series OLS linear trend via the NORMAL EQUATIONS over exact
     // sums — the determinism trick that makes regression oracle-able:
     // regr_slope/covar/var aggregates accumulate doubles in shuffle

@@ -125,5 +125,16 @@ object Relational {
         .select("p_partkey", "p_name", "p_brand", "p_size")
         .orderBy("p_partkey")
     },
+
+    // Metadata-only counts: a bare count(*) over parquet is answered from
+    // footer row counts — Spark's LocalLimit/agg over scan specializes so
+    // ZERO data pages are read (ReadSchema struct<>, PlanSpec-asserted).
+    // At 100 TB the difference between a footer sweep and a full columnar
+    // read is the whole query; per-group counts over a partition column
+    // keep the same property via directory stats.
+    Q("scan_count_metadata",
+      "SELECT count(*) AS n FROM lineitem") { (s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+    },
   ) ++ pageDefs
 }

@@ -136,6 +136,23 @@ class AnalyticsSpec extends SparkSuite {
       s"z >= 2.5 flagged implausibly many cells: $perType")
   }
 
+  test("cohort retention shuffles the fact once, on user_id") {
+    val plan = SparkEntry.queries("cohort_retention")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val userEx = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userEx == 1,
+      s"expected exactly 1 user_id Exchange, saw $userEx:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "cohort must not join back to the fact")
+  }
+
+  test("scan_count_metadata reads zero columns (footer-count plan)") {
+    val plan = SparkEntry.queries("scan_count_metadata")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("struct<>"),
+      s"count(*) should read no columns; $read\n${plan.take(1500)}")
+  }
+
   test("char entropy: closed forms (uniform=2 bits, constant=0)") {
     import spark.implicits._
     val df = Seq("abcd", "aaaa", "aabb").toDF("text")

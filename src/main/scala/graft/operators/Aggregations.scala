@@ -194,5 +194,25 @@ object Aggregations {
           col("n"))
         .orderBy("label")
     },
+
+    // Fixed-width value histogram per series — the profiling partner of
+    // the percentile sketch (a histogram is mergeable by construction:
+    // per-partition bin counts sum). One combiner-friendly shuffle on
+    // (type, bin); bin ids are exact integer floor(value/50), so the
+    // oracle needs no float tolerance at all.
+    Q("agg_histogram_fixed_bins",
+      """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        |FROM events
+        |GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+        .orderBy("event_type", "bin")
+    },
   ) ++ modeDefs
 }

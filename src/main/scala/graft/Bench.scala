@@ -38,25 +38,51 @@ object Bench {
       operators.Extended.bucketedJoin(spark, sfDir).limit(1).count()
       operators.ScaleOps.partitionedEvents(spark, sfDir)
     }
+    // process CPU + cumulative GC time: the self-diagnosis channel for a
+    // host-contended run (r7's official artifact measured 131 s while a
+    // standalone re-run measured 66 s — IO/CPU contention, not code). A
+    // query whose wall ≫ its process-CPU share is host noise, not engine
+    // cost; the per-run (wall, cpu, gc) triple makes that readable from
+    // the artifact alone.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     // declared (SURVEY §2.2) order, NOT Map hash-order: per-query timings
-    // are attributable and comparable round-over-round. Each query runs
-    // TWICE and reports the min: a single transient stall (page-cache miss,
+    // are attributable and comparable round-over-round. Batch queries run
+    // TWICE and report the min: a single transient stall (page-cache miss,
     // GC, JIT deopt) burned ~10 s of round-4's artifact; the first pass
-    // warms OS/file caches, the second is the measurement.
+    // warms OS/file caches, the second is the measurement. STREAMING
+    // queries run ONCE: their wall is dominated by fixed per-job init
+    // (incremental planner, state-store setup) that repeats identically on
+    // a second run — min-of-two bought nothing and cost ~18 s of the 65 s
+    // budget across the 18 real streaming executions.
+    def isStreaming(name: String): Boolean =
+      name.startsWith("stream_") || name == "source_rate_stream"
     val results = SparkEntry.all.map { q =>
-      def once(): (Double, Option[String]) = {
+      def once(): (Double, Double, Double, Option[String]) = {
         val t0 = System.nanoTime()
+        val c0 = osBean.getProcessCpuTime
+        val g0 = gcMillis
         val err: Option[String] =
           try { q.fn(spark, sfDir).count(); None }
           catch { case t: Throwable =>
             Some(t.getClass.getSimpleName + ": " +
               Option(t.getMessage).getOrElse("").take(120)) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9,
+          math.max(0L, osBean.getProcessCpuTime - c0) / 1e9,
+          (gcMillis - g0) / 1e3, err)
       }
-      val (t1, e1) = once()
+      val (t1, c1, g1, e1) = once()
       val out =
-        if (e1.isDefined) (q.name, t1, e1)
-        else { val (t2, e2) = once(); (q.name, math.min(t1, t2), e2.orElse(None)) }
+        if (e1.isDefined || isStreaming(q.name)) (q.name, t1, c1, g1, e1)
+        else {
+          val (t2, c2, g2, e2) = once()
+          if (t2 <= t1) (q.name, t2, c2, g2, e2) else (q.name, t1, c1, g1, e2)
+        }
       // Release blocks the query pinned (persist + localCheckpoint): with
       // an 8g driver heap, 130 queries' leaked blocks otherwise crowd the
       // unified-memory storage region and late queries pay in spills —
@@ -68,34 +94,57 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       out
     }
-    val failed = results.collect { case (n, _, Some(e)) => (n, e) }
+    val failed = results.collect { case (n, _, _, _, Some(e)) => (n, e) }
     // 3-decimal seconds keep the whole line ~3 KB for 100+ queries: the
     // round driver captures only a bounded stdout tail, and a longer line
     // (9+ digits per value) overflowed it in round 3 → unparseable bench.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // failures are null here (numeric consumers can sum/plot) and carry the
     // message in "errors"
-    val qs = results.map { case (k, v, err) =>
+    val qs = results.map { case (k, v, _, _, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else sec(v))
+    }.mkString("{", ",", "}")
+    // per-query process-CPU seconds of the MEASURED run: wall ≫ cpu on a
+    // 32-thread local session (and low gc) reads as host contention
+    val qsCpu = results.map { case (k, _, c, _, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "null" else sec(c))
     }.mkString("{", ",", "}")
     val errJson = failed.map { case (n, e) =>
       "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "'")
         .replaceAll("[\\x00-\\x1F]", " ") + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, _, _, None) => v }.sum
+    val totalCpu = results.collect { case (_, _, c, _, None) => c }.sum
+    val totalGc = results.collect { case (_, _, _, g, None) => g }.sum
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
     println(detail)
     // Cross-round regression guard + full-detail artifact: the driver's
     // 2000-char stdout tail keeps only ~90 of the per-query timings, so
-    // the complete map is persisted to BENCH_DETAIL.json (repo cwd). If a
-    // previous detail file exists for the SAME sf, any query >1.5× slower
-    // (and >0.3 s absolute — sub-0.1 s timings are scheduler noise) is
-    // flagged on stderr before the file is overwritten.
+    // the complete map is persisted to BENCH_DETAIL.json (repo cwd). The
+    // comparison baseline is the COMMITTED snapshot (git HEAD), not the
+    // working file: the working copy can hold a host-contended driver run
+    // (r7: 131 s of IO noise on unchanged code), and comparing against it
+    // would poison the next round's guard — a builder commits a detail
+    // file only after a sane standalone run. Falls back to the working
+    // file outside a git checkout. Any query >1.5× slower (and >0.3 s
+    // absolute — sub-0.1 s timings are scheduler noise) flags on stderr.
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
-    try {
-      if (java.nio.file.Files.isRegularFile(detailPath)) {
-        val prior = new String(java.nio.file.Files.readAllBytes(detailPath),
+    def committedDetail(): Option[String] =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_DETAIL.json")
+          .redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
+        if (p.waitFor() == 0 && out.contains("\"queries\"")) Some(out) else None
+      } catch { case _: Throwable => None }
+    try {
+      val baseline = committedDetail().orElse {
+        if (java.nio.file.Files.isRegularFile(detailPath))
+          Some(new String(java.nio.file.Files.readAllBytes(detailPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      }
+      for (prior <- baseline) {
         val sameSf = prior.contains(s""""sf":"$sfDir"""")
         val qsBlock = prior.indexOf("\"queries\":{")
         if (sameSf && qsBlock >= 0) {
@@ -104,7 +153,7 @@ object Bench {
           val priorTimes = """"([^"]+)":([0-9.]+)""".r
             .findAllMatchIn(block)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          for ((name, t, err) <- results if err.isEmpty;
+          for ((name, t, _, _, err) <- results if err.isEmpty;
                p <- priorTimes.get(name)
                if t > 1.5 * p && t - p > 0.3)
             System.err.println(
@@ -117,9 +166,10 @@ object Bench {
       System.err.println(s"[bench-detail] persist/compare failed: $t") }
     // the detail line above is ~3 KB — longer than the driver's 2000-char
     // stdout tail, so its leading "value" was truncated away in rounds 1-4
-    // (BENCH parsed:null). This short LAST line (~100 chars) always sits
-    // complete inside the tail window.
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","failed":${failed.size},"sf":"$sfDir"}""")
+    // (BENCH parsed:null). This short LAST line (~150 chars) always sits
+    // complete inside the tail window; cpu/gc ride along so even the
+    // truncated view self-diagnoses a host-contended run (wall ≫ cpu).
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -163,9 +163,18 @@ object Graft {
     * The label frame is broadcast only while the graph has ≤20M nodes;
     * larger graphs fall back to shuffle joins (AQE-chosen), so arbitrary
     * caller pair lists cannot blow the broadcast/driver ceiling.
+    *
+    * `maxIter` bounds the propagation rounds; labels move one hop per
+    * round, so convergence needs rounds = graph diameter (near-clique
+    * dedup graphs: 2-3; a path graph of n nodes: n-1). If the graph has
+    * not converged at `maxIter` the call THROWS rather than return
+    * under-merged labels that would silently split clusters; pass
+    * `failOnMaxIter = false` to accept best-effort labels knowingly.
     */
-  def dedupClusters(pairs: DataFrame): DataFrame =
-    graft.operators.Dedup.collapseClusters(pairs)
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 10,
+      failOnMaxIter: Boolean = true): DataFrame =
+    graft.operators.Dedup.collapseClusters(pairs, maxIter,
+      failOnMaxIter = failOnMaxIter)
 
   /** SimHash near-duplicate pairs of `docs` (doc_id, text): 64-bit
     * sketch, 4×16-bit bands, Hamming ≤ `maxHamming` verification within
@@ -270,13 +279,19 @@ object Graft {
     graft.operators.Rag.mmrSelect(cand, k, lambda)
   }
 
-  /** Exact top-`k` most frequent whitespace tokens of `textCol`, computed
+  /** Top-`k` most frequent whitespace tokens of `textCol`, computed
     * two-phase: per-partition Misra-Gries candidate summaries (the token
-    * tail never shuffles) + an exact recount of candidates only. Exact
-    * whenever every true top-k token is some partition's local top-`m`
-    * (guaranteed for heavy hitters above the MG frequency bound N_p/cap;
-    * AnalyticsSpec proves equality with the one-shuffle exact query
-    * under forced eviction pressure).
+    * tail never shuffles) + an exact recount of candidates only.
+    * Approximation regime, stated plainly: recounted counts are exact,
+    * but a true top-k token can be MISSED if it survives MG yet is cut
+    * by the per-partition top-`m` selection (ranked on residual MG
+    * counts, which undercount) in every partition containing it. Tokens
+    * whose global frequency clears the MG bound (> N_p/cap of some
+    * partition's tokens) always surface; raise `m` (up to `cap`, which
+    * removes the cut) or fall back to `agg_heavy_hitters`' one-shuffle
+    * exact query when exactness is required. AnalyticsSpec proves
+    * equality with the exact query on this corpus under forced eviction
+    * pressure.
     */
   def heavyHitters(docs: DataFrame, textCol: String, k: Int,
       m: Int = 64, cap: Int = 256): DataFrame =
@@ -287,6 +302,16 @@ object Graft {
     * `u_step1..u_stepN` distinct `userCol` counts that reached each step
     * in order. N steps cost ONE Exchange of `events` + N stacked Window
     * operators (never N self-joins).
+    *
+    * Semantics: EARLIEST-ANCHOR, a deliberate deviation from
+    * MATCH_RECOGNIZE-style "any qualifying sequence" funnels — each
+    * step's anchor is the user's EARLIEST qualifying event for that
+    * step, and the next step's gap is measured from that anchor only.
+    * A user with view@0h, view@5h, click@13h does NOT count as
+    * view→click(≤12h): the anchor is view@0h and 13h exceeds the gap.
+    * This is the one-Exchange formulation (any-sequence needs a
+    * per-pair join or NFA state); counts are a lower bound on
+    * any-sequence counts.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[(String, Int)]): DataFrame =
@@ -295,8 +320,39 @@ object Graft {
   /** Edit-distance near-dup pairs over (doc_id, text): length-bucket
     * blocked (equi-join on (maxDist+1)-wide length buckets), exact
     * |Δlen| prefilter, Levenshtein DP only on admitted pairs. Returns
-    * (doc_a, doc_b, d) with doc_a < doc_b and d <= maxDist.
+    * (doc_a, doc_b, d) with doc_a < doc_b and d <= maxDist. Length
+    * buckets with more than `maxBucket` docs are dropped (broadcast
+    * anti-join — the same hot-bucket cap as [[minhashNearDupPairs]]): a
+    * length band shared by thousands of docs is template output whose
+    * B² pair sweep would melt the join; route such corpora through
+    * [[minhashNearDupPairs]] as the candidate source and use this DP as
+    * the per-candidate verifier instead.
     */
-  def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame =
-    graft.operators.Dedup.editDistancePairsOf(docs, maxDist)
+  def editDistancePairs(docs: DataFrame, maxDist: Int,
+      maxBucket: Int = 1000): DataFrame =
+    graft.operators.Dedup.editDistancePairsOf(docs, maxDist, maxBucket)
+
+  /** Zonemap (per-file min/max) file pruning over the parquet files of
+    * `dir`, statistic column `valueCol`: the file paths whose
+    * [min, max] zone intersects [lo, hi], plus the total file count.
+    * The zonemap is O(files) metadata rows — at 100 TB this collect is
+    * a catalog read (Delta/Iceberg file stats), not a data read. Pair
+    * with a range-clustered layout ([[graft.operators.Pipeline]]'s
+    * layout_range_sort / layout_zorder) — on a random layout every file
+    * covers the full range and nothing prunes.
+    */
+  def zonemapPrunedFiles(spark: SparkSession, dir: String, valueCol: String,
+      lo: Double, hi: Double): (Array[String], Long) =
+    graft.operators.Analytics.zonemapPrunedFilesOf(spark, dir, valueCol, lo, hi)
+
+  /** Compact the parquet files under `in` into ceil(bytes/targetBytes)
+    * files at `out` — `coalesce`, never a shuffle (compaction moves
+    * bytes, it must not repartition them). Returns
+    * (filesBefore, filesAfter). Small-file compaction is the single
+    * highest-leverage maintenance op at scale: a 100 TB table of 10 MB
+    * files pays ~10M file-open round-trips per scan.
+    */
+  def compactParquet(spark: SparkSession, in: String, out: String,
+      targetBytes: Long): (Int, Int) =
+    graft.operators.Pipeline.compactParquet(spark, in, out, targetBytes)
 }

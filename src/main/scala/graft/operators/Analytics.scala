@@ -136,8 +136,8 @@ object Analytics {
        |  transform(array_sort(array_distinct($chCol)),
        |    c -> (cast(size(filter($chCol, x -> x = c)) as double)
        |          / size($chCol))
-       |         * log2(cast(size(filter($chCol, x -> x = c)) as double)
-       |                / size($chCol))),
+       |         * round(log2(cast(size(filter($chCol, x -> x = c)) as double)
+       |                / size($chCol)), 8)),
        |  0D, (acc, x) -> acc + x)""".stripMargin)
 
   // ---------------------------------------------------------------------
@@ -171,13 +171,26 @@ object Analytics {
     * and the collect is a metadata read, not a data read.
     */
   private[graft] def zonemapPrunedFiles(s: SparkSession, dir: String,
-      lo: Double, hi: Double): (Array[String], Long) = {
+      lo: Double, hi: Double): (Array[String], Long) =
+    zonemapPrunedFilesOf(s, dir, "value", lo, hi)
+
+  /** Column-parametric zonemap pruning (the `Graft.zonemapPrunedFiles`
+    * facade surface): per-file [min, max] of `valueCol` over the parquet
+    * files of `dir`, keep = zones intersecting [lo, hi]. All-NULL-column
+    * files have NULL zone bounds and are conservatively KEPT (their
+    * rows can't match a range probe, but skipping decisions must never
+    * depend on absent statistics).
+    */
+  private[graft] def zonemapPrunedFilesOf(s: SparkSession, dir: String,
+      valueCol: String, lo: Double, hi: Double): (Array[String], Long) = {
     val zones = s.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
-      .agg(min("value").as("lo"), max("value").as("hi"))
+      .agg(min(col(valueCol).cast("double")).as("lo"),
+        max(col(valueCol).cast("double")).as("hi"))
       .collect()
     val keep = zones.filter(r =>
-      r.getDouble(1) <= hi && r.getDouble(2) >= lo).map(_.getString(0))
+      r.isNullAt(1) || (r.getDouble(1) <= hi && r.getDouble(2) >= lo))
+      .map(_.getString(0))
     (keep, zones.length.toLong)
   }
 
@@ -521,7 +534,14 @@ object Analytics {
         |ORDER BY event_type""".stripMargin) { (s, d) =>
       val dir = zonemapLayout(s, d)
       val (files, _) = zonemapPrunedFiles(s, dir, 240.0, 250.0)
-      s.read.parquet(files.toIndexedSeq: _*)
+      // empty keep-list guard: a probe range intersecting NO file zone is
+      // a legitimate outcome (e.g. out-of-range probe) — zero-path
+      // spark.read.parquet() throws (no schema), so read the dir's schema
+      // and emit the empty frame the full scan would produce
+      val src =
+        if (files.isEmpty) s.read.parquet(dir).where(lit(false))
+        else s.read.parquet(files.toIndexedSeq: _*)
+      src
         .where(col("value").between(240, 250))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -535,17 +555,26 @@ object Analytics {
     // the SORTED distinct-char list so both engines sum identical terms
     // in identical order (list_reduce / aggregate are sequential by
     // definition — list_sum's accumulation order is unspecified).
+    // Float-parity discipline (the BM25 pattern, NOT a final round):
+    // the one transcendental (log2) is rounded to 8 decimals BEFORE the
+    // multiply — after that every operand is bit-identical cross-engine
+    // (p is an exact integer ratio, products and the ordered sum are
+    // IEEE-identical), so the sum is emitted UNROUNDED. A final
+    // round(...,4) was the documented half-boundary trap: dyadic char
+    // distributions (p = k/2^m) put the exact sum ON a 4-dp half
+    // boundary, where Spark (shortest-decimal HALF_UP) and DuckDB
+    // (binary-value) rounding can disagree.
     Q("text_entropy_score",
       """SELECT doc_id, length(text) AS n_chars,
-        |  round(-list_reduce(list_transform(
+        |  -list_reduce(list_transform(
         |      list_sort(list_distinct(string_split(text, ''))),
         |      c -> (CAST(len(list_filter(string_split(text, ''),
         |                                 x -> x = c)) AS DOUBLE)
         |            / len(string_split(text, '')))
-        |           * log2(CAST(len(list_filter(string_split(text, ''),
+        |           * round(log2(CAST(len(list_filter(string_split(text, ''),
         |                                       x -> x = c)) AS DOUBLE)
-        |                  / len(string_split(text, '')))),
-        |    (a, b) -> a + b), 4) AS entropy
+        |                  / len(string_split(text, ''))), 8)),
+        |    (a, b) -> a + b) AS entropy
         |FROM documents
         |WHERE length(text) > 0
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -553,7 +582,7 @@ object Analytics {
         .where(length(col("text")) > 0)
         .withColumn("ch", split(col("text"), ""))
         .select(col("doc_id"), length(col("text")).as("n_chars"),
-          round(-charEntropyNeg("ch"), 4).as("entropy"))
+          (-charEntropyNeg("ch")).as("entropy"))
         .orderBy("doc_id")
     },
 
@@ -776,6 +805,11 @@ object Analytics {
     // larger page scores ~1.0 here but ~|A|/|B| there). Same bounded
     // verification block as dedup_ngram_jaccard (doc_id < 200); at scale
     // the pair source is the MinHash band join, not a block scan.
+    // The ratio is emitted UNROUNDED: n/d of two ints is ONE correctly-
+    // rounded IEEE division — bit-identical cross-engine — whereas a
+    // final round(...,4) was the documented half-boundary trap (dyadic
+    // d, e.g. 7/32 = 0.21875, lands exactly on a 4-dp half boundary
+    // where Spark and DuckDB rounding can disagree).
     Q("corpus_containment_ngram",
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -785,8 +819,8 @@ object Analytics {
         |  FROM documents
         |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 2)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |        / len(a.g), 4) AS containment
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / len(a.g) AS containment
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |      / len(a.g) >= 0.5
@@ -807,8 +841,7 @@ object Analytics {
       a.join(b, col("doc_a") =!= col("doc_b")
           && size(col("gb")).cast("double") >= lit(0.5) * size(col("ga"))
           && contain >= 0.5)
-        .select(col("doc_a"), col("doc_b"),
-          round(contain, 4).as("containment"))
+        .select(col("doc_a"), col("doc_b"), contain.as("containment"))
         .orderBy("doc_a", "doc_b")
     },
   )

@@ -191,9 +191,18 @@ object Dedup {
     * materialized by `localCheckpoint`) under `broadcastNodeLimit` →
     * broadcast; over → plain joins, and AQE picks the join strategy from
     * the actual sizes (shuffle-hash on the label key).
+    *
+    * Non-convergence is LOUD, never silent: min-label propagation moves
+    * a label one hop per round, so a pair graph with diameter > maxIter
+    * exits the loop with under-merged labels — a keep/drop list built
+    * from them would split real clusters. With `failOnMaxIter` (default)
+    * the exit throws IllegalStateException instead of returning the
+    * partial labels; callers that knowingly want best-effort labels on a
+    * pathological chain graph opt out and own the under-merge.
     */
   private[graft] def collapseClusters(pairs: DataFrame, maxIter: Int = 10,
-      broadcastNodeLimit: Long = 20000000L): DataFrame = {
+      broadcastNodeLimit: Long = 20000000L,
+      failOnMaxIter: Boolean = true): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -229,6 +238,13 @@ object Dedup {
       it += 1
     }
     edges.unpersist(false)
+    if (!converged && failOnMaxIter)
+      throw new IllegalStateException(
+        s"collapseClusters did not converge in $maxIter rounds: the pair " +
+          "graph's diameter exceeds maxIter and the labels are under-merged " +
+          "(clusters would be silently split). Raise maxIter (rounds needed " +
+          "= graph diameter; dedup graphs are near-cliques needing 2-3) or " +
+          "pass failOnMaxIter=false to accept best-effort labels.")
     labels
   }
 
@@ -239,19 +255,38 @@ object Dedup {
     * self + adjacent buckets), the exact |Δlen| <= maxDist prefilter
     * re-checks inside the bucket, and only admitted pairs pay the
     * O(n·m) Levenshtein DP.
+    *
+    * Hot-bucket cap — same 100 TB safety valve as the MinHash/SimHash
+    * paths: bucket key = floor(len/(maxDist+1)), so a templated corpus
+    * where B docs share one length band yields B² admitted |Δlen| checks
+    * (and near-B² DPs when lengths are equal). Buckets whose population
+    * (counted on the non-fanned b side — one row per doc) exceeds
+    * `maxBucket` are dropped from BOTH join sides via a broadcast
+    * anti-join (the hot list is near-empty by construction): a length
+    * band shared by >1000 docs is boilerplate/template output, not
+    * near-duplication, and at that density the right pair source is the
+    * MinHash band join with this DP as the per-candidate verifier. The
+    * only extra cost is one map-side-combined count of bucket keys.
     */
   private[graft] def editDistancePairsOf(docs: DataFrame,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxBucket: Int = 1000): DataFrame = {
     val bw = maxDist + 1
     val base = docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val hot = base
+      .groupBy(floor(col("n") / bw).as("bk"))
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucket)
+      .select("bk")
     val a = base.select(col("doc_id").as("doc_a"),
       col("text").as("ta"), col("n").as("na"),
       explode(array(floor(col("n") / bw) - 1, floor(col("n") / bw),
         floor(col("n") / bw) + 1)).as("bk"))
+      .join(broadcast(hot), Seq("bk"), "left_anti")
     val b = base.select(col("doc_id").as("doc_b"),
       col("text").as("tb"), col("n").as("nb"),
       floor(col("n") / bw).as("bk"))
+      .join(broadcast(hot), Seq("bk"), "left_anti")
     a.join(b, Seq("bk"))
       .where(col("doc_a") < col("doc_b")
         && abs(col("na") - col("nb")) <= maxDist)

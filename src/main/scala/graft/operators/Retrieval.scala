@@ -131,19 +131,25 @@ object Retrieval {
          |LIMIT 10""".stripMargin) { (s, d) =>
       import graft.functions.cosine_sim
       import org.apache.spark.sql.expressions.Window
+      // Rank AFTER the top-50 cut, never before: limit-then-rank plans the
+      // cut as TakeOrderedAndProject (per-partition heaps, no global sort)
+      // and the unpartitioned row_number window — a single-partition
+      // Exchange by construction — only ever sees the 50-row frame, not
+      // the scored corpus. Ranks are identical either way: the top-50 by
+      // an ordering hold ranks 1..50 under that same ordering.
       val wAll = Window.orderBy(col("vs").desc, col("vec_id"))
       val vec = Tables.embeddings(s, d).where(col("vec_id") =!= 0)
         .crossJoin(broadcast(Tables.embeddings(s, d)
           .where(col("vec_id") === 0).select(col("embedding").as("probe"))))
         .select(col("vec_id"),
           round(cosine_sim(col("embedding"), col("probe")), 6).as("vs"))
-        .withColumn("rv", row_number().over(wAll))
         .orderBy(col("vs").desc, col("vec_id")).limit(50)
+        .withColumn("rv", row_number().over(wAll))
         .select(col("vec_id"), col("rv"))
       val wBm = Window.orderBy(col("score").desc, col("doc_id"))
       val bm = bm25Scored(s, d).where(col("score") > 0)
-        .withColumn("rb", row_number().over(wBm))
         .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("rb", row_number().over(wBm))
         .select(col("doc_id"), col("rb"))
       vec.join(bm, col("vec_id") === col("doc_id"), "full_outer")
         .select(coalesce(col("vec_id"), col("doc_id")).as("doc_id"),

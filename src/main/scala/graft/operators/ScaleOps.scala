@@ -445,7 +445,7 @@ object ScaleOps {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
-    // TPC-H Q8 (market share): NATION_1's share of ASIA-region PROMO-part
+    // TPC-H Q8 (market share): NATION_2's share of ASIA-region PROMO-part
     // revenue per order year. Numerator and denominator are exact
     // DECIMAL sums; the single double division is correctly rounded on
     // both engines. All dims broadcast; the fact shuffles once for the

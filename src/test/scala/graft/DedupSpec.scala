@@ -149,6 +149,46 @@ class DedupSpec extends SparkSuite {
     assert(sh == expected, s"shuffle path: $sh")
   }
 
+  test("edit-distance hot-bucket cap drops degenerate length bands, keeps normal ones") {
+    import spark.implicits._
+    // 5k docs of IDENTICAL length collapse into one length bucket —
+    // ~12.5M admitted |Δlen| checks (and as many DPs) without the cap;
+    // the default cap of 1000 must drop the band and finish in bounded
+    // time. Distinct text per doc so the cap, not dedup, is what bounds it.
+    val degen = (0L until 5000L)
+      .map(i => (i, f"buy now limited offer ${i}%06d"))
+      .toDF("doc_id", "text")
+    val capped = operators.Dedup.editDistancePairsOf(degen, maxDist = 5).count()
+    assert(capped == 0, s"default cap should drop the size-5000 band, got $capped")
+    // the same docs below the cap verify normally: every pair differs in
+    // at most the 6 id digits → d <= 5 for pairs sharing a leading digit
+    val small = degen.where(col("doc_id") < 10)
+    val kept = operators.Dedup.editDistancePairsOf(small, maxDist = 5).count()
+    assert(kept == 45, s"10 same-length docs with d<=5 should give 45 pairs, got $kept")
+  }
+
+  test("collapseClusters throws at maxIter instead of returning under-merged labels") {
+    import spark.implicits._
+    // path graph 0-1-...-7: diameter 7 > maxIter 3 — min-label propagation
+    // cannot finish, and silent partial labels would split the cluster
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      operators.Dedup.collapseClusters(chain, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+    // the explicit opt-out returns best-effort labels (still a valid
+    // partial merge: every label is SOME reachable id, just not the min)
+    val partial = operators.Dedup.collapseClusters(chain, maxIter = 3,
+        failOnMaxIter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(partial.size == 8 && partial.values.exists(_ != 0L),
+      s"expected 8 partially-merged labels: $partial")
+    // and the same graph converges cleanly when maxIter covers the diameter
+    val full = operators.Dedup.collapseClusters(chain, maxIter = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full == (0L to 7L).map(_ -> 0L).toMap, full.toString)
+  }
+
   test("dedup_exact is idempotent") {
     val q = SparkEntry.queries("dedup_exact")
     val once = q(spark, sf)

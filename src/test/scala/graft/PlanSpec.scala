@@ -198,6 +198,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
   }
 
+  test("rag_hybrid_rrf ranks limit-bounded frames; top-k is TakeOrderedAndProject") {
+    val df = SparkEntry.queries("rag_hybrid_rrf")(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    // every unpartitioned row_number window must sit ABOVE a limit — a
+    // window whose input subtree has no GlobalLimit would single-partition
+    // sort the entire scored corpus (the canonical 100x-scale killer)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected rank windows in the RRF plan")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case g: GlobalLimit => g }.isDefined,
+        s"window input is not limit-bounded:\n${w.treeString.take(2000)}")
+    }
+    // and the top-50 cut itself plans as top-k, not a global sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("pack_token_shards: the running sum is a PARTITIONED window, not a global one") {
     val p = planString("pack_token_shards")
     // the window's exchange must hash on the partition key; the only

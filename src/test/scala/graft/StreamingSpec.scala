@@ -196,6 +196,64 @@ class StreamingSpec extends SparkSuite {
     assert(got == Seq(1L, 2L, 3L, 4L, 5L), got.toString)
   }
 
+  test("rollup MV survives stop + checkpoint restart: no replay double-count") {
+    // The stateful twin of the stateless restart test above — the
+    // reference's operational claim (Flink checkpoint recovery,
+    // docker-compose.yml:78-121) mapped to Spark's contract: a foreachBatch
+    // MV maintained under a checkpointLocation is stopped mid-stream, new
+    // data arrives, a NEW query restarts from the same checkpoint dir.
+    // mergeRollupBatch is deliberately NOT replay-idempotent (a replayed
+    // batch double-counts into the store), so store == batch after the
+    // resumed run proves the restart consumed each committed file exactly
+    // once — real checkpoint recovery, not merge idempotence.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mvckpt_").toString
+    val src = s"$root/src"; val chk = s"$root/chk"
+    val store = s"$root/store"
+    def feed(rows: (java.sql.Timestamp, String, Double)*): Unit =
+      rows.toSeq.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1") // one micro-batch per file
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          operators.Streaming.mergeRollupBatch(b, store)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      feed((t("10:00"), "click", 1.5), (t("10:10"), "view", 2.0))
+      feed((t("11:00"), "click", 0.5))
+      runOnce() // 2 files → 2 committed micro-batches, then the query stops
+      feed((t("10:30"), "click", 3.25))
+      feed((t("12:00"), "view", 4.0))
+      runOnce() // restart from chk: must process ONLY the 2 new files
+      val got = streaming.Streams.storeRead(spark, store)
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3).doubleValue())).toSeq
+      val want = spark.read.parquet(src)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == want, s"restarted store $got vs batch $want")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("incremental rollup store equals the batch answer after EVERY batch") {
     import spark.implicits._
     implicit val sq: SQLContext = spark.sqlContext

@@ -149,6 +149,31 @@ object Graft {
       .drop("rank")
   }
 
+  /** Per-cell bounded-degree neighbor graphs over an IVF assignment
+    * (the DiskANN/SPANN layout — see README "Vector-index architecture"):
+    * `assign` is [[IvfIndex.assign]]-shaped (id, embedding, cell); each
+    * cell's vectors get an exact `m`-NN adjacency built INSIDE the
+    * cell's task (O(cell²) bounded by the cell-size design knob).
+    * Returns (vec_id, embedding, neighbors, cell) — persist partitioned
+    * by cell so [[cellGraphTopK]] reads only routed partitions.
+    */
+  def cellGraphBuild(assign: DataFrame, m: Int = 12): DataFrame =
+    graft.operators.Ann.buildCellGraphs(
+      assign.select(col("id").as("vec_id"), col("embedding"), col("cell")), m)
+
+  /** Beam-search [[cellGraphBuild]] graphs for one probe vector: the
+    * caller routes (filters `graph` to the probe's nprobe cells — at
+    * scale, partition pruning), each routed cell is walked in ONE task
+    * (ef-wide best-first from a deterministic entry) instead of scanned,
+    * and the union of per-cell top-k (vec_id, score, visited) comes
+    * back O(k·cells) small. `visited` is the per-cell scan-fraction
+    * evidence. The probe is a plain float array — the same O(1)
+    * driver-side probe contract as the IVF routing collect.
+    */
+  def cellGraphTopK(graph: DataFrame, probe: Array[Float], k: Int,
+      ef: Int = 48): DataFrame =
+    graft.operators.Ann.graphSearchOf(graph, probe, k, ef)
+
   /** MinHash(32) + LSH(8×4) near-duplicate pairs of `docs` (doc_id,
     * text), exact-Jaccard verified at `threshold`. Candidates come from
     * band-hash equi-buckets only — never a cross product; only candidate

@@ -169,6 +169,39 @@ object Ann {
         .limit(10)
     },
 
+    // Graph ANN inside the persisted IVF cells — the engine's answer to
+    // the reference's OpenSearch k-NN = HNSW index (RAG.java:41-59,
+    // OpenSearchConnection.java:21-36), re-expressed for a distributed
+    // store the DiskANN/SPANN way: a coarse quantizer routes the probe to
+    // nprobe cell PARTITIONS (static pruning, same as ann_ivf_persisted),
+    // and within each routed cell a persisted bounded-degree neighbor
+    // graph is beam-searched in ONE task instead of scanning the cell.
+    // A monolithic HNSW is the wrong shape at 100 TB — one mutable
+    // navigable small-world over 10^11 vectors can't shard, rebuild, or
+    // broadcast; per-cell graphs partition-align, rebuild independently,
+    // and bound both build memory and search fan-in (cell size is the
+    // design knob). Search visits ~ef·degree of the cell instead of all
+    // of it; AnnSpec gates recall vs the exact scan and asserts the
+    // visited count stays below the cell population.
+    Q.noOracle("ann_ivf_graph_topk") { (s, d) =>
+      val dir = ivfIndex(s, d)
+      val probeRow = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cells = s.read.parquet(s"$dir/centroids")
+        .crossJoin(broadcast(Tables.embeddings(s, d)
+          .where(col("vec_id") === 0).select(col("embedding").as("probe"))))
+        .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(3)
+        .select("cell").collect().map(_.getString(0))
+      graphSearchCells(s, s"$dir/graph", cells.toIndexedSeq, probeRow,
+          k = 10, ef = 48)
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // Range search — the similarity family's other query shape: not the
     // k nearest but EVERYTHING above a similarity floor (the form dedup
     // thresholds and retrieval filters actually use). Exact scan, O(3)
@@ -239,6 +272,125 @@ object Ann {
   private val indexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** In-JVM cosine for the graph build/search kernels (the codegen'd
+    * `cosine_sim` expression serves declarative plans; graph traversal is
+    * genuinely imperative per-partition work — mapPartitions territory).
+    */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Build the per-cell neighbor graphs for a (vec_id, embedding, cell)
+    * assignment: each cell's vectors get a bounded-degree (`m`) exact
+    * nearest-neighbor adjacency, computed INSIDE the cell's task after a
+    * repartition on cell — O(cell²) pairwise work bounded by cell size
+    * (the IVF design knob; a cell is sized to fit one task by
+    * construction, the same contract DiskANN places on its shards).
+    * Deterministic: ties break on neighbor id. Returns
+    * (vec_id, embedding, neighbors, cell) — embeddings ride along so a
+    * search reads ONE partition-pruned table.
+    */
+  private[graft] def buildCellGraphs(assign: org.apache.spark.sql.DataFrame,
+      m: Int): org.apache.spark.sql.DataFrame = {
+    val s = assign.sparkSession
+    import s.implicits._
+    // cell normalizes to string (callers pass long k-means ids or string
+    // partition values; the graph table's partition column is string)
+    assign.select(col("vec_id"), col("embedding"),
+        col("cell").cast("string").as("cell"))
+      .as[(Long, Array[Float], String)]
+      .repartition(col("cell"))
+      .mapPartitions { it =>
+        // a hash partition may hold several cells: group, then graph each
+        it.toSeq.groupBy(_._3).iterator.flatMap { case (cell, rows) =>
+          val nodes = rows.sortBy(_._1).toArray
+          nodes.iterator.map { case (id, emb, _) =>
+            val nbrs = nodes.view
+              .filter(_._1 != id)
+              .map { case (oid, oemb, _) => (cos(emb, oemb), oid) }
+              .toArray
+              .sortBy { case (c, oid) => (-c, oid) }
+              .take(m).map(_._2)
+            (id, emb, nbrs, cell)
+          }
+        }
+      }
+      .toDF("vec_id", "embedding", "neighbors", "cell")
+  }
+
+  /** Beam-search the persisted per-cell graphs at `graphDir` for `probe`:
+    * reads ONLY the `cells` partitions (static pruning — cell ids are
+    * literals), then delegates to [[graphSearchOf]].
+    */
+  private[graft] def graphSearchCells(s: org.apache.spark.sql.SparkSession,
+      graphDir: String, cells: Seq[String], probe: Array[Float],
+      k: Int, ef: Int): org.apache.spark.sql.DataFrame =
+    graphSearchOf(
+      s.read.parquet(graphDir).where(col("cell").isin(cells: _*)),
+      probe, k, ef)
+
+  /** Frame-parametric beam search over per-cell neighbor graphs (the
+    * `Graft.cellGraphTopK` facade surface): `graph` carries
+    * (vec_id, embedding, neighbors, cell) rows — [[buildCellGraphs]]
+    * output, already cell-filtered by the caller's routing. ONE task per
+    * cell walks its graph: best-first beam of width `ef` from a
+    * deterministic entry (min vec_id); neighbors of the current best
+    * expand until no frontier node can improve the beam. Emits each
+    * searched cell's top-`k` (vec_id, score) plus the visited count —
+    * the scan-fraction evidence the specs gate on. Per-cell results are
+    * O(k·cells) rows; the global top-k is a TakeOrdered over them.
+    */
+  private[graft] def graphSearchOf(graph: org.apache.spark.sql.DataFrame,
+      probe: Array[Float], k: Int, ef: Int): org.apache.spark.sql.DataFrame = {
+    val s = graph.sparkSession
+    import s.implicits._
+    graph
+      .select(col("vec_id"), col("embedding"), col("neighbors"),
+        col("cell").cast("string").as("cell"))
+      .as[(Long, Array[Float], Array[Long], String)]
+      .repartition(col("cell"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._4).iterator.flatMap { case (_, rows) =>
+          val byId = rows.map(r => r._1 -> (r._2, r._3)).toMap
+          if (byId.isEmpty) Iterator.empty
+          else {
+            val entry = byId.keysIterator.min
+            // beam: best ef seen so far (min-heap on score); frontier:
+            // unexpanded candidates (max-heap on score)
+            val beam = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Long)](Ordering.by(t => (-t._1, t._2)))
+            val frontier = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Long)](Ordering.by(t => (t._1, -t._2)))
+            val visited = scala.collection.mutable.HashSet[Long](entry)
+            val e0 = (cos(byId(entry)._1, probe), entry)
+            beam.enqueue(e0); frontier.enqueue(e0)
+            while (frontier.nonEmpty &&
+                (beam.size < ef || frontier.head._1 >= beam.head._1)) {
+              val (_, cur) = frontier.dequeue()
+              byId(cur)._2.foreach { nb =>
+                if (byId.contains(nb) && visited.add(nb)) {
+                  val sc = (cos(byId(nb)._1, probe), nb)
+                  if (beam.size < ef) { beam.enqueue(sc); frontier.enqueue(sc) }
+                  else if (sc._1 > beam.head._1) {
+                    beam.dequeue(); beam.enqueue(sc); frontier.enqueue(sc)
+                  }
+                }
+              }
+            }
+            val nVisited = visited.size.toLong
+            beam.toSeq.sortBy(t => (-t._1, t._2)).take(k)
+              .map { case (score, id) => (id, score, nVisited) }.iterator
+          }
+        }
+      }
+      .toDF("vec_id", "score", "visited")
+  }
+
   /** One-time persisted IVF index (built once per (session, sf), like the
     * other layout builders): the k-means assignment written as parquet
     * PARTITIONED BY cell — on a real table this is the cluster/partition
@@ -257,6 +409,11 @@ object Ann {
       assign.groupBy("cell")
         .agg(vector_avg(col("embedding")).as("cent"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      // per-cell neighbor graph (degree 12): the graph-ANN search
+      // structure, partition-aligned with the cells (ann_ivf_graph_topk)
+      buildCellGraphs(assign, m = 12)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/graph")
       dir
     })
 

@@ -177,6 +177,52 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("cellGraphBuild/cellGraphTopK: graph beam search recalls on a clustered corpus") {
+    import spark.implicits._
+    // same clustered-corpus design as the IVF test: graph ANN's recall
+    // claim must hold where cluster structure exists, with the visited
+    // count proving the beam walked a FRACTION of each routed cell
+    val rnd = new scala.util.Random(11)
+    val (dim, nClusters, per) = (32, 8, 200)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- 0 until nClusters; i <- 0 until per) yield
+      ((c * per + i).toLong,
+        unit(centers(c).map(_ + 0.15 * rnd.nextGaussian())))
+    val cstore = pts.toDF("id", "embedding")
+    val probeVec = pts.find(_._1 == 0L).get._2
+    val cprobes = cstore.where(col("id") === 0L)
+      .select(col("id").as("probe_id"), col("embedding").as("probe"))
+    val exact = Graft.cosineTopK(cstore, cprobes, 10)
+      .collect().map(_.getLong(1)).toSet
+    val idx = Graft.ivfBuild(cstore, k = nClusters)
+    try {
+      val graph = Graft.cellGraphBuild(idx.assign, m = 10).persist()
+      // route to the probe's 2 nearest cells by centroid, like ivfTopK
+      val cells = idx.centroids
+        .select(col("cell"),
+          functions.cosine_sim(col("cent"),
+            functions.lit_vector(probeVec)).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(2).collect().map(_.getLong(0))
+      val routed = graph.where(col("cell").isin(cells.toIndexedSeq: _*))
+      val got = Graft.cellGraphTopK(routed, probeVec, 10, ef = 32)
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+      val ids = got.collect().map(_.getLong(0)).toSet
+      assert(exact.intersect(ids).size >= 9,
+        s"graph recall ${exact.intersect(ids).size}/10")
+      // beam efficiency: visited stays below the routed cells' population
+      val visited = got.select(max("visited")).head().getLong(0)
+      val routedPop = routed.count()
+      assert(visited < routedPop,
+        s"beam visited $visited of $routedPop routed rows")
+      graph.unpersist()
+    } finally idx.unpersist()
+  }
+
   test("editDistancePairs: bucket blocking finds cross-bucket neighbors") {
     import spark.implicits._
     // d("abcdef","abcdxx")=2 same bucket; "abcdefgh" vs "abcdef" d=2 with
@@ -215,5 +261,46 @@ class ApiSpec extends SparkSuite {
     assert(out.length == 3 && out.map(_._2).distinct.length == 3)
     val top1 = operators.Rag.knnTopK(spark, sf, 1).collect().head.getLong(0)
     assert(out.head._2 == top1)
+  }
+
+  test("zonemapPrunedFiles prunes on a clustered layout; empty probe keeps nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_api_zm_").toString
+    try {
+      (0L until 800L).map(i => (i, i.toDouble)).toDF("id", "v")
+        .repartitionByRange(8, col("v")).sortWithinPartitions("v")
+        .write.mode("overwrite").parquet(dir)
+      val (keep, total) = Graft.zonemapPrunedFiles(spark, dir, "v", 100.0, 150.0)
+      assert(total == 8 && keep.length < 8 && keep.nonEmpty,
+        s"kept ${keep.length}/$total")
+      // skipping must not change the answer
+      val pruned = spark.read.parquet(keep.toIndexedSeq: _*)
+        .where(col("v").between(100.0, 150.0)).count()
+      assert(pruned == 51, s"pruned-scan count $pruned")
+      // a probe outside every zone keeps zero files (the guarded case)
+      val (none, _) = Graft.zonemapPrunedFiles(spark, dir, "v", 5000.0, 6000.0)
+      assert(none.isEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("compactParquet coalesces small files without changing rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_api_cp_").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    try {
+      (0L until 1000L).toDF("id").repartition(10)
+        .write.mode("overwrite").parquet(in)
+      val (before, after) = Graft.compactParquet(spark, in, out, 1L << 20)
+      assert(before == 10 && after < before, s"$before -> $after")
+      assert(spark.read.parquet(out).count() == 1000L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

@@ -60,6 +60,26 @@ class DedupSpec extends SparkSuite {
       s"quantized recall ${exact.intersect(quant).size}/10")
   }
 
+  test("ann_ivf_graph_topk: beam search over per-cell graphs recalls the exact top-k") {
+    val exact = operators.Rag.knnTopK(spark, sf, 10)
+      .collect().map(_.getLong(0)).toSet
+    val graph = SparkEntry.queries("ann_ivf_graph_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // ceiling = the IVF routing (same nprobe=3/k=4 cells as
+    // ann_ivf_persisted, gated >= 9/10 above); the beam search inside the
+    // routed cells must not lose more than one additional true neighbor
+    // on the near-random fixture embeddings
+    assert(exact.intersect(graph).size >= 8,
+      s"graph recall ${exact.intersect(graph).size}/10")
+    // the graph table is partition-aligned with the cells and every node
+    // has bounded degree (build contract: m = 12)
+    val dir = operators.Ann.ivfIndex(spark, sf)
+    val g = spark.read.parquet(s"$dir/graph")
+    assert(g.select("cell").distinct().count() == 4)
+    val maxDeg = g.select(max(size(col("neighbors")))).head().getInt(0)
+    assert(maxDeg <= 12, s"degree bound violated: $maxDeg")
+  }
+
   test("collapseClusters: transitive closure + keep-min on a constructed graph") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3: exercises iteration, not just cliques),

@@ -64,7 +64,7 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_grams"), 4).as("hit_frac"),
+        (col("n_hit").cast("double") / col("n_grams")).as("hit_frac"),
         (col("n_hit").cast("double") / col("n_grams") >= flagAt)
           .as("contaminated"))
   }
@@ -179,9 +179,9 @@ object Corpus {
     // recipe is specified against and audited with.
     Q("mix_report_sources",
       """SELECT lang, source, docs, tokens,
-        |  round(CAST(tokens AS DOUBLE)
+        |  CAST(tokens AS DOUBLE)
         |        / CAST(CAST(sum(tokens) OVER () AS BIGINT) AS DOUBLE)
-        |        * 100, 6) AS pct_tokens
+        |        * 100 AS pct_tokens
         |FROM (
         |  SELECT lang, source, count(*) AS docs,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
@@ -194,9 +194,9 @@ object Corpus {
       // percent-of-total over the aggregated cells (|lang|×|source| rows),
       // never over the raw corpus
       cells.withColumn("pct_tokens",
-          round(col("tokens").cast("double")
+          col("tokens").cast("double")
             / sum(col("tokens")).over(Window.partitionBy()).cast("double")
-            * 100, 6))
+            * 100)
         .orderBy("lang", "source")
     },
 
@@ -214,7 +214,7 @@ object Corpus {
          |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
          |SELECT doc_id, count(*) AS n_grams,
          |  count(ev.gram) AS n_hit,
-         |  round(CAST(count(ev.gram) AS DOUBLE) / count(*), 4) AS hit_frac,
+         |  CAST(count(ev.gram) AS DOUBLE) / count(*) AS hit_frac,
          |  CAST(count(ev.gram) AS DOUBLE) / count(*) >= 0.05 AS contaminated
          |FROM g LEFT JOIN ev USING (gram)
          |WHERE g.doc_id % 97 <> 0
@@ -272,7 +272,7 @@ object Corpus {
         |  SELECT lang, count(*) AS docs,
         |    CAST(min(count(*)) OVER () AS DOUBLE) / count(*) AS rate
         |  FROM documents GROUP BY lang)
-        |SELECT r.lang AS lang, r.docs, round(r.rate, 6) AS rate,
+        |SELECT r.lang AS lang, r.docs, r.rate AS rate,
         |  count(*) AS kept
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE r.rate >= 1.0
@@ -282,7 +282,7 @@ object Corpus {
         |GROUP BY r.lang, r.docs, r.rate
         |ORDER BY lang""".stripMargin) { (s, d) =>
       rebalanceBy(Tables.documents(s, d), "lang", "doc_id")
-        .groupBy(col("lang"), col("docs"), round(col("rate"), 6).as("rate"))
+        .groupBy(col("lang"), col("docs"), col("rate"))
         .agg(count(lit(1)).as("kept"))
         .orderBy("lang")
     },

@@ -36,9 +36,14 @@ object Dedup {
       .where(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles3.as("sh"))
 
+  // UNROUNDED: |A∩B| and |A∪B| are exact ints, so the single IEEE
+  // division is bit-identical cross-engine; a final round(...,4) was the
+  // documented half-boundary trap (dyadic |A∪B|, e.g. 7/32, lands ON a
+  // 4-dp half boundary where Spark and DuckDB rounding can disagree) —
+  // and the rounded >= threshold compare could admit pairs the oracle's
+  // unrounded compare rejects.
   private def jaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double")
-      / size(array_union(a, b)), 4)
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** DuckDB-side 3-shingle list (mirrors [[ShingleSql]]). */
   private val OracleShingle =
@@ -308,8 +313,8 @@ object Dedup {
          |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3)
          |SELECT doc_a, doc_b, jac FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |          / len(list_distinct(a.sh || b.sh)), 4) AS jac
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) AS jac
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |WHERE jac >= 0.05
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>

@@ -358,8 +358,8 @@ object Pipeline {
       """WITH scored AS (
         |  SELECT doc_id, text, source,
         |    len(string_split(text, ' ')) AS n_tok,
-        |    round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-        |          AS DOUBLE) / length(text), 4) AS punct_ratio
+        |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |         AS DOUBLE) / length(text) AS punct_ratio
         |  FROM documents WHERE lang = 'en'),
         |gated AS (
         |  SELECT * FROM scored WHERE n_tok >= 30 AND punct_ratio <= 0.25),
@@ -383,8 +383,8 @@ object Pipeline {
         .where(col("lang") === "en")
         .select(col("doc_id"), col("text"), col("source"),
           size(split(col("text"), " ")).as("n_tok"),
-          round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-            .cast("double") / length(col("text")), 4).as("punct_ratio"))
+          (length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+            .cast("double") / length(col("text"))).as("punct_ratio"))
       val gated = scored
         .where(col("n_tok") >= 30 && col("punct_ratio") <= 0.25)
       val deduped = gated.groupBy(md5(col("text")))

@@ -66,7 +66,7 @@ object Text {
     // `lang` column is echoed alongside for comparison, not predicted.)
     Q("text_lang_id",
       s"""SELECT doc_id, lang, n_tok, n_stop,
-         |  round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+         |  CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
          |  CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.05
          |       THEN 'en' ELSE 'unk' END AS guess
          |FROM (
@@ -82,7 +82,7 @@ object Text {
           size(filter(split(col("text"), " "),
             x => x.isInCollection(Stopwords))).as("n_stop"))
         .select(col("doc_id"), col("lang"), col("n_tok"), col("n_stop"),
-          round(col("n_stop").cast("double") / col("n_tok"), 4).as("stop_ratio"),
+          (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
           when(col("n_stop").cast("double") / col("n_tok") >= 0.05, "en")
             .otherwise("unk").as("guess"))
         .orderBy("doc_id")
@@ -92,28 +92,28 @@ object Text {
     // composite in [0, 1].
     Q("text_quality_score",
       """SELECT doc_id, n_chars2, n_tok, punct_ratio, mean_tok_len,
-        |  round(least(1.0, n_tok / 100.0) * (1.0 - punct_ratio), 4) AS quality
+        |  least(1.0, n_tok / 100.0) * (1.0 - punct_ratio) AS quality
         |FROM (
         |  SELECT doc_id, length(text) AS n_chars2,
         |    len(string_split(text, ' ')) AS n_tok,
-        |    round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-        |          AS DOUBLE) / length(text), 4) AS punct_ratio,
-        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |          / len(string_split(text, ' ')), 4) AS mean_tok_len
+        |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |         AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS mean_tok_len
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           length(col("text")).as("n_chars2"),
           size(split(col("text"), " ")).as("n_tok"),
-          round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-            .cast("double") / length(col("text")), 4).as("punct_ratio"),
-          round(length(replace(col("text"), lit(" "), lit(""))).cast("double")
-            / size(split(col("text"), " ")), 4).as("mean_tok_len"))
+          (length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+            .cast("double") / length(col("text"))).as("punct_ratio"),
+          (length(replace(col("text"), lit(" "), lit(""))).cast("double")
+            / size(split(col("text"), " "))).as("mean_tok_len"))
         .select(col("doc_id"), col("n_chars2"), col("n_tok"),
           col("punct_ratio"), col("mean_tok_len"),
-          round(least(lit(1.0), col("n_tok") / 100.0)
-            * (lit(1.0) - col("punct_ratio")), 4).as("quality"))
+          (least(lit(1.0), col("n_tok") / 100.0)
+            * (lit(1.0) - col("punct_ratio"))).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -168,18 +168,17 @@ object Text {
     // counterpart is `text_boilerplate_ngrams`.)
     Q("text_repetition_score",
       s"""SELECT doc_id, n_2grams,
-         |  round(1.0 - CAST(len(list_distinct(${oracleGram(2)}))
-         |              AS DOUBLE) / len(${oracleGram(2)}), 4) AS dup2_frac,
-         |  round(1.0 - CAST(len(list_distinct(${oracleGram(3)}))
-         |              AS DOUBLE) / len(${oracleGram(3)}), 4) AS dup3_frac
+         |  1.0 - CAST(len(list_distinct(${oracleGram(2)}))
+         |        AS DOUBLE) / len(${oracleGram(2)}) AS dup2_frac,
+         |  1.0 - CAST(len(list_distinct(${oracleGram(3)}))
+         |        AS DOUBLE) / len(${oracleGram(3)}) AS dup3_frac
          |FROM (SELECT doc_id, text,
          |        len(string_split(text, ' ')) - 1 AS n_2grams
          |      FROM documents WHERE len(string_split(text, ' ')) >= 3)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       def dupFrac(n: Int) =
-        round(lit(1.0)
-          - size(array_distinct(word_ngrams(col("text"), n))).cast("double")
-          / size(word_ngrams(col("text"), n)), 4)
+        lit(1.0) - size(array_distinct(word_ngrams(col("text"), n)))
+          .cast("double") / size(word_ngrams(col("text"), n))
       Tables.documents(s, d)
         .where(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"),
@@ -205,7 +204,7 @@ object Text {
          |  SELECT tok, count(*) AS c1 FROM (
          |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          |  GROUP BY tok)
-         |SELECT g, c2, c1, round(CAST(c2 AS DOUBLE) / c1, 6) AS p
+         |SELECT g, c2, c1, CAST(c2 AS DOUBLE) / c1 AS p
          |FROM b JOIN u ON string_split(g, ' ')[1] = u.tok
          |ORDER BY c2 DESC, g
          |LIMIT 50""".stripMargin) { (s, d) =>
@@ -218,7 +217,7 @@ object Text {
         .groupBy("tok").agg(count(lit(1)).as("c1"))
       b.join(u, substring_index(col("g"), " ", 1) === col("tok"))
         .select(col("g"), col("c2"), col("c1"),
-          round(col("c2").cast("double") / col("c1"), 6).as("p"))
+          (col("c2").cast("double") / col("c1")).as("p"))
         .orderBy(col("c2").desc, col("g"))
         .limit(50)
     },

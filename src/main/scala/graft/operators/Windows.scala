@@ -145,8 +145,8 @@ object Windows {
     // across engines; round(6) belts-and-braces them).
     Q("win_percent_cume",
       """SELECT o_orderpriority, o_orderkey,
-        |  round(percent_rank() OVER w, 6) AS pr,
-        |  round(cume_dist() OVER w, 6) AS cd
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
@@ -155,8 +155,8 @@ object Windows {
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_orderkey"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
         .orderBy("o_orderpriority", "o_orderkey")
     },
 

@@ -201,6 +201,16 @@ object Graft {
     graft.operators.Dedup.collapseClusters(pairs, maxIter,
       failOnMaxIter = failOnMaxIter)
 
+  /** [[dedupClusters]] by alternating large-star/small-star (Kiveris et
+    * al.) — O(log n) rounds regardless of graph diameter, for pair
+    * graphs with long chains where min-label propagation's
+    * rounds-=-diameter bound is the bottleneck. Near-clique dedup
+    * graphs (diameter 2-3) should prefer [[dedupClusters]]: fewer,
+    * cheaper rounds. Same output contract; DedupSpec proves agreement.
+    */
+  def dedupClustersLogN(pairs: DataFrame): DataFrame =
+    graft.operators.Dedup.collapseClustersLogN(pairs)
+
   /** SimHash near-duplicate pairs of `docs` (doc_id, text): 64-bit
     * sketch, 4×16-bit bands, Hamming ≤ `maxHamming` verification within
     * hash-equal buckets; buckets over 1000 members are dropped as

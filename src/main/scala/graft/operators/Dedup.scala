@@ -253,6 +253,91 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round alternative to [[collapseClusters]]'s
+    * diameter-bounded min-label propagation, for pair graphs with long
+    * chains (per-round cost is the same join+aggregate shape, but a path
+    * graph of diameter 10^6 converges in ~20 rounds instead of 10^6).
+    *
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    current minimum neighbor (or itself) — halves long tails;
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    (on the edge set oriented high→low) to its minimum — compacts
+    *    stars onto their roots.
+    *
+    * Each round rewrites the edge list (one shuffle per star operation,
+    * map-side combined aggregates for the per-node minimum) and
+    * `localCheckpoint` truncates lineage. Convergence = the edge set
+    * stabilizes into root stars (every node points directly at its
+    * component minimum), detected by an unchanged edge count plus a
+    * fixed-point pass. Returns (doc_id, cluster_id) for every doc in
+    * >= 1 pair — the same contract as [[collapseClusters]], and
+    * DedupSpec proves the two agree on chains, cliques, and random
+    * graphs.
+    */
+  private[graft] def collapseClustersLogN(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    // canonical undirected edges, self-loops dropped, deduped
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // every node ever seen: star reduction can drop isolated-after-merge
+    // nodes from the edge list, but the output must label ALL of them
+    val nodes = edges.select(col("u").as("doc_id"))
+      .union(edges.select(col("v").as("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxRounds) {
+      // large-star: for each node u over its full neighborhood (both
+      // orientations), attach strictly-larger neighbors to min(nbr, u)
+      val nbrs = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star: orient high->low, attach smaller-or-equal neighbors
+      // (and u itself) to the minimum of the closed neighborhood
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(minsS, "u")
+        .select(col("v"), col("m"), col("u"))
+        .select(explode(array(
+            struct(col("v").as("u"), col("m").as("v")),
+            struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point: every edge target is a root (no outgoing edge) —
+      // star ops preserve per-component connectivity, so depth-1 stars
+      // imply ONE star per component, rooted at the component minimum
+      edges = small
+      val srcs = edges.select(col("u").as("t")).distinct()
+      converged = edges.join(srcs, col("v") === col("t"), "left_semi").isEmpty
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"collapseClustersLogN did not stabilize in $maxRounds rounds " +
+          "(expected O(log n)); the pair graph is adversarial or maxRounds " +
+          "is set too low.")
+    // depth-1 stars: u -> component min; roots label themselves
+    nodes.join(edges.select(col("u").as("doc_id"), col("v").as("cid")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Frame-parametric edit-distance near-dup pairs (re-exported as
     * `graft.api.Graft.editDistancePairs`): `docs` needs (doc_id, text).
     * Length-bucket blocking (see the dedup_edit_distance comment): docs

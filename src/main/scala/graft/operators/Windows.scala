@@ -142,7 +142,9 @@ object Windows {
     // Distribution ranks: percent_rank/cume_dist over a unique total
     // order (the o_orderkey tiebreak makes every row its own peer group,
     // so both functions are exact integer ratios — bit-identical doubles
-    // across engines; round(6) belts-and-braces them).
+    // across engines, emitted UNROUNDED; a round(6) here was the
+    // half-boundary trap whenever a dyadic rank ratio, e.g. 1/128,
+    // landed exactly on the 6-dp boundary).
     Q("win_percent_cume",
       """SELECT o_orderpriority, o_orderkey,
         |  percent_rank() OVER w AS pr,

@@ -209,6 +209,31 @@ class DedupSpec extends SparkSuite {
     assert(full == (0L to 7L).map(_ -> 0L).toMap, full.toString)
   }
 
+  test("collapseClustersLogN agrees with label propagation; handles long chains") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a 60-node path (diameter 59 — propagation would need 59 rounds,
+    // the star method O(log n)), a clique, an isolated pair, all at once
+    val pairs = ((0L until 59L).map(i => (i, i + 1))
+      ++ Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L)))
+      .toDF("doc_a", "doc_b")
+    val logn = labelsOf(operators.Dedup.collapseClustersLogN(pairs))
+    val expected = ((0L to 59L).map(_ -> 0L)
+      ++ Seq(100L -> 100L, 101L -> 100L, 102L -> 100L,
+        200L -> 200L, 201L -> 200L)).toMap
+    assert(logn == expected, s"$logn")
+    // seeded random graphs: both algorithms label identically
+    val rnd = new scala.util.Random(97)
+    val rand = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val viaProp = labelsOf(operators.Dedup.collapseClusters(rand, maxIter = 40))
+    val viaStar = labelsOf(operators.Dedup.collapseClustersLogN(rand))
+    assert(viaStar == viaProp,
+      s"algorithms disagree: ${viaStar.toSet.diff(viaProp.toSet)}")
+  }
+
   test("dedup_exact is idempotent") {
     val q = SparkEntry.queries("dedup_exact")
     val once = q(spark, sf)

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *   store — (id LONG, embedding ARRAY<FLOAT>)
   * Everything returns a DataFrame and nothing collects to the driver.
   * Laziness caveat: the MinHash pipeline ([[minhashNearDupPairs]],
-  * [[dedupClusters]], [[nearDupKeepList]], and [[mmrRerank]]'s greedy)
+  * [[dedupClusters]], [[dedupClustersLogN]], [[nearDupKeepList]], and
+  * [[mmrRerank]]'s greedy)
   * materializes bounded intermediates eagerly (persist/localCheckpoint
-  * of candidate/label frames — required so iterative stages don't replay
+  * of candidate/label/edge frames per round — required so iterative
+  * stages don't replay
   * the full sketch per round). Long-lived sessions issuing many such
   * calls should release blocks between calls:
   * `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))`.

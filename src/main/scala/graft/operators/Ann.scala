@@ -402,18 +402,23 @@ object Ann {
     indexDirs.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_")
         .toString
+      // pin the assignment: three consumers (cells write, centroid agg,
+      // graph build) would otherwise each replay the full k-means
       val assign = kmeansCells(Tables.embeddings(s, d), k = 4, iters = 3)
         .withColumn("cell", col("cell").cast("string")) // stable partition-column type
-      assign.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/cells")
-      assign.groupBy("cell")
-        .agg(vector_avg(col("embedding")).as("cent"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      // per-cell neighbor graph (degree 12): the graph-ANN search
-      // structure, partition-aligned with the cells (ann_ivf_graph_topk)
-      buildCellGraphs(assign, m = 12)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/graph")
+        .persist()
+      try {
+        assign.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/cells")
+        assign.groupBy("cell")
+          .agg(vector_avg(col("embedding")).as("cent"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        // per-cell neighbor graph (degree 12): the graph-ANN search
+        // structure, partition-aligned with the cells (ann_ivf_graph_topk)
+        buildCellGraphs(assign, m = 12)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/graph")
+      } finally assign.unpersist(false)
       dir
     })
 

@@ -242,13 +242,30 @@ object Dedup {
       labels = joined.select(col("doc_id"), col("cluster_id"))
       it += 1
     }
+    if (!converged) {
+      // the loop's LAST round observed a change, but that change may have
+      // been the final one (in-loop detection needs an extra no-change
+      // round: a diameter-d graph finishes propagating in round d and is
+      // only DETECTED converged in round d+1). Probe once — diff only, no
+      // label update — before declaring failure, so maxIter == diameter
+      // returns the (correct) labels instead of throwing.
+      val nbrMin = edges.join(hinted(labels), edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min("cluster_id").as("nbr_min"))
+      converged = labels.join(hinted(nbrMin),
+          labels("doc_id") === nbrMin("src"), "left")
+        .where(least(col("cluster_id"),
+          coalesce(col("nbr_min"), col("cluster_id"))) =!= col("cluster_id"))
+        .isEmpty
+    }
     edges.unpersist(false)
     if (!converged && failOnMaxIter)
       throw new IllegalStateException(
         s"collapseClusters did not converge in $maxIter rounds: the pair " +
           "graph's diameter exceeds maxIter and the labels are under-merged " +
           "(clusters would be silently split). Raise maxIter (rounds needed " +
-          "= graph diameter; dedup graphs are near-cliques needing 2-3) or " +
+          "= graph diameter; dedup graphs are near-cliques needing 2-3), " +
+          "use collapseClustersLogN (O(log n) rounds) for long chains, or " +
           "pass failOnMaxIter=false to accept best-effort labels.")
     labels
   }
@@ -268,27 +285,34 @@ object Dedup {
     *
     * Each round rewrites the edge list (one shuffle per star operation,
     * map-side combined aggregates for the per-node minimum) and
-    * `localCheckpoint` truncates lineage. Convergence = the edge set
-    * stabilizes into root stars (every node points directly at its
-    * component minimum), detected by an unchanged edge count plus a
-    * fixed-point pass. Returns (doc_id, cluster_id) for every doc in
-    * >= 1 pair — the same contract as [[collapseClusters]], and
-    * DedupSpec proves the two agree on chains, cliques, and random
-    * graphs.
+    * `localCheckpoint` truncates lineage (blocks are released by the
+    * session-level sweep the facade scaladoc documents, like every
+    * iterative op here). Convergence = the edge set has stabilized into
+    * root stars: every source has exactly ONE target AND no target has
+    * an outgoing edge. Both conditions are required — "all targets are
+    * roots" alone fires early on graphs where a node still points at two
+    * different roots (e.g. pairs {(7,5),(7,1),(8,5),(8,2)} after one
+    * round: 5→1 and 5→2, components not yet merged). Star ops preserve
+    * per-component connectivity, so the two conditions imply one star
+    * per component, rooted at its minimum. Returns (doc_id, cluster_id)
+    * for every doc in >= 1 pair — the same contract as
+    * [[collapseClusters]] (self-pairs label themselves), and DedupSpec
+    * proves the two agree on chains, cliques, and random graphs.
     */
   private[graft] def collapseClustersLogN(pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
+    // every node ever seen — from the RAW pairs, BEFORE self-loops drop:
+    // a doc whose only pair is (x, x) must still be labeled, and star
+    // reduction can drop isolated-after-merge nodes from the edge list
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
     // canonical undirected edges, self-loops dropped, deduped
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-    // every node ever seen: star reduction can drop isolated-after-merge
-    // nodes from the edge list, but the output must label ALL of them
-    val nodes = edges.select(col("u").as("doc_id"))
-      .union(edges.select(col("v").as("doc_id")))
       .distinct()
       .localCheckpoint(true)
     var converged = false
@@ -318,12 +342,14 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // fixed point: every edge target is a root (no outgoing edge) —
-      // star ops preserve per-component connectivity, so depth-1 stars
-      // imply ONE star per component, rooted at the component minimum
+      // fixed point (BOTH required — see scaladoc): one target per
+      // source, and no target has an outgoing edge
       edges = small
       val srcs = edges.select(col("u").as("t")).distinct()
-      converged = edges.join(srcs, col("v") === col("t"), "left_semi").isEmpty
+      val multiTarget = edges.groupBy("u")
+        .agg(count(lit(1)).as("c")).where(col("c") > 1)
+      converged = multiTarget.isEmpty &&
+        edges.join(srcs, col("v") === col("t"), "left_semi").isEmpty
       it += 1
     }
     if (!converged)
@@ -349,34 +375,35 @@ object Dedup {
     * Hot-bucket cap — same 100 TB safety valve as the MinHash/SimHash
     * paths: bucket key = floor(len/(maxDist+1)), so a templated corpus
     * where B docs share one length band yields B² admitted |Δlen| checks
-    * (and near-B² DPs when lengths are equal). Buckets whose population
-    * (counted on the non-fanned b side — one row per doc) exceeds
-    * `maxBucket` are dropped from BOTH join sides via a broadcast
-    * anti-join (the hot list is near-empty by construction): a length
-    * band shared by >1000 docs is boilerplate/template output, not
-    * near-duplication, and at that density the right pair source is the
-    * MinHash band join with this DP as the per-candidate verifier. The
-    * only extra cost is one map-side-combined count of bucket keys.
+    * (and near-B² DPs when lengths are equal). DOCS whose HOME bucket
+    * exceeds `maxBucket` are removed before the fanout (broadcast
+    * anti-join on the home key — the hot list is near-empty by
+    * construction), so exclusion is symmetric: a hot-band doc
+    * participates in no pair at all, in either join direction,
+    * regardless of doc_id order. A length band shared by >1000 docs is
+    * boilerplate/template output, not near-duplication, and at that
+    * density the right pair source is the MinHash band join with this
+    * DP as the per-candidate verifier. The only extra cost is one
+    * map-side-combined count of bucket keys.
     */
   private[graft] def editDistancePairsOf(docs: DataFrame,
       maxDist: Int, maxBucket: Int = 1000): DataFrame = {
     val bw = maxDist + 1
-    val base = docs
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-    val hot = base
-      .groupBy(floor(col("n") / bw).as("bk"))
+    val raw = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"),
+        floor(length(col("text")) / bw).as("home"))
+    val hot = raw
+      .groupBy(col("home"))
       .agg(count(lit(1)).as("bn"))
       .where(col("bn") > maxBucket)
-      .select("bk")
+      .select("home")
+    val base = raw.join(broadcast(hot), Seq("home"), "left_anti")
     val a = base.select(col("doc_id").as("doc_a"),
       col("text").as("ta"), col("n").as("na"),
-      explode(array(floor(col("n") / bw) - 1, floor(col("n") / bw),
-        floor(col("n") / bw) + 1)).as("bk"))
-      .join(broadcast(hot), Seq("bk"), "left_anti")
+      explode(array(col("home") - 1, col("home"), col("home") + 1)).as("bk"))
     val b = base.select(col("doc_id").as("doc_b"),
       col("text").as("tb"), col("n").as("nb"),
-      floor(col("n") / bw).as("bk"))
-      .join(broadcast(hot), Seq("bk"), "left_anti")
+      col("home").as("bk"))
     a.join(b, Seq("bk"))
       .where(col("doc_a") < col("doc_b")
         && abs(col("na") - col("nb")) <= maxDist)

@@ -207,6 +207,12 @@ class DedupSpec extends SparkSuite {
     val full = operators.Dedup.collapseClusters(chain, maxIter = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(full == (0L to 7L).map(_ -> 0L).toMap, full.toString)
+    // boundary: maxIter == diameter — propagation FINISHES in the last
+    // round; the post-loop probe must recognize the converged labels
+    // instead of throwing (in-loop detection alone needs diameter+1)
+    val exact = operators.Dedup.collapseClusters(chain, maxIter = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact == (0L to 7L).map(_ -> 0L).toMap, exact.toString)
   }
 
   test("collapseClustersLogN agrees with label propagation; handles long chains") {
@@ -223,6 +229,19 @@ class DedupSpec extends SparkSuite {
       ++ Seq(100L -> 100L, 101L -> 100L, 102L -> 100L,
         200L -> 200L, 201L -> 200L)).toMap
     assert(logn == expected, s"$logn")
+    // the premature-fixed-point counterexample: after one star round the
+    // edges are {(5,1),(7,1),(5,2),(8,2)} — all targets are roots, BUT
+    // node 5 still points at two different roots; a convergence check on
+    // "targets are roots" alone stops here and splits the component
+    val trap = Seq((7L, 5L), (7L, 1L), (8L, 5L), (8L, 2L))
+      .toDF("doc_a", "doc_b")
+    val trapGot = labelsOf(operators.Dedup.collapseClustersLogN(trap))
+    assert(trapGot == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 1L, 8L -> 1L),
+      s"$trapGot")
+    // self-pairs: the doc is still labeled (same contract as propagation)
+    val selfp = Seq((42L, 42L), (1L, 2L)).toDF("doc_a", "doc_b")
+    assert(labelsOf(operators.Dedup.collapseClustersLogN(selfp))
+      == Map(42L -> 42L, 1L -> 1L, 2L -> 1L))
     // seeded random graphs: both algorithms label identically
     val rnd = new scala.util.Random(97)
     val rand = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))

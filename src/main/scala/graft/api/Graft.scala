@@ -261,6 +261,26 @@ object Graft {
     df.where(conv(substring(md5(key.cast("string")), 1, 1), 16, 10)
       .cast("int") < keepBuckets)
 
+  /** Deterministic weighted sampling-without-replacement (Efraimidis–
+    * Spirakis A-ES priority sampling): the top-`k` rows by
+    * u^(1/weight), u a content-hash uniform of `key` — inclusion
+    * probability scales with `weight` (mixture weighting: sample long
+    * or high-quality docs proportionally more), and the selection is
+    * identical on every run because u is md5-derived, not RNG. Adds
+    * `sample_key`; scan-side projection + top-k (TakeOrderedAndProject)
+    * — `df` never shuffles.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    df.withColumn("sample_key",
+        pow((h + lit(1.0)) / lit(4294967296.0),
+          lit(1.0) / weight.cast("double")))
+      .orderBy(col("sample_key").desc, key)
+      .limit(k)
+  }
+
   /** Benchmark decontamination: per `corpus` doc (doc_id, text), the
     * fraction of its word n-grams appearing in ANY `eval` doc's grams,
     * plus a `contaminated` flag at `flagAt`. Eval grams broadcast (eval

@@ -83,6 +83,50 @@ object Sampling {
         .orderBy("split")
     },
 
+    // Weighted sampling-without-replacement (Efraimidis–Spirakis A-ES
+    // priority sampling): each doc gets key = u^(1/w) with u a
+    // deterministic content-hash uniform and w its token count; the
+    // global top-50 keys ARE a weighted sample without replacement —
+    // the standard mixture-weighting primitive (sample long docs
+    // proportionally more) that `rand()`-based sampling can't make
+    // reproducible. Scan-side key projection + TakeOrderedAndProject:
+    // no shuffle of the corpus, same selection on every run/engine.
+    // Float parity: u = (hash32 + 1) / 2^32 is EXACT (integer-valued
+    // operand, power-of-two divisor); 1/w is one correctly-rounded
+    // division; pow is the one transcendental → rounded to 8 decimals
+    // before ranking (the BM25-idf discipline), with doc_id breaking
+    // any residual 8-dp key tie on both engines.
+    Q("sample_weighted_priority",
+      """WITH k AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS w,
+        |    round(pow(
+        |      (CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) AS DOUBLE) * 268435456
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+        |       + 1) / 4294967296,
+        |      1.0 / len(string_split(text, ' '))), 8) AS k
+        |  FROM documents)
+        |SELECT doc_id, w, k FROM k
+        |ORDER BY k DESC, doc_id
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      val w = size(split(col("text"), " "))
+      // same 32-bit uniform as the DuckDB digit-sum: Spark parses the 8
+      // hex chars directly (conv); both yield the identical integer
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.cast("long").as("w"),
+          round(pow((h + 1.0) / lit(4294967296.0),
+            lit(1.0) / w.cast("double")), 8).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(50)
+    },
+
     // PII scrub: redact emails + phone numbers, count redactions. Inline
     // relation (the synthetic corpus contains no PII-shaped text); the
     // projection itself is the 100 TB operator — scan-side regex, no

@@ -263,6 +263,21 @@ class ApiSpec extends SparkSuite {
     assert(out.head._2 == top1)
   }
 
+  test("weightedSample skews to heavy rows and is run-stable") {
+    import spark.implicits._
+    // 1000 light (w=1) + 1000 heavy (w=100) rows: P(a light row outranks
+    // a heavy one) = 1/101 per pair, so the top-50 is overwhelmingly
+    // heavy — and the md5-derived keys make the selection identical on
+    // every evaluation (the property rand()-based sampling lacks)
+    val rows = (0L until 2000L)
+      .map(i => (i, if (i < 1000) 1 else 100)).toDF("id", "w")
+    def sample() = Graft.weightedSample(rows, col("id"), col("w"), 50)
+      .collect().map(_.getLong(0)).toSeq
+    val s1 = sample()
+    assert(s1.count(_ >= 1000L) >= 45, s"heavy rows: ${s1.count(_ >= 1000L)}/50")
+    assert(sample() == s1, "selection changed across evaluations")
+  }
+
   test("zonemapPrunedFiles prunes on a clustered layout; empty probe keeps nothing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_api_zm_").toString

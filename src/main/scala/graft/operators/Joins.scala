@@ -185,6 +185,38 @@ object Joins {
         .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_first)
     },
 
+    // Forward as-of: each purchase matched to the EARLIEST click at or
+    // after it (the "next event" shape: next price tick, next retry,
+    // time-to-next-touch). Same single-sort union trick as the backward
+    // join_asof above, with the scan reversed: ts DESC means "last click
+    // seen so far" is the nearest FUTURE click; clicks sort before
+    // purchases at equal ts (tag 0 < 1) ⇒ p.ts <= c.ts inclusive,
+    // matching ASOF. One shuffle on user_id, no join, no per-row probe.
+    Q("join_asof_forward",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val unioned = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id").as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+        .unionByName(ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"),
+            lit(null).cast("long").as("click_id"),
+            col("event_id").as("purchase_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("tag").asc, col("click_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .select(col("purchase_id"), col("asof_click").as("click_id"))
+        .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_first)
+    },
+
     // k-NN join: 5 probe vectors × store, exact top-3 per probe.
     // Scale path: probes broadcast; store streams; per-probe heaps via
     // window rank on (probe, score) — shuffle is k×probes rows only after

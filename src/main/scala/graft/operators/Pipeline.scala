@@ -258,6 +258,29 @@ object Pipeline {
         .orderBy("source")
     },
 
+    // Count-min sketch point frequencies — the third mergeable sketch
+    // next to HLL (distinct) and KLL-ish percentile_approx (quantiles):
+    // the streaming-frequency primitive (bounded memory, mergeable across
+    // partitions/batches, never underestimates). The sketch build is a
+    // distributed treeAggregate over the token scan; the point queries
+    // are O(k) driver work on the exact top-20 tokens — the same bounded-
+    // collect class as the zonemap/probe reads. Seeded → deterministic;
+    // PipelineSpec gates est >= exact and the eps·N error bound.
+    Q.noOracle("agg_cms_frequency") { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val cms = toks.stat.countMinSketch("tok",
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq.map { case (t, c) => (t, c, cms.estimateCount(t)) }
+        .toDF("tok", "exact_cnt", "cms_est")
+        .orderBy("tok")
+    },
+
     // Materialized-rollup reaggregation — the pre-aggregation pattern that
     // makes dashboards affordable at 100 TB: ingest persists fine-grained
     // partials (per day × type: count + exact decimal sum — both

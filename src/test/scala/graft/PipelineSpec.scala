@@ -27,6 +27,25 @@ class PipelineSpec extends SparkSuite {
     assert(est.keySet == exactPer.keySet + "__all__")
   }
 
+  test("agg_cms_frequency: estimates never underestimate, within eps*N") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_cms_frequency")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val totalToks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "").count()
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"CMS underestimated $tok: $est < $exact")
+      assert(est - exact <= (0.001 * totalToks).toLong + 1,
+        s"CMS error for $tok beyond eps*N: $est vs $exact (N=$totalToks)")
+    }
+    // deterministic: the seeded sketch gives identical estimates per run
+    val again = SparkEntry.queries("agg_cms_frequency")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("agg_approx_percentile_sketch within tolerance of exact percentiles") {
     val est = SparkEntry.queries("agg_approx_percentile_sketch")(spark, sf)
       .collect()

@@ -222,6 +222,67 @@ object Text {
         .limit(50)
     },
 
+    // Per-doc bigram cross-entropy under the corpus LM — the CCNet-style
+    // perplexity quality filter (docs scoring far above the corpus norm
+    // are gibberish/boilerplate; far below are degenerate repetition).
+    // Model: add-1/2-smoothed P(w2|w1) = (c2+0.5)/(c1+0.5V) over the
+    // whole corpus; score: xent = -mean log P over the doc's bigram
+    // OCCURRENCES. Scale shape: two combiner-friendly count shuffles
+    // build the model; scoring is ONE hash join of doc-bigrams to the
+    // model on the gram key (at 100 TB the model is top-K pruned +
+    // broadcast and the join disappears into the scan). Float parity:
+    // ln is the one transcendental → rounded to 8 BEFORE use; per-doc
+    // summation folds over the SORTED logp list so both engines add
+    // identical operands in identical order; the final -sum/n division
+    // is emitted unrounded.
+    Q("text_perplexity_bigram",
+      s"""WITH b AS (
+         |  SELECT g, count(*) AS c2 FROM (
+         |    SELECT unnest(${oracleGram(2)}) AS g
+         |    FROM documents WHERE len(string_split(text, ' ')) >= 2)
+         |  GROUP BY g),
+         |u AS (
+         |  SELECT tok, count(*) AS c1 FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok),
+         |v AS (SELECT count(*) AS v FROM u),
+         |m AS (
+         |  SELECT g, round(ln((c2 + 0.5) / (c1 + 0.5 * v.v)), 8) AS logp
+         |  FROM b JOIN u ON string_split(g, ' ')[1] = u.tok CROSS JOIN v),
+         |dg AS (
+         |  SELECT doc_id, unnest(${oracleGram(2)}) AS g
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  -list_reduce(list_sort(list(m.logp)), (a, b) -> a + b)
+         |    / count(*) AS xent
+         |FROM dg JOIN m USING (g)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val b = docs.where(size(split(col("text"), " ")) >= 2)
+        .select(explode(word_ngrams(col("text"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c2"))
+      val u = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val v = u.select(count(lit(1)).as("v"))
+      val m = b.join(u, substring_index(col("g"), " ", 1) === col("tok"))
+        .crossJoin(broadcast(v))
+        .select(col("g"),
+          round(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("v"))), 8)
+            .as("logp"))
+      val dg = docs.where(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), explode(word_ngrams(col("text"), 2)).as("g"))
+      dg.join(m, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sort_array(collect_list(col("logp"))).as("lps"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (-expr("aggregate(lps, 0D, (acc, x) -> acc + x)")
+            / col("n_bigrams")).as("xent"))
+        .orderBy("doc_id")
+    },
+
     // Cross-document boilerplate detection: 5-grams shared by >= 3
     // distinct docs (headers/footers/license blocks in a real corpus).
     // Per-doc-distinct grams explode map-side, then ONE count shuffle on

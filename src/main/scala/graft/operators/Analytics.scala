@@ -751,6 +751,74 @@ object Analytics {
         .orderBy("event_type", "hour")
     },
 
+    // CUSUM changepoint detection per series: the point where the
+    // cumulative deviation from the series mean peaks — the classic
+    // level-shift locator (deploy regressions, data-drift onset) next to
+    // the pointwise z-score detector above. Deterministic by the
+    // exact-sums discipline: the running sum is DECIMAL (exact, window-
+    // ordered), the expected line is rn·(total/n) (one division, one
+    // multiply), and CUSUM_t = |S_t − rn·mean| mixes only bit-identical
+    // operands — emitted UNROUNDED. One shuffle for the hourly rollup,
+    // one window over the rollup (series-partitioned), argmax via
+    // struct-max with the earliest-hour tie-break.
+    Q("ts_changepoint_cusum",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, h,
+        |    CAST(count(*) OVER w_all AS BIGINT) AS n,
+        |    sum(v) OVER w_all AS tot,
+        |    sum(v) OVER w_run AS s,
+        |    CAST(row_number() OVER w_ord AS BIGINT) AS rn
+        |  FROM hourly
+        |  WINDOW w_all AS (PARTITION BY event_type),
+        |         w_run AS (PARTITION BY event_type ORDER BY h
+        |                   ROWS UNBOUNDED PRECEDING),
+        |         w_ord AS (PARTITION BY event_type ORDER BY h)),
+        |dev AS (
+        |  SELECT event_type, h, n,
+        |    abs(CAST(s AS DOUBLE)
+        |        - rn * (CAST(tot AS DOUBLE) / n)) AS cusum
+        |  FROM c),
+        |ranked AS (
+        |  SELECT event_type, h, n, cusum, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY cusum DESC, h ASC) AS pk
+        |  FROM dev)
+        |SELECT event_type,
+        |  strftime(h, '%Y-%m-%d %H:%M:%S') AS change_hour,
+        |  cusum AS peak_cusum, n AS n_hours
+        |FROM ranked WHERE pk = 1
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+      val wAll = Window.partitionBy("event_type")
+      val wRun = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOrd = Window.partitionBy("event_type").orderBy("h")
+      val dev = hourly
+        .select(col("event_type"), col("h"),
+          count(lit(1)).over(wAll).as("n"),
+          sum(col("v")).over(wAll).as("tot"),
+          sum(col("v")).over(wRun).as("s"),
+          row_number().over(wOrd).cast("long").as("rn"))
+        .select(col("event_type"), col("h"), col("n"),
+          abs(col("s").cast("double")
+            - col("rn") * (col("tot").cast("double") / col("n")))
+            .as("cusum"))
+      val wPk = Window.partitionBy("event_type")
+        .orderBy(col("cusum").desc, col("h").asc)
+      dev.withColumn("pk", row_number().over(wPk))
+        .where(col("pk") === 1)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("change_hour"),
+          col("cusum").as("peak_cusum"), col("n").as("n_hours"))
+        .orderBy("event_type")
+    },
+
     // Exponential moving average over each type's observed hourly series
     // (α = 0.25 — an exact binary fraction, so both engines' multiply/add
     // chains are bit-identical with NO rounding): the classic smoothing

@@ -19,6 +19,7 @@ object SparkEntry {
     operators.SetSort.defs ++
     operators.Extended.defs ++
     operators.ScaleOps.defs ++
+    operators.Tpch.defs ++
     operators.Functions.defs ++
     operators.Text.defs ++
     operators.Retrieval.defs ++

@@ -51,6 +51,29 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // Single-thread calibration: seconds for a FIXED pure-JVM integer
+    // workload (no Spark, no IO, no allocation). The bench sweep is
+    // planning-latency bound (~2 cores busy on local[32]), so its total
+    // scales with the host's single-thread speed — which varies ~1.8×
+    // across VM boots/placements on otherwise-idle guests (same commit
+    // measured 57 s on one boot, 85-105 s on the next, with per-query
+    // process-CPU inflated by the same factor: SMT/steal effects the
+    // guest can't see in load). Dividing total by (calib / committed
+    // calib) normalizes a cross-host comparison from the artifact alone.
+    def calibrate(): Double = {
+      def pass(n: Int): Long = {
+        var acc = 0L; var j = 0
+        while (j < n) { acc += (j * 2654435761L) ^ (acc >>> 13); j += 1 }
+        acc
+      }
+      var sink = pass(20000000) // JIT warm-up pass
+      val t0 = System.nanoTime()
+      sink ^= pass(400000000)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sink == 42) System.err.println("") // defeat dead-code elim
+      dt
+    }
+    val calib = calibrate()
     // declared (SURVEY §2.2) order, NOT Map hash-order: per-query timings
     // are attributable and comparable round-over-round. Batch queries run
     // TWICE and report the min: a single transient stall (page-cache miss,
@@ -116,7 +139,7 @@ object Bench {
     val total = results.collect { case (_, v, _, _, None) => v }.sum
     val totalCpu = results.collect { case (_, _, c, _, None) => c }.sum
     val totalGc = results.collect { case (_, _, _, g, None) => g }.sum
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
     println(detail)
     // Cross-round regression guard + full-detail artifact: the driver's
     // 2000-char stdout tail keeps only ~90 of the per-query timings, so
@@ -153,11 +176,19 @@ object Bench {
           val priorTimes = """"([^"]+)":([0-9.]+)""".r
             .findAllMatchIn(block)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // host-speed normalization: a slower VM placement slows EVERY
+          // query by the calib ratio; only flag what regressed beyond it
+          // (code regressions are per-query, host regressions uniform)
+          val hostRatio = """"calib":([0-9.]+)""".r.findFirstMatchIn(prior)
+            .map(m => math.max(1.0, calib / m.group(1).toDouble))
+            .getOrElse(1.0)
           for ((name, t, _, _, err) <- results if err.isEmpty;
                p <- priorTimes.get(name)
-               if t > 1.5 * p && t - p > 0.3)
+               if t > 1.5 * hostRatio * p && t - p > 0.3)
             System.err.println(
-              s"[bench-regress] $name: ${sec(p)} -> ${sec(t)} s")
+              s"[bench-regress] $name: ${sec(p)} -> ${sec(t)} s" +
+                (if (hostRatio > 1.0) f" (host ratio $hostRatio%.2f applied)"
+                 else ""))
         }
       }
       java.nio.file.Files.write(detailPath,
@@ -169,7 +200,7 @@ object Bench {
     // (BENCH parsed:null). This short LAST line (~150 chars) always sits
     // complete inside the tail window; cpu/gc ride along so even the
     // truncated view self-diagnoses a host-contended run (wall ≫ cpu).
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"failed":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

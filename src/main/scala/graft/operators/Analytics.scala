@@ -868,6 +868,156 @@ object Analytics {
         .orderBy("event_type", "hour")
     },
 
+    // Holt's linear (double-exponential) smoothing per series: level
+    // l_i = α·v_i + (1−α)·(l_{i−1} + b_{i−1}) and trend
+    // b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}, initialized l_1 = v_1,
+    // b_1 = v_2 − v_1 (0 for a one-point series). Extends ts_ema_hourly
+    // with a trend component — the standard next step for series with
+    // drift. α = 0.5, β = 0.25: exact binary fractions, so both engines'
+    // identical-order multiply/add chains produce bit-identical doubles
+    // (the level expression is repeated VERBATIM inside the trend formula
+    // on both sides — same ops, same order, same bits). Same 100 TB shape
+    // as the EMA: one combiner-friendly hourly aggregate, then one
+    // bounded in-order fold per series, series as the shuffle key.
+    Q("ts_holt_linear",
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, h, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        |  FROM hourly),
+        |init AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN i = 1 THEN v END) AS v1,
+        |    coalesce(max(CASE WHEN i = 2 THEN v END),
+        |             max(CASE WHEN i = 1 THEN v END)) AS v2
+        |  FROM idx GROUP BY event_type),
+        |holt AS (
+        |  SELECT x.event_type, x.h, x.i, x.v AS l, (n.v2 - n.v1) AS b
+        |  FROM idx x JOIN init n ON x.event_type = n.event_type
+        |  WHERE x.i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.h, x.i,
+        |    0.5 * x.v + 0.5 * (p.l + p.b),
+        |    0.25 * ((0.5 * x.v + 0.5 * (p.l + p.b)) - p.l) + 0.75 * p.b
+        |  FROM idx x JOIN holt p
+        |    ON x.event_type = p.event_type AND x.i = p.i + 1)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       l AS level, b AS trend
+        |FROM holt ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("sr"))
+        .select(col("event_type"),
+          expr("transform(sr, x -> x.h)").as("hs"),
+          expr("transform(sr, x -> x.v)").as("vs"))
+        .select(col("event_type"), col("hs"),
+          expr("""aggregate(
+                 |  slice(vs, 2, greatest(size(vs) - 1, 0)),
+                 |  named_struct(
+                 |    'ls', array(element_at(vs, 1)),
+                 |    'bs', array(coalesce(
+                 |      try_element_at(vs, 2) - element_at(vs, 1), 0D))),
+                 |  (acc, x) -> named_struct(
+                 |    'ls', concat(acc.ls, array(
+                 |      0.5D * x + 0.5D * (element_at(acc.ls, -1)
+                 |        + element_at(acc.bs, -1)))),
+                 |    'bs', concat(acc.bs, array(
+                 |      0.25D * ((0.5D * x + 0.5D * (element_at(acc.ls, -1)
+                 |          + element_at(acc.bs, -1)))
+                 |        - element_at(acc.ls, -1))
+                 |      + 0.75D * element_at(acc.bs, -1)))))"""
+            .stripMargin).as("lb"))
+        .select(col("event_type"), col("hs"),
+          expr("lb.ls").as("ls"), expr("lb.bs").as("bs"))
+        .select(col("event_type"),
+          explode(arrays_zip(col("hs"), col("ls"), col("bs"))).as("z"))
+        .select(col("event_type"),
+          date_format(col("z.hs"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("z.ls").as("level"), col("z.bs").as("trend"))
+        .orderBy("event_type", "hour")
+    },
+
+    // Last-touch marketing attribution: each purchase credits the most
+    // recent prior view/click by the same user within a 24 h lookback,
+    // else 'none'. The carry-forward is last(..., ignoreNulls) over a
+    // user-partitioned UNBOUNDED-PRECEDING..1-PRECEDING frame — running
+    // state, ONE user-keyed shuffle, no self-join (the naive purchase×
+    // touch join is quadratic in events-per-user; the window is linear).
+    // touch_tus and touch_type come from the SAME ordering, so the two
+    // ignore-null carries always agree on which row they surface.
+    // Timestamps compare as epoch MICROseconds on both engines (the ns
+    // parquet trap: Spark truncates ns→µs on read, DuckDB's epoch_us
+    // truncates the same way — raw ts is never emitted or compared).
+    Q("attribution_last_touch",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        |  FROM events),
+        |enriched AS (
+        |  SELECT user_id, event_type, tus, event_id,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |               THEN tus END IGNORE NULLS) OVER w AS touch_tus,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |               THEN event_type END IGNORE NULLS) OVER w AS touch_type
+        |  FROM seq
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_tus IS NOT NULL
+        |            AND tus - touch_tus <= 86400000000 THEN touch_type
+        |       ELSE 'none' END AS touch, count(*) AS purchases
+        |FROM enriched WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val seq = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("view", "click")
+      seq
+        .withColumn("touch_tus",
+          last(when(isTouch, col("tus")), ignoreNulls = true).over(w))
+        .withColumn("touch_type",
+          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(when(col("touch_tus").isNotNull &&
+            col("tus") - col("touch_tus") <= 86400000000L, col("touch_type"))
+          .otherwise("none").as("touch"))
+        .groupBy("touch").agg(count(lit(1)).as("purchases"))
+        .orderBy("touch")
+    },
+
+    // Co-purchase pair mining: part pairs appearing in the same order,
+    // top-100 by order count. The pair space explodes per-order (k lines
+    // → k² pairs), but order size is bounded by the data model (≤7 lines
+    // in TPC-H-shaped data), so the fan-out is a constant factor on the
+    // orderkey-equi self-join — NOT a cross join; the join key caps the
+    // blowup exactly like the dedup band joins. distinct() first so
+    // multi-line part repeats within an order count once; top-100 is
+    // TakeOrderedAndProject with a full unique-key tie-break.
+    Q("graph_copurchase_pairs",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       count(*) AS n_orders
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey").as("ok2"),
+        col("l_partkey").as("part_b"))
+      a.join(b, col("l_orderkey") === col("ok2")
+          && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    },
+
     // Directional n-gram containment |A∩B| / |A| — catches doc-IN-doc
     // duplication that symmetric Jaccard dilutes (a page embedded in a
     // larger page scores ~1.0 here but ~|A|/|B| there). Same bounded

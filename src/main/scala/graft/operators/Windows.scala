@@ -347,5 +347,47 @@ object Windows {
           col("end").as("end_min"), col("n").as("n_minutes"))
         .orderBy("user_id", "start_min")
     },
+
+    // Exact sliding median (7-row frame) per series — the robust-smoothing
+    // twin of the mean-based win_frame_rows. Spark has no median window
+    // function; the frame is materialized with collect_list over ROWS
+    // 6 PRECEDING..CURRENT (bounded: ≤7 doubles per row, so state is
+    // O(frame), never O(partition)) and the median is an explicit sorted
+    // pick. The even-count interpolation is written with the IDENTICAL
+    // expression — (lo + hi) * 0.5 — on both engines rather than each
+    // engine's built-in median (DuckDB's quantile_cont interpolates as
+    // lo + (hi−lo)·0.5, a DIFFERENT op order that differs in the last
+    // ulp), so the doubles hash-match bit-exactly. One series-keyed
+    // shuffle; ordering carries the unique event_id tie-break.
+    Q("win_sliding_median",
+      """WITH seq AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, event_id, value
+        |  FROM events),
+        |win AS (
+        |  SELECT event_type, tus, event_id,
+        |    list_sort(list(value) OVER (
+        |      PARTITION BY event_type ORDER BY tus, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+        |  FROM seq)
+        |SELECT event_type, event_id,
+        |  CASE WHEN len(l) % 2 = 1 THEN l[(len(l) + 1) // 2]
+        |       ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) * 0.5
+        |  END AS med
+        |FROM win ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("tus"), col("event_id")).rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value"))
+        .withColumn("l", sort_array(collect_list(col("value")).over(w)))
+        .select(col("event_type"), col("event_id"),
+          when(expr("size(l) % 2 = 1"),
+            expr("element_at(l, cast((size(l) + 1) div 2 as int))"))
+          .otherwise(expr(
+            "(element_at(l, cast(size(l) div 2 as int))" +
+              " + element_at(l, cast(size(l) div 2 as int) + 1)) * 0.5D"))
+          .as("med"))
+        .orderBy("event_type", "event_id")
+    },
   )
 }

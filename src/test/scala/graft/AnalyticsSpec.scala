@@ -160,4 +160,100 @@ class AnalyticsSpec extends SparkSuite {
       .select(round(-Analytics.charEntropyNeg("ch"), 4).as("e"))
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(2.0, 0.0, 1.0))
   }
+
+  test("Holt fold matches a driver-side recomputation of the recurrences") {
+    // independent check of the engine's array-fold wiring: recompute the
+    // hourly sums + the level/trend recurrences in plain Scala and demand
+    // bit-identical doubles (the fold uses the same IEEE ops in the same
+    // order, so == on doubles is the correct assertion, not a tolerance)
+    val hourly = Tables.events(SparkSpec.spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(_._3)).toMap
+    val expected = hourly.toSeq.flatMap { case (et, vs) =>
+      val l0 = vs.head
+      val b0 = if (vs.length > 1) vs(1) - vs.head else 0d
+      val folded = vs.drop(1).scanLeft((l0, b0)) { case ((l, b), x) =>
+        val nl = 0.5d * x + 0.5d * (l + b)
+        (nl, 0.25d * (nl - l) + 0.75d * b)
+      }
+      folded.zipWithIndex.map { case ((l, b), i) => (et, i) -> ((l, b)) }
+    }.toMap
+    val got = SparkEntry.queries("ts_holt_linear")(spark, sf).collect()
+      .groupBy(_.getString(0)).toSeq.flatMap { case (et, rows) =>
+        rows.sortBy(_.getString(1)).zipWithIndex.map { case (r, i) =>
+          (et, i) -> ((r.getDouble(2), r.getDouble(3)))
+        }
+      }.toMap
+    assert(got.size == expected.size)
+    got.foreach { case (k, v) => assert(expected(k) == v, s"at $k") }
+  }
+
+  test("last-touch attribution == join-based reformulation") {
+    // the query uses an ignore-nulls carry-forward window; re-derive the
+    // same answer with the O(n²/user) purchase×touch join it replaces
+    val ev = Tables.events(SparkSpec.spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("tus").as("ptus"),
+        col("event_id").as("pid"))
+    val touches = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tu"), col("tus").as("ttus"),
+        col("event_id").as("tid"), col("event_type").as("ttype"))
+    // latest touch strictly before the purchase in (tus, event_id) order
+    val joined = purchases.join(touches,
+        col("pu") === col("tu") && (col("ttus") < col("ptus") ||
+          (col("ttus") === col("ptus") && col("tid") < col("pid"))), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("pid")
+          .orderBy(col("ttus").desc_nulls_last, col("tid").desc_nulls_last)))
+      .where(col("rn") === 1)
+      .select(when(col("ttus").isNotNull &&
+          col("ptus") - col("ttus") <= 86400000000L, col("ttype"))
+        .otherwise("none").as("touch"))
+      .groupBy("touch").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("attribution_last_touch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == joined, s"window=$got join=$joined")
+  }
+
+  test("sliding median == brute force over every 7-row frame") {
+    val rows = SparkEntry.queries("win_sliding_median")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ev = Tables.events(SparkSpec.spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (et, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        val n = frame.length
+        val exp =
+          if (n % 2 == 1) frame((n + 1) / 2 - 1)
+          else (frame(n / 2 - 1) + frame(n / 2)) * 0.5d
+        assert(rows((et, ordered(i)._3)) == exp, s"$et ${ordered(i)._3}")
+      }
+    }
+  }
+
+  test("co-purchase pairs: ordered keys, counts verified against brute force") {
+    val got = SparkEntry.queries("graph_copurchase_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (a, b, n) => a < b && n >= 1 })
+    val li = Tables.lineitem(SparkSpec.spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val counts = li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (a, b, n) => assert(counts((a, b)) == n, s"($a,$b)") }
+  }
 }

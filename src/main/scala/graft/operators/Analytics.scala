@@ -1018,6 +1018,124 @@ object Analytics {
         .limit(100)
     },
 
+    // Lag-1 autocorrelation per hourly series — the is-this-series-even-
+    // forecastable statistic that sits before EMA/Holt in a TS pipeline.
+    // Pearson r over (v_i, v_{i+1}) pairs computed from EXACT sums:
+    // the five Σ terms are DECIMAL sums (order-independent, no float
+    // accumulation nondeterminism — the same normal-equations discipline
+    // as ts_linear_trend), each cast to double ONCE, and the final
+    // correlation is a fixed-order double expression written identically
+    // on both engines. Built-in corr() would be shuffle-order
+    // nondeterministic. One hourly aggregate + one series-keyed window.
+    Q("ts_autocorrelation",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT event_type, v AS a,
+        |    lead(v) OVER (PARTITION BY event_type ORDER BY h) AS b
+        |  FROM hourly),
+        |sums AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+        |    CAST(sum(a * b) AS DOUBLE) AS sab,
+        |    CAST(sum(a * a) AS DOUBLE) AS saa,
+        |    CAST(sum(b * b) AS DOUBLE) AS sbb
+        |  FROM pairs WHERE b IS NOT NULL GROUP BY 1)
+        |SELECT event_type,
+        |  (n * sab - sa * sb)
+        |    / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS acf1
+        |FROM sums ORDER BY event_type""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val pairs = hourly
+        .select(col("event_type"), col("v").as("a"),
+          lead(col("v"), 1).over(w).as("b"))
+        .where(col("b").isNotNull)
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).cast("double").as("sa"),
+          sum(col("b")).cast("double").as("sb"),
+          sum(col("a") * col("b")).cast("double").as("sab"),
+          sum(col("a") * col("a")).cast("double").as("saa"),
+          sum(col("b") * col("b")).cast("double").as("sbb"))
+        .select(col("event_type"),
+          ((col("n") * col("sab") - col("sa") * col("sb")) /
+            sqrt((col("n") * col("saa") - col("sa") * col("sa")) *
+              (col("n") * col("sbb") - col("sb") * col("sb")))).as("acf1"))
+        .orderBy("event_type")
+    },
+
+    // PageRank over the co-purchase graph, two unrolled iterations, in
+    // INTEGER arithmetic: ranks are scaled to 1e9 and every step is
+    // BIGINT multiply/divide (pr div deg, 85·Σ div 100) — truncating
+    // integer division is bit-identical on any engine AND order-
+    // independent under summation, where double PageRank would be
+    // shuffle-order nondeterministic (the same reason the exact-sum
+    // queries avoid float accumulation). The edge frame is built once
+    // and persisted across iterations (localCheckpoint-class reuse;
+    // each iteration is one equi-join + one node-keyed shuffle — the
+    // standard distributed PageRank shape, bounded by the graph, never
+    // quadratic). Dangling nodes: none by construction (undirected
+    // edges, so in-degree = out-degree ≥ 1).
+    Q("graph_pagerank_copurchase",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM li a JOIN li b
+        |       ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT DISTINCT u FROM pe),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT u, count(*) AS d FROM pe GROUP BY 1),
+        |p0 AS (SELECT nodes.u, CAST(1000000000 // nn.n AS BIGINT) AS pr
+        |       FROM nodes, nn),
+        |p1 AS (SELECT e.v AS u,
+        |         CAST((15 * (1000000000 // nn.n)) // 100
+        |           + (85 * sum(p0.pr // deg.d)) // 100 AS BIGINT) AS pr
+        |       FROM pe e JOIN p0 ON e.u = p0.u JOIN deg ON e.u = deg.u, nn
+        |       GROUP BY e.v, nn.n),
+        |p2 AS (SELECT e.v AS u,
+        |         CAST((15 * (1000000000 // nn.n)) // 100
+        |           + (85 * sum(p1.pr // deg.d)) // 100 AS BIGINT) AS pr
+        |       FROM pe e JOIN p1 ON e.u = p1.u JOIN deg ON e.u = deg.u, nn
+        |       GROUP BY e.v, nn.n)
+        |SELECT u AS part, pr AS rank_scaled FROM p2
+        |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pe = li.join(li.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("pk2")),
+          col("l_orderkey") === col("ok2")
+            && col("l_partkey") =!= col("pk2"))
+        .select(col("l_partkey").as("u"), col("pk2").as("v"))
+        .distinct()
+        .persist()
+      // deg/p0 derive from pe: every joined frame renames its key so no
+      // join condition is an ambiguous self-reference
+      val deg = pe.groupBy("u").agg(count(lit(1)).as("d"))
+        .select(col("u").as("du"), col("d"))
+      val nn = pe.select(countDistinct(col("u")).as("n"))
+      val p0 = pe.select(col("u")).distinct()
+        .crossJoin(broadcast(nn))
+        .select(col("u").as("pu"), expr("1000000000L div n").as("pr"))
+      def step(p: DataFrame): DataFrame =
+        pe.join(p, col("u") === col("pu")).drop("pu")
+          .join(deg, col("u") === col("du")).drop("du")
+          .groupBy(col("v"))
+          .agg(sum(expr("pr div d")).as("acc"))
+          .crossJoin(broadcast(nn))
+          .select(col("v").as("pu"),
+            expr("(15L * (1000000000L div n)) div 100"
+              + " + (85L * acc) div 100").as("pr"))
+      val p2 = step(step(p0))
+      p2.select(col("pu").as("part"), col("pr").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("part"))
+        .limit(20)
+    },
+
     // Directional n-gram containment |A∩B| / |A| — catches doc-IN-doc
     // duplication that symmetric Jaccard dilutes (a page embedded in a
     // larger page scores ~1.0 here but ~|A|/|B| there). Same bounded

@@ -305,5 +305,56 @@ object Corpus {
       scd2Intervals(Tables.orders(s, d).where(col("o_custkey") < 500))
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
+
+    // Per-source characteristic terms by linearized TF-IDF. The score is
+    // tf·(N/df) computed as one int64 product and ONE double division —
+    // bit-identical cross-engine, unlike log-IDF (each engine's libm ln
+    // can differ in the last ulp and flip a rank at a near-tie). Shape at
+    // 100 TB: token explode → (source, term) combiner-friendly count, a
+    // term-keyed df count joined on term (sort-merge at vocab scale;
+    // broadcast here), corpus N one broadcast scalar, and the top-5 rank
+    // runs per-source over the already-aggregated term frame — windows
+    // only ever see (source × vocab) rows, never raw tokens.
+    Q("corpus_tfidf_topterms",
+      """WITH toks AS (
+        |  SELECT doc_id, source, t.term AS term
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+        |ranked AS (
+        |  SELECT tf.source, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf * nd.n AS DOUBLE) / dfreq.df AS score,
+        |    row_number() OVER (PARTITION BY tf.source
+        |      ORDER BY CAST(tf.tf * nd.n AS DOUBLE) / dfreq.df DESC,
+        |        tf.term) AS rk
+        |  FROM tf, dfreq, nd WHERE tf.term = dfreq.term)
+        |SELECT source, term, tf, df, score
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY source, score DESC, term""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .select(col("term").as("dterm"), col("df"))
+      val nd = toks.select(countDistinct(col("doc_id")).as("n"))
+      val scored = tf
+        .join(broadcast(dfreq), col("term") === col("dterm")).drop("dterm")
+        .crossJoin(broadcast(nd))
+        .select(col("source"), col("term"), col("tf"), col("df"),
+          ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("source"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("source"), col("score").desc, col("term"))
+    },
   )
 }

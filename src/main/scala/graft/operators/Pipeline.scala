@@ -541,6 +541,43 @@ object Pipeline {
           col("min_tp"), col("max_tp")))
         .orderBy("col")
     },
+
+    // Snapshot profile drift: per-status row counts, distinct customers
+    // and DECIMAL-exact revenue of two date halves of the SAME table,
+    // side by side — the schema-drift / volume-drift check a pipeline
+    // runs before promoting a new snapshot. ONE scan, conditional
+    // aggregates (no self-join of the two halves, no second pass); the
+    // two count-distincts expand to a single Expand + two-level
+    // aggregate, still one data-sized shuffle at 100 TB.
+    Q("dq_profile_drift",
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderdate < '1998-01-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN o_orderdate >= '1998-01-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b,
+        |  count(DISTINCT CASE WHEN o_orderdate < '1998-01-01'
+        |    THEN o_custkey END) AS cust_a,
+        |  count(DISTINCT CASE WHEN o_orderdate >= '1998-01-01'
+        |    THEN o_custkey END) AS cust_b,
+        |  CAST(sum(CASE WHEN o_orderdate < '1998-01-01'
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_a,
+        |  CAST(sum(CASE WHEN o_orderdate >= '1998-01-01'
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_b
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val isA = col("o_orderdate") < "1998-01-01"
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+          countDistinct(when(isA, col("o_custkey"))).as("cust_a"),
+          countDistinct(when(!isA, col("o_custkey"))).as("cust_b"),
+          sum(when(isA, col("o_totalprice").cast("decimal(12,2)")))
+            .cast("double").as("sum_a"),
+          sum(when(!isA, col("o_totalprice").cast("decimal(12,2)")))
+            .cast("double").as("sum_b"))
+        .orderBy("o_orderstatus")
+    },
   )
 
   /** Data-quality constraint suite (Deequ-style): each rule is

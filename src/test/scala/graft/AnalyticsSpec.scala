@@ -256,4 +256,58 @@ class AnalyticsSpec extends SparkSuite {
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
     got.foreach { case (a, b, n) => assert(counts((a, b)) == n, s"($a,$b)") }
   }
+
+  test("integer PageRank == driver-side recomputation, ranks bounded") {
+    // recompute both iterations with plain Scala Long arithmetic on the
+    // same edge set; integer ops are exact, so demand equality
+    val li = Tables.lineitem(SparkSpec.spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.toSeq.flatMap { lines =>
+      val ps: Seq[Long] = lines.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val nodes = edges.map(_._1)
+    val n = nodes.size.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (15L * (1000000000L / n)) / 100L
+    def step(pr: Map[Long, Long]): Map[Long, Long] =
+      edges.groupBy(_._2).map { case (v, es) =>
+        v -> (base + (85L * es.iterator.map { case (u, _) =>
+          pr(u) / deg(u)
+        }.sum) / 100L)
+      }
+    val p0 = nodes.map(u => u -> 1000000000L / n).toMap
+    val p2 = step(step(p0))
+    val expected = p2.toSeq.sortBy { case (u, pr) => (-pr, u) }.take(20)
+    val got = SparkEntry.queries("graph_pagerank_copurchase")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected.map { case (u, pr) => (u, pr) },
+      s"got=${got.take(3)} expected=${expected.take(3)}")
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("lag-1 autocorrelation lies in [-1, 1] and matches Pearson directly") {
+    val hourly = Tables.events(SparkSpec.spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(_._3).toVector).toMap
+    val got = SparkEntry.queries("ts_autocorrelation")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    hourly.foreach { case (et, vs) =>
+      val (a, b) = (vs.dropRight(1), vs.drop(1))
+      val n = a.length.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      val (saa, sbb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+      val r = (n * sab - sa * sb) /
+        math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+      // driver-side Σ accumulate in doubles (not exact decimals), so
+      // compare with a tolerance; the engine pair is hash-gated exactly
+      assert(math.abs(got(et) - r) < 1e-9, s"$et ${got(et)} vs $r")
+      assert(got(et) >= -1.0 && got(et) <= 1.0)
+    }
+  }
 }

@@ -193,4 +193,33 @@ class CorpusSpec extends SparkSuite {
       assert(math.abs(kept - expect) <= tol, s"$lang kept=$kept expect=$expect")
     }
   }
+
+  test("tfidf top terms == brute-force recomputation per source") {
+    val docs = Tables.documents(SparkSpec.spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, src, text) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (id, src, t))
+    }
+    val n = toks.map(_._1).distinct.length.toLong
+    val df = toks.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct.length.toLong).toMap
+    val tf = toks.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.length.toLong).toMap
+    val expected = tf.keys.groupBy(_._1).toSeq.flatMap { case (src, keys) =>
+      keys.toSeq
+        .map { case (s2, term) =>
+          (s2, term, (tf((s2, term)) * n).toDouble / df(term))
+        }
+        .sortBy { case (_, term, score) => (-score, term) }
+        .take(5)
+    }.map { case (s2, term, score) => (s2, term) -> score }.toMap
+    val got = SparkEntry.queries("corpus_tfidf_topterms")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got.keySet == expected.keySet,
+      s"sym-diff: ${(got.keySet diff expected.keySet).take(3)} / " +
+        s"${(expected.keySet diff got.keySet).take(3)}")
+    got.foreach { case (k, v) => assert(expected(k) == v, s"$k") }
+  }
 }

@@ -412,4 +412,47 @@ object Graft {
   def compactParquet(spark: SparkSession, in: String, out: String,
       targetBytes: Long): (Int, Int) =
     graft.operators.Pipeline.compactParquet(spark, in, out, targetBytes)
+
+  /** Integer PageRank over a directed edge frame (u LONG, v LONG); rank
+    * mass flows u→v. Ranks are scaled to 1e9 and every step is BIGINT
+    * arithmetic — deterministic under any summation order. Contract:
+    * every node must appear as a source (an undirected graph — both
+    * directions present — satisfies this); a target-only node
+    * accumulates rank but contributes none. Returns (u, pr). Eagerness
+    * caveat: edges persist and intermediate iterations localCheckpoint
+    * (see the class note on releasing blocks).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame =
+    graft.operators.Analytics.pageRankOf(edges, iters)
+
+  /** Last-touch attribution: one row per `convType` event with the
+    * latest strictly-prior `touchTypes` event by the same `userCol`
+    * within `lookbackMicros` (column `touch`; 'none' when no touch
+    * qualifies). Ordering is (tsMicrosCol, idCol) — pass a unique id.
+    * Linear — one user-keyed shuffle — instead of the quadratic
+    * conversion×touch self-join.
+    */
+  def lastTouch(events: DataFrame, userCol: String, typeCol: String,
+      tsMicrosCol: String, idCol: String, touchTypes: Seq[String],
+      convType: String, lookbackMicros: Long): DataFrame =
+    graft.operators.Analytics.lastTouchOf(events, userCol, typeCol,
+      tsMicrosCol, idCol, touchTypes, convType, lookbackMicros)
+
+  /** Exact sliding median of `valueCol` over the last `preceding`+1 rows
+    * per `partCol`, ordered by `ordCols` (include a unique tie-break).
+    * Adds column `med`; even counts interpolate as (lo+hi)·0.5. State is
+    * O(frame) per row, never O(partition).
+    */
+  def slidingMedian(df: DataFrame, partCol: String, ordCols: Seq[Column],
+      valueCol: String, preceding: Int = 6): DataFrame =
+    graft.operators.Windows.slidingMedianOf(df, partCol, ordCols,
+      valueCol, preceding)
+
+  /** Top-`k` characteristic terms per `groupCol` by linearized TF-IDF
+    * tf·(N/df) over whitespace tokens of `text`. `docs` needs
+    * (doc_id LONG, groupCol STRING, text STRING); returns
+    * (groupCol, term, tf, df, score).
+    */
+  def tfidfTopTerms(docs: DataFrame, groupCol: String, k: Int): DataFrame =
+    graft.operators.Corpus.tfidfTopTermsOf(docs, groupCol, k)
 }

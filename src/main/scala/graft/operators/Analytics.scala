@@ -194,6 +194,69 @@ object Analytics {
     (keep, zones.length.toLong)
   }
 
+  /** Frame-parametric integer PageRank (re-exported as
+    * `graft.api.Graft.pageRank`): `edges` needs LONG columns (u, v);
+    * rank mass flows u→v. Ranks are scaled to 1e9 and every step is
+    * BIGINT arithmetic — deterministic under any summation order, any
+    * engine. Contract: every node must appear as a SOURCE (undirected
+    * graphs — both edge directions present — satisfy this); a
+    * target-only node accumulates rank but contributes none. Returns
+    * (u, pr) after `iters` iterations. The edge frame is deduplicated
+    * and persisted; intermediate iterations localCheckpoint so the plan
+    * doesn't grow exponentially with `iters` (same discipline as the
+    * connected-components rounds).
+    */
+  private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
+    val pe = edges.select(col("u"), col("v")).distinct().persist()
+    val deg = pe.groupBy("u").agg(count(lit(1)).as("d"))
+      .select(col("u").as("du"), col("d"))
+    val nn = pe.select(countDistinct(col("u")).as("n"))
+    val p0 = pe.select(col("u")).distinct()
+      .crossJoin(broadcast(nn))
+      .select(col("u").as("pu"), expr("1000000000L div n").as("pr"))
+    def step(p: DataFrame): DataFrame =
+      pe.join(p, col("u") === col("pu")).drop("pu")
+        .join(deg, col("u") === col("du")).drop("du")
+        .groupBy(col("v"))
+        .agg(sum(expr("pr div d")).as("acc"))
+        .crossJoin(broadcast(nn))
+        .select(col("v").as("pu"),
+          expr("(15L * (1000000000L div n)) div 100"
+            + " + (85L * acc) div 100").as("pr"))
+    val ranked = (1 to iters).foldLeft(p0) { (p, i) =>
+      if (i < iters) step(p).localCheckpoint() else step(p)
+    }
+    ranked.select(col("pu").as("u"), col("pr"))
+  }
+
+  /** Frame-parametric last-touch attribution (re-exported as
+    * `graft.api.Graft.lastTouch`): one row per `convType` event with the
+    * latest STRICTLY-PRIOR `touchTypes` event by the same `userCol`
+    * within `lookbackMicros`, else touch = 'none'. Ordering (and the
+    * strict-priority tie-break) is (tsMicrosCol, idCol) — pass a unique
+    * id. Linear: one user-keyed shuffle, two ignore-null carries over
+    * the same frame; never the quadratic conversion×touch self-join.
+    */
+  private[graft] def lastTouchOf(events: DataFrame, userCol: String,
+      typeCol: String, tsMicrosCol: String, idCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackMicros: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsMicrosCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    events
+      .withColumn("touch_tus",
+        last(when(isTouch, col(tsMicrosCol)), ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .where(col(typeCol) === convType)
+      .withColumn("touch",
+        when(col("touch_tus").isNotNull &&
+            col(tsMicrosCol) - col("touch_tus") <= lookbackMicros,
+          col("touch_type")).otherwise("none"))
+      .drop("touch_type")
+  }
+
   // ---------------------------------------------------------------------
 
   val defs: Seq[Q] = Seq(
@@ -973,18 +1036,8 @@ object Analytics {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val seq = Tables.events(s, d).select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val isTouch = col("event_type").isin("view", "click")
-      seq
-        .withColumn("touch_tus",
-          last(when(isTouch, col("tus")), ignoreNulls = true).over(w))
-        .withColumn("touch_type",
-          last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
-        .where(col("event_type") === "purchase")
-        .select(when(col("touch_tus").isNotNull &&
-            col("tus") - col("touch_tus") <= 86400000000L, col("touch_type"))
-          .otherwise("none").as("touch"))
+      lastTouchOf(seq, "user_id", "event_type", "tus", "event_id",
+          Seq("view", "click"), "purchase", 86400000000L)
         .groupBy("touch").agg(count(lit(1)).as("purchases"))
         .orderBy("touch")
     },
@@ -1106,32 +1159,13 @@ object Analytics {
         |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pe = li.join(li.select(col("l_orderkey").as("ok2"),
+      val edges = li.join(li.select(col("l_orderkey").as("ok2"),
             col("l_partkey").as("pk2")),
           col("l_orderkey") === col("ok2")
             && col("l_partkey") =!= col("pk2"))
         .select(col("l_partkey").as("u"), col("pk2").as("v"))
-        .distinct()
-        .persist()
-      // deg/p0 derive from pe: every joined frame renames its key so no
-      // join condition is an ambiguous self-reference
-      val deg = pe.groupBy("u").agg(count(lit(1)).as("d"))
-        .select(col("u").as("du"), col("d"))
-      val nn = pe.select(countDistinct(col("u")).as("n"))
-      val p0 = pe.select(col("u")).distinct()
-        .crossJoin(broadcast(nn))
-        .select(col("u").as("pu"), expr("1000000000L div n").as("pr"))
-      def step(p: DataFrame): DataFrame =
-        pe.join(p, col("u") === col("pu")).drop("pu")
-          .join(deg, col("u") === col("du")).drop("du")
-          .groupBy(col("v"))
-          .agg(sum(expr("pr div d")).as("acc"))
-          .crossJoin(broadcast(nn))
-          .select(col("v").as("pu"),
-            expr("(15L * (1000000000L div n)) div 100"
-              + " + (85L * acc) div 100").as("pr"))
-      val p2 = step(step(p0))
-      p2.select(col("pu").as("part"), col("pr").as("rank_scaled"))
+      pageRankOf(edges, 2)
+        .select(col("u").as("part"), col("pr").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("part"))
         .limit(20)
     },

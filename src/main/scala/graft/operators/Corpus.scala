@@ -121,6 +121,38 @@ object Corpus {
             8, "0"))
   }
 
+  /** Frame-parametric linearized TF-IDF top terms (re-exported as
+    * `graft.api.Graft.tfidfTopTerms`): `docs` needs (doc_id LONG,
+    * `groupCol` STRING, text STRING); returns the top-`k` terms per
+    * group scored tf·(N/df) — one int64 product + ONE double division,
+    * so scores are bit-identical on any engine (log-IDF's libm ln can
+    * differ in the last ulp and flip near-tie ranks). Rank ties break on
+    * the term itself. The rank window only ever sees (group × vocab)
+    * aggregated rows, never raw tokens.
+    */
+  private[graft] def tfidfTopTermsOf(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col(groupCol),
+        explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("term").as("dterm"), col("df"))
+    val nd = toks.select(countDistinct(col("doc_id")).as("n"))
+    val scored = tf
+      .join(broadcast(dfreq), col("term") === col("dterm")).drop("dterm")
+      .crossJoin(broadcast(nd))
+      .select(col(groupCol), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .drop("rk")
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Exact-dup groups keyed by md5(text) (the one hash both engines
@@ -334,24 +366,7 @@ object Corpus {
         |SELECT source, term, tf, df, score
         |FROM ranked WHERE rk <= 5
         |ORDER BY source, score DESC, term""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("term"))
-        .where(col("term") =!= "")
-      val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .select(col("term").as("dterm"), col("df"))
-      val nd = toks.select(countDistinct(col("doc_id")).as("n"))
-      val scored = tf
-        .join(broadcast(dfreq), col("term") === col("dterm")).drop("dterm")
-        .crossJoin(broadcast(nd))
-        .select(col("source"), col("term"), col("tf"), col("df"),
-          ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("score").desc, col("term"))
-      scored.withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
+      tfidfTopTermsOf(Tables.documents(s, d), "source", 5)
         .select(col("source"), col("term"), col("tf"), col("df"),
           col("score"))
         .orderBy(col("source"), col("score").desc, col("term"))

@@ -32,6 +32,29 @@ object Windows {
         count(lit(1)).as("n"))
   }
 
+  /** Frame-parametric exact sliding median (re-exported as
+    * `graft.api.Graft.slidingMedian`): adds a `med` column — the median
+    * of `valueCol` over the last `preceding`+1 rows per `partCol`
+    * partition, ordered by `ordCols` (pass a unique tie-break). The
+    * frame is materialized per row (≤ preceding+1 doubles — state is
+    * O(frame), never O(partition)); even counts interpolate as
+    * (lo + hi) · 0.5.
+    */
+  private[graft] def slidingMedianOf(df: org.apache.spark.sql.DataFrame,
+      partCol: String, ordCols: Seq[org.apache.spark.sql.Column],
+      valueCol: String, preceding: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(ordCols: _*)
+      .rowsBetween(-preceding.toLong, 0)
+    df.withColumn("l", sort_array(collect_list(col(valueCol)).over(w)))
+      .withColumn("med",
+        when(expr("size(l) % 2 = 1"),
+          expr("element_at(l, cast((size(l) + 1) div 2 as int))"))
+        .otherwise(expr(
+          "(element_at(l, cast(size(l) div 2 as int))" +
+            " + element_at(l, cast(size(l) div 2 as int) + 1)) * 0.5D")))
+      .drop("l")
+  }
+
   val defs: Seq[Q] = Seq(
 
     Q("win_rank_dense_ntile",
@@ -374,19 +397,12 @@ object Windows {
         |       ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) * 0.5
         |  END AS med
         |FROM win ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("tus"), col("event_id")).rowsBetween(-6, 0)
-      Tables.events(s, d)
-        .select(col("event_type"), unix_micros(col("ts")).as("tus"),
-          col("event_id"), col("value"))
-        .withColumn("l", sort_array(collect_list(col("value")).over(w)))
-        .select(col("event_type"), col("event_id"),
-          when(expr("size(l) % 2 = 1"),
-            expr("element_at(l, cast((size(l) + 1) div 2 as int))"))
-          .otherwise(expr(
-            "(element_at(l, cast(size(l) div 2 as int))" +
-              " + element_at(l, cast(size(l) div 2 as int) + 1)) * 0.5D"))
-          .as("med"))
+      slidingMedianOf(
+          Tables.events(s, d)
+            .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+              col("event_id"), col("value")),
+          "event_type", Seq(col("tus"), col("event_id")), "value", 6)
+        .select(col("event_type"), col("event_id"), col("med"))
         .orderBy("event_type", "event_id")
     },
   )

@@ -318,4 +318,55 @@ class ApiSpec extends SparkSuite {
         .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("pageRank: hub of a star graph outranks leaves; closed-form check") {
+    import spark.implicits._
+    // undirected star: hub 0 <-> leaves 1..4. n=5, base pr = 2e8.
+    // iter1: hub gets 15% base + 85% * sum(leaf pr/1) = 30000000 + 4*2e8*85/100
+    val edges = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("u", "v")
+    val pr = Graft.pageRank(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = (15L * (1000000000L / 5)) / 100
+    // hub: four leaves contribute pr/deg = 2e8/1 each; leaf: hub splits
+    // its 2e8 across deg=4 outgoing edges
+    assert(pr(0L) == base + (85L * (4L * 200000000L)) / 100, pr.toString)
+    (1L to 4L).foreach { l =>
+      assert(pr(l) == base + (85L * (200000000L / 4)) / 100, pr.toString)
+      assert(pr(0L) > pr(l))
+    }
+  }
+
+  test("lastTouch/slidingMedian/tfidfTopTerms on caller frames") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 100L, 1L), (1L, "purchase", 200L, 2L),
+      (2L, "click", 10L, 3L), (2L, "view", 20L, 4L),
+      (2L, "purchase", 30L, 5L),
+      (3L, "purchase", 50L, 6L), // no touch at all
+      (4L, "view", 0L, 7L), (4L, "purchase", 1000L, 8L) // outside lookback
+    ).toDF("u", "t", "tus", "id")
+    val att = Graft.lastTouch(ev, "u", "t", "tus", "id",
+        Seq("view", "click"), "purchase", lookbackMicros = 500L)
+      .select("u", "touch").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(att == Map(1L -> "view", 2L -> "view", 3L -> "none",
+      4L -> "none"), att.toString)
+
+    val med = Graft.slidingMedian(
+        Seq(("a", 1L, 5.0), ("a", 2L, 1.0), ("a", 3L, 3.0), ("a", 4L, 9.0))
+          .toDF("p", "o", "value"),
+        "p", Seq(col("o")), "value", preceding = 2)
+      .orderBy("o").collect().map(_.getDouble(3)).toSeq
+    // frames: [5], [5,1], [5,1,3], [1,3,9] -> 5, 3, 3, 3
+    assert(med == Seq(5.0, 3.0, 3.0, 3.0), med.toString)
+
+    val docs = Seq(
+      (1L, "g1", "apple apple rare"), (2L, "g1", "apple common"),
+      (3L, "g2", "common common zebra")
+    ).toDF("doc_id", "grp", "text")
+    val top = Graft.tfidfTopTerms(docs, "grp", 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // g1: apple tf=3 df=2 -> 4.5; rare tf=1 df=1 -> 3; g2: zebra 3 > common 3 (tie term order)
+    assert(top == Map("g1" -> "apple", "g2" -> "common"), top.toString)
+  }
 }

@@ -289,4 +289,39 @@ class PlanSpec extends SparkSuite {
     assert(dq.contains("BroadcastHashJoin") && dq.contains("LeftAnti"),
       dq.take(3000))
   }
+
+  test("attribution/sliding-median: ONE partition-keyed Exchange, no join") {
+    val att = planString("attribution_last_touch")
+    assert("hashpartitioning\\(user_id".r.findAllIn(att).size == 1,
+      att.take(3000))
+    assert(!att.contains("Join"),
+      "attribution must be a window carry, not a touch self-join")
+    val med = planString("win_sliding_median")
+    assert("hashpartitioning\\(event_type".r.findAllIn(med).size == 1,
+      med.take(3000))
+  }
+
+  test("tfidf: df side broadcast-joins; rank window sees aggregated rows") {
+    val p = planString("corpus_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the row_number window consumes the (source, term) aggregate, so a
+    // HashAggregate must sit strictly below the Window operator
+    val winIdx = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      "rank window must run over aggregated term rows, not raw tokens")
+  }
+
+  test("pagerank: equi-joins only; scalar frames broadcast; dq drift one scan") {
+    val p = planString("graph_pagerank_copurchase")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the n-scalar rides a 1-row broadcast (BNLJ over broadcast is the
+    // Spark plan for crossJoin(broadcast(oneRow)) — bounded by design)
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastExchange"), p.take(3000))
+    val drift = planString("dq_profile_drift")
+    assert(!drift.contains("Join"),
+      "profile drift must be conditional aggregates over ONE scan")
+  }
 }

@@ -207,22 +207,31 @@ object Analytics {
     * connected-components rounds).
     */
   private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
-    val pe = edges.select(col("u"), col("v")).distinct().persist()
+    // localCheckpoint, not persist: every downstream frame (deg, p0, both
+    // iteration joins) re-derives the edge lineage, and cache-fragment
+    // matching does NOT reliably collapse those re-derivations — a
+    // checkpoint truncates the lineage so the (distinct self-join) edge
+    // build runs exactly once. n is an O(1) driver scalar folded into
+    // the plan as a LITERAL (Scala Long division == SQL div), which
+    // removes three one-row broadcast joins from every iteration.
+    val pe = edges.select(col("u"), col("v")).distinct().localCheckpoint()
+    val n = pe.select(col("u")).distinct().count()
+    val init = 1000000000L / n
+    val base = (15L * init) / 100L
     val deg = pe.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("du"), col("d"))
-    val nn = pe.select(countDistinct(col("u")).as("n"))
     val p0 = pe.select(col("u")).distinct()
-      .crossJoin(broadcast(nn))
-      .select(col("u").as("pu"), expr("1000000000L div n").as("pr"))
+      .select(col("u").as("pu"), lit(init).as("pr"))
+    // join strategy stays Catalyst's: the rank/degree frames are O(nodes)
+    // — AQE broadcasts them while they fit and falls back to a shuffle
+    // join when a 100 TB graph's node list outgrows the threshold
     def step(p: DataFrame): DataFrame =
       pe.join(p, col("u") === col("pu")).drop("pu")
         .join(deg, col("u") === col("du")).drop("du")
         .groupBy(col("v"))
         .agg(sum(expr("pr div d")).as("acc"))
-        .crossJoin(broadcast(nn))
         .select(col("v").as("pu"),
-          expr("(15L * (1000000000L div n)) div 100"
-            + " + (85L * acc) div 100").as("pr"))
+          (lit(base) + expr("(85L * acc) div 100")).as("pr"))
     val ranked = (1 to iters).foldLeft(p0) { (p, i) =>
       if (i < iters) step(p).localCheckpoint() else step(p)
     }
@@ -1157,8 +1166,12 @@ object Analytics {
         |       GROUP BY e.v, nn.n)
         |SELECT u AS part, pr AS rank_scaled FROM p2
         |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
+      // no pre-join distinct (unlike the oracle's li CTE): duplicate
+      // (order, part) lines only produce duplicate pairs, and the
+      // pair-level distinct inside pageRankOf removes those — same edge
+      // set, one less 600k-row shuffle
       val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
       val edges = li.join(li.select(col("l_orderkey").as("ok2"),
             col("l_partkey").as("pk2")),
           col("l_orderkey") === col("ok2")

@@ -207,14 +207,15 @@ object Analytics {
     * connected-components rounds).
     */
   private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
-    // localCheckpoint, not persist: every downstream frame (deg, p0, both
-    // iteration joins) re-derives the edge lineage, and cache-fragment
-    // matching does NOT reliably collapse those re-derivations — a
-    // checkpoint truncates the lineage so the (distinct self-join) edge
-    // build runs exactly once. n is an O(1) driver scalar folded into
-    // the plan as a LITERAL (Scala Long division == SQL div), which
-    // removes three one-row broadcast joins from every iteration.
-    val pe = edges.select(col("u"), col("v")).distinct().localCheckpoint()
+    // persist + one blocking count: the n job materializes the edge
+    // cache, so every downstream frame (deg, p0, both iteration joins)
+    // reads InMemoryRelation instead of re-deriving the (distinct
+    // self-join) edge build. An eager localCheckpoint here measured
+    // SLOWER than the cache (it serializes the full edge frame as a
+    // barrier before any iteration starts). n is an O(1) driver scalar
+    // folded into the plan as a LITERAL (Scala Long division == SQL
+    // div), removing three one-row broadcast joins per iteration.
+    val pe = edges.select(col("u"), col("v")).distinct().persist()
     val n = pe.select(col("u")).distinct().count()
     val init = 1000000000L / n
     val base = (15L * init) / 100L

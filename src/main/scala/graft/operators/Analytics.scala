@@ -217,6 +217,7 @@ object Analytics {
     // div), removing three one-row broadcast joins per iteration.
     val pe = edges.select(col("u"), col("v")).distinct().persist()
     val n = pe.select(col("u")).distinct().count()
+    require(n > 0, "pageRank: edge frame has no source nodes")
     val init = 1000000000L / n
     val base = (15L * init) / 100L
     val deg = pe.groupBy("u").agg(count(lit(1)).as("d"))

@@ -334,6 +334,24 @@ class ApiSpec extends SparkSuite {
       assert(pr(l) == base + (85L * (200000000L / 4)) / 100, pr.toString)
       assert(pr(0L) > pr(l))
     }
+    // deeper run exercises the between-iteration checkpoint path; compare
+    // against a plain-Scala fold of the same integer recurrence
+    val deg = Map(0L -> 4L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    val es = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    var exp = (0L to 4L).map(_ -> 200000000L).toMap
+    (1 to 3).foreach { _ =>
+      exp = es.groupBy(_._2).map { case (v, in) =>
+        v -> (base + (85L * in.map { case (u, _) => exp(u) / deg(u) }.sum) / 100)
+      }
+    }
+    val pr3 = Graft.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr3 == exp, s"$pr3 vs $exp")
+    // empty edge frame fails loudly, not with a driver arithmetic error
+    val err = intercept[IllegalArgumentException] {
+      Graft.pageRank(Seq.empty[(Long, Long)].toDF("u", "v"), iters = 1)
+    }
+    assert(err.getMessage.contains("no source nodes"))
   }
 
   test("lastTouch/slidingMedian/tfidfTopTerms on caller frames") {

@@ -205,35 +205,38 @@ object Analytics {
     * and persisted; intermediate iterations localCheckpoint so the plan
     * doesn't grow exponentially with `iters` (same discipline as the
     * connected-components rounds).
+    *
+    * Internally the edge multiset is held as an ADJACENCY LIST
+    * (u, set(v)): one node-keyed shuffle builds it and `collect_set`
+    * dedups in the aggregation, so no separate pair-level distinct
+    * Exchange exists. Each iteration is then a node-level join of the
+    * O(nodes) rank frame against the O(nodes) adjacency frame (AQE
+    * broadcasts the rank side while it fits), an in-task explode, and
+    * ONE node-keyed shuffle for the sum — the per-edge contribution
+    * `pr div d` is computed once per NODE, not once per edge. Caveat at
+    * power-law scale: a node's neighbor set lives in one row, so max
+    * degree is bounded by row size; graphs with multi-million-degree
+    * hubs need a two-level (salted) adjacency before this formulation.
     */
   private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
-    // persist + one blocking count: the n job materializes the edge
-    // cache, so every downstream frame (deg, p0, both iteration joins)
-    // reads InMemoryRelation instead of re-deriving the (distinct
-    // self-join) edge build. An eager localCheckpoint here measured
-    // SLOWER than the cache (it serializes the full edge frame as a
-    // barrier before any iteration starts). n is an O(1) driver scalar
-    // folded into the plan as a LITERAL (Scala Long division == SQL
-    // div), removing three one-row broadcast joins per iteration.
-    val pe = edges.select(col("u"), col("v")).distinct().persist()
-    val n = pe.select(col("u")).distinct().count()
+    // persist + one blocking count: the n job materializes the adjacency
+    // cache, so every downstream frame (p0, every iteration join) reads
+    // InMemoryRelation instead of re-deriving the groupBy. n is an O(1)
+    // driver scalar folded into the plan as a LITERAL (Scala Long
+    // division == SQL div), removing per-iteration one-row joins.
+    val adj = edges.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("vs")).persist()
+    val n = adj.count()
     require(n > 0, "pageRank: edge frame has no source nodes")
     val init = 1000000000L / n
     val base = (15L * init) / 100L
-    val deg = pe.groupBy("u").agg(count(lit(1)).as("d"))
-      .select(col("u").as("du"), col("d"))
-    val p0 = pe.select(col("u")).distinct()
-      .select(col("u").as("pu"), lit(init).as("pr"))
-    // join strategy stays Catalyst's: the rank/degree frames are O(nodes)
-    // — AQE broadcasts them while they fit and falls back to a shuffle
-    // join when a 100 TB graph's node list outgrows the threshold
+    val p0 = adj.select(col("u").as("pu"), lit(init).as("pr"))
     def step(p: DataFrame): DataFrame =
-      pe.join(p, col("u") === col("pu")).drop("pu")
-        .join(deg, col("u") === col("du")).drop("du")
-        .groupBy(col("v"))
-        .agg(sum(expr("pr div d")).as("acc"))
-        .select(col("v").as("pu"),
-          (lit(base) + expr("(85L * acc) div 100")).as("pr"))
+      adj.join(p, col("u") === col("pu"))
+        .select(col("vs"), expr("pr div size(vs)").as("c"))
+        .select(explode(col("vs")).as("pu"), col("c"))
+        .groupBy(col("pu"))
+        .agg((lit(base) + expr("(85L * sum(c)) div 100")).as("pr"))
     val ranked = (1 to iters).foldLeft(p0) { (p, i) =>
       if (i < iters) step(p).localCheckpoint() else step(p)
     }
@@ -1170,8 +1173,8 @@ object Analytics {
         |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
       // no pre-join distinct (unlike the oracle's li CTE): duplicate
       // (order, part) lines only produce duplicate pairs, and the
-      // pair-level distinct inside pageRankOf removes those — same edge
-      // set, one less 600k-row shuffle
+      // collect_set adjacency build inside pageRankOf dedups those in
+      // its aggregation — same edge set, one less 600k-row shuffle
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
       val edges = li.join(li.select(col("l_orderkey").as("ok2"),

@@ -1232,5 +1232,162 @@ object Analytics {
         .select(col("doc_a"), col("doc_b"), contain.as("containment"))
         .orderBy("doc_a", "doc_b")
     },
+
+    // Triangle count + global clustering coefficient on the bounded
+    // co-purchase subgraph (parts < 2000 — motif counting is verified on
+    // a subgraph the oracle can also enumerate; the operator shape is
+    // what scales). Edges are ORIENTED u < v so each triangle is
+    // enumerated exactly once as a<b<c — the same orientation trick that
+    // makes distributed triangle counting tractable (at power-law scale
+    // you orient low-degree → high-degree so wedge fan-out is bounded by
+    // arboricity, not max degree). Wedges from integer degrees; the
+    // clustering coefficient is ONE double division of two exact BIGINTs
+    // — bit-identical cross-engine, no rounding.
+    Q("graph_triangle_count",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |           WHERE l_partkey < 2000),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT count(*) AS t
+        |        FROM e ab JOIN e bc ON ab.v = bc.u
+        |          JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |deg AS (SELECT x, count(*) AS dg FROM
+        |          (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |        GROUP BY 1),
+        |w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS wedges
+        |      FROM deg)
+        |SELECT t AS n_triangles, wedges AS n_wedges,
+        |  CASE WHEN wedges = 0 THEN 0.0
+        |       ELSE CAST(3 * t AS DOUBLE) / wedges END AS clustering
+        |FROM tri, w""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_partkey") < 2000)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.join(li.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("pk2")),
+          col("l_orderkey") === col("ok2")
+            && col("l_partkey") < col("pk2"))
+        .select(col("l_partkey").as("u"), col("pk2").as("v"))
+        .distinct().persist() // read 4× (ab, bc, ac, deg)
+      val tri = e.select(col("u").as("a"), col("v").as("b"))
+        .join(e.select(col("u").as("b2"), col("v").as("c")),
+          col("b") === col("b2"))
+        .join(e.select(col("u").as("a2"), col("v").as("c2")),
+          col("a") === col("a2") && col("c") === col("c2"))
+        .agg(count(lit(1)).as("t"))
+      val w = e.select(col("u").as("x"))
+        .unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+        .agg(sum(expr("dg * (dg - 1) div 2")).cast("long").as("wedges"))
+      tri.crossJoin(broadcast(w))
+        .select(col("t").as("n_triangles"), col("wedges").as("n_wedges"),
+          when(col("wedges") === 0, lit(0.0))
+            .otherwise((lit(3) * col("t")).cast("double") / col("wedges"))
+            .as("clustering"))
+    },
+
+    // Degree distribution of the co-purchase graph (parts < 5000 block):
+    // the graph-health profile a pipeline inspects before running
+    // PageRank/CC at full scale (a heavy power-law tail means the
+    // adjacency formulations need salting). Width-5 degree buckets;
+    // everything integer, one combiner-friendly shuffle per aggregate.
+    Q("graph_degree_distribution",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |           WHERE l_partkey < 5000),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT x, count(*) AS dg FROM
+        |          (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |        GROUP BY 1)
+        |SELECT dg // 5 AS bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(dg) AS min_deg, max(dg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_partkey") < 5000)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.join(li.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("pk2")),
+          col("l_orderkey") === col("ok2")
+            && col("l_partkey") < col("pk2"))
+        .select(col("l_partkey").as("u"), col("pk2").as("v"))
+        .distinct()
+      e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+        .groupBy(expr("dg div 5").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("dg")).as("min_deg"), max(col("dg")).as("max_deg"))
+        .orderBy("bucket")
+    },
+
+    // First-order Markov transition matrix over per-user event sequences
+    // (arrival order = event_id — monotonic and engine-identical, never
+    // the nanosecond ts both engines truncate differently). Linear: ONE
+    // user-keyed shuffle for the lead() window, then two tiny aggregates;
+    // the row-probability is a single division of two exact BIGINTs.
+    // This is the session-modeling primitive (next-action prediction,
+    // anomalous-flow detection) run ahead of any sequence-model training.
+    Q("events_markov_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS ft,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS tt
+        |  FROM events),
+        |c AS (SELECT ft, tt, count(*) AS n FROM seq
+        |      WHERE tt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT ft, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1)
+        |SELECT c.ft AS from_type, c.tt AS to_type, c.n AS n_trans,
+        |  CAST(c.n AS DOUBLE) / tot.tn AS p
+        |FROM c JOIN tot ON c.ft = tot.ft
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("ft"),
+          lead(col("event_type"), 1).over(w).as("tt"))
+        .where(col("tt").isNotNull)
+      val c = seq.groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("ft").as("ft2"))
+        .agg(sum(col("n")).cast("long").as("tn"))
+      c.join(broadcast(tot), col("ft") === col("ft2"))
+        .select(col("ft").as("from_type"), col("tt").as("to_type"),
+          col("n").as("n_trans"),
+          col("n").cast("double") / col("tn") as "p")
+        .orderBy("from_type", "to_type")
+    },
+
+    // 2-D Pareto skyline (minimize price, maximize size): the classic
+    // sort + running-max formulation, NOT the quadratic dominance
+    // self-join. The global window is safe by construction: it runs over
+    // the per-price best-size frame, whose cardinality is bounded by the
+    // PRICE DOMAIN (TPC-H prices are cents in a fixed range), not the
+    // row count — the groupBy reduction in front is what keeps the
+    // global sort O(domain) at 100 TB. Parts tying the frontier (price,
+    // size) pair are all non-dominated and all emitted.
+    Q("skyline_price_size",
+      """WITH best AS (SELECT p_retailprice AS price, max(p_size) AS sz
+        |              FROM part GROUP BY 1),
+        |r AS (SELECT price, sz, max(sz) OVER (ORDER BY price
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        |      FROM best),
+        |f AS (SELECT price, sz FROM r WHERE m IS NULL OR sz > m)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p JOIN f ON p.p_retailprice = f.price
+        |  AND p.p_size = f.sz
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin) { (s, d) =>
+      val best = Tables.part(s, d)
+        .groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("sz"))
+      // price is unique after the groupBy, so the ROWS frame is exactly
+      // "all strictly cheaper prices" — no RANGE frame needed
+      val w = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val f = best.withColumn("m", max(col("sz")).over(w))
+        .where(col("m").isNull || col("sz") > col("m"))
+        .select(col("price"), col("sz"))
+      Tables.part(s, d).join(broadcast(f),
+          col("p_retailprice") === col("price")
+            && col("p_size") === col("sz"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+    },
   )
 }

@@ -310,4 +310,55 @@ class AnalyticsSpec extends SparkSuite {
       assert(got(et) >= -1.0 && got(et) <= 1.0)
     }
   }
+
+  test("triangle count == brute-force enumeration on the subgraph") {
+    val row = SparkEntry.queries("graph_triangle_count")(spark, sf)
+      .collect().head
+    val (tri, wedges, cc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // brute force: same oriented edge set, count closed wedges in Scala
+    val li = Tables.lineitem(SparkSpec.spark, sf)
+      .where(col("l_partkey") < 2000)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nbrs = (edges.toSeq ++ edges.toSeq.map { case (u, v) => (v, u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triBf = edges.toSeq.map { case (u, v) =>
+      (nbrs(u) & nbrs(v)).count(w => w > v) // a<b<c orientation
+    }.sum.toLong
+    val wedgesBf = nbrs.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(tri == triBf, s"triangles $tri vs brute $triBf")
+    assert(wedges == wedgesBf, s"wedges $wedges vs brute $wedgesBf")
+    if (wedgesBf > 0) assert(cc == 3.0 * triBf / wedgesBf)
+  }
+
+  test("markov transition probabilities: rows sum to 1 per from_type") {
+    val rows = SparkEntry.queries("events_markov_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ft, grp) =>
+      val psum = grp.map(_._3).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"$ft p-sum $psum")
+      val tot = grp.map(_._2).sum
+      grp.foreach { case (_, n, p) =>
+        assert(p == n.toDouble / tot) } // single exact division
+    }
+  }
+
+  test("skyline == brute-force dominance filter") {
+    val got = SparkEntry.queries("skyline_price_size")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val parts = Tables.part(SparkSpec.spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val frontier = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, pr2, sz2) =>
+        (pr2 <= pr && sz2 >= sz) && (pr2 < pr || sz2 > sz) }
+    }.toSet
+    assert(got == frontier,
+      s"skyline ${got.size} rows vs brute ${frontier.size}")
+  }
 }

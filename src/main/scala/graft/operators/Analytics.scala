@@ -1073,13 +1073,19 @@ object Analytics {
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b
         |LIMIT 100""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey").as("ok2"),
-        col("l_partkey").as("part_b"))
-      a.join(b, col("l_orderkey") === col("ok2")
-          && col("part_a") < col("part_b"))
+      // basket formulation, not the orderkey self-join: ONE order-keyed
+      // shuffle collects each order's part SET (collect_set = the
+      // oracle's DISTINCT), pairs explode IN-TASK (x > a emits each
+      // unordered pair once), then one combiner-friendly pair count.
+      // The self-join needed an extra distinct Exchange plus both join
+      // sides shuffled on orderkey; per-order fan-out is identical
+      // (bounded by basket size) either way.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(col("ps"), explode(col("ps")).as("part_a"))
+        .select(col("part_a"),
+          explode(expr("filter(ps, x -> x > part_a)")).as("part_b"))
         .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(100)
@@ -1171,17 +1177,15 @@ object Analytics {
         |       GROUP BY e.v, nn.n)
         |SELECT u AS part, pr AS rank_scaled FROM p2
         |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
-      // no pre-join distinct (unlike the oracle's li CTE): duplicate
-      // (order, part) lines only produce duplicate pairs, and the
-      // collect_set adjacency build inside pageRankOf dedups those in
-      // its aggregation — same edge set, one less 600k-row shuffle
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.join(li.select(col("l_orderkey").as("ok2"),
-            col("l_partkey").as("pk2")),
-          col("l_orderkey") === col("ok2")
-            && col("l_partkey") =!= col("pk2"))
-        .select(col("l_partkey").as("u"), col("pk2").as("v"))
+      // basket edge build (same shape as graph_copurchase_pairs): one
+      // order-keyed shuffle collects each order's part set (= the
+      // oracle's DISTINCT li), both edge directions explode IN-TASK —
+      // no self-join, no pair-level Exchange before the adjacency build
+      val edges = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(col("ps"), explode(col("ps")).as("u"))
+        .select(col("u"), explode(expr("filter(ps, x -> x != u)")).as("v"))
       pageRankOf(edges, 2)
         .select(col("u").as("part"), col("pr").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("part"))

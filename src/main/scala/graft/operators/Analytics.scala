@@ -1237,6 +1237,51 @@ object Analytics {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Robust (median/MAD) hourly outlier detection per series — the
+    // companion to ts_anomaly_zscore for series whose mean/σ are
+    // themselves corrupted by the outliers being hunted (z-scores mask
+    // a 10× spike by inflating σ; the median absolute deviation
+    // doesn't). Hourly sums are DECIMAL-exact then cast to double ONCE;
+    // median/MAD are EXACT interpolated percentiles — both engines
+    // average the same two middle doubles, so every derived value is
+    // bit-identical with no rounding. The 1.4826 σ-consistency constant
+    // folds identically (one IEEE multiply chain, same literal order).
+    Q("ts_outlier_mad",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, median(v) AS m
+        |        FROM hourly GROUP BY 1),
+        |dev AS (SELECT hourly.event_type, h, v, m, abs(v - m) AS dv
+        |        FROM hourly JOIN med ON hourly.event_type = med.event_type),
+        |mad AS (SELECT event_type, median(dv) AS md
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_type AS event_type, h, v, m AS med, md AS mad
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |WHERE dv > 3 * 1.4826 * md
+        |ORDER BY dev.event_type, h""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)"))
+          .cast("double").as("v"))
+      // two O(series) stats frames broadcast back onto the hourly frame:
+      // the series count is tiny next to the fact, so neither median
+      // pass reshuffles the hourly rows a second time
+      val med = hourly.groupBy(col("event_type").as("et1"))
+        .agg(expr("median(v)").as("m"))
+      val dev = hourly.join(broadcast(med), col("event_type") === col("et1"))
+        .select(col("event_type"), col("h"), col("v"), col("m"),
+          abs(col("v") - col("m")).as("dv"))
+      val mad = dev.groupBy(col("event_type").as("et2"))
+        .agg(expr("median(dv)").as("md"))
+      dev.join(broadcast(mad), col("event_type") === col("et2"))
+        .where(col("dv") > lit(3) * lit(1.4826) * col("md"))
+        .select(col("event_type"), col("h"), col("v"),
+          col("m").as("med"), col("md").as("mad"))
+        .orderBy("event_type", "h")
+    },
+
     // Triangle count + global clustering coefficient on the bounded
     // co-purchase subgraph (parts < 2000 — motif counting is verified on
     // a subgraph the oracle can also enumerate; the operator shape is

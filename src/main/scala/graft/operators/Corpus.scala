@@ -371,5 +371,30 @@ object Corpus {
           col("score"))
         .orderBy(col("source"), col("score").desc, col("term"))
     },
+
+    // Per-language document-length quartiles — the length-distribution
+    // profile that picks chunk sizes and length-filter thresholds before
+    // a corpus run. Quartiles of INTEGER lengths at exact binary-
+    // fraction ranks (0.25/0.5/0.75) are exact rationals in double under
+    // BOTH engines' interpolation formulas ((1-d)·lo + d·hi vs
+    // lo + d·(hi-lo) — equal when every product is exact), so no
+    // rounding and no half-boundary trap. One combiner-friendly shuffle
+    // keyed by lang; the sort-based exact percentile is per-group state,
+    // never a global sort.
+    Q("corpus_length_quartiles",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.50) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.25D)").as("p25"),
+          expr("percentile(n_chars, 0.50D)").as("p50"),
+          expr("percentile(n_chars, 0.75D)").as("p75"))
+        .orderBy("lang")
+    },
   )
 }

@@ -348,6 +348,43 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("MAD outliers: flat series stays silent, a spike is flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    // 48 flat hours + one 10× spike: z-score σ is inflated by the spike
+    // itself, MAD is not — the spike must flag, nothing else may
+    val base = (0 until 48).map(h => ("s1", h, 10.0))
+    val rows = base :+ (("s1", 48, 100.0))
+    val hourly = rows.toDF("event_type", "h", "v")
+    val med = hourly.groupBy($"event_type".as("et1"))
+      .agg(expr("median(v)").as("m"))
+    val dev = hourly.join(bc(med), $"event_type" === $"et1")
+      .select($"event_type", $"h", $"v", $"m", abs($"v" - $"m").as("dv"))
+    val mad = dev.groupBy($"event_type".as("et2"))
+      .agg(expr("median(dv)").as("md"))
+    val flagged = dev.join(bc(mad), $"event_type" === $"et2")
+      .where($"dv" > lit(3) * lit(1.4826) * $"md").collect()
+    // MAD of a majority-flat series is 0 → any deviation flags; only
+    // the spike deviates
+    assert(flagged.map(_.getInt(1)).toSeq == Seq(48), flagged.toSeq.toString)
+    val none = dev.join(bc(mad), $"event_type" === $"et2")
+      .where($"h" < 48 && $"dv" > lit(3) * lit(1.4826) * $"md").count()
+    assert(none == 0)
+  }
+
+  test("length quartiles: closed form on a known distribution") {
+    import spark.implicits._
+    // 5 lengths per lang → p25/p50/p75 hit exact ranks (n-1)*d = 1,2,3
+    val docs = Seq.tabulate(5)(i => ("aa", (i + 1) * 10L)) // 10..50
+      .toDF("lang", "n_chars")
+    val r = docs.groupBy($"lang")
+      .agg(expr("percentile(n_chars, 0.25D)").as("p25"),
+        expr("percentile(n_chars, 0.50D)").as("p50"),
+        expr("percentile(n_chars, 0.75D)").as("p75")).collect().head
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((20.0, 30.0, 40.0)))
+  }
+
   test("skyline == brute-force dominance filter") {
     val got = SparkEntry.queries("skyline_price_size")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet

@@ -414,6 +414,74 @@ object Analytics {
           expr(lerp("0.9")).as("p90_secs"))
     },
 
+    // ANY-qualifying-sequence funnel — the MATCH_RECOGNIZE semantics the
+    // earliest-anchor funnel above deliberately deviates from (its
+    // docstring names the trade): a user with view@0h, view@5h,
+    // click@13h converts HERE (13−5 ≤ 12) but not there (anchored to
+    // the first view). The existence test "some prior qualified step
+    // within gap" needs only the MAX qualified prior step-time as
+    // witness (largest prior time ⇒ smallest gap), so each step is one
+    // carry-forward max window — all steps stack on ONE user Exchange +
+    // ONE sort, linear like lastTouch, never a per-step self-join.
+    // Time axis is µs-epoch longs (epoch_us == unix_micros) with
+    // event_id tie-break — both engines order and subtract identically.
+    Q("funnel_any_sequence",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN tus END)
+        |    OVER w AS lv
+        |  FROM seq
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |q2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND lv IS NOT NULL
+        |                 AND tus - lv <= 43200000000 THEN tus END AS c2
+        |  FROM w2),
+        |w3 AS (
+        |  SELECT *, max(c2) OVER w AS lc
+        |  FROM q2
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |q3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
+        |                 AND tus - lc <= 86400000000 THEN tus END AS c3
+        |  FROM w3)
+        |SELECT
+        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+        |    AS u_view,
+        |  count(DISTINCT CASE WHEN c2 IS NOT NULL THEN user_id END)
+        |    AS u_view_click,
+        |  count(DISTINCT CASE WHEN c3 IS NOT NULL THEN user_id END)
+        |    AS u_full_funnel
+        |FROM q3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val seq = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("event_id"))
+      val q2 = seq
+        .withColumn("lv",
+          max(when(col("event_type") === "view", col("tus"))).over(w))
+        .withColumn("c2",
+          when(col("event_type") === "click" && col("lv").isNotNull
+            && col("tus") - col("lv") <= 43200000000L, col("tus")))
+      val q3 = q2
+        .withColumn("lc", max(col("c2")).over(w))
+        .withColumn("c3",
+          when(col("event_type") === "purchase" && col("lc").isNotNull
+            && col("tus") - col("lc") <= 86400000000L, col("tus")))
+      q3.agg(
+        countDistinct(when(col("event_type") === "view", col("user_id")))
+          .as("u_view"),
+        countDistinct(when(col("c2").isNotNull, col("user_id")))
+          .as("u_view_click"),
+        countDistinct(when(col("c3").isNotNull, col("user_id")))
+          .as("u_full_funnel"))
+    },
+
     // OHLC downsampling (the time-series rollup every metrics store
     // ships): per (event_type, day) the first/last value by (ts,
     // event_id) plus high/low/count/volume. Both row_number passes share

@@ -348,6 +348,36 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("any-sequence funnel converts the later-anchor chain the " +
+      "earliest-anchor funnel misses") {
+    import spark.implicits._
+    // ADVICE's counter-example: view@0h, view@5h, click@13h — within
+    // 12 h of the SECOND view only. Earliest-anchor (funnelOf) rejects;
+    // any-sequence accepts.
+    val H = 3600000000L // µs per hour
+    val ev = Seq(
+      (1L, "view", 0L * H, 1L), (1L, "view", 5L * H, 2L),
+      (1L, "click", 13L * H, 3L)
+    ).toDF("user_id", "event_type", "tus", "event_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy($"tus", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val q2 = ev.withColumn("lv",
+        max(when($"event_type" === "view", $"tus")).over(w))
+      .where($"event_type" === "click" && $"lv".isNotNull
+        && $"tus" - $"lv" <= 12L * H)
+    assert(q2.count() == 1, "any-sequence must accept the 5h-anchored click")
+    // the earliest-anchor formulation rejects the same fixture
+    val anchored = operators.Analytics.funnelOf(
+      ev.select($"user_id", $"event_type",
+        ($"tus" / 1000000L).cast("timestamp").as("ts"), $"event_id"),
+      "user_id", "event_type", "ts", Seq(("view", 0), ("click", 12)))
+      .collect().head
+    assert(anchored.getLong(1) == 0,
+      s"earliest-anchor should reject: $anchored")
+  }
+
   test("MAD outliers: flat series stays silent, a spike is flagged") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast => bc}

@@ -455,4 +455,40 @@ object Graft {
     */
   def tfidfTopTerms(docs: DataFrame, groupCol: String, k: Int): DataFrame =
     graft.operators.Corpus.tfidfTopTermsOf(docs, groupCol, k)
+
+  /** 2-D Pareto skyline: rows of `df` not dominated under (minimize
+    * `minCol`, maximize `maxCol`); frontier ties all emitted. Sort +
+    * running-max over the per-`minCol` best reduction — the global
+    * window is bounded by the `minCol` DOMAIN, never the row count; no
+    * quadratic dominance self-join.
+    */
+  def skyline(df: DataFrame, minCol: String, maxCol: String): DataFrame =
+    graft.operators.Analytics.skylineOf(df, minCol, maxCol)
+
+  /** First-order Markov transition matrix over per-`userCol` sequences
+    * ordered by `ordCol` (pass a unique, engine-stable key — an id, not
+    * a sub-µs timestamp): (from_type, to_type, n_trans, p) with p the
+    * exact row probability. ONE user-keyed shuffle.
+    */
+  def markovTransitions(events: DataFrame, userCol: String,
+      typeCol: String, ordCol: String): DataFrame =
+    graft.operators.Analytics.markovTransitionsOf(events, userCol,
+      typeCol, ordCol)
+
+  /** Triangle census of an ORIENTED edge frame (u, v) with u < v: one
+    * row (n_triangles, n_wedges, clustering). Orient by degree (low →
+    * high) at power-law scale so wedge fan-out is bounded by
+    * arboricity.
+    */
+  def triangleStats(edges: DataFrame): DataFrame =
+    graft.operators.Analytics.triangleStatsOf(edges)
+
+  /** Robust median/MAD outliers: rows of `df` whose `valueCol` deviates
+    * from its `seriesCol`-group median by more than k·1.4826·MAD; adds
+    * (med, mad). Exact interpolated medians; the fact frame is never
+    * reshuffled — both stats frames broadcast back.
+    */
+  def madOutliers(df: DataFrame, seriesCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame =
+    graft.operators.Analytics.madOutliersOf(df, seriesCol, valueCol, k)
 }

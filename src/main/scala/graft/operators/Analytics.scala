@@ -271,6 +271,99 @@ object Analytics {
       .drop("touch_type")
   }
 
+  /** Frame-parametric 2-D Pareto skyline (re-exported as
+    * `graft.api.Graft.skyline`): rows of `df` not dominated under
+    * (minimize `minCol`, maximize `maxCol`); ties on the frontier pair
+    * are all emitted. Sort + running-max, never the quadratic dominance
+    * self-join: the per-`minCol` best reduction in front bounds the one
+    * global window by the MINCOL DOMAIN, not the row count.
+    */
+  private[graft] def skylineOf(df: DataFrame, minCol: String,
+      maxCol: String): DataFrame = {
+    val best = df.groupBy(col(minCol).as("__mn"))
+      .agg(max(col(maxCol)).as("__mx"))
+    // __mn is unique after the groupBy, so the ROWS frame is exactly
+    // "all strictly smaller __mn" — no RANGE frame needed
+    val w = Window.orderBy(col("__mn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best.withColumn("__m", max(col("__mx")).over(w))
+      .where(col("__m").isNull || col("__mx") > col("__m"))
+      .select(col("__mn"), col("__mx"))
+    df.join(broadcast(frontier),
+        col(minCol) === col("__mn") && col(maxCol) === col("__mx"))
+      .drop("__mn", "__mx")
+  }
+
+  /** Frame-parametric first-order Markov transition matrix (re-exported
+    * as `graft.api.Graft.markovTransitions`): per (`typeCol` →
+    * next-`typeCol`) counts and row probability over per-`userCol`
+    * sequences ordered by `ordCol`. Linear: ONE user-keyed shuffle for
+    * the lead() window + two O(types²) aggregates; p is a single
+    * division of two exact longs.
+    */
+  private[graft] def markovTransitionsOf(events: DataFrame, userCol: String,
+      typeCol: String, ordCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(ordCol)
+    val c = events
+      .select(col(typeCol).as("ft"), lead(col(typeCol), 1).over(w).as("tt"))
+      .where(col("tt").isNotNull)
+      .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("ft").as("__ft"))
+      .agg(sum(col("n")).cast("long").as("__tn"))
+    c.join(broadcast(tot), col("ft") === col("__ft"))
+      .select(col("ft").as("from_type"), col("tt").as("to_type"),
+        col("n").as("n_trans"),
+        (col("n").cast("double") / col("__tn")).as("p"))
+  }
+
+  /** Frame-parametric triangle census (re-exported as
+    * `graft.api.Graft.triangleStats`): one row (n_triangles, n_wedges,
+    * clustering) for an ORIENTED edge frame (u, v) with u < v — each
+    * triangle enumerates once as a<b<c. At power-law scale orient
+    * low-degree → high-degree instead so wedge fan-out is bounded by
+    * arboricity, not max degree. The clustering coefficient is ONE
+    * double division of two exact longs.
+    */
+  private[graft] def triangleStatsOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct()
+      .persist() // read 4× (ab, bc, ac, degrees)
+    val tri = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b2"), col("v").as("c")),
+        col("b") === col("b2"))
+      .join(e.select(col("u").as("a2"), col("v").as("c2")),
+        col("a") === col("a2") && col("c") === col("c2"))
+      .agg(count(lit(1)).as("t"))
+    val w = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      .agg(sum(expr("dg * (dg - 1) div 2")).cast("long").as("wedges"))
+    tri.crossJoin(broadcast(w))
+      .select(col("t").as("n_triangles"), col("wedges").as("n_wedges"),
+        when(col("wedges") === 0, lit(0.0))
+          .otherwise((lit(3) * col("t")).cast("double") / col("wedges"))
+          .as("clustering"))
+  }
+
+  /** Frame-parametric robust median/MAD outlier filter (re-exported as
+    * `graft.api.Graft.madOutliers`): rows of `df` whose `valueCol`
+    * deviates from its `seriesCol`-group median by more than
+    * `k` · 1.4826 · MAD. Exact interpolated medians; two O(series)
+    * stats frames broadcast back — the fact is never reshuffled.
+    */
+  private[graft] def madOutliersOf(df: DataFrame, seriesCol: String,
+      valueCol: String, k: Double): DataFrame = {
+    val med = df.groupBy(col(seriesCol).as("__s1"))
+      .agg(expr(s"median($valueCol)").as("__med"))
+    val dev = df.join(broadcast(med), col(seriesCol) === col("__s1"))
+      .withColumn("__dv", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(col(seriesCol).as("__s2"))
+      .agg(expr("median(__dv)").as("__mad"))
+    dev.join(broadcast(mad), col(seriesCol) === col("__s2"))
+      .where(col("__dv") > lit(k) * lit(1.4826) * col("__mad"))
+      .select(df.columns.map(col) :+ col("__med").as("med")
+        :+ col("__mad").as("mad"): _*)
+  }
+
   // ---------------------------------------------------------------------
 
   val defs: Seq[Q] = Seq(
@@ -1333,20 +1426,7 @@ object Analytics {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(sum(col("value").cast("decimal(12,2)"))
           .cast("double").as("v"))
-      // two O(series) stats frames broadcast back onto the hourly frame:
-      // the series count is tiny next to the fact, so neither median
-      // pass reshuffles the hourly rows a second time
-      val med = hourly.groupBy(col("event_type").as("et1"))
-        .agg(expr("median(v)").as("m"))
-      val dev = hourly.join(broadcast(med), col("event_type") === col("et1"))
-        .select(col("event_type"), col("h"), col("v"), col("m"),
-          abs(col("v") - col("m")).as("dv"))
-      val mad = dev.groupBy(col("event_type").as("et2"))
-        .agg(expr("median(dv)").as("md"))
-      dev.join(broadcast(mad), col("event_type") === col("et2"))
-        .where(col("dv") > lit(3) * lit(1.4826) * col("md"))
-        .select(col("event_type"), col("h"), col("v"),
-          col("m").as("med"), col("md").as("mad"))
+      madOutliersOf(hourly, "event_type", "v", k = 3.0)
         .orderBy("event_type", "h")
     },
 
@@ -1385,22 +1465,7 @@ object Analytics {
           col("l_orderkey") === col("ok2")
             && col("l_partkey") < col("pk2"))
         .select(col("l_partkey").as("u"), col("pk2").as("v"))
-        .distinct().persist() // read 4× (ab, bc, ac, deg)
-      val tri = e.select(col("u").as("a"), col("v").as("b"))
-        .join(e.select(col("u").as("b2"), col("v").as("c")),
-          col("b") === col("b2"))
-        .join(e.select(col("u").as("a2"), col("v").as("c2")),
-          col("a") === col("a2") && col("c") === col("c2"))
-        .agg(count(lit(1)).as("t"))
-      val w = e.select(col("u").as("x"))
-        .unionAll(e.select(col("v").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
-        .agg(sum(expr("dg * (dg - 1) div 2")).cast("long").as("wedges"))
-      tri.crossJoin(broadcast(w))
-        .select(col("t").as("n_triangles"), col("wedges").as("n_wedges"),
-          when(col("wedges") === 0, lit(0.0))
-            .otherwise((lit(3) * col("t")).cast("double") / col("wedges"))
-            .as("clustering"))
+      triangleStatsOf(e)
     },
 
     // Degree distribution of the co-purchase graph (parts < 5000 block):
@@ -1456,18 +1521,8 @@ object Analytics {
         |  CAST(c.n AS DOUBLE) / tot.tn AS p
         |FROM c JOIN tot ON c.ft = tot.ft
         |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("event_id")
-      val seq = Tables.events(s, d)
-        .select(col("user_id"), col("event_type").as("ft"),
-          lead(col("event_type"), 1).over(w).as("tt"))
-        .where(col("tt").isNotNull)
-      val c = seq.groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("n"))
-      val tot = c.groupBy(col("ft").as("ft2"))
-        .agg(sum(col("n")).cast("long").as("tn"))
-      c.join(broadcast(tot), col("ft") === col("ft2"))
-        .select(col("ft").as("from_type"), col("tt").as("to_type"),
-          col("n").as("n_trans"),
-          col("n").cast("double") / col("tn") as "p")
+      markovTransitionsOf(Tables.events(s, d), "user_id", "event_type",
+          "event_id")
         .orderBy("from_type", "to_type")
     },
 
@@ -1490,19 +1545,7 @@ object Analytics {
         |FROM part p JOIN f ON p.p_retailprice = f.price
         |  AND p.p_size = f.sz
         |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin) { (s, d) =>
-      val best = Tables.part(s, d)
-        .groupBy(col("p_retailprice").as("price"))
-        .agg(max(col("p_size")).as("sz"))
-      // price is unique after the groupBy, so the ROWS frame is exactly
-      // "all strictly cheaper prices" — no RANGE frame needed
-      val w = Window.orderBy(col("price"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val f = best.withColumn("m", max(col("sz")).over(w))
-        .where(col("m").isNull || col("sz") > col("m"))
-        .select(col("price"), col("sz"))
-      Tables.part(s, d).join(broadcast(f),
-          col("p_retailprice") === col("price")
-            && col("p_size") === col("sz"))
+      skylineOf(Tables.part(s, d), "p_retailprice", "p_size")
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
         .orderBy(col("p_retailprice"), col("p_partkey"))
     },

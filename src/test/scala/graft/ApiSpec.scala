@@ -387,4 +387,50 @@ class ApiSpec extends SparkSuite {
     // g1: apple tf=3 df=2 -> 4.5; rare tf=1 df=1 -> 3; g2: zebra 3 > common 3 (tie term order)
     assert(top == Map("g1" -> "apple", "g2" -> "common"), top.toString)
   }
+
+  test("skyline/markovTransitions/triangleStats/madOutliers on caller frames") {
+    import spark.implicits._
+
+    // frontier: (1,10) dominated by (1,20); (2,20) dominated by (1,20)
+    // on price with equal size; (3,30) and (1,20) survive; the (3,30)
+    // tie twin (id 5) also survives
+    val sky = Graft.skyline(
+        Seq((1, 1.0, 10), (2, 1.0, 20), (3, 2.0, 20), (4, 3.0, 30),
+          (5, 3.0, 30)).toDF("id", "price", "size"),
+        "price", "size")
+      .collect().map(_.getInt(0)).toSet
+    assert(sky == Set(2, 4, 5), sky.toString)
+
+    // a->b twice, a->c once from user 1; b->a once from user 2
+    val mk = Graft.markovTransitions(
+        Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
+          (1L, "a", 5L), (1L, "c", 6L), (2L, "b", 1L), (2L, "a", 2L))
+          .toDF("u", "t", "o"),
+        "u", "t", "o")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // from a: b,b,c -> p(b)=2/3, p(c)=1/3; from b: a,a (+ user 2's
+    // b->a) -> p(a)=1
+    assert(mk(("a", "b")) == ((2L, 2.0 / 3)) && mk(("a", "c")) == ((1L, 1.0 / 3)))
+    assert(mk(("b", "a")) == ((3L, 1.0)), mk.toString)
+
+    // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}; wedges:
+    // deg(1)=deg(4)=2, deg(2)=deg(3)=3 -> 1+1+3+3=8; cc = 6/8
+    val tri = Graft.triangleStats(
+        Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+          .toDF("u", "v"))
+      .collect().head
+    assert((tri.getLong(0), tri.getLong(1), tri.getDouble(2)) ==
+      ((2L, 8L, 0.75)), tri.toString)
+
+    // 9 flat values + one spike: MAD=0 -> only the spike flags
+    val out = Graft.madOutliers(
+        (1 to 9).map(i => ("s", i, 5.0)).:+(("s", 10, 50.0))
+          .toDF("series", "i", "v"),
+        "series", "v")
+      .collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(10), out.toSeq.toString)
+    assert(out.head.getDouble(3) == 5.0 && out.head.getDouble(4) == 0.0)
+  }
 }

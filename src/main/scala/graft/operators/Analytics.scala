@@ -1398,6 +1398,100 @@ object Analytics {
         .orderBy("doc_a", "doc_b")
     },
 
+    // RFM (recency/frequency/monetary) quintile segmentation — the
+    // canonical customer-value partitioning. Everything reduces to ONE
+    // user-level aggregate first; the three ntile windows then rank
+    // O(users) rows, never events. Recency anchors to the dataset's own
+    // max purchase time (a broadcast scalar), so the query is
+    // scale-factor independent. ntile ties are impossible: every ORDER
+    // BY ends in the unique user_id. At 100 TB the exact global ntile
+    // sort becomes approx-percentile boundaries + a broadcast bucket
+    // join — noted, not needed at profile scale since the window input
+    // is already user-level.
+    Q("events_rfm_segments",
+      """WITH pu AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_tus,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT max(last_tus) AS mt FROM pu),
+        |scored AS (
+        |  SELECT user_id,
+        |    ntile(5) OVER (ORDER BY mt - last_tus, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+        |  FROM pu, mx)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM scored GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, d) =>
+      val pu = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_tus"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(12,2)"))
+            .cast("double").as("monetary"))
+      val mx = pu.agg(max(col("last_tus")).as("mt"))
+      val scored = pu.crossJoin(broadcast(mx)).select(col("user_id"),
+        ntile(5).over(Window.orderBy(col("mt") - col("last_tus"),
+          col("user_id"))).as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq"), col("user_id")))
+          .as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary"), col("user_id")))
+          .as("m_score"))
+      scored.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+
+    // ABC (Pareto 70/90) revenue classification of parts: rank parts by
+    // exact DECIMAL revenue, classify by cumulative share, report per
+    // class. The running-share window ranks PART-level aggregates (the
+    // fact shuffles once into that reduction); cum and total are exact
+    // decimals cast once, the share is one double division per part —
+    // identical operand chains both engines, no rounding.
+    Q("parts_abc_classes",
+      """WITH pr AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS DOUBLE) AS total FROM pr),
+        |run AS (
+        |  SELECT l_partkey, rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / t.total AS cum_share
+        |  FROM pr, t),
+        |cls AS (
+        |  SELECT CASE WHEN cum_share <= 0.7 THEN 'A'
+        |              WHEN cum_share <= 0.9 THEN 'B'
+        |              ELSE 'C' END AS abc_class, rev
+        |  FROM run)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(rev) AS DOUBLE) AS class_revenue
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("rev"))
+      val t = pr.agg(sum(col("rev")).cast("double").as("total"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = pr.crossJoin(broadcast(t))
+        .select(col("rev"),
+          (sum(col("rev")).over(w).cast("double") / col("total"))
+            .as("cum_share"))
+      run.select(col("rev"),
+          when(col("cum_share") <= 0.7, "A")
+            .when(col("cum_share") <= 0.9, "B")
+            .otherwise("C").as("abc_class"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("class_revenue"))
+        .orderBy("abc_class")
+    },
+
     // Robust (median/MAD) hourly outlier detection per series — the
     // companion to ts_anomaly_zscore for series whose mean/σ are
     // themselves corrupted by the outliers being hunted (z-scores mask

@@ -381,6 +381,28 @@ object Corpus {
     // rounding and no half-boundary trap. One combiner-friendly shuffle
     // keyed by lang; the sort-based exact percentile is per-group state,
     // never a global sort.
+    // Duplicate-cluster size histogram — the dedup AUDIT that runs before
+    // committing to a keep/drop pass: how much of the corpus is exact-dup,
+    // and in what cluster sizes (2 doubled pages vs one 10k-copy boiler-
+    // plate imply different fixes). Two combiner-friendly shuffles (hash →
+    // cluster size → histogram), all integers; the content hash is the
+    // same md5 the dedup_exact family keys on.
+    Q("dedup_cluster_histogram",
+      """WITH cl AS (
+        |  SELECT md5(text) AS h, count(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT sz AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
+        .orderBy("cluster_size")
+    },
+
     Q("corpus_length_quartiles",
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  quantile_cont(n_chars, 0.25) AS p25,

@@ -324,4 +324,40 @@ class PlanSpec extends SparkSuite {
     assert(!drift.contains("Join"),
       "profile drift must be conditional aggregates over ONE scan")
   }
+
+  test("markov/any-sequence funnel: ONE user-keyed Exchange, stacked windows") {
+    // the transition-count frame feeds both the output join and the
+    // row-total aggregate, so the user-keyed window subtree appears
+    // twice in the INITIAL plan; at runtime AQE must collapse the
+    // second occurrence into a ReusedExchange — the fact is physically
+    // shuffled once
+    val mkDf = SparkEntry.queries("events_markov_transitions")(spark, sf)
+    mkDf.collect() // count() would plan a NEW query; collect finalizes AQE
+    val mk = mkDf.queryExecution.executedPlan.toString
+    val nUser = "hashpartitioning\\(user_id".r.findAllIn(mk).size
+    assert(nUser == 1 || mk.contains("ReusedExchange"), mk.take(3000))
+    val fn = planString("funnel_any_sequence")
+    // both carry-forward max windows share one user partitioning + sort
+    assert("hashpartitioning\\(user_id".r.findAllIn(fn).size == 1,
+      fn.take(3000))
+    assert(!fn.contains("SortMergeJoin"),
+      "any-sequence funnel must be window carries, not per-step joins")
+  }
+
+  test("MAD outliers: stats frames broadcast back, fact shuffled once") {
+    val p = planString("ts_outlier_mad")
+    // the hourly reduction is the only event_type-keyed Exchange of the
+    // FACT; the median frames join back as broadcasts (their own tiny
+    // exchanges are per-series aggregates, not fact reshuffles)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("skyline: frontier joins back as a broadcast, no dominance self-join") {
+    val p = planString("skyline_price_size")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "skyline must never plan the quadratic dominance join")
+  }
 }

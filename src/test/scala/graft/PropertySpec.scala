@@ -126,4 +126,26 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact <= 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("skyline == brute-force dominance on random point sets (10 cases)") {
+    import spark.implicits._
+    // small coordinate domains force duplicate prices/sizes, exercising
+    // the per-minCol reduction and frontier-tie emission paths
+    val ptsGen = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8))))
+    samples(ptsGen, 10).zipWithIndex.foreach { case (pts, ci) =>
+      val df = pts.zipWithIndex
+        .map { case ((p, s), i) => (i.toLong, p.toDouble, s) }
+        .toDF("id", "mn", "mx")
+      val got = operators.Analytics.skylineOf(df, "mn", "mx")
+        .collect().map(_.getLong(0)).toSet
+      val arr = pts.zipWithIndex
+        .map { case ((p, s), i) => (i.toLong, p.toDouble, s) }
+      val brute = arr.filter { case (_, p, sz) =>
+        !arr.exists { case (_, p2, sz2) =>
+          (p2 <= p && sz2 >= sz) && (p2 < p || sz2 > sz) }
+      }.map(_._1).toSet
+      assert(got == brute, s"case $ci: $got vs $brute pts=$pts")
+    }
+  }
 }

@@ -112,9 +112,13 @@ object Bench {
       // r05's dedup_minhash_collapse measured 7.3 s in-sweep vs 2.7 s
       // isolated. Dataset.unpersist can't reach localCheckpoint blocks
       // (RDD-level, not CacheManager), hence the getPersistentRDDs sweep.
+      // BLOCKING removal: async eviction otherwise overlaps the next
+      // query's timed window (r8 saw an in-sweep-only 7 s on a query
+      // that measures 1 s isolated) — paying the removal wall here
+      // keeps it out of every measurement.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       out
     }
     val failed = results.collect { case (n, _, _, _, Some(e)) => (n, e) }

@@ -1398,6 +1398,52 @@ object Analytics {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Journey pattern audit — MATCH_RECOGNIZE-lite: each user's ordered
+    // event-type initials concatenate into a journey string, regex/LIKE
+    // classify it (converting v.*c.*p, error-touched), and the output
+    // is the 2×2 segment census. Arrival order = event_id (engine-
+    // stable); the per-user sort is inside the aggregation, so the only
+    // data movement is ONE user-keyed shuffle. Journey length is bounded
+    // by per-user activity — for unbounded histories the scalable form
+    // is the carry-forward window funnel (funnel_any_sequence), not a
+    // string build; this op is the bounded-session audit.
+    Q("events_journey_patterns",
+      """WITH j AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY event_id)
+        |      AS journey
+        |  FROM events GROUP BY 1)
+        |SELECT
+        |  CASE WHEN regexp_matches(substr(journey, 1, 8), 'v.*c.*p')
+        |       THEN 1 ELSE 0 END AS converted,
+        |  CASE WHEN substr(journey, 1, 8) LIKE '%e%' THEN 1 ELSE 0 END
+        |    AS errored,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(length(journey)) AS BIGINT) AS min_len,
+        |  CAST(max(length(journey)) AS BIGINT) AS max_len
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val j = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(expr(
+          """array_join(transform(
+            |  array_sort(collect_list(
+            |    struct(event_id AS eid, substring(event_type, 1, 1) AS i))),
+            |  x -> x.i), '')""".stripMargin).as("journey"))
+      // classify the FIRST-8-event prefix (the session-start audit —
+      // and a fixture where whole-history classes degenerate to one
+      // all-true segment at every SF)
+      j.select(
+          when(substring(col("journey"), 1, 8).rlike("v.*c.*p"), 1)
+            .otherwise(0).as("converted"),
+          when(substring(col("journey"), 1, 8).like("%e%"), 1)
+            .otherwise(0).as("errored"),
+          length(col("journey")).cast("long").as("len"))
+        .groupBy("converted", "errored")
+        .agg(count(lit(1)).as("n_users"),
+          min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+        .orderBy("converted", "errored")
+    },
+
     // RFM (recency/frequency/monetary) quintile segmentation — the
     // canonical customer-value partitioning. Everything reduces to ONE
     // user-level aggregate first; the three ntile windows then rank

@@ -127,6 +127,28 @@ class PropertySpec extends SparkSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("partitioning invariance: order-sensitive queries are bit-identical " +
+      "under a different shuffle partitioning") {
+    // the engine's core determinism claim: integer PageRank, MG heavy
+    // hitters, and MAD outliers promise results independent of physical
+    // parallelism. Re-run each under a coprime partition count and
+    // demand row-for-row equality (toString covers every column incl.
+    // doubles bit-exactly via their shortest-decimal rendering).
+    val names = Seq("graph_pagerank_copurchase", "agg_heavy_hitters_twopass",
+      "ts_outlier_mad", "events_markov_transitions")
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    val base = names.map(n => n -> rows(n)).toMap
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      names.foreach { n =>
+        assert(rows(n) == base(n), s"$n differs under 7 partitions")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("skyline == brute-force dominance on random point sets (10 cases)") {
     import spark.implicits._
     // small coordinate domains force duplicate prices/sizes, exercising

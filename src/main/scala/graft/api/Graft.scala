@@ -483,6 +483,18 @@ object Graft {
   def triangleStats(edges: DataFrame): DataFrame =
     graft.operators.Analytics.triangleStatsOf(edges)
 
+  /** Product-quantized top-k (ADC scoring) of `store` (id, embedding)
+    * for every row of `probes` (probe_id, probe): per-subspace k-means
+    * codebooks (`ksub` codewords × `m` subspaces), the store compressed
+    * to m one-byte codes per vector (dim·4 B → m B), scored via a
+    * broadcast (m × ksub) probe lookup table — stored floats are never
+    * read at query time. Approximate by construction; recall gated in
+    * ApiSpec on a clustered corpus, error bound in AnnSpec.
+    */
+  def pqTopK(store: DataFrame, probes: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16): DataFrame =
+    graft.operators.Ann.pqTopKOf(store, probes, k, m, ksub)
+
   /** Robust median/MAD outliers: rows of `df` whose `valueCol` deviates
     * from its `seriesCol`-group median by more than k·1.4826·MAD; adds
     * (med, mad). Exact interpolated medians; the fact frame is never

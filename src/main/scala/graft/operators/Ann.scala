@@ -141,6 +141,23 @@ object Ann {
         .limit(10)
     },
 
+    // Product quantization — the other axis of store compression: int8
+    // shrinks each DIMENSION to a byte (4×); PQ shrinks each SUBSPACE to
+    // a one-byte codeword id (m=8 codes for dim=64 → 32×), and ADC
+    // scoring reads only codes + an (m × ksub) probe lookup table. This
+    // is the memory layout webscale vector stores (FAISS IVFPQ, SCANN)
+    // run at; recall is gated in ApiSpec on the clustered corpus and the
+    // approximation error bound vs exact cosine in AnnSpec.
+    Q.noOracle("ann_pq_topk") { (s, d) =>
+      val store = Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val probes = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      pqTopKOf(store, probes, k = 10)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+
     // The persisted-index lifecycle: build the IVF index ONCE (cells as
     // parquet partition directories + a k-row centroid table), then every
     // probe reads only its nprobe cell partitions — static partition
@@ -421,6 +438,107 @@ object Ann {
       } finally assign.unpersist(false)
       dir
     })
+
+  // ---- product quantization (PQ / ADC scoring) ----------------------
+
+  /** Per-row subvector explode: (idCol, sub ∈ 0..m-1, sv = the sub-th
+    * dim/m slice of `vecCol`). The split arithmetic runs per row on
+    * size(vec), so no dimension constant is compiled in.
+    */
+  private def subVectors(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, m: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |  i -> slice($vecCol, i * (size($vecCol) div $m) + 1,
+           |             size($vecCol) div $m))""".stripMargin))
+      .as(Seq("sub", "sv")))
+
+  private val L2 =
+    "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y))," +
+      " 0D, (a, z) -> a + z)"
+
+  /** PQ codebooks via per-subspace distributed k-means (L2, the PQ
+    * metric): returns (sub, code, cw Array[Float], n2 = |cw|²). All m
+    * subspaces train SIMULTANEOUSLY — the group key is (sub, code), so
+    * one broadcast-join + one combiner shuffle per round covers every
+    * subspace; `vector_avg` recomputes centroids distributed, and
+    * struct-min makes every assignment tie deterministic. Init = the
+    * ksub hash-smallest rows per subspace (init sorts each subspace
+    * once; at 100 TB init trains on a hash-sample instead — the
+    * codebook is a statistic, not a full pass).
+    */
+  private[graft] def pqCodebooks(store: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val subs = subVectors(store, idCol, vecCol, m)
+      .select(col(idCol).as("id"), col("sub"), col("sv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sub")
+      .orderBy(xxhash64(col("id")), col("id"))
+    var cb = subs
+      .withColumn("code", row_number().over(w) - 1)
+      .where(col("code") < ksub)
+      .select(col("sub"), col("code"), col("sv").as("cw"))
+      .localCheckpoint(true)
+    def assign(c: org.apache.spark.sql.DataFrame) = subs
+      .join(broadcast(c), "sub")
+      .select(col("id"), col("sub"), col("sv"),
+        struct(expr(L2).as("d2"), col("code").as("code")).as("dc"))
+      .groupBy(col("id"), col("sub"))
+      .agg(first(col("sv")).as("sv"), min(col("dc")).as("m"))
+      .select(col("id"), col("sub"), col("sv"), col("m.code").as("code"))
+    for (_ <- 1 to iters)
+      cb = assign(cb)
+        .groupBy("sub", "code").agg(vector_avg(col("sv")).as("cw"))
+        .localCheckpoint(true)
+    cb.withColumn("n2",
+      expr("aggregate(cw, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)"))
+  }
+
+  /** PQ-compressed top-k (asymmetric distance computation): the store
+    * holds m one-byte codes per vector (m·1 B vs dim·4 B — 32× smaller
+    * at dim=64/m=8), scoring never touches a stored float. A probe
+    * builds an (m × ksub)-row lookup table — dot(probe_sub, codeword)
+    * per (sub, code) — broadcasts it, and each stored vector's
+    * approximate cosine is the sum of m LUT hits over its codes divided
+    * by |probe|·√Σ|cw|². Returns (probe_id, id, score) top-k per probe.
+    * Everything after encoding is one broadcast join + one (probe, id)
+    * combiner shuffle; the rank window sees probes × k candidates only
+    * after a per-probe TakeOrdered — never the raw store.
+    */
+  private[graft] def pqTopKOf(store: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    val cb = pqCodebooks(store, "id", "embedding", m, ksub, iters)
+      .localCheckpoint(true)
+    // encode: argmin-L2 code per (vector, subspace)
+    val codes = subVectors(store, "id", "embedding", m)
+      .join(broadcast(cb.select(col("sub"), col("code"), col("cw"))), "sub")
+      .select(col("id"), col("sub"),
+        struct(expr(L2).as("d2"), col("code").as("code")).as("dc"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("id"), col("sub"), col("m.code").as("code"))
+    // per-probe LUT: dot(probe_sub, codeword) for every (sub, code)
+    val psubs = subVectors(probes, "probe_id", "probe", m)
+      .select(col("probe_id"), col("sub"), col("sv").as("ps"))
+    val lut = psubs.join(broadcast(cb), "sub")
+      .select(col("probe_id"), col("sub"), col("code"), col("n2"),
+        expr("aggregate(zip_with(ps, cw, (x, y) -> CAST(x AS DOUBLE) * y)," +
+          " 0D, (a, z) -> a + z)").as("dot"))
+    val pnorm = probes.select(col("probe_id").as("pn_id"),
+      expr("sqrt(aggregate(probe, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))")
+        .as("pnorm"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(sum(col("dot")).as("ds"), sum(col("n2")).as("nn"))
+      .join(broadcast(pnorm), col("probe_id") === col("pn_id"))
+      .select(col("probe_id"), col("id"),
+        (col("ds") / (col("pnorm") * sqrt(col("nn")))).as("score"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rn", row_number().over(rw))
+      .where(col("rn") <= k).drop("rn")
+  }
 
   /** Distributed k-means over the embedding column: returns the final
     * (vec_id, embedding, cell) assignment. Init takes the k

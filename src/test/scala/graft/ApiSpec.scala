@@ -177,6 +177,35 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("pqTopK: 32x-compressed ADC search stays in the probe's cluster") {
+    import spark.implicits._
+    // same clustered-corpus design as the IVF test. PQ distorts WITHIN-
+    // cluster distances (all near-ties there), so the meaningful recall
+    // claim for a code-compressed store is cluster membership: every
+    // top-10 hit must come from the probe's own cluster — the compressed
+    // store must never route a probe into a wrong cluster.
+    val rnd = new scala.util.Random(11)
+    val (dim, nClusters, per) = (32, 16, 100)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- 0 until nClusters; i <- 0 until per) yield
+      ((c * per + i).toLong,
+        unit(centers(c).map(_ + 0.15 * rnd.nextGaussian())))
+    val cstore = pts.toDF("id", "embedding")
+    val cprobes = cstore.where(col("id").isin(0L, 505L, 1010L))
+      .select(col("id").as("probe_id"), col("embedding").as("probe"))
+    val pq = Graft.pqTopK(cstore, cprobes, 10, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.length == 30, s"expected 3 probes x 10, got ${pq.length}")
+    pq.foreach { case (p, id) =>
+      assert(id / per == p / per,
+        s"probe $p (cluster ${p / per}) hit $id (cluster ${id / per})")
+    }
+  }
+
   test("cellGraphBuild/cellGraphTopK: graph beam search recalls on a clustered corpus") {
     import spark.implicits._
     // same clustered-corpus design as the IVF test: graph ANN's recall

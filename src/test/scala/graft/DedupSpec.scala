@@ -60,6 +60,37 @@ class DedupSpec extends SparkSuite {
       s"quantized recall ${exact.intersect(quant).size}/10")
   }
 
+  test("pq ADC scores approximate exact cosine within a bounded error") {
+    // PQ replaces every stored vector by its m codeword reconstructions;
+    // the ADC score must track exact cosine over the WHOLE store (not
+    // just the top-k) — mean |err| well under the fixture's score spread
+    // (~[-0.3, 0.4]) or the compression is semantically lossy.
+    val store = Tables.embeddings(spark, sf)
+      .where(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val probes = Tables.embeddings(spark, sf)
+      .where(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("probe_id"),
+        org.apache.spark.sql.functions.col("embedding").as("probe"))
+    val n = store.count().toInt
+    val approx = operators.Ann.pqTopKOf(store, probes, k = n)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // knnTopK clips at score >= 0 (reference minScore) — compare on its
+    // keys; `approx` covers the whole store so every lookup hits
+    val exact = operators.Rag.knnTopK(spark, sf, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact.nonEmpty && approx.size >= exact.size)
+    val errs = exact.map { case (id, s) => math.abs(approx(id) - s) }
+    val mean = errs.sum / errs.size
+    // near-random embeddings are PQ's worst case (nothing for codewords
+    // to exploit): measured mean |err| ~0.085 here vs the fixture's
+    // ~0.7-wide score spread; clustered corpora (ApiSpec) do far better.
+    // Gate with headroom for k-means seed sensitivity.
+    assert(mean < 0.12, s"mean ADC error $mean")
+    assert(errs.max < 0.35, s"max ADC error ${errs.max}")
+  }
+
   test("ann_ivf_graph_topk: beam search over per-cell graphs recalls the exact top-k") {
     val exact = operators.Rag.knnTopK(spark, sf, 10)
       .collect().map(_.getLong(0)).toSet

@@ -126,6 +126,33 @@ object VectorKernels {
     math.sqrt(s)
   }
 
+  /** PQ code assignment: index of the L2-nearest codeword to `sv` in
+    * subspace `sub` of the nested codebook `cbAll` (sub → code → float
+    * vector). Fixed scan order + strict `<` make ties deterministic
+    * (smallest index wins). One tight loop per row — the codegen'd
+    * replacement for a store×ksub join fan-out at encode time.
+    */
+  def pqArgmin(sv: ArrayData, sub: Int, cbAll: ArrayData): Int = {
+    val cb = cbAll.getArray(sub)
+    val k = cb.numElements()
+    val n = sv.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val cw = cb.getArray(c)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = sv.getFloat(i).toDouble - cw.getFloat(i).toDouble
+        s += d * d; i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Euclidean (L2) distance of two float arrays. */
   def l2Distance(a: ArrayData, b: ArrayData): Double = {
     val n = sameDim(a, b, "l2_distance")

@@ -198,6 +198,40 @@ case class ZOrderKey(left: Expression, right: Expression)
 }
 
 /** vector_norm(ARRAY<FLOAT>) → DOUBLE (L2). */
+/** pq_argmin(ARRAY<FLOAT> subvector, INT sub, ARRAY<ARRAY<ARRAY<FLOAT>>>
+  * codebooks) → INT: index of the L2-nearest codeword in subspace `sub`.
+  * The codebook rides along as a LITERAL (O(dim·ksub·4 B) ≈ KBs — the
+  * same bounded-metadata discipline as the IVF nprobe cell-id collect),
+  * so PQ training/encode is one codegen'd scan instead of a store×ksub
+  * join fan-out.
+  */
+case class PqArgmin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_argmin"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType,
+          ArrayType(ArrayType(ArrayType(FloatType, _), _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"pq_argmin requires (ARRAY<FLOAT>, INT, ARRAY<ARRAY<ARRAY<FLOAT>>>)," +
+          s" got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  override def nullSafeEval(sv: Any, sub: Any, cb: Any): Any =
+    VectorKernels.pqArgmin(sv.asInstanceOf[ArrayData],
+      sub.asInstanceOf[Int], cb.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.VectorKernels.pqArgmin($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): PqArgmin = copy(f, s, t)
+}
+
 case class VectorNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

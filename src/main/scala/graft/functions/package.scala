@@ -34,6 +34,12 @@ package object functions {
   def vector_norm(a: Column): Column =
     GraftSql.column(VectorNorm(GraftSql.expression(a)))
 
+  /** PQ code assignment: L2-argmin codeword index of `sv` within
+    * subspace `sub` of the nested codebook literal → INT. */
+  def pq_argmin(sv: Column, sub: Column, cbAll: Column): Column =
+    GraftSql.column(PqArgmin(GraftSql.expression(sv),
+      GraftSql.expression(sub), GraftSql.expression(cbAll)))
+
   /** Symmetric int8 quantization ARRAY<FLOAT> → BINARY (4× smaller;
     * cosine-compatible without a stored scale). */
   def quantize_i8(v: Column): Column =
@@ -137,5 +143,7 @@ package object functions {
     GraftSql.registerFunction(spark, "cosine_sim_i8",
       es => CosineSimI8(es(0), es(1)))
     GraftSql.registerFunction(spark, "zorder_key", es => ZOrderKey(es(0), es(1)))
+    GraftSql.registerFunction(spark, "pq_argmin",
+      es => PqArgmin(es(0), es(1), es(2)))
   }
 }

@@ -453,46 +453,55 @@ object Ann {
            |             size($vecCol) div $m))""".stripMargin))
       .as(Seq("sub", "sv")))
 
-  private val L2 =
-    "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y))," +
-      " 0D, (a, z) -> a + z)"
-
   /** PQ codebooks via per-subspace distributed k-means (L2, the PQ
-    * metric): returns (sub, code, cw Array[Float], n2 = |cw|²). All m
-    * subspaces train SIMULTANEOUSLY — the group key is (sub, code), so
-    * one broadcast-join + one combiner shuffle per round covers every
-    * subspace; `vector_avg` recomputes centroids distributed, and
-    * struct-min makes every assignment tie deterministic. Init = the
-    * ksub hash-smallest rows per subspace (init sorts each subspace
-    * once; at 100 TB init trains on a hash-sample instead — the
-    * codebook is a statistic, not a full pass).
+    * metric): returns the trained codebook as a driver-side nested array
+    * (sub → code → codeword) — O(dim·ksub·4 B) ≈ KBs of bounded metadata
+    * (the IVF nprobe-collect precedent), NOT data. All m subspaces train
+    * SIMULTANEOUSLY: each round is ONE codegen'd `pq_argmin` scan of the
+    * sample (the codebook rides along as a literal — no store×ksub join
+    * fan-out) + one (sub, code)-keyed `vector_avg` combiner shuffle.
+    * Training runs on a DETERMINISTIC 1-in-4 hash-sample of the store
+    * (the FAISS discipline: a codebook is a statistic — only the single
+    * ENCODE pass may cost a full-store scan). Init = the ksub
+    * hash-smallest sampled rows per subspace. A codeword that loses all
+    * members is dropped and codes re-densify (k may shrink; fixed scan
+    * order keeps everything deterministic).
     */
   private[graft] def pqCodebooks(store: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String, m: Int, ksub: Int, iters: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val subs = subVectors(store, idCol, vecCol, m)
+      : Array[Array[Array[Float]]] = {
+    val train = store.where(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+    val subs = subVectors(train, idCol, vecCol, m)
       .select(col(idCol).as("id"), col("sub"), col("sv"))
+      .persist() // read by init + every k-means round
+    def nested(rows: Array[org.apache.spark.sql.Row])
+        : Array[Array[Array[Float]]] = {
+      val bySub = rows.map(r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .groupBy(_._1)
+      Array.tabulate(m)(s =>
+        bySub.getOrElse(s, Array.empty).sortBy(_._2).map(_._3))
+    }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sub")
       .orderBy(xxhash64(col("id")), col("id"))
-    var cb = subs
+    var cb = nested(subs
       .withColumn("code", row_number().over(w) - 1)
       .where(col("code") < ksub)
-      .select(col("sub"), col("code"), col("sv").as("cw"))
-      .localCheckpoint(true)
-    def assign(c: org.apache.spark.sql.DataFrame) = subs
-      .join(broadcast(c), "sub")
-      .select(col("id"), col("sub"), col("sv"),
-        struct(expr(L2).as("d2"), col("code").as("code")).as("dc"))
-      .groupBy(col("id"), col("sub"))
-      .agg(first(col("sv")).as("sv"), min(col("dc")).as("m"))
-      .select(col("id"), col("sub"), col("sv"), col("m.code").as("code"))
+      .select(col("sub"), col("code"), col("sv")).collect())
     for (_ <- 1 to iters)
-      cb = assign(cb)
+      cb = nested(subs
+        .select(col("sub"),
+          pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"),
+          col("sv"))
         .groupBy("sub", "code").agg(vector_avg(col("sv")).as("cw"))
-        .localCheckpoint(true)
-    cb.withColumn("n2",
-      expr("aggregate(cw, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)"))
+        .select(col("sub"), col("code"), col("cw")).collect())
+    subs.unpersist(false)
+    cb
   }
+
+  private def cbLit(cb: Array[Array[Array[Float]]])
+      : org.apache.spark.sql.Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** PQ-compressed top-k (asymmetric distance computation): the store
     * holds m one-byte codes per vector (m·1 B vs dim·4 B — 32× smaller
@@ -508,26 +517,26 @@ object Ann {
   private[graft] def pqTopKOf(store: org.apache.spark.sql.DataFrame,
       probes: org.apache.spark.sql.DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sp = store.sparkSession
+    import sp.implicits._
     val cb = pqCodebooks(store, "id", "embedding", m, ksub, iters)
-      .localCheckpoint(true)
-    // encode: argmin-L2 code per (vector, subspace)
+    // encode: ONE codegen'd scan — m codes per vector, zero joins
     val codes = subVectors(store, "id", "embedding", m)
-      .join(broadcast(cb.select(col("sub"), col("code"), col("cw"))), "sub")
       .select(col("id"), col("sub"),
-        struct(expr(L2).as("d2"), col("code").as("code")).as("dc"))
-      .groupBy(col("id"), col("sub"))
-      .agg(min(col("dc")).as("m"))
-      .select(col("id"), col("sub"), col("m.code").as("code"))
+        pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
+    // the same codebook as a tiny frame for the LUT join
+    val cbDf = cb.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, c) => (s, c, cw) } }.toSeq
+      .toDF("sub", "code", "cw")
+      .withColumn("n2", vector_dot(col("cw"), col("cw")))
     // per-probe LUT: dot(probe_sub, codeword) for every (sub, code)
     val psubs = subVectors(probes, "probe_id", "probe", m)
       .select(col("probe_id"), col("sub"), col("sv").as("ps"))
-    val lut = psubs.join(broadcast(cb), "sub")
+    val lut = psubs.join(broadcast(cbDf), "sub")
       .select(col("probe_id"), col("sub"), col("code"), col("n2"),
-        expr("aggregate(zip_with(ps, cw, (x, y) -> CAST(x AS DOUBLE) * y)," +
-          " 0D, (a, z) -> a + z)").as("dot"))
+        vector_dot(col("ps"), col("cw")).as("dot"))
     val pnorm = probes.select(col("probe_id").as("pn_id"),
-      expr("sqrt(aggregate(probe, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))")
-        .as("pnorm"))
+      vector_norm(col("probe")).as("pnorm"))
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("probe_id"), col("id"))
       .agg(sum(col("dot")).as("ds"), sum(col("n2")).as("nn"))

@@ -186,6 +186,33 @@ object Ann {
         .limit(10)
     },
 
+    // IVFPQ — the webscale layout both compressions compose into (the
+    // FAISS index family's workhorse): the persisted index carries
+    // cell-partitioned one-byte PQ CODES next to the float cells, a
+    // probe routes through the k-row centroid table (static partition
+    // pruning, same as ann_ivf_persisted) and ADC-scores ONLY its
+    // routed cells' codes — the scoring scan reads nprobe/k of the
+    // store at 1/32 the bytes per vector, floats never. Simplification
+    // vs FAISS noted in-code: codes quantize raw vectors, not
+    // cell-residuals.
+    Q.noOracle("ann_ivfpq_topk") { (s, d) =>
+      val dir = ivfIndex(s, d)
+      val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(lit(0L).as("probe_id"), col("embedding").as("probe"))
+      val cells = s.read.parquet(s"$dir/centroids")
+        .crossJoin(broadcast(probe.select(col("probe"))))
+        .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(3)
+        .select("cell").collect().map(_.getString(0))
+      val codes = s.read.parquet(s"$dir/pq_codes")
+        .where(col("cell").isin(cells.toIndexedSeq: _*))
+        .where(col("id") =!= 0)
+      adcScore(codes, s.read.parquet(s"$dir/pq_codebook"), probe, 8, 10)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+
     // Graph ANN inside the persisted IVF cells — the engine's answer to
     // the reference's OpenSearch k-NN = HNSW index (RAG.java:41-59,
     // OpenSearchConnection.java:21-36), re-expressed for a distributed
@@ -435,6 +462,21 @@ object Ann {
         buildCellGraphs(assign, m = 12)
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$dir/graph")
+        // PQ layer (ann_ivfpq_topk): codebooks trained once at index
+        // build, the store encoded to m one-byte codes per vector and
+        // written PARTITION-ALIGNED with the cells — a probe's scoring
+        // scan reads only its routed cells' codes, floats never
+        val cb = pqCodebooks(assign
+          .select(col("vec_id").as("id"), col("embedding")),
+          "id", "embedding", 8, 16, 3)
+        subVectors(assign.select(col("vec_id").as("id"), col("cell"),
+            col("embedding")), "id", "embedding", 8, carry = Seq("cell"))
+          .select(col("id"), col("cell"), col("sub"),
+            pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/pq_codes")
+        cbFrame(s, cb).coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/pq_codebook")
       } finally assign.unpersist(false)
       dir
     })
@@ -446,12 +488,13 @@ object Ann {
     * size(vec), so no dimension constant is compiled in.
     */
   private def subVectors(df: org.apache.spark.sql.DataFrame, idCol: String,
-      vecCol: String, m: Int): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), posexplode(expr(
+      vecCol: String, m: Int, carry: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol) +: carry.map(col) :+ posexplode(expr(
         s"""transform(sequence(0, ${m - 1}),
            |  i -> slice($vecCol, i * (size($vecCol) div $m) + 1,
            |             size($vecCol) div $m))""".stripMargin))
-      .as(Seq("sub", "sv")))
+      .as(Seq("sub", "sv")): _*)
 
   /** PQ codebooks via per-subspace distributed k-means (L2, the PQ
     * metric): returns the trained codebook as a driver-side nested array
@@ -525,10 +568,83 @@ object Ann {
       .select(col("id"), col("sub"),
         pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
     // the same codebook as a tiny frame for the LUT join
-    val cbDf = cb.zipWithIndex.flatMap { case (cws, s) =>
+    val cbDf = cbFrame(sp, cb)
+    adcScore(codes, cbDf, probes, m, k)
+  }
+
+  /** Frame-parametric IVFPQ (re-exported as `graft.api.Graft.ivfpqTopK`):
+    * k-means routing cells + PQ codes built in one call, every probe
+    * ADC-scores only its `nprobe` routed cells' codes. The per-probe
+    * candidate restriction happens BEFORE the LUT join (codes ⋈ routed
+    * cells), so scoring work is nprobe/cells of the store at m bytes per
+    * vector. Simplification vs FAISS: codes quantize raw vectors, not
+    * cell-residuals — good enough when cells ≪ corpus spread, and it
+    * keeps the codebook global (one LUT per probe, not one per cell).
+    */
+  private[graft] def ivfpqTopKOf(store: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame, k: Int, cells: Int,
+      nprobe: Int, m: Int = 8, ksub: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = store.sparkSession
+    val assign = kmeansCells(store
+        .select(col("id").as("vec_id"), col("embedding")), cells, 3)
+      .select(col("vec_id").as("id"), col("embedding"), col("cell"))
+      .persist()
+    val cents = assign.groupBy("cell")
+      .agg(vector_avg(col("embedding")).as("cent"))
+    val cb = pqCodebooks(store, "id", "embedding", m, ksub, 3)
+    val codes = subVectors(assign.select(col("id"), col("cell"),
+        col("embedding")), "id", "embedding", m, carry = Seq("cell"))
+      .select(col("id"), col("cell"), col("sub"),
+        pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
+    val routed = cents.crossJoin(broadcast(probes))
+      .select(col("probe_id").as("r_pid"), col("cell"),
+        cosine_sim(col("cent"), col("probe")).as("cs"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("r_pid")
+          .orderBy(col("cs").desc, col("cell"))))
+      .where(col("rn") <= nprobe).select(col("r_pid"), col("cell"))
+    val cand = codes.join(broadcast(routed), "cell")
+    val psubs = subVectors(probes, "probe_id", "probe", m)
+      .select(col("probe_id"), col("sub"), col("sv").as("ps"))
+    val lut = psubs.join(broadcast(cbFrame(sp, cb)), "sub")
+      .select(col("probe_id"), col("sub"), col("code"), col("n2"),
+        vector_dot(col("ps"), col("cw")).as("dot"))
+    val pnorm = probes.select(col("probe_id").as("pn_id"),
+      vector_norm(col("probe")).as("pnorm"))
+    val out = cand.join(broadcast(lut),
+        cand("sub") === lut("sub") && cand("code") === lut("code")
+          && cand("r_pid") === lut("probe_id"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(sum(col("dot")).as("ds"), sum(col("n2")).as("nn"))
+      .join(broadcast(pnorm), col("probe_id") === col("pn_id"))
+      .select(col("probe_id"), col("id"),
+        (col("ds") / (col("pnorm") * sqrt(col("nn")))).as("score"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy(col("score").desc, col("id"))))
+      .where(col("rn") <= k).drop("rn")
+    assign.unpersist(false)
+    out
+  }
+
+  /** Codebook nested array → tiny (sub, code, cw, n2) frame. */
+  private def cbFrame(sp: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Float]]]): org.apache.spark.sql.DataFrame = {
+    import sp.implicits._
+    cb.zipWithIndex.flatMap { case (cws, s) =>
         cws.zipWithIndex.map { case (cw, c) => (s, c, cw) } }.toSeq
       .toDF("sub", "code", "cw")
       .withColumn("n2", vector_dot(col("cw"), col("cw")))
+  }
+
+  /** ADC scoring of a PQ-coded frame (id, sub, code): per-probe lookup
+    * table broadcast, one (probe, id) combiner shuffle, top-k per probe.
+    */
+  private def adcScore(codes: org.apache.spark.sql.DataFrame,
+      cbDf: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame, m: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
     // per-probe LUT: dot(probe_sub, codeword) for every (sub, code)
     val psubs = subVectors(probes, "probe_id", "probe", m)
       .select(col("probe_id"), col("sub"), col("sv").as("ps"))

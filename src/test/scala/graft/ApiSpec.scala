@@ -204,6 +204,15 @@ class ApiSpec extends SparkSuite {
       assert(id / per == p / per,
         s"probe $p (cluster ${p / per}) hit $id (cluster ${id / per})")
     }
+    // IVFPQ: routing must take each probe to its own cluster's cell and
+    // the code-only scoring must stay there too
+    val ivfpq = Graft.ivfpqTopK(cstore, cprobes, 10, cells = nClusters,
+        nprobe = 4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivfpq.length == 30, s"expected 3x10, got ${ivfpq.length}")
+    ivfpq.foreach { case (p, id) =>
+      assert(id / per == p / per,
+        s"ivfpq probe $p (cluster ${p / per}) hit $id (${id / per})")
+    }
   }
 
   test("cellGraphBuild/cellGraphTopK: graph beam search recalls on a clustered corpus") {

@@ -60,6 +60,25 @@ class DedupSpec extends SparkSuite {
       s"quantized recall ${exact.intersect(quant).size}/10")
   }
 
+  test("ann_ivfpq_topk scores only ids from the probe's routed cells") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("ann_ivfpq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq,
+      "scores must be descending")
+    // candidate restriction: every returned id sits in one of the
+    // routed (= persisted, partition-pruned) cells — the 25% of cells
+    // NOT routed must contribute nothing
+    val dir = operators.Ann.ivfIndex(spark, sf)
+    // partition discovery re-infers the numeric cell dir names as ints
+    val cellOf = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("cell").cast("string")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val probeCells = got.map { case (id, _) => cellOf(id) }.toSet
+    assert(probeCells.size <= 3, s"ids span ${probeCells.size} cells > nprobe")
+  }
+
   test("pq ADC scores approximate exact cosine within a bounded error") {
     // PQ replaces every stored vector by its m codeword reconstructions;
     // the ADC score must track exact cosine over the WHOLE store (not

@@ -456,6 +456,21 @@ object Graft {
   def tfidfTopTerms(docs: DataFrame, groupCol: String, k: Int): DataFrame =
     graft.operators.Corpus.tfidfTopTermsOf(docs, groupCol, k)
 
+  /** ANY-qualifying-sequence funnel (MATCH_RECOGNIZE semantics) — the
+    * counterpart to [[funnel]]'s earliest-anchor formulation: a step
+    * qualifies iff SOME qualified previous-step event lies within
+    * `maxGapMicros` before it (witnessed by a carry-forward max, so a
+    * user with view@0h, view@5h, click@13h converts on a 12 h gap).
+    * `steps` = (eventType, maxGapMicros from the previous step; head
+    * gap ignored); ordering is (`tusCol`, `idCol`) — pass a unique id.
+    * One user Exchange + one sort for ALL steps. Returns one row
+    * (u_step1..u_stepN).
+    */
+  def funnelAny(events: DataFrame, userCol: String, typeCol: String,
+      tusCol: String, idCol: String, steps: Seq[(String, Long)]): DataFrame =
+    graft.operators.Analytics.funnelAnyOf(events, userCol, typeCol,
+      tusCol, idCol, steps)
+
   /** 2-D Pareto skyline: rows of `df` not dominated under (minimize
     * `minCol`, maximize `maxCol`); frontier ties all emitted. Sort +
     * running-max over the per-`minCol` best reduction — the global

@@ -271,6 +271,37 @@ object Analytics {
       .drop("touch_type")
   }
 
+  /** Frame-parametric ANY-qualifying-sequence funnel (re-exported as
+    * `graft.api.Graft.funnelAny`) — MATCH_RECOGNIZE semantics, the
+    * deliberate counterpart to [[funnelOf]]'s earliest-anchor
+    * formulation: a step qualifies at time t iff SOME qualified
+    * previous-step event lies within its gap before t, witnessed by the
+    * carry-forward MAX of qualified previous-step times (largest prior
+    * time ⇒ smallest gap). `steps` = (eventType, maxGapMicros from the
+    * previous step; head gap ignored). All steps stack on ONE
+    * `userCol` Exchange + ONE (tusCol, idCol) sort — linear, never a
+    * per-step self-join. Returns one row (u_step1..u_stepN).
+    */
+  private[graft] def funnelAnyOf(events: DataFrame, userCol: String,
+      typeCol: String, tusCol: String, idCol: String,
+      steps: Seq[(String, Long)]): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tusCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var df = events.withColumn("__q0",
+      when(col(typeCol) === steps.head._1, col(tusCol)))
+    steps.tail.zipWithIndex.foreach { case ((t, gap), i) =>
+      df = df
+        .withColumn(s"__l$i", max(col(s"__q$i")).over(w))
+        .withColumn(s"__q${i + 1}",
+          when(col(typeCol) === t && col(s"__l$i").isNotNull
+            && col(tusCol) - col(s"__l$i") <= gap, col(tusCol)))
+    }
+    val aggs = steps.indices.map(i =>
+      countDistinct(when(col(s"__q$i").isNotNull, col(userCol)))
+        .as(s"u_step${i + 1}"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Frame-parametric 2-D Pareto skyline (re-exported as
     * `graft.api.Graft.skyline`): rows of `df` not dominated under
     * (minimize `minCol`, maximize `maxCol`); ties on the frontier pair
@@ -549,30 +580,15 @@ object Analytics {
         |  count(DISTINCT CASE WHEN c3 IS NOT NULL THEN user_id END)
         |    AS u_full_funnel
         |FROM q3""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("tus"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
       val seq = Tables.events(s, d).select(col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("tus"),
         col("event_id"))
-      val q2 = seq
-        .withColumn("lv",
-          max(when(col("event_type") === "view", col("tus"))).over(w))
-        .withColumn("c2",
-          when(col("event_type") === "click" && col("lv").isNotNull
-            && col("tus") - col("lv") <= 43200000000L, col("tus")))
-      val q3 = q2
-        .withColumn("lc", max(col("c2")).over(w))
-        .withColumn("c3",
-          when(col("event_type") === "purchase" && col("lc").isNotNull
-            && col("tus") - col("lc") <= 86400000000L, col("tus")))
-      q3.agg(
-        countDistinct(when(col("event_type") === "view", col("user_id")))
-          .as("u_view"),
-        countDistinct(when(col("c2").isNotNull, col("user_id")))
-          .as("u_view_click"),
-        countDistinct(when(col("c3").isNotNull, col("user_id")))
-          .as("u_full_funnel"))
+      funnelAnyOf(seq, "user_id", "event_type", "tus", "event_id",
+          Seq(("view", 0L), ("click", 43200000000L),
+            ("purchase", 86400000000L)))
+        .select(col("u_step1").as("u_view"),
+          col("u_step2").as("u_view_click"),
+          col("u_step3").as("u_full_funnel"))
     },
 
     // OHLC downsampling (the time-series rollup every metrics store

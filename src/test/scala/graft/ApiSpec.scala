@@ -426,6 +426,29 @@ class ApiSpec extends SparkSuite {
     assert(top == Map("g1" -> "apple", "g2" -> "common"), top.toString)
   }
 
+  test("funnelAny: later-anchor chains convert; gaps and order still bind") {
+    import spark.implicits._
+    val H = 3600000000L
+    val ev = Seq(
+      // u1: ADVICE counter-example — converts only under any-sequence
+      (1L, "view", 0L * H, 1L), (1L, "view", 5L * H, 2L),
+      (1L, "click", 13L * H, 3L),
+      // u2: click BEFORE any view — order must still bind
+      (2L, "click", 1L * H, 4L), (2L, "view", 2L * H, 5L),
+      // u3: full 3-step chain through the SECOND view
+      (3L, "view", 0L * H, 6L), (3L, "view", 10L * H, 7L),
+      (3L, "click", 20L * H, 8L), (3L, "purchase", 30L * H, 9L),
+      // u4: chain broken by gap (click 20h after the only view)
+      (4L, "view", 0L * H, 10L), (4L, "click", 20L * H, 11L)
+    ).toDF("u", "t", "tus", "id")
+    val r = Graft.funnelAny(ev, "u", "t", "tus", "id",
+      Seq(("view", 0L), ("click", 12L * H), ("purchase", 24L * H)))
+      .collect().head
+    // views: u1,u2,u3,u4; qualified clicks: u1,u3; purchases: u3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1L)),
+      r.toString)
+  }
+
   test("skyline/markovTransitions/triangleStats/madOutliers on caller frames") {
     import spark.implicits._
 

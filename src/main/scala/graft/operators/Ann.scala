@@ -513,7 +513,10 @@ object Ann {
   private[graft] def pqCodebooks(store: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String, m: Int, ksub: Int, iters: Int)
       : Array[Array[Array[Float]]] = {
-    val train = store.where(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+    val sampled = store.where(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+    // a store small enough that the 1-in-4 sample can be empty trains on
+    // everything (the O(1) emptiness probe reads one row, not a count)
+    val train = if (sampled.limit(1).isEmpty) store else sampled
     val subs = subVectors(train, idCol, vecCol, m)
       .select(col(idCol).as("id"), col("sub"), col("sv"))
       .persist() // read by init + every k-means round
@@ -624,7 +627,9 @@ object Ann {
         org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
           .orderBy(col("score").desc, col("id"))))
       .where(col("rn") <= k).drop("rn")
-    assign.unpersist(false)
+    // the returned frame still reads `assign` lazily — releasing it here
+    // would silently re-run the k-means assignment at execution time;
+    // callers release blocks when done (the same contract as pageRank)
     out
   }
 

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * materializes bounded intermediates eagerly (persist/localCheckpoint
   * of candidate/label/edge frames per round — required so iterative
   * stages don't replay
-  * the full sketch per round). Long-lived sessions issuing many such
+  * the full sketch per round), and the PQ family ([[pqTopK]],
+  * [[ivfpqTopK]]) runs its k-means training collects (bounded: KB-sized
+  * codebooks) at CALL time and leaves the routing assignment cached
+  * until released. Long-lived sessions issuing many such
   * calls should release blocks between calls:
   * `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))`.
   */
@@ -504,7 +507,7 @@ object Graft {
     * to m one-byte codes per vector (dim·4 B → m B), scored via a
     * broadcast (m × ksub) probe lookup table — stored floats are never
     * read at query time. Approximate by construction; recall gated in
-    * ApiSpec on a clustered corpus, error bound in AnnSpec.
+    * ApiSpec on a clustered corpus, error bound in DedupSpec.
     */
   def pqTopK(store: DataFrame, probes: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16): DataFrame =

@@ -197,7 +197,6 @@ case class ZOrderKey(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** vector_norm(ARRAY<FLOAT>) → DOUBLE (L2). */
 /** pq_argmin(ARRAY<FLOAT> subvector, INT sub, ARRAY<ARRAY<ARRAY<FLOAT>>>
   * codebooks) → INT: index of the L2-nearest codeword in subspace `sub`.
   * The codebook rides along as a LITERAL (O(dim·ksub·4 B) ≈ KBs — the
@@ -232,6 +231,7 @@ case class PqArgmin(first: Expression, second: Expression, third: Expression)
       s: Expression, t: Expression): PqArgmin = copy(f, s, t)
 }
 
+/** vector_norm(ARRAY<FLOAT>) → DOUBLE (L2). */
 case class VectorNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *    `vector_avg` UDAF — no driver collect), probe the nprobe nearest
   *    cells exactly.
   *
-  * The sketch paths are hash/assignment-defined → no SQL oracle (AnnSpec
+  * The sketch paths are hash/assignment-defined → no SQL oracle (DedupSpec
   * asserts recall against the exact scan); the exact-scan family
   * (`ann_range_search`, `ann_filtered_topk`) is fully oracled, hash-
   * checking the cosine kernel itself against DuckDB.
@@ -126,7 +126,7 @@ object Ann {
     // smaller — at 100 TB that is the difference between an in-memory and
     // a spilling store) and is scored DIRECTLY on the quantized bytes
     // with integer accumulators; cosine's per-vector scale invariance
-    // means no dequantization and no stored scale. AnnSpec gates recall
+    // means no dequantization and no stored scale. DedupSpec gates recall
     // and the quantization error bound vs exact float cosine.
     Q.noOracle("ann_quantized_topk") { (s, d) =>
       val q = Tables.embeddings(s, d)
@@ -147,7 +147,7 @@ object Ann {
     // scoring reads only codes + an (m × ksub) probe lookup table. This
     // is the memory layout webscale vector stores (FAISS IVFPQ, SCANN)
     // run at; recall is gated in ApiSpec on the clustered corpus and the
-    // approximation error bound vs exact cosine in AnnSpec.
+    // approximation error bound vs exact cosine in DedupSpec.
     Q.noOracle("ann_pq_topk") { (s, d) =>
       val store = Tables.embeddings(s, d).where(col("vec_id") =!= 0)
         .select(col("vec_id").as("id"), col("embedding"))
@@ -170,12 +170,7 @@ object Ann {
       val dir = ivfIndex(s, d)
       val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
-      val cells = s.read.parquet(s"$dir/centroids")
-        .crossJoin(broadcast(probe))
-        .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
-        .orderBy(col("cs").desc, col("cell"))
-        .limit(3)
-        .select("cell").collect().map(_.getString(0))
+      val cells = routeCells(s, dir, probe, nprobe = 3)
       s.read.parquet(s"$dir/cells")
         .where(col("cell").isin(cells.toIndexedSeq: _*))
         .where(col("vec_id") =!= 0)
@@ -199,12 +194,7 @@ object Ann {
       val dir = ivfIndex(s, d)
       val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select(lit(0L).as("probe_id"), col("embedding").as("probe"))
-      val cells = s.read.parquet(s"$dir/centroids")
-        .crossJoin(broadcast(probe.select(col("probe"))))
-        .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
-        .orderBy(col("cs").desc, col("cell"))
-        .limit(3)
-        .select("cell").collect().map(_.getString(0))
+      val cells = routeCells(s, dir, probe, nprobe = 3)
       val codes = s.read.parquet(s"$dir/pq_codes")
         .where(col("cell").isin(cells.toIndexedSeq: _*))
         .where(col("id") =!= 0)
@@ -225,19 +215,15 @@ object Ann {
     // broadcast; per-cell graphs partition-align, rebuild independently,
     // and bound both build memory and search fan-in (cell size is the
     // design knob). Search visits ~ef·degree of the cell instead of all
-    // of it; AnnSpec gates recall vs the exact scan and asserts the
+    // of it; DedupSpec gates recall vs the exact scan and asserts the
     // visited count stays below the cell population.
     Q.noOracle("ann_ivf_graph_topk") { (s, d) =>
       val dir = ivfIndex(s, d)
       val probeRow = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      val cells = s.read.parquet(s"$dir/centroids")
-        .crossJoin(broadcast(Tables.embeddings(s, d)
-          .where(col("vec_id") === 0).select(col("embedding").as("probe"))))
-        .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
-        .orderBy(col("cs").desc, col("cell"))
-        .limit(3)
-        .select("cell").collect().map(_.getString(0))
+      val cells = routeCells(s, dir, Tables.embeddings(s, d)
+        .where(col("vec_id") === 0).select(col("embedding").as("probe")),
+        nprobe = 3)
       graphSearchCells(s, s"$dir/graph", cells.toIndexedSeq, probeRow,
           k = 10, ef = 48)
         .where(col("vec_id") =!= 0)
@@ -481,6 +467,20 @@ object Ann {
       dir
     })
 
+  /** nprobe nearest persisted cells for a probe frame exposing a
+    * `probe` column: the shared routing step of every persisted-index
+    * query — a bounded O(nprobe) driver collect of the k-row centroid
+    * table (the ids must be literals for static partition pruning).
+    */
+  private def routeCells(s: org.apache.spark.sql.SparkSession, dir: String,
+      probe: org.apache.spark.sql.DataFrame, nprobe: Int): Array[String] =
+    s.read.parquet(s"$dir/centroids")
+      .crossJoin(broadcast(probe.select(col("probe"))))
+      .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
+      .orderBy(col("cs").desc, col("cell"))
+      .limit(nprobe)
+      .select("cell").collect().map(_.getString(0))
+
   // ---- product quantization (PQ / ADC scoring) ----------------------
 
   /** Per-row subvector explode: (idCol, sub ∈ 0..m-1, sv = the sub-th
@@ -507,12 +507,23 @@ object Ann {
     * (the FAISS discipline: a codebook is a statistic — only the single
     * ENCODE pass may cost a full-store scan). Init = the ksub
     * hash-smallest sampled rows per subspace. A codeword that loses all
-    * members is dropped and codes re-densify (k may shrink; fixed scan
-    * order keeps everything deterministic).
+    * members is dropped and codes re-densify (k may shrink). Determinism
+    * scope: GIVEN a codebook, assignment/encode are fully deterministic
+    * (fixed scan order, strict-< tie-break); the codebook floats
+    * themselves come from `vector_avg` partial-buffer merges, which —
+    * like any distributed float mean — can differ in low ULPs across
+    * partitioning, so near-tie code assignments are not
+    * partitioning-invariant (the integer/decimal invariance guarantees
+    * elsewhere in the engine do NOT extend to PQ scores).
     */
   private[graft] def pqCodebooks(store: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String, m: Int, ksub: Int, iters: Int)
       : Array[Array[Array[Float]]] = {
+    // bad m fails loudly here, not as NaN scores downstream: dim must
+    // split into m equal non-empty subspaces (O(1) head probe)
+    val dim = store.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dim >= m && dim % m == 0,
+      s"pq: m=$m must evenly divide the embedding dim $dim")
     val sampled = store.where(pmod(xxhash64(col(idCol)), lit(4)) === 0)
     // a store small enough that the 1-in-4 sample can be empty trains on
     // everything (the O(1) emptiness probe reads one row, not a count)
@@ -608,29 +619,10 @@ object Ann {
           .orderBy(col("cs").desc, col("cell"))))
       .where(col("rn") <= nprobe).select(col("r_pid"), col("cell"))
     val cand = codes.join(broadcast(routed), "cell")
-    val psubs = subVectors(probes, "probe_id", "probe", m)
-      .select(col("probe_id"), col("sub"), col("sv").as("ps"))
-    val lut = psubs.join(broadcast(cbFrame(sp, cb)), "sub")
-      .select(col("probe_id"), col("sub"), col("code"), col("n2"),
-        vector_dot(col("ps"), col("cw")).as("dot"))
-    val pnorm = probes.select(col("probe_id").as("pn_id"),
-      vector_norm(col("probe")).as("pnorm"))
-    val out = cand.join(broadcast(lut),
-        cand("sub") === lut("sub") && cand("code") === lut("code")
-          && cand("r_pid") === lut("probe_id"))
-      .groupBy(col("probe_id"), col("id"))
-      .agg(sum(col("dot")).as("ds"), sum(col("n2")).as("nn"))
-      .join(broadcast(pnorm), col("probe_id") === col("pn_id"))
-      .select(col("probe_id"), col("id"),
-        (col("ds") / (col("pnorm") * sqrt(col("nn")))).as("score"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
-          .orderBy(col("score").desc, col("id"))))
-      .where(col("rn") <= k).drop("rn")
     // the returned frame still reads `assign` lazily — releasing it here
     // would silently re-run the k-means assignment at execution time;
     // callers release blocks when done (the same contract as pageRank)
-    out
+    adcScore(cand, cbFrame(sp, cb), probes, m, k)
   }
 
   /** Codebook nested array → tiny (sub, code, cw, n2) frame. */
@@ -658,7 +650,20 @@ object Ann {
         vector_dot(col("ps"), col("cw")).as("dot"))
     val pnorm = probes.select(col("probe_id").as("pn_id"),
       vector_norm(col("probe")).as("pnorm"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+    // a codes frame carrying `r_pid` (IVFPQ's per-probe candidate
+    // restriction) joins only its own probe's LUT rows; an unbound frame
+    // scores against every probe
+    val joinCond = {
+      val base = codes("sub") === lut("sub") && codes("code") === lut("code")
+      if (codes.columns.contains("r_pid"))
+        base && codes("r_pid") === lut("probe_id")
+      else base
+    }
+    // after the join, `probe_id` exists once (lut's; the bound codes
+    // frame carries it as r_pid) — a plain name avoids the dataset-
+    // tagged ref that trips DetectAmbiguousSelfJoin on the pnorm join
+    val scored = codes.join(broadcast(lut), joinCond)
+      .drop("r_pid")
       .groupBy(col("probe_id"), col("id"))
       .agg(sum(col("dot")).as("ds"), sum(col("n2")).as("nn"))
       .join(broadcast(pnorm), col("probe_id") === col("pn_id"))

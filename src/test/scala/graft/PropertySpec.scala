@@ -136,8 +136,19 @@ class PropertySpec extends SparkSuite {
     // doubles bit-exactly via their shortest-decimal rendering).
     val names = Seq("graph_pagerank_copurchase", "agg_heavy_hitters_twopass",
       "ts_outlier_mad", "events_markov_transitions")
-    def rows(name: String): Seq[String] =
+    // drop every cached/persisted block between passes: pageRank persists
+    // its adjacency, and CacheManager plan-matching would otherwise serve
+    // the FIRST pass's materialization to the second — silently skipping
+    // the re-shuffle this test exists to exercise
+    def clearBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    def rows(name: String): Seq[String] = {
+      clearBlocks()
       SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    }
     val conf = spark.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     val base = names.map(n => n -> rows(n)).toMap
@@ -146,7 +157,7 @@ class PropertySpec extends SparkSuite {
       names.foreach { n =>
         assert(rows(n) == base(n), s"$n differs under 7 partitions")
       }
-    } finally conf.set("spark.sql.shuffle.partitions", prev)
+    } finally { conf.set("spark.sql.shuffle.partitions", prev); clearBlocks() }
   }
 
   test("skyline == brute-force dominance on random point sets (10 cases)") {

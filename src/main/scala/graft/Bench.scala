@@ -74,6 +74,21 @@ object Bench {
       dt
     }
     val calib = calibrate()
+    // host-level iowait/steal jiffies (/proc/stat cpu line, fields 5+8):
+    // process-CPU telemetry can't see time the whole GUEST lost to disk
+    // waits or the hypervisor; the sweep-wide deltas ride in the artifact
+    // so a contended run is provable from the JSON alone (r8 observed the
+    // same commit at 98.6 s and 132 s within hours — calib ~flat, total
+    // process-CPU ~flat, wall inflated: scheduler/IO, not code).
+    def hostJiffies(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val p = f.getLines().next().trim.split("\\s+")
+          (p(5).toLong, p(8).toLong)
+        } finally f.close()
+      } catch { case _: Throwable => (0L, 0L) }
+    val (io0, st0) = hostJiffies()
     // declared (SURVEY §2.2) order, NOT Map hash-order: per-query timings
     // are attributable and comparable round-over-round. Batch queries run
     // TWICE and report the min: a single transient stall (page-cache miss,
@@ -143,7 +158,9 @@ object Bench {
     val total = results.collect { case (_, v, _, _, None) => v }.sum
     val totalCpu = results.collect { case (_, _, c, _, None) => c }.sum
     val totalGc = results.collect { case (_, _, _, g, None) => g }.sum
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
+    val (io1, st1) = hostJiffies()
+    val hostBusy = s""""iowait":${sec((io1 - io0) / 100.0)},"steal":${sec((st1 - st0) / 100.0)}"""
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},$hostBusy,"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
     println(detail)
     // Cross-round regression guard + full-detail artifact: the driver's
     // 2000-char stdout tail keeps only ~90 of the per-query timings, so
@@ -204,7 +221,7 @@ object Bench {
     // (BENCH parsed:null). This short LAST line (~150 chars) always sits
     // complete inside the tail window; cpu/gc ride along so even the
     // truncated view self-diagnoses a host-contended run (wall ≫ cpu).
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},"failed":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},$hostBusy,"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -353,6 +353,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("pq encode plans as one scan: codegen'd pq_argmin, no fan-out join") {
+    val p = planString("ann_pq_topk")
+    assert(p.contains("pq_argmin"),
+      "encode must run the codegen'd kernel, not a codebook join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "PQ path must never shuffle-join the store against the codebook")
+  }
+
   test("skyline: frontier joins back as a broadcast, no dominance self-join") {
     val p = planString("skyline_price_size")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))

@@ -1518,13 +1518,15 @@ object Analytics {
         |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
         |  FROM lineitem GROUP BY 1),
-        |t AS (SELECT CAST(sum(rev) AS DOUBLE) AS total FROM pr),
         |run AS (
         |  SELECT l_partkey, rev,
         |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS DOUBLE) / t.total AS cum_share
-        |  FROM pr, t),
+        |      AS DOUBLE)
+        |    / CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS DOUBLE) AS cum_share
+        |  FROM pr),
         |cls AS (
         |  SELECT CASE WHEN cum_share <= 0.7 THEN 'A'
         |              WHEN cum_share <= 0.9 THEN 'B'
@@ -1537,13 +1539,18 @@ object Analytics {
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
           * (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("rev"))
-      val t = pr.agg(sum(col("rev")).cast("double").as("total"))
-      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val run = pr.crossJoin(broadcast(t))
-        .select(col("rev"),
-          (sum(col("rev")).over(w).cast("double") / col("total"))
-            .as("cum_share"))
+      // total = a full-frame sum over the SAME single-partition window
+      // pass that computes the running sum — one part-level window
+      // operator instead of a second lineitem aggregation branch + a
+      // scalar crossJoin (pr fed two consumers and was re-derived)
+      val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
+      val wCum = ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val run = pr.select(col("rev"),
+        (sum(col("rev")).over(wCum).cast("double")
+          / sum(col("rev")).over(wAll).cast("double")).as("cum_share"))
       run.select(col("rev"),
           when(col("cum_share") <= 0.7, "A")
             .when(col("cum_share") <= 0.9, "B")

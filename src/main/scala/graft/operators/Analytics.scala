@@ -1414,6 +1414,37 @@ object Analytics {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Order→ship latency histogram (the fulfillment-SLA profile): day
+    // lag = calendar-date difference (integer boundary count, identical
+    // cross-engine under the pinned UTC session), bucketed to 30-day
+    // bands with per-band min/max. One orderkey-equi join (the dim side
+    // broadcast at this SF, sort-merge at scale) + one combiner-friendly
+    // histogram shuffle; every value is an integer.
+    Q("orders_ship_latency_hist",
+      """SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+        |         CAST(l.l_shipdate AS DATE)) // 30 AS lag_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(min(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |         CAST(l.l_shipdate AS DATE))) AS BIGINT) AS min_days,
+        |  CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |         CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_days
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val lag = datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(lag.as("lag"))
+        .select(expr("lag div 30").as("lag_bucket"), col("lag"))
+        .groupBy("lag_bucket")
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("lag")).cast("long").as("min_days"),
+          max(col("lag")).cast("long").as("max_days"))
+        .orderBy("lag_bucket")
+    },
+
     // Journey pattern audit — MATCH_RECOGNIZE-lite: each user's ordered
     // event-type initials concatenate into a journey string, regex/LIKE
     // classify it (converting v.*c.*p, error-touched), and the output

@@ -217,6 +217,71 @@ object Joins {
         .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_first)
     },
 
+    // Nearest as-of: each purchase matched to the click with the SMALLEST
+    // absolute time distance in EITHER direction — the sensor-alignment /
+    // log-correlation shape neither directional as-of covers. Both
+    // carries (last prior click, first later click) come from windows on
+    // the SAME user partitioning — one Exchange, two sorts — then one
+    // integer µs comparison picks the nearer side (ties to the prior
+    // click; an equal-ts click sorts into the PRECEDING frame via the
+    // tag, so its distance is 0). Same no-join union trick at any scale.
+    Q("join_asof_nearest",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS)
+        |      OVER wb AS prev_tus,
+        |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |      OVER wb AS prev_id,
+        |    first_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS)
+        |      OVER wf AS next_tus,
+        |    first_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |      OVER wf AS next_id
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY tus, tag, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       wf AS (PARTITION BY user_id ORDER BY tus, tag, event_id
+        |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id AS purchase_id,
+        |  CASE WHEN next_tus IS NULL OR (prev_tus IS NOT NULL
+        |            AND tus - prev_tus <= next_tus - tus)
+        |       THEN prev_id ELSE next_id END AS click_id,
+        |  CASE WHEN next_tus IS NULL OR (prev_tus IS NOT NULL
+        |            AND tus - prev_tus <= next_tus - tus)
+        |       THEN tus - prev_tus ELSE next_tus - tus END AS dist_us
+        |FROM c WHERE tag = 1
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("tag"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val wf = ord.rowsBetween(1, Window.unboundedFollowing)
+      val clickTus = when(col("tag") === 0, col("tus"))
+      val clickId = when(col("tag") === 0, col("event_id"))
+      val c = ev
+        .withColumn("prev_tus", last(clickTus, ignoreNulls = true).over(wb))
+        .withColumn("prev_id", last(clickId, ignoreNulls = true).over(wb))
+        .withColumn("next_tus", first(clickTus, ignoreNulls = true).over(wf))
+        .withColumn("next_id", first(clickId, ignoreNulls = true).over(wf))
+        .where(col("tag") === 1)
+      val takePrev = col("next_tus").isNull ||
+        (col("prev_tus").isNotNull &&
+          col("tus") - col("prev_tus") <= col("next_tus") - col("tus"))
+      c.select(col("event_id").as("purchase_id"),
+          when(takePrev, col("prev_id")).otherwise(col("next_id"))
+            .as("click_id"),
+          when(takePrev, col("tus") - col("prev_tus"))
+            .otherwise(col("next_tus") - col("tus")).as("dist_us"))
+        .orderBy("purchase_id")
+    },
+
     // k-NN join: 5 probe vectors × store, exact top-3 per probe.
     // Scale path: probes broadcast; store streams; per-probe heaps via
     // window rank on (probe, score) — shuffle is k×probes rows only after

@@ -1414,6 +1414,36 @@ object Analytics {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Trigram-accelerated substring search (the pg_trgm pattern): a
+    // '%late%' scan-wide LIKE becomes (1) explode names into character
+    // trigrams, (2) keep only rows holding EVERY pattern trigram, (3)
+    // LIKE-verify the candidates alone. At 100 TB the trigram explode is
+    // written ONCE as an inverted-index table partitioned by gram and a
+    // query probes only its pattern's gram partitions; the verify-only-
+    // candidates discipline is the same as the MinHash dedup family.
+    // Answers are identical to the raw LIKE by construction (the gram
+    // filter is a necessary condition), which is exactly what the oracle
+    // checks.
+    Q("search_trigram_like",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE '%late%'
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val pat = "late"
+      val patGrams = (0 to pat.length - 3).map(i => pat.substring(i, i + 3))
+      Tables.part(s, d)
+        .where(length(col("p_name")) >= 3)
+        .select(col("p_partkey"), col("p_name"),
+          explode(expr("transform(sequence(1, length(p_name) - 2)," +
+            " i -> substring(p_name, i, 3))")).as("g"))
+        .where(col("g").isin(patGrams: _*))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(countDistinct(col("g")).as("hits"))
+        .where(col("hits") === patGrams.size)
+        .where(col("p_name").like(s"%$pat%"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")
+    },
+
     // Order→ship latency histogram (the fulfillment-SLA profile): day
     // lag = calendar-date difference (integer boundary count, identical
     // cross-engine under the pinned UTC session), bucketed to 30-day

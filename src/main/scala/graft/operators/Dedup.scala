@@ -446,6 +446,38 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Dedup threshold yield curve: decile histogram of pairwise Jaccard
+    // over the same bounded verify block — what a curator reads BEFORE
+    // committing to a near-dup threshold (is 0.8 a cliff or a slope on
+    // this corpus?). floor(jac·10) is computed on the identical operand
+    // chain both engines (one exact division, one multiply, one floor);
+    // same block discipline as the ground-truth query above — at scale
+    // the pair source is the MinHash band join and the histogram is the
+    // same one combiner shuffle.
+    Q("dedup_threshold_histogram",
+      s"""WITH s AS (
+         |  SELECT doc_id, $OracleShingle AS sh
+         |  FROM documents
+         |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+         |pairs AS (
+         |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) AS jac
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT CAST(floor(jac * 10) AS BIGINT) AS jac_decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d).where(col("doc_id") < 200)
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(floor(jaccard(col("sha"), col("shb")) * 10)
+          .cast("long").as("jac_decile"))
+        .groupBy("jac_decile")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("jac_decile")
+    },
+
     // MinHash (32 hashes) + LSH (8 bands × 4 rows): candidates from
     // band-hash equi-buckets only, then exact-Jaccard verification of the
     // candidates. Hash-permutation-defined → no SQL oracle; recall vs the

@@ -159,7 +159,15 @@ object Bench {
     val totalCpu = results.collect { case (_, _, c, _, None) => c }.sum
     val totalGc = results.collect { case (_, _, _, g, None) => g }.sum
     val (io1, st1) = hostJiffies()
-    val hostBusy = s""""iowait":${sec((io1 - io0) / 100.0)},"steal":${sec((st1 - st0) / 100.0)}"""
+    val (ioSec, stSec) = ((io1 - io0) / 100.0, (st1 - st0) / 100.0)
+    // loud, human-readable flag when the host provably interfered (r8f:
+    // 140 s of steal during a 140 s sweep — same commit ran 94.6 s with
+    // 1.2 s steal): consumers of the truncated stdout tail see it too
+    if (stSec + ioSec > 0.1 * total)
+      System.err.println(f"[bench-host] elevated steal ${stSec}%.1f s / " +
+        f"iowait ${ioSec}%.1f s against ${total}%.1f s wall — " +
+        "this run measures host contention, not engine cost")
+    val hostBusy = s""""iowait":${sec(ioSec)},"steal":${sec(stSec)}"""
     val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},$hostBusy,"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
     println(detail)
     // Cross-round regression guard + full-detail artifact: the driver's

@@ -1414,6 +1414,85 @@ object Analytics {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Inter-arrival statistics per event stream — the feed-health profile
+    // (is this stream regular, bursty, or dying?). Gaps are integer µs
+    // from ONE lag window per series; median interpolates two INTEGERS at
+    // the exact binary rank 0.5 (sum/2 — bit-identical both engines; the
+    // p90-style non-dyadic ranks are exactly what the explicit-lerp
+    // funnel percentiles exist for, deliberately not repeated here).
+    Q("ts_interarrival_stats",
+      """WITH seq AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |gaps AS (
+        |  SELECT event_type,
+        |    tus - lag(tus) OVER (PARTITION BY event_type
+        |                         ORDER BY tus, event_id) AS gap
+        |  FROM seq)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  median(gap) AS median_us,
+        |  CAST(min(gap) AS BIGINT) AS min_us,
+        |  CAST(max(gap) AS BIGINT) AS max_us
+        |FROM gaps WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy(col("tus"),
+        col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+          col("event_id"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("median(gap)").as("median_us"),
+          min(col("gap")).cast("long").as("min_us"),
+          max(col("gap")).cast("long").as("max_us"))
+        .orderBy("event_type")
+    },
+
+    // Monthly open-order backlog timeline: +1 at order placement, −1 at
+    // last-line ship, running-sum the month-bucketed NET — the classic
+    // event-ified interval-count that never joins orders×months. Month
+    // deltas reduce first (integer counts, one shuffle); the running sum
+    // ranks the ~O(months) reduced frame only — the same domain-bounded
+    // global-window argument as the skyline.
+    Q("orders_backlog_monthly",
+      """WITH placed AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |    count(*) AS delta
+        |  FROM orders GROUP BY 1),
+        |shipped AS (
+        |  SELECT date_trunc('month', CAST(last_ship AS DATE)) AS m,
+        |    -count(*) AS delta
+        |  FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |        FROM lineitem GROUP BY 1)
+        |  GROUP BY 1),
+        |net AS (
+        |  SELECT m, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |    SELECT * FROM placed UNION ALL SELECT * FROM shipped)
+        |  GROUP BY 1)
+        |SELECT CAST(m AS TIMESTAMP) AS month, net,
+        |  CAST(sum(net) OVER (ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS open_orders
+        |FROM net ORDER BY month""".stripMargin) { (s, d) =>
+      val placed = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate").cast("date"))
+          .as("m"))
+        .agg(count(lit(1)).as("delta"))
+      val shipped = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .groupBy(date_trunc("month", col("last_ship").cast("date")).as("m"))
+        .agg((-count(lit(1))).as("delta"))
+      val net = placed.unionByName(shipped)
+        .groupBy(col("m")).agg(sum(col("delta")).cast("long").as("net"))
+      val w = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      net.select(col("m").cast("timestamp").as("month"), col("net"),
+          sum(col("net")).over(w).cast("long").as("open_orders"))
+        .orderBy("month")
+    },
+
     // Trigram-accelerated substring search (the pg_trgm pattern): a
     // '%late%' scan-wide LIKE becomes (1) explode names into character
     // trigrams, (2) keep only rows holding EVERY pattern trigram, (3)

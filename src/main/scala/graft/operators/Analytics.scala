@@ -367,7 +367,11 @@ object Analytics {
     val w = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg"))
-      .agg(sum(expr("dg * (dg - 1) div 2")).cast("long").as("wedges"))
+      // coalesce: sum over an EMPTY degree aggregate is NULL, which would
+      // otherwise flow through the clustering division as NULL instead of
+      // the (0, 0, 0.0) an empty graph should census to
+      .agg(coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L))
+        .cast("long").as("wedges"))
     tri.crossJoin(broadcast(w))
       .select(col("t").as("n_triangles"), col("wedges").as("n_wedges"),
         when(col("wedges") === 0, lit(0.0))
@@ -1394,23 +1398,30 @@ object Analytics {
         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |      / len(a.g) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // shingle frame with |g| PRECOMPUTED: sizes are join-prune inputs
+      // evaluated O(pairs) times — stored columns, not re-derived arrays
       val sh = Tables.documents(s, d)
         .where(col("doc_id") < 200 && size(split(col("text"), " ")) >= 2)
         .select(col("doc_id"),
           array_distinct(word_ngrams(col("text"), 2)).as("g"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
-      val contain =
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(col("ga"))
-      // cheap implied precondition first: |A∩B| ≤ |B|, so containment
-      // ≥ 0.5 needs |B| ≥ 0.5·|A| — prunes most pairs before the
-      // intersect evaluates (predicate order in a BNLJ condition is
-      // evaluation order; same trick as dedup_ngram_jaccard)
-      a.join(b, col("doc_a") =!= col("doc_b")
-          && size(col("gb")).cast("double") >= lit(0.5) * size(col("ga"))
-          && contain >= 0.5)
-        .select(col("doc_a"), col("doc_b"), contain.as("containment"))
+        .select(col("doc_id"), col("g"), size(col("g")).as("n"))
+      // the left block is ~200 rows in ONE scan partition — without the
+      // repartition the BNLJ's whole O(pairs) intersect workload runs on
+      // a single core (r8: wall 4.65 s ≈ cpu 4.78 s on local[32]).
+      // Spreading the streamed side parallelizes the pair work 32-way.
+      val a = sh.toDF("doc_a", "ga", "na").repartition(32)
+      val b = sh.toDF("doc_b", "gb", "nb")
+      // join condition carries only the CHEAP implied precondition
+      // (|A∩B| ≤ |B|, so containment ≥ 0.5 needs |B| ≥ 0.5·|A|); the
+      // intersect itself is computed ONCE per surviving pair in the
+      // projection, then filtered — not evaluated twice as a join
+      // predicate plus a projection re-derivation
+      a.join(broadcast(b), col("doc_a") =!= col("doc_b")
+          && col("nb").cast("double") >= lit(0.5) * col("na"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            col("na")).as("containment"))
+        .where(col("containment") >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1508,7 +1519,11 @@ object Analytics {
         |WHERE p_name LIKE '%late%'
         |ORDER BY p_partkey""".stripMargin) { (s, d) =>
       val pat = "late"
-      val patGrams = (0 to pat.length - 3).map(i => pat.substring(i, i + 3))
+      // distinct: a pattern with a repeated trigram ("aaaa" → "aaa","aaa")
+      // would otherwise make the countDistinct threshold unreachable and
+      // silently return zero rows instead of the LIKE answer
+      val patGrams =
+        (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
       Tables.part(s, d)
         .where(length(col("p_name")) >= 3)
         .select(col("p_partkey"), col("p_name"),
@@ -1530,8 +1545,8 @@ object Analytics {
     // broadcast at this SF, sort-merge at scale) + one combiner-friendly
     // histogram shuffle; every value is an integer.
     Q("orders_ship_latency_hist",
-      """SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
-        |         CAST(l.l_shipdate AS DATE)) // 30 AS lag_bucket,
+      """SELECT CAST(floor(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |         CAST(l.l_shipdate AS DATE)) / 30.0) AS BIGINT) AS lag_bucket,
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(min(date_diff('day', CAST(o.o_orderdate AS DATE),
         |         CAST(l.l_shipdate AS DATE))) AS BIGINT) AS min_days,
@@ -1546,7 +1561,13 @@ object Analytics {
           .select(col("l_orderkey"), col("l_shipdate")),
           col("o_orderkey") === col("l_orderkey"))
         .select(lag.as("lag"))
-        .select(expr("lag div 30").as("lag_bucket"), col("lag"))
+        // EXPLICIT floor division on both engines: integer `div` (Spark)
+        // and `//` (DuckDB) truncate toward zero, which would fold a dirty
+        // negative lag (l_shipdate < o_orderdate — present in the data)
+        // into bucket 0 with the on-time lines; floor gives those rows
+        // their own negative bucket and pins the semantics unambiguously
+        .select(floor(col("lag").cast("double") / 30).cast("long")
+          .as("lag_bucket"), col("lag"))
         .groupBy("lag_bucket")
         .agg(count(lit(1)).as("n_lines"),
           min(col("lag")).cast("long").as("min_days"),

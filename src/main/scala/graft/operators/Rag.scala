@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Rag {
 
-  /** Prompt template carried verbatim from `RAG.java:68-74`. */
+  /** Prompt template carried verbatim from `RAG.java:67-74` — including the
+    * Blip-Blop persona, the refusal instruction, the curly typographic
+    * quotes, and the (sic) unclosed quote before the colon. A user porting
+    * the reference keeps the exact answer-style contract their LLM sees.
+    */
   val PromptTemplate: String =
-    """Answer the following question to the best of your ability:
+    """You are Blip-Blop, an expert home-care assistant. Strictly follow ALL provided context. If the context is insufficient, answer “I don’t know:
       |
       |Question:
       |{{question}}
@@ -170,7 +174,7 @@ object Rag {
 
     Q("rag_prompt_render",
       s"""SELECT replace(replace(
-         |  'Answer the following question to the best of your ability:' || chr(10)
+         |  'You are Blip-Blop, an expert home-care assistant. Strictly follow ALL provided context. If the context is insufficient, answer “I don’t know:' || chr(10)
          |    || chr(10) || 'Question:' || chr(10) || '{{question}}' || chr(10)
          |    || chr(10) || 'Base your answer on the following information:'
          |    || chr(10) || '{{information}}',

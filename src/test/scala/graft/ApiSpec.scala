@@ -485,6 +485,14 @@ class ApiSpec extends SparkSuite {
     assert((tri.getLong(0), tri.getLong(1), tri.getDouble(2)) ==
       ((2L, 8L, 0.75)), tri.toString)
 
+    // empty edge frame: the wedge sum over zero degree rows is NULL
+    // pre-coalesce — the census must still read (0, 0, 0.0), not NULLs
+    val tri0 = Graft.triangleStats(
+        Seq.empty[(Long, Long)].toDF("u", "v"))
+      .collect().head
+    assert((tri0.getLong(0), tri0.getLong(1), tri0.getDouble(2)) ==
+      ((0L, 0L, 0.0)), tri0.toString)
+
     // 9 flat values + one spike: MAD=0 -> only the spike flags
     val out = Graft.madOutliers(
         (1 to 9).map(i => ("s", i, 5.0)).:+(("s", 10, 50.0))

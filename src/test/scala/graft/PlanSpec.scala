@@ -368,4 +368,42 @@ class PlanSpec extends SparkSuite {
       && !p.contains("BroadcastNestedLoopJoin"),
       "skyline must never plan the quadratic dominance join")
   }
+
+  test("pagerank scans lineitem once: adjacency persist feeds all subtrees") {
+    // the adjacency frame feeds p0 + every iteration join (≥3 subtrees);
+    // without the persist each consumer would re-derive the basket
+    // explode and re-scan lineitem. Task input records across the WHOLE
+    // query (scan + 3 cached adjacency reads) must therefore stay within
+    // a small multiple of one lineitem pass — a re-scan would at least
+    // double it.
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    val liRows = Tables.lineitem(spark, sf).count()
+    // a prior suite may have cached an IDENTICAL adjacency frame (the
+    // CacheManager dedupes by plan), which would satisfy this query with
+    // zero lineitem input and starve the counter — start cold
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("graph_pagerank_copurchase")(spark, sf).collect()
+      // listener events are async: wait until the counter is stable
+      var last = -1L; var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(100); spins += 1
+      }
+      val r = read.get()
+      // one lineitem pass + cached adjacency re-reads (O(parts) ≪ rows)
+      assert(r < (1.5 * liRows).toLong,
+        s"pagerank read $r input records for $liRows lineitem rows — " +
+          "the adjacency cache is not being reused")
+      assert(r >= liRows, s"listener undercounted: $r < $liRows")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

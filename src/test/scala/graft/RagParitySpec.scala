@@ -51,6 +51,12 @@ class RagParitySpec extends SparkSuite {
       val prompt = r.getAs[String]("prompt")
       assert(prompt.contains("What is the capital of France?"))
       assert(!prompt.contains("{{question}}") && !prompt.contains("{{information}}"))
+      // template fidelity golden (RAG.java:67-74): the persona + refusal
+      // preamble is carried verbatim, curly quotes and all — the LLM-visible
+      // answer-style contract a reference user depends on
+      assert(prompt.startsWith("You are Blip-Blop, an expert home-care " +
+        "assistant. Strictly follow ALL provided context. If the context " +
+        "is insufficient, answer “I don’t know:\n"), prompt.take(200))
       // determinism: running the same question again appends an identical row
       val questions2 = MemoryStream[String]
       questions2.addData("What is the capital of France?")

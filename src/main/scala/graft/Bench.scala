@@ -1,6 +1,129 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed pure-JVM integer workload (no Spark, no IO, no allocation) —
+    * the calibration probe. Public-in-graft so both calibrations and the
+    * guard spec share the identical kernel.
+    */
+  private def probePass(n: Int): Long = {
+    var acc = 0L; var j = 0
+    while (j < n) { acc += (j * 2654435761L) ^ (acc >>> 13); j += 1 }
+    acc
+  }
+
+  /** Seconds for `threads` concurrent copies of the fixed probe to ALL
+    * complete. threads=1 is the idle single-thread calibration (host
+    * single-thread speed — varies ~1.8× across VM boots/placements).
+    * threads=N is the LOADED calibration: the same probe under full-width
+    * concurrency, which is the condition the sweep actually runs in.
+    * r8 showed the idle probe under-correcting loaded sweeps (calib ratio
+    * 1.39 while untouched-query process-CPU inflated 2.4–3.4× under the
+    * 32-thread sweep — SMT-sibling/throttle pressure only visible under
+    * load); the loaded probe measures exactly that pressure.
+    */
+  private def calibrate(threads: Int): Double = {
+    var sink = probePass(20000000) // JIT warm-up pass
+    val t0 = System.nanoTime()
+    if (threads <= 1) sink ^= probePass(400000000)
+    else {
+      val acc = new java.util.concurrent.atomic.AtomicLong(sink)
+      val ts = (1 to threads).map { _ =>
+        new Thread(() => { acc.addAndGet(probePass(400000000)); () })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      sink ^= acc.get()
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (sink == 42) System.err.println("") // defeat dead-code elim
+    dt
+  }
+
+  /** Cross-round regression adjudication, pure and unit-testable
+    * (BenchGuardSpec). Inputs: the committed BENCH_DETAIL artifact and the
+    * current run's (name, wall, cpu) triples + calibrations. Returns
+    * (flags, notes): flags are per-query `[bench-regress]` lines, notes are
+    * informational host-adjudication lines.
+    *
+    * Decision rule (r8 verdict ask #1): a query flags only when BOTH its
+    * wall AND its process-CPU regressed beyond what the host explains.
+    * Host speed is estimated from THREE signals, the largest of which wins:
+    *  - idle calib ratio (single-thread placement speed),
+    *  - loaded calib ratio (full-width SMT/throttle pressure — what the
+    *    idle probe provably misses),
+    *  - the FLEET-MEDIAN per-query cpu ratio (cpu_now/cpu_committed over
+    *    every query): placement pressure inflates every query's cpu
+    *    together, while a code regression is per-query — the median is
+    *    robust to a handful of genuine regressions.
+    * No >=1.0 clamp (ADVICE r8): on a faster host than the committed
+    * baseline the ratio drops BELOW 1 and the thresholds tighten, so a
+    * baseline committed from a slow placement no longer masks real
+    * regressions up to the placement factor.
+    */
+  private[graft] def guardFlags(prior: String,
+      results: Seq[(String, Double, Double)],
+      calib: Double, calibLoaded: Double,
+      sfDir: String): (Seq[String], Seq[String]) = {
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val sameSf = prior.contains(s""""sf":"$sfDir"""")
+    def block(key: String): Map[String, Double] = {
+      val i = prior.indexOf("\"" + key + "\":{")
+      if (i < 0) Map.empty
+      else {
+        val b = prior.substring(i + key.length + 4, prior.indexOf("}", i))
+        """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(b)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    def scalar(key: String): Option[Double] =
+      ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(prior)
+        .map(_.group(1).toDouble)
+    if (!sameSf) (Nil, Nil)
+    else {
+      val priorWall = block("queries")
+      val priorCpu = block("queries_cpu")
+      if (priorWall.isEmpty) (Nil, Nil)
+      else {
+        val idleRatio = scalar("calib").map(calib / _).getOrElse(1.0)
+        val loadedRatio = scalar("calib_loaded").map(calibLoaded / _)
+          .getOrElse(idleRatio)
+        // fleet-median cpu inflation: only queries big enough for the
+        // ratio to be signal (>=0.05 s committed cpu)
+        val cpuRatios = results.flatMap { case (n, _, c) =>
+          priorCpu.get(n).filter(_ >= 0.05).map(pc => c / pc)
+        }.sorted
+        val fleetRatio =
+          if (cpuRatios.isEmpty) 1.0 else cpuRatios(cpuRatios.size / 2)
+        val hostRatio = math.max(idleRatio, math.max(loadedRatio, fleetRatio))
+        val notes = Seq.newBuilder[String]
+        if (hostRatio > 1.3 || hostRatio < 0.77)
+          notes += f"[bench-host] host-speed ratio vs committed baseline: " +
+            f"idle-calib $idleRatio%.2f, loaded-calib $loadedRatio%.2f, " +
+            f"fleet-median-cpu $fleetRatio%.2f — normalizing by " +
+            f"$hostRatio%.2f (placement, not code)"
+        val flags = results.flatMap { case (name, t, c) =>
+          priorWall.get(name).flatMap { p =>
+            val wallRegress = t > 1.5 * hostRatio * p && t - p > 0.3
+            // cpu gate: placement-sensitive but code-sensitive too — a
+            // real slowdown burns more cpu beyond the host normalization;
+            // absent a cpu baseline, fall back to the wall verdict alone
+            val cpuRegress = priorCpu.get(name) match {
+              case Some(pc) if pc > 0.0 =>
+                c > 1.5 * hostRatio * pc && c - pc > 0.3
+              case _ => true
+            }
+            if (wallRegress && cpuRegress)
+              Some(s"[bench-regress] $name: ${sec(p)} -> ${sec(t)} s " +
+                f"(host ratio $hostRatio%.2f applied)")
+            else None
+          }
+        }
+        (flags, notes.result())
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,44 +174,26 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
-    // Single-thread calibration: seconds for a FIXED pure-JVM integer
-    // workload (no Spark, no IO, no allocation). The bench sweep is
-    // planning-latency bound (~2 cores busy on local[32]), so its total
-    // scales with the host's single-thread speed — which varies ~1.8×
-    // across VM boots/placements on otherwise-idle guests (same commit
-    // measured 57 s on one boot, 85-105 s on the next, with per-query
-    // process-CPU inflated by the same factor: SMT/steal effects the
-    // guest can't see in load). Dividing total by (calib / committed
-    // calib) normalizes a cross-host comparison from the artifact alone.
-    def calibrate(): Double = {
-      def pass(n: Int): Long = {
-        var acc = 0L; var j = 0
-        while (j < n) { acc += (j * 2654435761L) ^ (acc >>> 13); j += 1 }
-        acc
-      }
-      var sink = pass(20000000) // JIT warm-up pass
-      val t0 = System.nanoTime()
-      sink ^= pass(400000000)
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (sink == 42) System.err.println("") // defeat dead-code elim
-      dt
-    }
-    val calib = calibrate()
+    // idle + loaded calibrations (see calibrate): idle first so its probe
+    // warms the JIT for the threaded copies
+    val calib = calibrate(1)
+    val calibLoaded = calibrate(math.max(2, cpus.toInt))
     // host-level iowait/steal jiffies (/proc/stat cpu line, fields 5+8):
     // process-CPU telemetry can't see time the whole GUEST lost to disk
     // waits or the hypervisor; the sweep-wide deltas ride in the artifact
-    // so a contended run is provable from the JSON alone (r8 observed the
-    // same commit at 98.6 s and 132 s within hours — calib ~flat, total
-    // process-CPU ~flat, wall inflated: scheduler/IO, not code).
-    def hostJiffies(): (Long, Long) =
+    // so a contended run is provable from the JSON alone. Option-typed
+    // (ADVICE r8): if EITHER read fails the delta is meaningless, so the
+    // fields and the contention flag are omitted rather than computed
+    // from absolute counters.
+    def hostJiffies(): Option[(Long, Long)] =
       try {
         val f = scala.io.Source.fromFile("/proc/stat")
         try {
           val p = f.getLines().next().trim.split("\\s+")
-          (p(5).toLong, p(8).toLong)
+          Some((p(5).toLong, p(8).toLong))
         } finally f.close()
-      } catch { case _: Throwable => (0L, 0L) }
-    val (io0, st0) = hostJiffies()
+      } catch { case _: Throwable => None }
+    val j0 = hostJiffies()
     // declared (SURVEY §2.2) order, NOT Map hash-order: per-query timings
     // are attributable and comparable round-over-round. Batch queries run
     // TWICE and report the min: a single transient stall (page-cache miss,
@@ -158,17 +263,21 @@ object Bench {
     val total = results.collect { case (_, v, _, _, None) => v }.sum
     val totalCpu = results.collect { case (_, _, c, _, None) => c }.sum
     val totalGc = results.collect { case (_, _, _, g, None) => g }.sum
-    val (io1, st1) = hostJiffies()
-    val (ioSec, stSec) = ((io1 - io0) / 100.0, (st1 - st0) / 100.0)
+    val busy = for ((i0, s0) <- j0; (i1, s1) <- hostJiffies())
+      yield ((i1 - i0) / 100.0, (s1 - s0) / 100.0)
     // loud, human-readable flag when the host provably interfered (r8f:
     // 140 s of steal during a 140 s sweep — same commit ran 94.6 s with
     // 1.2 s steal): consumers of the truncated stdout tail see it too
-    if (stSec + ioSec > 0.1 * total)
+    for ((ioSec, stSec) <- busy if stSec + ioSec > 0.1 * total)
       System.err.println(f"[bench-host] elevated steal ${stSec}%.1f s / " +
         f"iowait ${ioSec}%.1f s against ${total}%.1f s wall — " +
         "this run measures host contention, not engine cost")
-    val hostBusy = s""""iowait":${sec(ioSec)},"steal":${sec(stSec)}"""
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},$hostBusy,"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
+    val hostBusy = busy
+      .map { case (i, s) => s""""iowait":${sec(i)},"steal":${sec(s)},""" }
+      .getOrElse("")
+    val calibs =
+      s""""calib":${sec(calib)},"calib_loaded":${sec(calibLoaded)}"""
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},$calibs,$hostBusy"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
     println(detail)
     // Cross-round regression guard + full-detail artifact: the driver's
     // 2000-char stdout tail keeps only ~90 of the per-query timings, so
@@ -178,8 +287,10 @@ object Bench {
     // (r7: 131 s of IO noise on unchanged code), and comparing against it
     // would poison the next round's guard — a builder commits a detail
     // file only after a sane standalone run. Falls back to the working
-    // file outside a git checkout. Any query >1.5× slower (and >0.3 s
-    // absolute — sub-0.1 s timings are scheduler noise) flags on stderr.
+    // file outside a git checkout. Adjudication lives in guardFlags
+    // (unit-tested in BenchGuardSpec): wall AND cpu must both regress
+    // beyond the idle-calib / loaded-calib / fleet-median-cpu host
+    // normalization before a query flags.
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     def committedDetail(): Option[String] =
       try {
@@ -197,28 +308,12 @@ object Bench {
         else None
       }
       for (prior <- baseline) {
-        val sameSf = prior.contains(s""""sf":"$sfDir"""")
-        val qsBlock = prior.indexOf("\"queries\":{")
-        if (sameSf && qsBlock >= 0) {
-          val block = prior.substring(qsBlock + 11,
-            prior.indexOf("}", qsBlock))
-          val priorTimes = """"([^"]+)":([0-9.]+)""".r
-            .findAllMatchIn(block)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          // host-speed normalization: a slower VM placement slows EVERY
-          // query by the calib ratio; only flag what regressed beyond it
-          // (code regressions are per-query, host regressions uniform)
-          val hostRatio = """"calib":([0-9.]+)""".r.findFirstMatchIn(prior)
-            .map(m => math.max(1.0, calib / m.group(1).toDouble))
-            .getOrElse(1.0)
-          for ((name, t, _, _, err) <- results if err.isEmpty;
-               p <- priorTimes.get(name)
-               if t > 1.5 * hostRatio * p && t - p > 0.3)
-            System.err.println(
-              s"[bench-regress] $name: ${sec(p)} -> ${sec(t)} s" +
-                (if (hostRatio > 1.0) f" (host ratio $hostRatio%.2f applied)"
-                 else ""))
+        val triples = results.collect {
+          case (n, t, c, _, None) => (n, t, c)
         }
+        val (flags, notes) =
+          guardFlags(prior, triples, calib, calibLoaded, sfDir)
+        (notes ++ flags).foreach(System.err.println)
       }
       java.nio.file.Files.write(detailPath,
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -229,7 +324,7 @@ object Bench {
     // (BENCH parsed:null). This short LAST line (~150 chars) always sits
     // complete inside the tail window; cpu/gc ride along so even the
     // truncated view self-diagnoses a host-contended run (wall ≫ cpu).
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},"calib":${sec(calib)},$hostBusy,"failed":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},$calibs,$hostBusy"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the bench regression adjudicator (Bench.guardFlags) —
+  * the r8 verdict's acceptance criterion verbatim: a replayed CONTENDED
+  * run must produce zero false flags on untouched queries, while a
+  * deliberate 2× code slowdown in one query must still flag.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  /** Committed-baseline artifact with three queries (wall 1.0/2.0/0.5 s,
+    * cpu 2.0/4.0/1.0 s), idle calib 0.45, loaded calib 0.50.
+    */
+  private val prior =
+    """{"metric":"total","value":3.5,"unit":"sec","cpu":7.0,"gc":0.1,""" +
+      """"calib":0.45,"calib_loaded":0.50,"iowait":0.1,"steal":0.2,""" +
+      """"queries":{"qa":1.000,"qb":2.000,"qc":0.500},""" +
+      """"queries_cpu":{"qa":2.000,"qb":4.000,"qc":1.000},""" +
+      """"errors":{},"failed":0,"sf":"/root/testdata/sf0.1"}"""
+
+  private def flagsOf(results: Seq[(String, Double, Double)],
+      calib: Double, loaded: Double,
+      artifact: String = prior): Seq[String] =
+    Bench.guardFlags(artifact, results, calib, loaded, sf)._1
+
+  test("contended replay of untouched code: zero false flags") {
+    // the r8 pathology: idle calib barely moves (0.45 -> 0.62, ratio
+    // 1.38) while the loaded probe and every query's wall+cpu inflate
+    // 3x under SMT/steal pressure — placement, not code
+    val now = Seq(("qa", 3.0, 6.0), ("qb", 6.0, 12.0), ("qc", 1.5, 3.0))
+    assert(flagsOf(now, calib = 0.62, loaded = 1.50).isEmpty)
+  }
+
+  test("contention beyond what the loaded probe sees: fleet median covers") {
+    // r8's bimodal case: the probes under-correct (loaded ratio only
+    // 2.0) but the fleet-wide cpu inflation is 3.2x on every query —
+    // the median cpu ratio identifies it as placement, zero flags
+    val now =
+      Seq(("qa", 3.2, 6.4), ("qb", 6.4, 12.8), ("qc", 1.6, 3.2))
+    assert(flagsOf(now, calib = 0.62, loaded = 1.00).isEmpty)
+  }
+
+  test("deliberate 2.2x slowdown in one query on a clean host: flags it") {
+    val now = Seq(("qa", 1.0, 2.0), ("qb", 4.4, 8.8), ("qc", 0.5, 1.0))
+    val flags = flagsOf(now, calib = 0.45, loaded = 0.50)
+    assert(flags.size == 1 && flags.head.contains("qb"), flags.toString)
+  }
+
+  test("deliberate slowdown still flags UNDER 3x contention") {
+    // every query 3x from placement, qb an ADDITIONAL 2.2x from code
+    val now = Seq(("qa", 3.0, 6.0), ("qb", 13.2, 26.4), ("qc", 1.5, 3.0))
+    val flags = flagsOf(now, calib = 0.62, loaded = 1.50)
+    assert(flags.size == 1 && flags.head.contains("qb"), flags.toString)
+  }
+
+  test("fast host vs slow-placement baseline: no >=1.0 clamp, regression " +
+      "within the placement factor still flags") {
+    // ADVICE r8 (medium): baseline committed from a 1.65x-slow placement.
+    // Current host is ~1.67x FASTER (ratios 0.6); a query whose
+    // normalized cost doubled reads 1.32x the inflated baseline — under
+    // the old max(1.0, ratio) clamp that sat below the 1.5x threshold
+    // and was silently masked; unclamped, the 0.9x-tightened threshold
+    // catches it
+    val now = Seq(("qa", 0.6, 1.2), ("qb", 2.64, 5.28), ("qc", 0.3, 0.6))
+    val flags = flagsOf(now, calib = 0.27, loaded = 0.30)
+    assert(flags.size == 1 && flags.head.contains("qb"), flags.toString)
+  }
+
+  test("no calib_loaded in the committed artifact: falls back to idle " +
+      "calib without error") {
+    val legacy = prior.replace(""""calib_loaded":0.50,""", "")
+    val now = Seq(("qa", 1.0, 2.0), ("qb", 4.4, 8.8), ("qc", 0.5, 1.0))
+    val flags = flagsOf(now, calib = 0.45, loaded = 0.50, artifact = legacy)
+    assert(flags.size == 1 && flags.head.contains("qb"), flags.toString)
+  }
+
+  test("different sf or missing queries block: guard stays silent") {
+    val now = Seq(("qa", 9.0, 18.0))
+    assert(Bench.guardFlags(prior, now, 0.45, 0.50,
+      "/root/testdata/sf0.01")._1.isEmpty)
+    assert(Bench.guardFlags("""{"metric":"total","value":1.0}""",
+      now, 0.45, 0.50, sf)._1.isEmpty)
+  }
+
+  test("sub-threshold absolute deltas never flag (scheduler noise floor)") {
+    // qc doubles but only by 0.5 -> 1.1 s wall... wait, that's >0.3 —
+    // use a genuinely tiny query: +0.2 s absolute stays under the floor
+    val tiny = prior
+      .replace(""""qc":0.500},""", """"qc":0.200},""")
+    val now = Seq(("qa", 1.0, 2.0), ("qb", 2.0, 4.0), ("qc", 0.4, 0.8))
+    assert(flagsOf(now, calib = 0.45, loaded = 0.50,
+      artifact = tiny).isEmpty)
+  }
+}

@@ -95,6 +95,17 @@ object Bench {
         }.sorted
         val fleetRatio =
           if (cpuRatios.isEmpty) 1.0 else cpuRatios(cpuRatios.size / 2)
+        // load-triggered steal inflates queries BIMODALLY (r8/r9: some
+        // 0.7×, some 3× in the same sweep), so the fleet's p90 bounds the
+        // contention envelope a single median can't: the cpu gate widens
+        // to 1.4×p90 when the distribution is wide, and collapses to the
+        // plain 1.5× threshold on a quiet host where p90 ≈ 1. Tradeoff: a
+        // code regression touching >10% of queries shifts the envelope
+        // itself and is adjudicated by the TOTAL, not per-query flags.
+        val fleetP90 =
+          if (cpuRatios.isEmpty) 1.0
+          else cpuRatios(math.min(cpuRatios.size - 1,
+            (0.9 * (cpuRatios.size - 1)).toInt))
         val hostRatio = math.max(idleRatio, math.max(loadedRatio, fleetRatio))
         val notes = Seq.newBuilder[String]
         if (hostRatio > 1.3 || hostRatio < 0.77)
@@ -110,7 +121,8 @@ object Bench {
             // absent a cpu baseline, fall back to the wall verdict alone
             val cpuRegress = priorCpu.get(name) match {
               case Some(pc) if pc > 0.0 =>
-                c > 1.5 * hostRatio * pc && c - pc > 0.3
+                c > math.max(1.5 * hostRatio, 1.4 * fleetP90) * pc &&
+                  c - pc > 0.3
               case _ => true
             }
             if (wallRegress && cpuRegress)

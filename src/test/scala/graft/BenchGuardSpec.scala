@@ -43,6 +43,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(flagsOf(now, calib = 0.62, loaded = 1.00).isEmpty)
   }
 
+  test("BIMODAL load-triggered steal: inflated minority under the fleet " +
+      "p90 envelope, zero false flags") {
+    // the r9 replay pathology: steal appears only under load and hits a
+    // MINORITY of queries 3x while the rest run flat — the median can't
+    // see it (1.0) and the probes barely move (1.4), but the fleet p90
+    // widens the cpu gate past the inflated tail
+    val prior6 =
+      """{"metric":"total","value":6.0,"unit":"sec","cpu":12.0,"gc":0.1,""" +
+        """"calib":0.45,"calib_loaded":0.50,""" +
+        """"queries":{"qa":1.000,"qb":1.000,"qc":1.000,"qd":1.000,""" +
+        """"qe":1.000,"qf":1.000},""" +
+        """"queries_cpu":{"qa":2.000,"qb":2.000,"qc":2.000,"qd":2.000,""" +
+        """"qe":2.000,"qf":2.000},""" +
+        """"errors":{},"failed":0,"sf":"/root/testdata/sf0.1"}"""
+    val now = Seq(("qa", 1.0, 2.0), ("qb", 1.0, 2.0), ("qc", 1.0, 2.0),
+      ("qd", 1.0, 2.0), ("qe", 3.0, 6.0), ("qf", 3.0, 6.0))
+    assert(flagsOf(now, calib = 0.63, loaded = 0.70,
+      artifact = prior6).isEmpty)
+  }
+
   test("deliberate 2.2x slowdown in one query on a clean host: flags it") {
     val now = Seq(("qa", 1.0, 2.0), ("qb", 4.4, 8.8), ("qc", 0.5, 1.0))
     val flags = flagsOf(now, calib = 0.45, loaded = 0.50)

@@ -63,15 +63,20 @@ object Bench {
   private[graft] def guardFlags(prior: String,
       results: Seq[(String, Double, Double)],
       calib: Double, calibLoaded: Double,
-      sfDir: String): (Seq[String], Seq[String]) = {
+      sfDir: String,
+      currentStealFrac: Double = 0.0): (Seq[String], Seq[String]) = {
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val sameSf = prior.contains(s""""sf":"$sfDir"""")
     def block(key: String): Map[String, Double] = {
       val i = prior.indexOf("\"" + key + "\":{")
-      if (i < 0) Map.empty
+      val end = if (i < 0) -1 else prior.indexOf("}", i)
+      // end < 0: the committed snapshot was truncated mid-block (the driver
+      // captures a bounded stdout tail; a hand-committed partial file has
+      // happened) — treat as no baseline rather than throwing out of main.
+      if (i < 0 || end < 0) Map.empty
       else {
-        val b = prior.substring(i + key.length + 4, prior.indexOf("}", i))
+        val b = prior.substring(i + key.length + 4, end)
         """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(b)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
@@ -79,7 +84,15 @@ object Bench {
     def scalar(key: String): Option[Double] =
       ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(prior)
         .map(_.group(1).toDouble)
-    if (!sameSf) (Nil, Nil)
+    // r10 lesson: a 28%-steal run produced six per-query flags on untouched
+    // code — noise presented as signal. When the CURRENT run is provably
+    // contended, per-query adjudication is impossible; say so once and emit
+    // no flags at all (the TOTAL + steal fields still ride in the artifact).
+    if (currentStealFrac > 0.10)
+      (Nil, Seq(f"[bench-host] unadjudicable: current run lost " +
+        f"${currentStealFrac * 100}%.0f%% of wall to steal/iowait — " +
+        "skipping per-query regression flags (re-run on a quieter host)"))
+    else if (!sameSf) (Nil, Nil)
     else {
       val priorWall = block("queries")
       val priorCpu = block("queries_cpu")
@@ -323,8 +336,12 @@ object Bench {
         val triples = results.collect {
           case (n, t, c, _, None) => (n, t, c)
         }
+        val stealFrac = busy match {
+          case Some((i, s)) if total > 0 => (i + s) / total
+          case _ => 0.0
+        }
         val (flags, notes) =
-          guardFlags(prior, triples, calib, calibLoaded, sfDir)
+          guardFlags(prior, triples, calib, calibLoaded, sfDir, stealFrac)
         (notes ++ flags).foreach(System.err.println)
       }
       java.nio.file.Files.write(detailPath,

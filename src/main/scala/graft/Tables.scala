@@ -16,12 +16,90 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.sql.files.maxPartitionBytes`.
   */
 object Tables {
+  import org.apache.spark.sql.types._
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** FIXTURES.md as code: column name → acceptable scanned dtypes, per table.
+    * Timestamp columns have shipped as TIMESTAMP, TIMESTAMP_NTZ, and (events
+    * nanos-era, under the legacy conf) LONG — all three are accepted and the
+    * readers normalize; anything else is a regeneration we haven't seen, and
+    * the 57-query opaque wreckage of round 10 showed that failing loudly at
+    * the first read beats letting analysis errors name the symptom.
+    */
+  private val tsLike: Set[DataType]  = Set(TimestampType, TimestampNTZType)
+  private val contract: Map[String, Seq[(String, Set[DataType])]] = Map(
+    "region"     -> Seq("r_regionkey" -> Set(IntegerType), "r_name" -> Set(StringType)),
+    "nation"     -> Seq("n_nationkey" -> Set(IntegerType), "n_name" -> Set(StringType),
+                        "n_regionkey" -> Set(IntegerType)),
+    "customer"   -> Seq("c_custkey" -> Set(LongType), "c_name" -> Set(StringType),
+                        "c_nationkey" -> Set(IntegerType), "c_acctbal" -> Set(DoubleType),
+                        "c_mktsegment" -> Set(StringType)),
+    "supplier"   -> Seq("s_suppkey" -> Set(LongType), "s_name" -> Set(StringType),
+                        "s_nationkey" -> Set(IntegerType), "s_acctbal" -> Set(DoubleType)),
+    "part"       -> Seq("p_partkey" -> Set(LongType), "p_name" -> Set(StringType),
+                        "p_brand" -> Set(StringType), "p_type" -> Set(StringType),
+                        "p_size" -> Set(IntegerType), "p_retailprice" -> Set(DoubleType)),
+    "orders"     -> Seq("o_orderkey" -> Set(LongType), "o_custkey" -> Set(LongType),
+                        "o_orderstatus" -> Set(StringType), "o_totalprice" -> Set(DoubleType),
+                        "o_orderdate" -> tsLike, "o_orderpriority" -> Set(StringType)),
+    "lineitem"   -> Seq("l_orderkey" -> Set(LongType), "l_partkey" -> Set(LongType),
+                        "l_suppkey" -> Set(LongType), "l_linenumber" -> Set(IntegerType),
+                        "l_quantity" -> Set(DoubleType), "l_extendedprice" -> Set(DoubleType),
+                        "l_discount" -> Set(DoubleType), "l_tax" -> Set(DoubleType),
+                        "l_returnflag" -> Set(StringType), "l_linestatus" -> Set(StringType),
+                        "l_shipdate" -> tsLike),
+    "events"     -> Seq("event_id" -> Set(LongType), "ts" -> (tsLike + LongType),
+                        "user_id" -> Set(LongType), "event_type" -> Set(StringType),
+                        "value" -> Set(DoubleType), "props" -> Set(StringType)),
+    "documents"  -> Seq("doc_id" -> Set(LongType), "text" -> Set(StringType),
+                        "lang" -> Set(StringType), "source" -> Set(StringType),
+                        "n_chars" -> Set(LongType)),
+    "embeddings" -> Seq("vec_id" -> Set(LongType),
+                        "embedding" -> Set(ArrayType(FloatType, containsNull = true),
+                                           ArrayType(FloatType, containsNull = false)),
+                        "label" -> Set(IntegerType)))
+
+  /** (sfDir, table) pairs already validated this JVM — the contract check is
+    * a footer read, but there's no reason to repeat it per query.
+    */
+  private val checked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertContract(name: String, schema: StructType, path: String): Unit =
+    contract.get(name).foreach { want =>
+      val got = schema.fields.map(f => f.name -> f.dataType).toMap
+      want.foreach { case (col, ok) =>
+        got.get(col) match {
+          case None =>
+            throw new IllegalStateException(
+              s"fixture schema drift: $path is missing column '$col' " +
+              s"(expected one of ${ok.map(_.simpleString).mkString("/")}; " +
+              s"found columns: ${schema.fieldNames.mkString(", ")})")
+          case Some(t) if !ok.contains(t) =>
+            throw new IllegalStateException(
+              s"fixture schema drift: $path column '$col' is ${t.simpleString}, " +
+              s"expected one of ${ok.map(_.simpleString).mkString("/")}")
+          case _ => ()
+        }
+      }
+    }
+
+  /** Test hook: run the contract check on an arbitrary schema. */
+  private[graft] def assertContractForTest(
+      name: String, schema: StructType, path: String): Unit =
+    assertContract(name, schema, path)
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val key = s"$sfDir/$name"
+    if (!checked.contains(key)) {
+      assertContract(name, df.schema, s"$sfDir/$name.parquet")
+      checked.add(key)
+    }
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -30,17 +108,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and rebuild
-    * a proper TIMESTAMP with integer µs division — lossless here (generator
-    * emits µs-aligned values) and exact by construction (`div`, never
-    * double division: ns-epoch ≈ 1.7e18 > 2^53).
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects, so it arrives as a raw-nanos LONG
+    * under the legacy conf) and plain timestamp[us] (which arrives as
+    * TIMESTAMP or TIMESTAMP_NTZ depending on isAdjustedToUTC). Adapt to
+    * whatever the scan produces instead of assuming one encoding:
+    *   - LongType → rebuild with integer µs division (exact: `div`, never
+    *     double division — ns-epoch ≈ 1.7e18 > 2^53; generator emits
+    *     µs-aligned values so the truncation is lossless);
+    *   - TIMESTAMP_NTZ → cast to session-tz TIMESTAMP (value-identical
+    *     under the UTC session timezone all entry points set);
+    *   - TIMESTAMP → pass through.
+    * Every downstream query thus always sees `ts: TIMESTAMP`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

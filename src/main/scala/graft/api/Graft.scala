@@ -533,4 +533,35 @@ object Graft {
   def madOutliers(df: DataFrame, seriesCol: String, valueCol: String,
       k: Double = 3.0): DataFrame =
     graft.operators.Analytics.madOutliersOf(df, seriesCol, valueCol, k)
+
+  /** ABC (Pareto 70/90) classification of `items` (keyCol, revCol) by
+    * cumulative revenue share → (abc_class, n_items, class_revenue).
+    * approx=false: exact running share — ONE single-partition sort over
+    * O(items) rows; right while the item domain is bounded (parts, SKUs).
+    * approx=true: the 100×-domain route — an `approx_percentile`
+    * histogram buckets items map-side and the running share runs over
+    * ≤`bins` bucket rows, so no task ever sorts the item domain; error
+    * is at most one bucket's revenue at each class boundary.
+    */
+  def abcClasses(items: DataFrame, keyCol: String, revCol: String,
+      approx: Boolean = false, bins: Int = 256): DataFrame =
+    if (approx)
+      graft.operators.Analytics.abcApproxOf(items, keyCol, revCol, bins)
+    else graft.operators.Analytics.abcExactOf(items, keyCol, revCol)
+
+  /** Per-user RFM quintile scores over purchase events →
+    * (user, r_score, f_score, m_score), each 1–5.
+    * approx=false: `ntile(5)` over three global orderings (exact equal-
+    * width quintiles; three single-partition sorts over O(users) rows).
+    * approx=true: the 100×-user route — quintile boundaries from one
+    * mergeable `approx_percentile` sketch per metric, scored map-side
+    * against the broadcast boundaries; no global sort, with ties landing
+    * in one bucket instead of being force-split (scores can differ from
+    * ntile by ±1 at bucket boundaries).
+    */
+  def rfmScores(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String,
+      approx: Boolean = false): DataFrame =
+    graft.operators.Analytics.rfmScoresOf(
+      events, userCol, tsCol, typeCol, valueCol, exact = !approx)
 }

@@ -399,6 +399,122 @@ object Analytics {
         :+ col("__mad").as("mad"): _*)
   }
 
+  /** Exact ABC (Pareto) classification of `items` by cumulative revenue
+    * share: the running-share window is a SINGLE-PARTITION sort over
+    * O(items) rows — exact, and fine while the item domain (parts, SKUs)
+    * is bounded, but the first thing to outgrow a task at 100× the
+    * domain. [[abcApproxOf]] is the scale route.
+    * Returns (abc_class, n_items, class_revenue) ordered by class.
+    */
+  private[graft] def abcExactOf(items: DataFrame, keyCol: String,
+      revCol: String): DataFrame = {
+    val ord = Window.orderBy(col(revCol).desc, col(keyCol))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    items.select(col(revCol).as("__rev"),
+        (sum(col(revCol)).over(wCum).cast("double")
+          / sum(col(revCol)).over(wAll).cast("double")).as("__cum"))
+      .select(col("__rev"),
+        when(col("__cum") <= 0.7, "A")
+          .when(col("__cum") <= 0.9, "B")
+          .otherwise("C").as("abc_class"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__rev")).cast("double").as("class_revenue"))
+      .orderBy("abc_class")
+  }
+
+  /** Scale route for [[abcExactOf]]: revenue-weighted cumulative share via
+    * an approx-quantile histogram. One mergeable `approx_percentile`
+    * sketch yields `bins` boundaries; items bucket map-side against the
+    * broadcast boundary array (O(bins) codegen'd HOF per row, no sort);
+    * the running-share window then runs over ≤`bins` bucket rows instead
+    * of O(items) — bounded regardless of domain size. Error is at most
+    * one bucket's revenue at each class boundary.
+    * Returns (abc_class, n_items, class_revenue) ordered by class.
+    */
+  private[graft] def abcApproxOf(items: DataFrame, keyCol: String,
+      revCol: String, bins: Int = 256): DataFrame = {
+    val r = items.select(col(revCol).cast("double").as("__rev"))
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val bounds = r.agg(expr(
+      s"approx_percentile(__rev, array(${qs.mkString(",")}), 10000)")
+      .as("__bs"))
+    val perBin = r.crossJoin(broadcast(bounds))
+      .select(col("__rev"),
+        expr("aggregate(__bs, 0, (acc, b) -> acc + IF(__rev > b, 1, 0))")
+          .as("__bin"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("__n"), sum(col("__rev")).as("__binrev"))
+    val ordB = Window.orderBy(col("__bin").desc)
+    val wCum = ordB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = ordB.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perBin.select(col("__n"), col("__binrev"),
+        (sum(col("__binrev")).over(wCum)
+          / sum(col("__binrev")).over(wAll)).as("__cum"))
+      .select(col("__n"), col("__binrev"),
+        when(col("__cum") <= 0.7, "A")
+          .when(col("__cum") <= 0.9, "B")
+          .otherwise("C").as("abc_class"))
+      .groupBy("abc_class")
+      .agg(sum(col("__n")).as("n_items"),
+        sum(col("__binrev")).cast("double").as("class_revenue"))
+      .orderBy("abc_class")
+  }
+
+  /** Per-user RFM scores over a purchase-shaped event frame.
+    * exact=true: `ntile(5)` over three GLOBAL orderings — three
+    * single-partition sorts over O(users) rows (fine at a bounded user
+    * domain, the scale watch-item at 100×). exact=false: quintile
+    * boundaries from one mergeable `approx_percentile` sketch per metric,
+    * scored map-side against the broadcast boundaries — no global sort
+    * anywhere; ties land in one bucket instead of being force-split, so
+    * scores can differ from ntile by ±1 around boundaries.
+    * Returns (user, r_score, f_score, m_score).
+    */
+  private[graft] def rfmScoresOf(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, valueCol: String,
+      exact: Boolean): DataFrame = {
+    val pu = events.where(col(typeCol) === "purchase")
+      .groupBy(col(userCol).as("user"))
+      .agg(max(unix_micros(col(tsCol))).as("last_tus"),
+        count(lit(1)).as("freq"),
+        sum(col(valueCol).cast("decimal(12,2)"))
+          .cast("double").as("monetary"))
+    val mx = pu.agg(max(col("last_tus")).as("mt"))
+    val m = pu.crossJoin(broadcast(mx))
+      .withColumn("recency_gap", col("mt") - col("last_tus"))
+    if (exact)
+      m.select(col("user"),
+        ntile(5).over(Window.orderBy(col("recency_gap"), col("user")))
+          .as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq"), col("user")))
+          .as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary"), col("user")))
+          .as("m_score"))
+    else {
+      // all three ntiles order ASC (small gap = recent = r_score 1), so
+      // every score is 1 + the number of quintile boundaries below the
+      // metric value
+      val bs = m.agg(
+        expr("approx_percentile(recency_gap, array(0.2,0.4,0.6,0.8), 10000)")
+          .as("__rb"),
+        expr("approx_percentile(freq, array(0.2,0.4,0.6,0.8), 10000)")
+          .as("__fb"),
+        expr("approx_percentile(monetary, array(0.2,0.4,0.6,0.8), 10000)")
+          .as("__mb"))
+      m.crossJoin(broadcast(bs)).select(col("user"),
+        expr("1 + aggregate(__rb, 0, (a, b) -> a + IF(recency_gap > b, 1, 0))")
+          .as("r_score"),
+        expr("1 + aggregate(__fb, 0, (a, b) -> a + IF(freq > b, 1, 0))")
+          .as("f_score"),
+        expr("1 + aggregate(__mb, 0, (a, b) -> a + IF(monetary > b, 1, 0))")
+          .as("m_score"))
+    }
+  }
+
   // ---------------------------------------------------------------------
 
   val defs: Seq[Q] = Seq(
@@ -1703,23 +1819,11 @@ object Analytics {
       // total = a full-frame sum over the SAME single-partition window
       // pass that computes the running sum — one part-level window
       // operator instead of a second lineitem aggregation branch + a
-      // scalar crossJoin (pr fed two consumers and was re-derived)
-      val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
-      val wCum = ord.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      val wAll = ord.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val run = pr.select(col("rev"),
-        (sum(col("rev")).over(wCum).cast("double")
-          / sum(col("rev")).over(wAll).cast("double")).as("cum_share"))
-      run.select(col("rev"),
-          when(col("cum_share") <= 0.7, "A")
-            .when(col("cum_share") <= 0.9, "B")
-            .otherwise("C").as("abc_class"))
-        .groupBy("abc_class")
-        .agg(count(lit(1)).as("n_parts"),
-          sum(col("rev")).cast("double").as("class_revenue"))
-        .orderBy("abc_class")
+      // scalar crossJoin (pr fed two consumers and was re-derived).
+      // At 100× the part domain, Graft.abcClasses(approx = true) is the
+      // route: same answer shape from an O(bins) window (see abcApproxOf).
+      abcExactOf(pr, "l_partkey", "rev")
+        .withColumnRenamed("n_items", "n_parts")
     },
 
     // Robust (median/MAD) hourly outlier detection per series — the

@@ -48,15 +48,17 @@ object Streams {
           org.apache.spark.sql.types.StringType))))
       .parquet(dir)
 
-  /** The events table as a file stream (same µs-rebuild as Tables.events —
-    * parquet TIMESTAMP(NANOS) is read as long and rebuilt). The file
-    * source wants a directory, and the fixture is a single file — a temp
-    * dir with one symlink bridges that (created once per (session, sf)).
+  /** The events table as a file stream (same type-adaptive ts handling as
+    * Tables.events — nanos-as-long fixtures get the µs rebuild, timestamp
+    * fixtures pass through / NTZ-cast). The file source wants a directory,
+    * and the fixture is a single file — a temp dir with one symlink bridges
+    * that (created once per (session, sf)).
     */
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$sfDir/events.parquet").schema
     val dir = streamDirs.computeIfAbsent(sfDir, { _ =>
@@ -66,8 +68,12 @@ object Streams {
         java.nio.file.Paths.get(s"$sfDir/events.parquet"))
       d.toString
     })
-    s.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.readStream.schema(schema).parquet(dir)
+    schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 
   /** The documents table as a file stream (same symlink bridge as

@@ -502,4 +502,55 @@ class ApiSpec extends SparkSuite {
     assert(out.map(_.getInt(1)).toSeq == Seq(10), out.toSeq.toString)
     assert(out.head.getDouble(3) == 5.0 && out.head.getDouble(4) == 0.0)
   }
+
+  test("abcClasses approx route matches exact at fixture scale") {
+    val pr = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("rev"))
+    def byClass(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val exact = byClass(Graft.abcClasses(pr, "l_partkey", "rev"))
+    val approx = byClass(
+      Graft.abcClasses(pr, "l_partkey", "rev", approx = true))
+    // conservation: both routes partition the SAME items and revenue
+    assert(exact.values.map(_._1).sum == approx.values.map(_._1).sum)
+    val revE = exact.values.map(_._2).sum
+    val revA = approx.values.map(_._2).sum
+    assert(math.abs(revE - revA) / revE < 1e-9, s"$revE vs $revA")
+    // per-class: with bins >= items the histogram boundaries resolve
+    // nearly every item — classes agree within one boundary bucket
+    Seq("A", "B", "C").foreach { c =>
+      val (ne, re) = exact(c); val (na, ra) = approx(c)
+      assert(math.abs(ne - na) <= math.max(3L, ne / 10),
+        s"class $c counts: exact $ne approx $na")
+      assert(math.abs(re - ra) / revE < 0.05,
+        s"class $c revenue: exact $re approx $ra")
+    }
+  }
+
+  test("rfmScores approx route stays within one quintile of ntile") {
+    val ev = Tables.events(spark, sf)
+    val exact = Graft.rfmScores(ev, "user_id", "ts", "event_type", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val approx = Graft.rfmScores(ev, "user_id", "ts", "event_type",
+        "value", approx = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(exact.keySet == approx.keySet)
+    assert(exact.nonEmpty)
+    // ties are force-split by ntile but pooled by the boundary route, so
+    // individual scores may differ — bounded by one quintile for nearly
+    // all users, and every score stays in 1..5
+    def close(a: Int, b: Int) = math.abs(a - b) <= 1
+    val offByMoreThan1 = exact.count { case (u, (r1, f1, m1)) =>
+      val (r2, f2, m2) = approx(u)
+      Seq(r2, f2, m2).foreach(s => assert(s >= 1 && s <= 5))
+      !(close(r1, r2) && close(f1, f2) && close(m1, m2))
+    }
+    assert(offByMoreThan1 <= math.max(1, exact.size / 5),
+      s"$offByMoreThan1 of ${exact.size} users off by >1 quintile")
+  }
 }

@@ -114,4 +114,36 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(flagsOf(now, calib = 0.45, loaded = 0.50,
       artifact = tiny).isEmpty)
   }
+
+  test("high-steal CURRENT run: unadjudicable note, zero per-query flags") {
+    // the r10 pathology: 28% of wall lost to steal — six untouched
+    // queries flagged. The guard must refuse to adjudicate per-query
+    // instead of presenting noise as signal, even with a genuine-looking
+    // 9x slowdown in the inputs.
+    val now = Seq(("qa", 9.0, 18.0), ("qb", 2.0, 4.0), ("qc", 0.5, 1.0))
+    val (flags, notes) =
+      Bench.guardFlags(prior, now, 0.45, 0.50, sf, currentStealFrac = 0.28)
+    assert(flags.isEmpty)
+    assert(notes.exists(_.contains("unadjudicable")))
+  }
+
+  test("low-steal current run still adjudicates: slowdown flags normally") {
+    val now = Seq(("qa", 2.2, 4.4), ("qb", 2.0, 4.0), ("qc", 0.5, 1.0))
+    val (flags, notes) =
+      Bench.guardFlags(prior, now, 0.45, 0.50, sf, currentStealFrac = 0.05)
+    assert(flags.exists(_.contains("qa")))
+    assert(!notes.exists(_.contains("unadjudicable")))
+  }
+
+  test("truncated committed snapshot (no closing brace): silent no-baseline") {
+    // a bounded stdout tail once produced a detail file cut mid-block —
+    // block() must treat it as no baseline, not throw out of main. The
+    // sf field is placed BEFORE the cut so the sameSf gate passes and
+    // the truncated-queries path is the one actually exercised.
+    val cut = """{"metric":"total","sf":"/root/testdata/sf0.1",""" +
+      """"calib":0.45,"queries":{"qa":1.0"""
+    val now = Seq(("qa", 9.0, 18.0))
+    val (flags, notes) = Bench.guardFlags(cut, now, 0.45, 0.50, sf)
+    assert(flags.isEmpty && notes.isEmpty)
+  }
 }

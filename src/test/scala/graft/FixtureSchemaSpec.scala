@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** FIXTURES.md-as-code gate: pins the driver-generated parquet dtypes so a
+  * fixture regeneration that changes a type fails HERE, loudly, with the
+  * table/column/expected/found in one line — instead of surfacing as dozens
+  * of opaque analysis errors downstream (the round-10 `events.ts`
+  * TIMESTAMP(NANOS)→timestamp[us] regeneration killed 57 queries that way).
+  */
+class FixtureSchemaSpec extends SparkSuite {
+
+  test("every fixture table passes the Tables contract at sf0.001") {
+    Tables.names.foreach { t =>
+      // table() itself asserts the contract on first read and throws a
+      // one-line IllegalStateException on drift.
+      val df = Tables.table(spark, sf, t)
+      assert(df.schema.fields.nonEmpty, s"$t read an empty schema")
+    }
+  }
+
+  test("events.ts arrives as a supported encoding and normalizes to TIMESTAMP") {
+    val raw = Tables.table(spark, sf, "events").schema("ts").dataType
+    assert(
+      raw == TimestampType || raw == TimestampNTZType || raw == LongType,
+      s"events.ts scanned as ${raw.simpleString} — reader has no branch for this")
+    // Whatever the fixture era, the normalized reader must always hand
+    // downstream queries a session-TZ TIMESTAMP named ts.
+    assert(Tables.events(spark, sf).schema("ts").dataType == TimestampType)
+  }
+
+  test("contract violation names table, column, expected and found types") {
+    val bad = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", IntegerType),      // drifted: STRING -> INT
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val ex = intercept[IllegalStateException] {
+      // package-private test hook — same code path table() runs on first read
+      Tables.assertContractForTest("documents", bad, "<synthetic>/documents.parquet")
+    }
+    assert(ex.getMessage.contains("documents.parquet"))
+    assert(ex.getMessage.contains("'text'"))
+    assert(ex.getMessage.contains("int"))
+    assert(ex.getMessage.contains("string"))
+  }
+
+  test("missing column is reported by name") {
+    val bad = StructType(Seq(StructField("r_regionkey", IntegerType)))
+    val ex = intercept[IllegalStateException] {
+      Tables.assertContractForTest("region", bad, "<synthetic>/region.parquet")
+    }
+    assert(ex.getMessage.contains("'r_name'"))
+    assert(ex.getMessage.contains("missing"))
+  }
+}

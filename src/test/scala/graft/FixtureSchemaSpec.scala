@@ -10,12 +10,18 @@ import org.apache.spark.sql.types._
   */
 class FixtureSchemaSpec extends SparkSuite {
 
-  test("every fixture table passes the Tables contract at sf0.001") {
-    Tables.names.foreach { t =>
-      // table() itself asserts the contract on first read and throws a
-      // one-line IllegalStateException on drift.
-      val df = Tables.table(spark, sf, t)
-      assert(df.schema.fields.nonEmpty, s"$t read an empty schema")
+  test("every fixture table passes the Tables contract at every sf") {
+    // schema inference is a footer read — checking all three scale dirs
+    // costs ~nothing and catches a partial regeneration (one sf updated,
+    // the others stale)
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sfn =>
+      val dir = s"/root/testdata/$sfn"
+      Tables.names.foreach { t =>
+        // table() itself asserts the contract on first read and throws a
+        // one-line IllegalStateException on drift.
+        val df = Tables.table(spark, dir, t)
+        assert(df.schema.fields.nonEmpty, s"$sfn/$t read an empty schema")
+      }
     }
   }
 

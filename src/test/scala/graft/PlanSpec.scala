@@ -226,6 +226,36 @@ class PlanSpec extends SparkSuite {
       "running sum collapsed to a single partition")
   }
 
+  test("approx scale routes: ABC window consumes bin rows; RFM approx " +
+      "plans no window at all") {
+    // abcClasses(approx): the only unpartitioned window may consume the
+    // ≤bins bucket aggregate, never item rows — in explain's top-down
+    // print the Window line must sit ABOVE the __bin HashAggregate
+    val pr = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+    val abc = graft.api.Graft
+      .abcClasses(pr, "l_partkey", "rev", approx = true)
+    val p = abc.queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val binAggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("keys=[__bin#"))
+    assert(winIdx >= 0 && binAggIdx >= 0, p.take(2500))
+    assert(winIdx < binAggIdx,
+      "running-share window must consume the bin aggregate, not item rows")
+    assert(p.contains("approx_percentile"), p.take(2500))
+    // rfmScores(approx): quintile boundaries broadcast and scored
+    // map-side — the plan must contain NO window operator (the exact
+    // route's three global ntile sorts are the thing being avoided)
+    val rfm = graft.api.Graft.rfmScores(Tables.events(spark, sf),
+      "user_id", "ts", "event_type", "value", approx = true)
+    val rp = rfm.queryExecution.executedPlan.toString
+    assert(!rp.contains("Window"), rp.take(2500))
+    assert(rp.contains("BroadcastNestedLoopJoin") || rp.contains("Broadcast"),
+      rp.take(2500))
+  }
+
   test("dedup_keep_best reuses ONE md5 shuffle for both window functions") {
     val p = planString("dedup_keep_best")
     // count-per-group and row_number share the md5(text) partitioning:

@@ -33,6 +33,9 @@ class FixtureSchemaSpec extends SparkSuite {
     // Whatever the fixture era, the normalized reader must always hand
     // downstream queries a session-TZ TIMESTAMP named ts.
     assert(Tables.events(spark, sf).schema("ts").dataType == TimestampType)
+    // and the streaming twin must agree (it shares the branch logic)
+    assert(graft.streaming.Streams.eventsStream(spark, sf)
+      .schema("ts").dataType == TimestampType)
   }
 
   test("contract violation names table, column, expected and found types") {

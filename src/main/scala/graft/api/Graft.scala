@@ -549,6 +549,38 @@ object Graft {
       graft.operators.Analytics.abcApproxOf(items, keyCol, revCol, bins)
     else graft.operators.Analytics.abcExactOf(items, keyCol, revCol)
 
+  /** SemDeDup-style semantic dedup over `store` (id, embedding): k-means
+    * the embedding space into `k` cells (the same distributed clustering
+    * as [[ivfBuild]]), then test cosine near-duplication ONLY within each
+    * cell — the cell assignment bounds the pair space exactly like the
+    * MinHash band join bounds text dedup (no all-pairs anywhere;
+    * cross-cell near-dups are missed by design, the published
+    * recall/cost trade-off of the technique). Returns (id, cell, keep):
+    * a row keeps unless its cosine to a LOWER-id row of the same cell
+    * reaches `threshold` (deterministic lowest-id survivor, the
+    * [[nearDupKeepList]] convention). Size cells via k ≈ n/target-cell
+    * so the within-cell quadratic stays bounded; the assignment frame is
+    * persisted during the call (see the class note on releasing blocks).
+    */
+  def semanticDedup(store: DataFrame, k: Int, threshold: Double,
+      iters: Int = 3): DataFrame = {
+    val assign = graft.operators.Ann.kmeansCells(
+        store.select(col("id").as("vec_id"), col("embedding")), k, iters)
+      .select(col("vec_id").as("id"), col("embedding"), col("cell"))
+      .persist()
+    val dups = assign.select(col("cell"), col("id").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(assign.select(col("cell"), col("id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("cell"))
+      .where(col("a_id") < col("b_id") &&
+        graft.functions.cosine_sim(col("a_emb"), col("b_emb"))
+          >= threshold)
+      .select(col("b_id").as("id"))
+      .distinct()
+    assign.join(dups.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
+  }
+
   /** Per-user RFM quintile scores over purchase events →
     * (user, r_score, f_score, m_score), each 1–5.
     * approx=false: `ntile(5)` over three global orderings (exact equal-

@@ -530,6 +530,41 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("semanticDedup removes within-cell near-dups, keeps distinct rows") {
+    import spark.implicits._
+    // 4 well-separated Gaussian clusters in 16-dim with WIDE intra-
+    // cluster spread (noise 0.5 → cluster-mate cosine ≈ 0.8), plus ten
+    // true near-duplicates (noise 0.01 → cosine ≈ 0.9999 to their
+    // originals). threshold 0.99 sits between the two bands with margin.
+    val rnd = new scala.util.Random(11)
+    val (dim, nClusters, per) = (16, 4, 50)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val originals = for (c <- 0 until nClusters; i <- 0 until per) yield
+      ((c * per + i).toLong,
+        centers(c).map(_ + 0.5 * rnd.nextGaussian()))
+    val copies = originals.take(10).map { case (id, v) =>
+      (10000L + id, v.map(_ + 0.01 * rnd.nextGaussian()))
+    }
+    val store = (originals ++ copies)
+      .map { case (id, v) => (id, unit(v)) }.toDF("id", "embedding")
+    val out = Graft.semanticDedup(store, k = nClusters, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == originals.size + copies.size)
+    // every injected copy has a lower-id near-identical partner → dropped
+    copies.foreach { case (id, _) =>
+      assert(!out(id), s"copy $id should be keep=false")
+    }
+    // every original survives: its only >=0.99 neighbours are the
+    // HIGHER-id copies, and cluster-mates sit far below the threshold
+    originals.foreach { case (id, _) =>
+      assert(out(id), s"original $id should be keep=true")
+    }
+  }
+
   test("rfmScores approx route stays within one quintile of ntile") {
     val ev = Tables.events(spark, sf)
     val exact = Graft.rfmScores(ev, "user_id", "ts", "event_type", "value")

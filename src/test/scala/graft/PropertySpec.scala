@@ -181,4 +181,32 @@ class PropertySpec extends SparkSuite {
       assert(got == brute, s"case $ci: $got vs $brute pts=$pts")
     }
   }
+
+  test("abcApproxOf conserves items and revenue; exact twin agrees on " +
+      "totals (8 random revenue distributions)") {
+    import spark.implicits._
+    // skewed (power-law-ish) revenue frames: the interesting regime for
+    // a Pareto classifier — a handful of items carry most revenue
+    val revGen = Gen.choose(20, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 1000).map(x => (x.toDouble / 10) *
+        (x.toDouble / 10))))
+    samples(revGen, 8).zipWithIndex.foreach { case (revs, ci) =>
+      val df = revs.zipWithIndex
+        .map { case (r, i) => (i.toLong, r) }.toDF("k", "rev")
+      def sums(res: org.apache.spark.sql.DataFrame) = {
+        val rows = res.collect()
+        (rows.map(_.getLong(1)).sum, rows.map(_.getDouble(2)).sum)
+      }
+      val (nA, revA) =
+        sums(operators.Analytics.abcApproxOf(df, "k", "rev", bins = 64))
+      val (nE, revE) = sums(operators.Analytics.abcExactOf(df, "k", "rev"))
+      // conservation: both routes partition ALL items and ALL revenue —
+      // nothing dropped at bin or class boundaries
+      assert(nA == revs.size.toLong && nE == revs.size.toLong,
+        s"case $ci: item counts $nA/$nE vs ${revs.size}")
+      val total = revs.sum
+      assert(math.abs(revA - total) / total < 1e-9, s"case $ci: $revA")
+      assert(math.abs(revE - total) / total < 1e-9, s"case $ci: $revE")
+    }
+  }
 }

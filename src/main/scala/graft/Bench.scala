@@ -155,6 +155,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the events readers normalize ts via a TIMESTAMP_NTZ cast that is
+      // value-identical to the stored instant only under a UTC session —
+      // every entry point pins it (Verify/Smoke do too)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -92,6 +92,13 @@ object Tables {
     assertContract(name, schema, path)
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // a nanos-era events fixture fails inside Spark's footer reader
+    // ("Illegal Parquet type") BEFORE the contract check unless the legacy
+    // conf is on — set it here, not only in events(), so a direct
+    // table(_, _, "events") scan (FixtureSchemaSpec's all-tables pass) hits
+    // the contract's one-line drift error regardless of call order
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     val key = s"$sfDir/$name"
     if (!checked.contains(key)) {

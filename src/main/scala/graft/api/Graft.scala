@@ -553,33 +553,24 @@ object Graft {
     * the embedding space into `k` cells (the same distributed clustering
     * as [[ivfBuild]]), then test cosine near-duplication ONLY within each
     * cell — the cell assignment bounds the pair space exactly like the
-    * MinHash band join bounds text dedup (no all-pairs anywhere;
-    * cross-cell near-dups are missed by design, the published
-    * recall/cost trade-off of the technique). Returns (id, cell, keep):
-    * a row keeps unless its cosine to a LOWER-id row of the same cell
-    * reaches `threshold` (deterministic lowest-id survivor, the
-    * [[nearDupKeepList]] convention). Size cells via k ≈ n/target-cell
-    * so the within-cell quadratic stays bounded; the assignment frame is
-    * persisted during the call (see the class note on releasing blocks).
+    * MinHash band join bounds text dedup (no all-pairs anywhere).
+    * Returns (id, cell, keep): a row keeps unless its cosine to a
+    * LOWER-id row sharing a probed cell reaches `threshold`
+    * (deterministic lowest-id survivor, the [[nearDupKeepList]]
+    * convention). `probes` soft-assigns each row to its `probes` nearest
+    * cells (LSH-style OR-amplification recovering boundary pairs classic
+    * hard-assignment SemDeDup misses; pair space grows ≈ probes²-fold,
+    * still cell-bounded — probes=1 is the classic trade-off). Size cells
+    * via k ≈ n/target-cell so the within-cell quadratic stays bounded.
+    * The call is EAGER: the keep-list (O(n) narrow rows) is materialized
+    * via localCheckpoint and the internal caches are released before
+    * returning, so repeated calls in a long-lived session leak no cached
+    * blocks (unlike ivfBuild, there is no index to keep alive — nothing
+    * here needs a release handle).
     */
   def semanticDedup(store: DataFrame, k: Int, threshold: Double,
-      iters: Int = 3): DataFrame = {
-    val assign = graft.operators.Ann.kmeansCells(
-        store.select(col("id").as("vec_id"), col("embedding")), k, iters)
-      .select(col("vec_id").as("id"), col("embedding"), col("cell"))
-      .persist()
-    val dups = assign.select(col("cell"), col("id").as("a_id"),
-        col("embedding").as("a_emb"))
-      .join(assign.select(col("cell"), col("id").as("b_id"),
-        col("embedding").as("b_emb")), Seq("cell"))
-      .where(col("a_id") < col("b_id") &&
-        graft.functions.cosine_sim(col("a_emb"), col("b_emb"))
-          >= threshold)
-      .select(col("b_id").as("id"))
-      .distinct()
-    assign.join(dups.withColumn("dup", lit(true)), Seq("id"), "left")
-      .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
-  }
+      iters: Int = 3, probes: Int = 2): DataFrame =
+    graft.operators.Dedup.semanticDedupOf(store, k, threshold, iters, probes)
 
   /** Per-user RFM quintile scores over purchase events →
     * (user, r_score, f_score, m_score), each 1–5.

@@ -414,6 +414,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("d"))
   }
 
+  /** SemDeDup-style semantic dedup over `store` (id, embedding): k-means
+    * the embedding space into `k` cells (the same distributed clustering
+    * as the IVF index build), then test cosine near-duplication ONLY
+    * within each cell — the cell assignment bounds the pair space exactly
+    * like the MinHash band join bounds text dedup (no all-pairs anywhere;
+    * cross-cell near-dups are missed by design — the published
+    * recall/cost trade-off of the technique). Returns (id, cell, keep):
+    * a row keeps unless its cosine to a LOWER-id row of the same cell
+    * reaches `threshold` (deterministic lowest-id survivor). Size cells
+    * via k ≈ n/target-cell so the within-cell quadratic stays bounded.
+    *
+    * `probes` > 1 turns on SOFT assignment — each row pair-tests inside
+    * its `probes` nearest cells, not just its argmax cell. This is the
+    * OR-amplification move (LSH's multi-table trick applied to the cell
+    * space): a near-dup pair straddling a cell boundary is missed by
+    * classic hard-assignment SemDeDup but co-locates here unless the two
+    * rows' probe sets are fully disjoint. Cost is bounded and explicit:
+    * the pair space grows ≤ probes² / (cells-per-row shrinkage) ≈ 4× at
+    * probes=2 — still an equi-join on a cell key, never all-pairs.
+    * EAGER: the O(n)-narrow keep-list materializes via localCheckpoint
+    * and the internal caches are released before returning — repeated
+    * calls leak no cached blocks.
+    */
+  private[graft] def semanticDedupOf(store: DataFrame, k: Int,
+      threshold: Double, iters: Int = 3, probes: Int = 2): DataFrame = {
+    val assign = Ann.kmeansCells(
+        store.select(col("id").as("vec_id"), col("embedding")), k, iters)
+      .select(col("vec_id").as("id"), col("embedding"), col("cell"))
+      .persist()
+    try {
+      // cell means of the final assignment — the routing table for the
+      // soft probes (k rows, broadcast)
+      val cents = assign.groupBy(col("cell"))
+        .agg(graft.functions.vector_avg(col("embedding")).as("cent"))
+      // top-`probes` cells per row: one vec-keyed combiner shuffle of n·k
+      // tiny (score, cell) structs — k is user-bounded, so this is O(n)
+      val soft = assign.select(col("id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("id"), col("embedding"),
+          struct(cosine_sim(col("embedding"), col("cent")).as("cs"),
+            col("cell").as("cell")).as("sc"))
+        .groupBy(col("id"))
+        .agg(first(col("embedding")).as("embedding"),
+          slice(sort_array(collect_list(col("sc")), asc = false), 1, probes)
+            .as("top"))
+        .select(col("id"), col("embedding"),
+          explode(col("top.cell")).as("pcell"))
+      val dups = soft.select(col("pcell"), col("id").as("a_id"),
+          col("embedding").as("a_emb"))
+        .join(soft.select(col("pcell"), col("id").as("b_id"),
+          col("embedding").as("b_emb")), Seq("pcell"))
+        .where(col("a_id") < col("b_id") &&
+          cosine_sim(col("a_emb"), col("b_emb")) >= threshold)
+        .select(col("b_id").as("id"))
+        .distinct()
+      assign.join(dups.withColumn("dup", lit(true)), Seq("id"), "left")
+        .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
+        .localCheckpoint(true)
+    } finally assign.unpersist(false)
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Exact pairwise n-gram Jaccard on a bounded block — the ground truth
@@ -567,6 +628,24 @@ object Dedup {
     // DP) cascade is the 100 TB shape; the doc_id < 300 block bounds the
     // oracle, not the join strategy. At corpus scale the pair source is
     // the MinHash band join with this verify per candidate.
+    // SemDeDup-shape semantic dedup as an inventory query (facade:
+    // `Graft.semanticDedup`): k-means cells bound the pair space — the
+    // embedding analogue of the MinHash band join — and only WITHIN-cell
+    // pairs pay the cosine test; the lowest id of a near-dup pair
+    // survives. Sketch-defined (cell assignment comes from seeded
+    // distributed k-means) → no SQL oracle; the rows-only check pins the
+    // block size, and DedupSpec gates the keep-list's recall against the
+    // ORACLED exact blocked method (`dedup_embedding_cosine`'s all-pairs
+    // ground truth on the same bounded block). The vec_id bound fixes
+    // the pair space across SFs, exactly as the exact twin does.
+    Q.noOracle("dedup_semantic_cells") { (s, d) =>
+      semanticDedupOf(
+        Tables.embeddings(s, d).where(col("vec_id") < 2000)
+          .select(col("vec_id").as("id"), col("embedding")),
+        k = 8, threshold = 0.4, iters = 2)
+        .orderBy("id")
+    },
+
     Q("dedup_edit_distance",
       """WITH b AS (
         |  SELECT doc_id, text, length(text) AS n

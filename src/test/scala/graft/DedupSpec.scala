@@ -21,6 +21,33 @@ class DedupSpec extends SparkSuite {
       s"LSH recall ${found.size}/${exact.size} below 0.8")
   }
 
+  test("dedup_semantic_cells: drops are real near-dups; recall vs exact block") {
+    // the declared no-oracle pairing (SURVEY §2.3): the SemDeDup keep-list
+    // is judged against exact ALL-PAIRS cosine ground truth on the same
+    // vec_id < 2000 block the query runs on.
+    val out = SparkEntry.queries("dedup_semantic_cells")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val e = Tables.embeddings(spark, sf).where(col("vec_id") < 2000)
+    assert(out.size == e.count(), "one keep/drop verdict per block row")
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val exactDrop = a.join(b, col("ia") < col("ib") &&
+        graft.functions.cosine_sim(col("ea"), col("eb")) >= 0.4)
+      .select(col("ib")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dropped = out.collect { case (id, false) => id }.toSet
+    // PRECISION is structural (a within-cell pair is a real pair — the
+    // cosine test is exact), asserted anyway as the safety net:
+    assert(dropped.subsetOf(exactDrop),
+      s"dropped non-duplicates: ${dropped.diff(exactDrop).take(5)}")
+    // RECALL: cross-cell near-dups are missed by design; on this fixture
+    // the k=8 cells must still co-locate most >=0.4 pairs
+    assert(exactDrop.nonEmpty, "fixture block should contain near-dups")
+    val recall = dropped.size.toDouble / exactDrop.size
+    assert(recall >= 0.5,
+      s"semantic-cell recall $recall (${dropped.size}/${exactDrop.size})")
+  }
+
   test("dedup_simhash: hamming<=6 pairs include high-jaccard duplicates") {
     val sim = SparkEntry.queries("dedup_simhash")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -424,9 +424,19 @@ object Graft {
     * accumulates rank but contributes none. Returns (u, pr). Eagerness
     * caveat: edges persist and intermediate iterations localCheckpoint
     * (see the class note on releasing blocks).
+    *
+    * `saltDegree` > 0 enables the two-level SALTED adjacency for
+    * power-law graphs: a node whose degree exceeds the threshold holds
+    * its neighbor set across ≤`salts` rows (salt = hash(neighbor) mod
+    * salts) instead of one unboundedly-wide row, with an extra
+    * partial-sum reduce recovering total degrees; nodes at or below the
+    * threshold re-merge to single rows. Ranks are bit-identical to the
+    * unsalted layout — choose the threshold from the expected hub
+    * degree (row-size bound), not from rank-accuracy concerns.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame =
-    graft.operators.Analytics.pageRankOf(edges, iters)
+  def pageRank(edges: DataFrame, iters: Int = 5, saltDegree: Long = 0L,
+      salts: Int = 16): DataFrame =
+    graft.operators.Analytics.pageRankOf(edges, iters, saltDegree, salts)
 
   /** Last-touch attribution: one row per `convType` event with the
     * latest strictly-prior `touchTypes` event by the same `userCol`

@@ -213,27 +213,47 @@ object Analytics {
     * O(nodes) rank frame against the O(nodes) adjacency frame (AQE
     * broadcasts the rank side while it fits), an in-task explode, and
     * ONE node-keyed shuffle for the sum — the per-edge contribution
-    * `pr div d` is computed once per NODE, not once per edge. Caveat at
-    * power-law scale: a node's neighbor set lives in one row, so max
-    * degree is bounded by row size; graphs with multi-million-degree
-    * hubs need a two-level (salted) adjacency before this formulation.
+    * `pr div d` is computed once per NODE, not once per edge.
+    *
+    * Power-law scale: `saltDegree` > 0 switches to a TWO-LEVEL (salted)
+    * adjacency. Neighbor sets build per (u, salt) with salt =
+    * hash(v) mod `salts`, so a multi-million-degree hub's set splits
+    * across ≤`salts` rows instead of one unboundedly-wide row (the
+    * single-row layout's documented cap). Salting by a hash OF THE
+    * NEIGHBOR keeps the build a set-dedup: a duplicate (u,v) edge lands
+    * in the same (u, salt) group. Total degree then needs the extra
+    * PARTIAL-SUM REDUCE — a node-keyed window sums the per-salt set
+    * sizes (O(rows) = O(nodes·salts) worst case, tiny) — and a
+    * compaction re-merges nodes at degree ≤ saltDegree back to one row
+    * (flatten of disjoint per-salt sets), so the common case pays no
+    * row inflation while hubs stay split. Iterations are shape-
+    * identical: hub contributions partial-sum map-side across their
+    * salt rows before the final node-keyed reduce, and ranks are
+    * BIT-IDENTICAL to the unsalted layout (same per-edge `pr div d`
+    * terms, integer sum in any order). saltDegree = 0 (default) keeps
+    * the single-row adjacency and plans NO extra reduce.
     */
-  private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
+  private[graft] def pageRankOf(edges: DataFrame, iters: Int,
+      saltDegree: Long = 0L, salts: Int = 16): DataFrame = {
     // persist + one blocking count: the n job materializes the adjacency
     // cache, so every downstream frame (p0, every iteration join) reads
     // InMemoryRelation instead of re-deriving the groupBy. n is an O(1)
     // driver scalar folded into the plan as a LITERAL (Scala Long
     // division == SQL div), removing per-iteration one-row joins.
-    val adj = edges.groupBy(col("u"))
-      .agg(collect_set(col("v")).as("vs")).persist()
-    val n = adj.count()
+    val saltedLayout = saltDegree > 0L
+    val adj = pageRankAdjacency(edges, saltDegree, salts).persist()
+    // one row per node for n and p0 (the salted layout holds hubs on
+    // several rows; the distinct reads the already-persisted adj)
+    val nodes =
+      if (saltedLayout) adj.select(col("u")).distinct() else adj.select(col("u"))
+    val n = nodes.count()
     require(n > 0, "pageRank: edge frame has no source nodes")
     val init = 1000000000L / n
     val base = (15L * init) / 100L
-    val p0 = adj.select(col("u").as("pu"), lit(init).as("pr"))
+    val p0 = nodes.select(col("u").as("pu"), lit(init).as("pr"))
     def step(p: DataFrame): DataFrame =
       adj.join(p, col("u") === col("pu"))
-        .select(col("vs"), expr("pr div size(vs)").as("c"))
+        .select(col("vs"), expr("pr div d").as("c"))
         .select(explode(col("vs")).as("pu"), col("c"))
         .groupBy(col("pu"))
         .agg((lit(base) + expr("(85L * sum(c)) div 100")).as("pr"))
@@ -242,6 +262,37 @@ object Analytics {
     }
     ranked.select(col("pu").as("u"), col("pr"))
   }
+
+  /** The (u, vs, d) adjacency frame [[pageRankOf]] iterates over — rows
+    * carry the node's TOTAL deduped degree `d` so `pr div d` is a per-row
+    * expression in both layouts. Not persisted here (pageRankOf does).
+    * Exposed `private[graft]` so ApiSpec can assert the salted layout's
+    * row structure directly.
+    */
+  private[graft] def pageRankAdjacency(edges: DataFrame,
+      saltDegree: Long, salts: Int): DataFrame =
+    if (saltDegree <= 0L) {
+      edges.groupBy(col("u"))
+        .agg(collect_set(col("v")).as("vs"))
+        .select(col("u"), col("vs"), size(col("vs")).cast("long").as("d"))
+    } else {
+      val partial = edges
+        .groupBy(col("u"),
+          pmod(xxhash64(col("v")), lit(salts.toLong)).as("salt"))
+        .agg(collect_set(col("v")).as("vs"))
+      // extra partial-sum reduce: total degree from the per-salt sizes
+      // (window over the partial rows, not a self-join — partial is
+      // derived once)
+      partial
+        .withColumn("d", sum(size(col("vs")))
+          .over(Window.partitionBy(col("u"))))
+        .groupBy(col("u"),
+          when(col("d") > saltDegree, col("salt")).otherwise(lit(-1L))
+            .as("g"))
+        .agg(flatten(collect_list(col("vs"))).as("vs"),
+          first(col("d")).as("d"))
+        .select(col("u"), col("vs"), col("d"))
+    }
 
   /** Frame-parametric last-touch attribution (re-exported as
     * `graft.api.Graft.lastTouch`): one row per `convType` event with the

@@ -392,6 +392,40 @@ class ApiSpec extends SparkSuite {
     assert(err.getMessage.contains("no source nodes"))
   }
 
+  test("pageRank salted adjacency: bit-identical ranks, hub rows split") {
+    import spark.implicits._
+    // power-law-ish fixture: hub 0 touches 1..40 (degree 40), the tail
+    // is a ring (degree 2 each) — both directions so every node sources.
+    // Duplicate edges included: the salted build must still set-dedup.
+    val ring = (1L to 40L).flatMap(l =>
+      Seq((l, l % 40 + 1), (l % 40 + 1, l)))
+    val star = (1L to 40L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val edges = (star ++ ring ++ star.take(10)).toDF("u", "v")
+    val plain = Graft.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold 8 splits ONLY the hub (degree 41 > 8; tail degree 3)
+    val salted = Graft.pageRank(edges, iters = 3, saltDegree = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain, s"salted ranks diverge: $salted vs $plain")
+    // the salted layout really is two-level: the hub's neighbor set
+    // occupies >1 adjacency row, tail nodes exactly 1
+    val adj = operators.Analytics.pageRankAdjacency(
+      edges, saltDegree = 8, salts = 16)
+    val rowsPerNode = adj.groupBy("u").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowsPerNode(0L) > 1, s"hub not split: ${rowsPerNode(0L)} row(s)")
+    (1L to 40L).foreach(l => assert(rowsPerNode(l) == 1L,
+      s"tail node $l split into ${rowsPerNode(l)} rows"))
+    // and the split rows cover the hub's full deduped neighbor set with
+    // the TOTAL degree on every partial row
+    val hubRows = adj.where(col("u") === 0L)
+      .select("vs", "d").collect()
+    val union = hubRows.flatMap(_.getSeq[Long](0)).sorted
+    assert(union.toSeq == (1L to 40L), s"hub neighbor union: ${union.toSeq}")
+    hubRows.foreach(r => assert(r.getLong(1) == 40L,
+      s"partial row carries d=${r.getLong(1)}, want total 40"))
+  }
+
   test("lastTouch/slidingMedian/tfidfTopTerms on caller frames") {
     import spark.implicits._
     val ev = Seq(

@@ -355,6 +355,28 @@ class PlanSpec extends SparkSuite {
       "profile drift must be conditional aggregates over ONE scan")
   }
 
+  test("pagerank adjacency: partial-sum reduce planned only when salting on") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("u", "v")
+    val plain = operators.Analytics.pageRankAdjacency(edges, 0L, 16)
+      .queryExecution.executedPlan.toString
+    val salted = operators.Analytics.pageRankAdjacency(edges, 8L, 16)
+      .queryExecution.executedPlan.toString
+    // unsalted: ONE node-keyed aggregate, no degree window
+    // (the salt key itself folds into the test's LocalTableScan, so the
+    // structural markers — the window and the extra aggregate level —
+    // are the assertable difference)
+    assert(!plain.contains("Window"), plain.take(2000))
+    // salted: the degree window (the extra partial-sum reduce) and the
+    // compaction aggregate stacked on the partial per-salt one
+    assert(salted.contains("Window"), salted.take(2000))
+    assert("windowspecdefinition\\(u#".r.findFirstIn(salted).isDefined,
+      s"degree window must partition by the node key:\n${salted.take(2000)}")
+    val aggs = "HashAggregate|ObjectHashAggregate|SortAggregate".r
+    assert(aggs.findAllIn(salted).size > aggs.findAllIn(plain).size,
+      s"salted plan should add an aggregate level:\n${salted.take(2000)}")
+  }
+
   test("markov/any-sequence funnel: ONE user-keyed Exchange, stacked windows") {
     // the transition-count frame feeds both the output join and the
     // row-total aggregate, so the user-keyed window subtree appears

@@ -527,13 +527,16 @@ object Graft {
     * over `cells` cells + global PQ codebooks; each probe ADC-scores
     * only its `nprobe` routed cells' one-byte codes — nprobe/cells of
     * the store at m bytes per vector, stored floats never read at query
-    * time. Codes quantize raw vectors (not cell residuals — noted
-    * simplification). `store` = (id, embedding), `probes` =
-    * (probe_id, probe).
+    * time. Codes quantize CELL RESIDUALS (vec − centroid(cell), the
+    * FAISS IVFADC discipline — recovers within-cell recall at identical
+    * bytes); pass `residual = false` for raw-vector codes. `store` =
+    * (id, embedding), `probes` = (probe_id, probe).
     */
   def ivfpqTopK(store: DataFrame, probes: DataFrame, k: Int, cells: Int,
-      nprobe: Int, m: Int = 8, ksub: Int = 16): DataFrame =
-    graft.operators.Ann.ivfpqTopKOf(store, probes, k, cells, nprobe, m, ksub)
+      nprobe: Int, m: Int = 8, ksub: Int = 16,
+      residual: Boolean = true): DataFrame =
+    graft.operators.Ann.ivfpqTopKOf(
+      store, probes, k, cells, nprobe, m, ksub, residual)
 
   /** Robust median/MAD outliers: rows of `df` whose `valueCol` deviates
     * from its `seriesCol`-group median by more than k·1.4826·MAD; adds

@@ -187,9 +187,9 @@ object Ann {
     // probe routes through the k-row centroid table (static partition
     // pruning, same as ann_ivf_persisted) and ADC-scores ONLY its
     // routed cells' codes — the scoring scan reads nprobe/k of the
-    // store at 1/32 the bytes per vector, floats never. Simplification
-    // vs FAISS noted in-code: codes quantize raw vectors, not
-    // cell-residuals.
+    // store at 1/32 the bytes per vector, floats never. Codes quantize
+    // CELL RESIDUALS (FAISS IVFADC); scoring re-adds the centroid terms
+    // from the k-row centroid table per routed cell (adcScoreResidual).
     Q.noOracle("ann_ivfpq_topk") { (s, d) =>
       val dir = ivfIndex(s, d)
       val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
@@ -198,7 +198,10 @@ object Ann {
       val codes = s.read.parquet(s"$dir/pq_codes")
         .where(col("cell").isin(cells.toIndexedSeq: _*))
         .where(col("id") =!= 0)
-      adcScore(codes, s.read.parquet(s"$dir/pq_codebook"), probe, 8, 10)
+      val cents = s.read.parquet(s"$dir/centroids")
+        .where(col("cell").isin(cells.toIndexedSeq: _*))
+      adcScoreResidual(codes, s.read.parquet(s"$dir/pq_codebook"),
+          cents, probe, 8, 10)
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     },
@@ -440,9 +443,10 @@ object Ann {
       try {
         assign.write.mode("overwrite").partitionBy("cell")
           .parquet(s"$dir/cells")
-        assign.groupBy("cell")
+        val cents = assign.groupBy("cell")
           .agg(vector_avg(col("embedding")).as("cent"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/centroids")
         // per-cell neighbor graph (degree 12): the graph-ANN search
         // structure, partition-aligned with the cells (ann_ivf_graph_topk)
         buildCellGraphs(assign, m = 12)
@@ -451,12 +455,18 @@ object Ann {
         // PQ layer (ann_ivfpq_topk): codebooks trained once at index
         // build, the store encoded to m one-byte codes per vector and
         // written PARTITION-ALIGNED with the cells — a probe's scoring
-        // scan reads only its routed cells' codes, floats never
-        val cb = pqCodebooks(assign
-          .select(col("vec_id").as("id"), col("embedding")),
-          "id", "embedding", 8, 16, 3)
-        subVectors(assign.select(col("vec_id").as("id"), col("cell"),
-            col("embedding")), "id", "embedding", 8, carry = Seq("cell"))
+        // scan reads only its routed cells' codes, floats never.
+        // Codes quantize CELL RESIDUALS (vec − centroid(cell)), the
+        // FAISS IVFADC discipline: residuals concentrate near the
+        // origin, so the same byte budget spends its codewords on the
+        // within-cell detail the coarse quantizer already lost —
+        // scoring adds the centroid terms back per routed cell.
+        val res = assign.join(broadcast(cents), "cell")
+          .select(col("vec_id").as("id"), col("cell"),
+            expr("zip_with(embedding, cent, (x, y) -> x - y)").as("res"))
+        val cb = pqCodebooks(res.select(col("id"), col("res")),
+          "id", "res", 8, 16, 3)
+        subVectors(res, "id", "res", 8, carry = Seq("cell"))
           .select(col("id"), col("cell"), col("sub"),
             pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
           .write.mode("overwrite").partitionBy("cell")
@@ -591,13 +601,22 @@ object Ann {
     * ADC-scores only its `nprobe` routed cells' codes. The per-probe
     * candidate restriction happens BEFORE the LUT join (codes ⋈ routed
     * cells), so scoring work is nprobe/cells of the store at m bytes per
-    * vector. Simplification vs FAISS: codes quantize raw vectors, not
-    * cell-residuals — good enough when cells ≪ corpus spread, and it
-    * keeps the codebook global (one LUT per probe, not one per cell).
+    * vector.
+    *
+    * `residual = true` (default) quantizes CELL RESIDUALS
+    * (vec − centroid(cell)) — the FAISS IVFADC discipline: residuals
+    * concentrate near the origin, so the same m·1 B budget encodes the
+    * within-cell detail the coarse quantizer already captured the rest
+    * of; at identical bytes this recovers recall raw-vector codes lose
+    * inside cells. The codebook stays GLOBAL (one probe LUT, trained on
+    * the pooled residuals); only O(cells·m·ksub) centroid-correction
+    * terms shift per routed cell ([[adcScoreResidual]]).
+    * `residual = false` keeps the raw-vector codes (the pre-refinement
+    * behavior, retained for the recall A/B gate in ApiSpec).
     */
   private[graft] def ivfpqTopKOf(store: org.apache.spark.sql.DataFrame,
       probes: org.apache.spark.sql.DataFrame, k: Int, cells: Int,
-      nprobe: Int, m: Int = 8, ksub: Int = 16)
+      nprobe: Int, m: Int = 8, ksub: Int = 16, residual: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     val sp = store.sparkSession
     val assign = kmeansCells(store
@@ -606,11 +625,6 @@ object Ann {
       .persist()
     val cents = assign.groupBy("cell")
       .agg(vector_avg(col("embedding")).as("cent"))
-    val cb = pqCodebooks(store, "id", "embedding", m, ksub, 3)
-    val codes = subVectors(assign.select(col("id"), col("cell"),
-        col("embedding")), "id", "embedding", m, carry = Seq("cell"))
-      .select(col("id"), col("cell"), col("sub"),
-        pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
     val routed = cents.crossJoin(broadcast(probes))
       .select(col("probe_id").as("r_pid"), col("cell"),
         cosine_sim(col("cent"), col("probe")).as("cs"))
@@ -618,11 +632,29 @@ object Ann {
         org.apache.spark.sql.expressions.Window.partitionBy("r_pid")
           .orderBy(col("cs").desc, col("cell"))))
       .where(col("rn") <= nprobe).select(col("r_pid"), col("cell"))
-    val cand = codes.join(broadcast(routed), "cell")
     // the returned frame still reads `assign` lazily — releasing it here
     // would silently re-run the k-means assignment at execution time;
     // callers release blocks when done (the same contract as pageRank)
-    adcScore(cand, cbFrame(sp, cb), probes, m, k)
+    if (residual) {
+      val res = assign.join(broadcast(cents), "cell")
+        .select(col("id"), col("cell"),
+          expr("zip_with(embedding, cent, (x, y) -> x - y)").as("res"))
+      val cb = pqCodebooks(res.select(col("id"), col("res")),
+        "id", "res", m, ksub, 3)
+      val codes = subVectors(res, "id", "res", m, carry = Seq("cell"))
+        .select(col("id"), col("cell"), col("sub"),
+          pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
+      val cand = codes.join(broadcast(routed), "cell")
+      adcScoreResidual(cand, cbFrame(sp, cb), cents, probes, m, k)
+    } else {
+      val cb = pqCodebooks(store, "id", "embedding", m, ksub, 3)
+      val codes = subVectors(assign.select(col("id"), col("cell"),
+          col("embedding")), "id", "embedding", m, carry = Seq("cell"))
+        .select(col("id"), col("cell"), col("sub"),
+          pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
+      val cand = codes.join(broadcast(routed), "cell")
+      adcScore(cand, cbFrame(sp, cb), probes, m, k)
+    }
   }
 
   /** Codebook nested array → tiny (sub, code, cw, n2) frame. */
@@ -669,6 +701,76 @@ object Ann {
       .join(broadcast(pnorm), col("probe_id") === col("pn_id"))
       .select(col("probe_id"), col("id"),
         (col("ds") / (col("pnorm") * sqrt(col("nn")))).as("score"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rn", row_number().over(rw))
+      .where(col("rn") <= k).drop("rn")
+  }
+
+  /** ADC scoring of RESIDUAL-coded candidates (id, cell, sub, code;
+    * optionally r_pid-bound): the decoded vector is v̂ = centroid(cell) +
+    * r̂(codes), so
+    *   dot(p, v̂)  = dot(p, c)  + Σ_sub dot(p_sub, cw[sub][code])
+    *   |v̂|²      = |c|² + 2·dot(c, r̂) + |r̂|²
+    *              = Σ_sub (|c_sub|² + 2·dot(c_sub, cw) + |cw|²)
+    * Everything beyond [[adcScore]]'s probe LUT is bounded metadata: a
+    * per-cell correction table (cells·m·ksub rows — dot(c_sub, cw),
+    * |c_sub|², |cw|² per (cell, sub, code)) and a probes×cells whole-
+    * vector dot frame, both broadcast. Stored floats are still never
+    * read at scoring time; the join shape (candidate restriction →
+    * broadcast LUTs → one (probe, id) combiner shuffle → per-probe
+    * top-k) is unchanged.
+    */
+  private def adcScoreResidual(codes: org.apache.spark.sql.DataFrame,
+      cbDf: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame, m: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    // per-probe LUT on the residual codebook — renamed keys so the
+    // per-cell table can later join on the candidate's own (sub, code)
+    val psubs = subVectors(probes, "probe_id", "probe", m)
+      .select(col("probe_id"), col("sub"), col("sv").as("ps"))
+    val lut = psubs.join(broadcast(cbDf), "sub")
+      .select(col("probe_id"), col("sub").as("l_sub"),
+        col("code").as("l_code"),
+        vector_dot(col("ps"), col("cw")).as("dot"))
+    // centroid-correction terms per (cell, sub, code)
+    val csubs = subVectors(cents.select(col("cell"), col("cent")),
+        "cell", "cent", m)
+      .select(col("cell"), col("sub"), col("sv").as("cs"))
+    val cellLut = csubs.join(broadcast(cbDf), "sub")
+      .select(col("cell"), col("sub"), col("code"),
+        vector_dot(col("cs"), col("cw")).as("ccw"),
+        vector_dot(col("cs"), col("cs")).as("cn2"),
+        col("n2"))
+    // the non-residual half of dot(p, v̂): probe × centroid, whole-vector
+    val pdotc = cents.crossJoin(broadcast(probes))
+      .select(col("probe_id").as("pc_pid"), col("cell").as("pc_cell"),
+        vector_dot(col("probe"), col("cent")).as("pc"))
+    val pnorm = probes.select(col("probe_id").as("pn_id"),
+      vector_norm(col("probe")).as("pnorm"))
+    val joinCond = {
+      val base = codes("sub") === lut("l_sub") &&
+        codes("code") === lut("l_code")
+      if (codes.columns.contains("r_pid"))
+        base && codes("r_pid") === lut("probe_id")
+      else base
+    }
+    val scored = codes.join(broadcast(lut), joinCond)
+      .drop("r_pid", "l_sub", "l_code")
+      .join(broadcast(cellLut), Seq("cell", "sub", "code"))
+      // an id lives in exactly ONE cell, so grouping by cell too keeps
+      // the key unique while carrying it to the pdotc join
+      .groupBy(col("probe_id"), col("id"), col("cell"))
+      .agg(sum(col("dot")).as("rds"), sum(col("ccw")).as("sccw"),
+        sum(col("cn2")).as("scn2"), sum(col("n2")).as("sn2"))
+      .join(broadcast(pdotc),
+        col("probe_id") === col("pc_pid") && col("cell") === col("pc_cell"))
+      .join(broadcast(pnorm), col("probe_id") === col("pn_id"))
+      .select(col("probe_id"), col("id"),
+        ((col("pc") + col("rds")) / (col("pnorm") *
+          sqrt(col("scn2") + lit(2.0) * col("sccw") + col("sn2"))))
+          .as("score"))
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("score").desc, col("id"))
     scored.withColumn("rn", row_number().over(rw))

@@ -213,6 +213,26 @@ class ApiSpec extends SparkSuite {
       assert(id / per == p / per,
         s"ivfpq probe $p (cluster ${p / per}) hit $id (${id / per})")
     }
+    // residual codes must beat-or-match raw codes at IDENTICAL bytes
+    // (same m, ksub): within a cluster all distances are near-ties, so
+    // this is exactly where residual encoding earns its keep — compare
+    // top-10 recall vs the exact scan for both encodings
+    val exact = Graft.cosineTopK(cstore, cprobes, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(hits: Array[(Long, Long)]): Double = {
+      val by = hits.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (p, ex) =>
+        ex.intersect(by.getOrElse(p, Set.empty)).size / 10.0
+      }.sum / exact.size
+    }
+    val rawHits = Graft.ivfpqTopK(cstore, cprobes, 10, cells = nClusters,
+        nprobe = 4, residual = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val resRecall = recallOf(ivfpq)
+    val rawRecall = recallOf(rawHits)
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall below raw-code recall $rawRecall")
   }
 
   test("cellGraphBuild/cellGraphTopK: graph beam search recalls on a clustered corpus") {

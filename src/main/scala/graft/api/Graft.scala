@@ -161,10 +161,22 @@ object Graft {
     * cell's task (O(cell²) bounded by the cell-size design knob).
     * Returns (vec_id, embedding, neighbors, cell) — persist partitioned
     * by cell so [[cellGraphTopK]] reads only routed partitions.
+    *
+    * `stitchEps` > 0 closure-replicates boundary nodes (SPANN): a node
+    * whose runner-up centroid similarity is within stitchEps of its
+    * best also joins that cell's graph (≤1 replica per node, boundary
+    * nodes only), so beam search can surface cross-boundary neighbors
+    * at low nprobe; [[cellGraphTopK]] merges duplicate hits by id.
     */
-  def cellGraphBuild(assign: DataFrame, m: Int = 12): DataFrame =
+  def cellGraphBuild(assign: DataFrame, m: Int = 12,
+      stitchEps: Double = 0.0): DataFrame = {
+    val base = assign.select(col("id").as("vec_id"), col("embedding"),
+      col("cell"))
     graft.operators.Ann.buildCellGraphs(
-      assign.select(col("id").as("vec_id"), col("embedding"), col("cell")), m)
+      if (stitchEps > 0.0)
+        graft.operators.Ann.stitchAssignment(base, stitchEps)
+      else base, m)
+  }
 
   /** Beam-search [[cellGraphBuild]] graphs for one probe vector: the
     * caller routes (filters `graph` to the probe's nprobe cells — at

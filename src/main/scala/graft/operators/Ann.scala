@@ -318,6 +318,41 @@ object Ann {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** SPANN-style closure replication — the cross-cell stitch for the
+    * per-cell graph ANN: a node whose runner-up centroid similarity is
+    * within `eps` of its best gets a REPLICA row in that runner-up
+    * cell, so each cell's graph also contains its geometric fringe from
+    * adjacent cells and a beam search can surface near-boundary
+    * neighbors a mis-routed (or under-probed) query would otherwise
+    * lose entirely. Growth is bounded and local: at most one replica
+    * per node (≤2× rows, only boundary nodes pay it), decided by an
+    * O(n·k) broadcast scoring pass — no all-pairs, no cross-cell join
+    * at search time. Search-side, [[graphSearchOf]] merges duplicate
+    * hits by id, so replication is invisible in results.
+    */
+  private[graft] def stitchAssignment(
+      assign: org.apache.spark.sql.DataFrame, eps: Double = 0.05)
+      : org.apache.spark.sql.DataFrame = {
+    val cents = assign.groupBy("cell")
+      .agg(vector_avg(col("embedding")).as("cent"))
+    val top2 = assign.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        struct(cosine_sim(col("embedding"), col("cent")).as("cs"),
+          col("cell").as("cell")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        slice(sort_array(collect_list(col("sc")), asc = false), 1, 2)
+          .as("top"))
+    val replicas = top2
+      .where(size(col("top")) >= 2 &&
+        col("top")(1)("cs") >= col("top")(0)("cs") - eps)
+      .select(col("vec_id"), col("embedding"),
+        col("top")(1)("cell").as("cell"))
+    assign.select(col("vec_id"), col("embedding"), col("cell"))
+      .unionByName(replicas)
+  }
+
   /** Build the per-cell neighbor graphs for a (vec_id, embedding, cell)
     * assignment: each cell's vectors get a bounded-degree (`m`) exact
     * nearest-neighbor adjacency, computed INSIDE the cell's task after a
@@ -422,6 +457,12 @@ object Ann {
         }
       }
       .toDF("vec_id", "score", "visited")
+      // closure replicas ([[stitchAssignment]]) can surface the same id
+      // from two searched cells — merge to one row per id (scores are
+      // identical by construction; visited keeps the max for the
+      // scan-fraction gates). O(k·cells) rows, trivial shuffle.
+      .groupBy("vec_id")
+      .agg(max("score").as("score"), max("visited").as("visited"))
   }
 
   /** One-time persisted IVF index (built once per (session, sf), like the
@@ -448,8 +489,12 @@ object Ann {
         cents.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/centroids")
         // per-cell neighbor graph (degree 12): the graph-ANN search
-        // structure, partition-aligned with the cells (ann_ivf_graph_topk)
-        buildCellGraphs(assign, m = 12)
+        // structure, partition-aligned with the cells (ann_ivf_graph_topk).
+        // The assignment is closure-stitched first (stitchAssignment):
+        // boundary nodes replicate into their runner-up cell so beam
+        // search can escape a mis-routed cell — the graph table alone
+        // carries the replicas; cells/ and pq_codes/ stay pure.
+        buildCellGraphs(stitchAssignment(assign), m = 12)
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$dir/graph")
         // PQ layer (ann_ivfpq_topk): codebooks trained once at index

@@ -281,6 +281,76 @@ class ApiSpec extends SparkSuite {
     } finally idx.unpersist()
   }
 
+  test("cellGraph stitch: replicas recover split-cluster recall at nprobe=1") {
+    import spark.implicits._
+    // 4 true clusters OVER-partitioned into 16 k-means cells: the coarse
+    // quantizer must split every cluster (~4 ways), so a probe routed to
+    // ONE cell (nprobe=1) loses the cluster-mates living in sibling
+    // cells. The closure stitch replicates boundary nodes across the
+    // split, recovering those neighbors without a second probe.
+    val rnd = new scala.util.Random(13)
+    val (dim, nClusters, per) = (32, 4, 200)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- 0 until nClusters; i <- 0 until per) yield
+      ((c * per + i).toLong,
+        unit(centers(c).map(_ + 0.15 * rnd.nextGaussian())))
+    val cstore = pts.toDF("id", "embedding")
+    val probeVec = pts.find(_._1 == 0L).get._2
+    val cprobes = cstore.where(col("id") === 0L)
+      .select(col("id").as("probe_id"), col("embedding").as("probe"))
+    val exact = Graft.cosineTopK(cstore, cprobes, 10)
+      .collect().map(_.getLong(1)).toSet
+    val idx = Graft.ivfBuild(cstore, k = 4 * nClusters)
+    try {
+      val cell1 = idx.centroids
+        .select(col("cell"),
+          functions.cosine_sim(col("cent"),
+            functions.lit_vector(probeVec)).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(1).collect().map(_.getLong(0))
+      def recallAndVisited(g: org.apache.spark.sql.DataFrame)
+          : (Int, Long, Long) = {
+        val routed = g.where(col("cell").isin(cell1.toIndexedSeq: _*))
+          .persist()
+        val got = Graft.cellGraphTopK(routed, probeVec, 10, ef = 48)
+          .orderBy(col("score").desc, col("vec_id")).limit(10)
+        val rows = got.collect()
+        val r = (exact.intersect(rows.map(_.getLong(0)).toSet).size,
+          rows.map(_.getLong(2)).max, routed.count())
+        routed.unpersist()
+        r
+      }
+      val plainG = Graft.cellGraphBuild(idx.assign, m = 10)
+      val stitchG = Graft.cellGraphBuild(idx.assign, m = 10,
+        stitchEps = 0.05)
+      val (rPlain, _, popPlain) = recallAndVisited(plainG)
+      val (rStitch, vStitch, popStitch) = recallAndVisited(stitchG)
+      assert(rStitch >= rPlain,
+        s"stitch lost recall: $rStitch/10 vs plain $rPlain/10")
+      // the split must actually have cost the plain graph something and
+      // the stitch must recover it — otherwise this fixture proves nothing
+      assert(rPlain < 10, s"fixture did not split the probe's cluster")
+      assert(rStitch > rPlain,
+        s"stitch recovered nothing: $rStitch/10 vs $rPlain/10")
+      // bounded growth (≤1 replica per node) and bounded scan: the beam
+      // still visits a fraction of ONE stitched cell, not the store
+      assert(popStitch <= 2 * popPlain,
+        s"replica growth $popPlain -> $popStitch exceeds 2x")
+      assert(vStitch < popStitch,
+        s"beam visited $vStitch of $popStitch stitched rows")
+      // duplicate-id merge: results are one row per id
+      val ids = Graft.cellGraphTopK(stitchG
+          .where(col("cell").isin(cell1.toIndexedSeq: _*)),
+          probeVec, 10, ef = 48)
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length, "duplicate ids in results")
+    } finally idx.unpersist()
+  }
+
   test("editDistancePairs: bucket blocking finds cross-bucket neighbors") {
     import spark.implicits._
     // d("abcdef","abcdxx")=2 same bucket; "abcdefgh" vs "abcdef" d=2 with

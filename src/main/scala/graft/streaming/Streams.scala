@@ -187,11 +187,22 @@ object Streams {
     */
   def ingest(lines: DataFrame, storeDir: String, dim: Int = 64,
       filesPerBatch: Int = 1): Unit = {
-    val q = lines
+    // TextSegment parity ({text, metadata} — langchain4j's segment shape,
+    // StreamingStoreKnowledge.java:93): a `metadata` MAP<STRING,STRING>
+    // column on the input rides into the store verbatim; absent, rows
+    // carry the empty map `TextSegment.from(value)` defaults to. One
+    // store generation must stay schema-uniform: don't mix pre-metadata
+    // appends into a metadata-era store without compacting first.
+    val withMeta =
+      if (lines.columns.contains("metadata")) lines
+      else lines.withColumn("metadata",
+        map().cast("map<string,string>"))
+    val q = withMeta
       .select(
         xxhash64(col("line")).as("vec_id"),
         col("line").as("text"),
-        feature_hash_embed(col("line"), dim).as("embedding"))
+        feature_hash_embed(col("line"), dim).as("embedding"),
+        col("metadata").cast("map<string,string>").as("metadata"))
       .writeStream
       .trigger(Trigger.AvailableNow())
       // one file-set per micro-batch still accumulates forever; coalesce
@@ -314,19 +325,7 @@ object Streams {
     */
   def answerBatch(batch: DataFrame, storeDir: String,
       k: Int = 10, dim: Int = 64): DataFrame = {
-    val s = batch.sparkSession
-    val store = storeRead(s, storeDir)
-    val qs = batch.select(col("line").as("question"),
-      feature_hash_embed(col("line"), dim).as("qvec"))
-    import org.apache.spark.sql.expressions.Window
-    val scored = store.crossJoin(broadcast(qs))
-      .select(col("question"), col("text"),
-        cosine_sim(col("embedding"), col("qvec")).as("score"))
-      .where(col("score") >= 0.0) // minScore(0.0), RAG.java:54
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("question"))
-          .orderBy(col("score").desc, col("text"))))
-      .where(col("rn") <= k)
+    val scored = topMatches(batch, storeDir, k, dim, carry = Nil)
     scored
       .groupBy(col("question"))
       .agg(
@@ -344,6 +343,46 @@ object Streams {
           lit("{{information}}"), col("context")).as("prompt"),
         concat(lit("[extractive] "),
           substring_index(col("best.text"), ".", 1)).as("answer"))
+  }
+
+  /** Shared retrieval core (A7–A8): embed each batch question, cosine
+    * against the store, keep the k best at minScore ≥ 0.0. `carry` names
+    * extra store columns to ride along with (question, text, score).
+    */
+  private def topMatches(batch: DataFrame, storeDir: String, k: Int,
+      dim: Int, carry: Seq[String]): DataFrame = {
+    val s = batch.sparkSession
+    val store = storeRead(s, storeDir)
+    val qs = batch.select(col("line").as("question"),
+      feature_hash_embed(col("line"), dim).as("qvec"))
+    import org.apache.spark.sql.expressions.Window
+    store.crossJoin(broadcast(qs))
+      .select(col("question") +: col("text") +: carry.map(col) :+
+        cosine_sim(col("embedding"), col("qvec")).as("score"): _*)
+      .where(col("score") >= 0.0) // minScore(0.0), RAG.java:54
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("question"))
+          .orderBy(col("score").desc, col("text"))))
+      .where(col("rn") <= k)
+  }
+
+  /** The retriever surface itself (the reference's
+    * `EmbeddingStoreContentRetriever` returns whole TextSegments — text
+    * PLUS metadata — even though the answer chain consumes only text):
+    * top-k matches per question as (question, text, metadata, score,
+    * rank). A store written before the metadata column existed yields
+    * empty maps, the `TextSegment.from` default.
+    */
+  def retrieveBatch(batch: DataFrame, storeDir: String,
+      k: Int = 10, dim: Int = 64): DataFrame = {
+    val hasMeta = storeRead(batch.sparkSession, storeDir)
+      .columns.contains("metadata")
+    val m = topMatches(batch, storeDir, k, dim,
+      carry = if (hasMeta) Seq("metadata") else Nil)
+    (if (hasMeta) m
+     else m.withColumn("metadata", map().cast("map<string,string>")))
+      .select(col("question"), col("text"), col("metadata"),
+        col("score"), col("rn").as("rank"))
   }
 
   private def runAnswer(questions: DataFrame, storeDir: String, k: Int,

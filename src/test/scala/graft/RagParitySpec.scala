@@ -37,7 +37,21 @@ class RagParitySpec extends SparkSuite {
 
       val stored = spark.read.parquet(store)
       assert(stored.count() == 3)
-      assert(stored.columns.toSet == Set("vec_id", "text", "embedding"))
+      assert(stored.columns.toSet ==
+        Set("vec_id", "text", "embedding", "metadata"))
+      // TextSegment.from default: ingest without a metadata column
+      // stores the EMPTY map, typed MAP<STRING,STRING>
+      assert(stored.schema("metadata").dataType ==
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType, valueContainsNull = true)
+        || stored.schema("metadata").dataType ==
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType, valueContainsNull = false))
+      assert(stored.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("metadata"))).collect()
+        .forall(_.getInt(0) == 0))
 
       val questions = MemoryStream[String]
       questions.addData("What is the capital of France?")
@@ -63,6 +77,53 @@ class RagParitySpec extends SparkSuite {
       streaming.Streams.answer(questions2.toDF().toDF("line"), store, out, k = 2)
       val again = spark.read.parquet(out).collect()
       assert(again.length == 2 && again.map(_.toString).distinct.length == 1)
+    }
+  }
+
+  test("TextSegment metadata round-trips: ingest -> store -> retrieved matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map, lit}
+    implicit val sq: SQLContext = spark.sqlContext
+    withTmp("graft_meta_") { tmp =>
+      val store = s"$tmp/store"
+      // segments with per-document metadata (langchain4j {text, metadata})
+      val knowledge = MemoryStream[String]
+      knowledge.addData(
+        "The capital of France is Paris.",
+        "Spark plans queries with the Catalyst optimizer.")
+      streaming.Streams.ingest(
+        knowledge.toDF().toDF("line")
+          .withColumn("metadata", map(
+            lit("source"), lit("unit-test"),
+            lit("lang"), lit("en"))),
+        store)
+      // the store carries the typed map verbatim
+      val stored = spark.read.parquet(store)
+      assert(stored.columns.contains("metadata"))
+      val metas = stored.select("metadata").collect()
+        .map(_.getMap[String, String](0))
+      assert(metas.length == 2 &&
+        metas.forall(m => m("source") == "unit-test" && m("lang") == "en"))
+      // ...and retrieval hands it back on every match, reference-shaped
+      val questions = MemoryStream[String]
+      questions.addData("What is the capital of France?")
+      var out: Array[org.apache.spark.sql.Row] = Array.empty
+      val q = questions.toDF().toDF("line").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out = streaming.Streams.retrieveBatch(b, store, k = 2).collect()
+        }
+        .start()
+      q.awaitTermination()
+      assert(out.length == 2, s"expected 2 matches, got ${out.length}")
+      out.foreach { r =>
+        val m = r.getMap[String, String](r.fieldIndex("metadata"))
+        assert(m("source") == "unit-test" && m("lang") == "en", r.toString)
+      }
+      assert(out.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2))
+      // top match is the ingested fact
+      assert(out.minBy(_.getAs[Int]("rank")).getAs[String]("text")
+        .contains("Paris"))
     }
   }
 

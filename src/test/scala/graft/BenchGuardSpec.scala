@@ -146,4 +146,41 @@ class BenchGuardSpec extends AnyFunSuite {
     val (flags, notes) = Bench.guardFlags(cut, now, 0.45, 0.50, sf)
     assert(flags.isEmpty && notes.isEmpty)
   }
+
+  test("committed BENCH_DETAIL is the clean full-inventory gate denominator") {
+    // BASELINE.md (round 12): the operative 2x-gate denominator is the
+    // git-committed BENCH_DETAIL.json, which must itself honor the
+    // baseline-cleanliness conditions — failed:0, steal+iowait under 10%
+    // of wall, sf0.1, and near-full coverage of the declared inventory.
+    // A contended or partial artifact silently poisons every subsequent
+    // round's adjudication; this pins the contract in CI.
+    val p = new ProcessBuilder("git", "show", "HEAD:BENCH_DETAIL.json")
+      .redirectErrorStream(true).start()
+    val committed = scala.io.Source.fromInputStream(p.getInputStream)
+      .mkString
+    assert(p.waitFor() == 0, "HEAD has no BENCH_DETAIL.json")
+    def scalar(key: String): Option[Double] =
+      ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(committed)
+        .map(_.group(1).toDouble)
+    val wall = scalar("value").getOrElse(0.0)
+    assert(wall > 0.0, "committed artifact has no total")
+    assert(scalar("failed").contains(0.0),
+      s"baseline committed from a run with failures: ${scalar("failed")}")
+    val contention =
+      scalar("steal").getOrElse(0.0) + scalar("iowait").getOrElse(0.0)
+    assert(contention < 0.10 * wall,
+      f"baseline committed from a contended run: $contention%.1f s " +
+      f"steal+iowait on $wall%.1f s wall")
+    assert(committed.contains(""""sf":"/root/testdata/sf0.1""""),
+      "baseline must be the driver's sf0.1 sweep")
+    val covered = """"([a-z0-9_]+)":[0-9.]+""".r
+      .findAllMatchIn(committed.substring(
+        committed.indexOf("\"queries\":{")))
+      .map(_.group(1)).toSet
+    val declared = SparkEntry.all.map(_.name).toSet
+    val coverage = declared.count(covered).toDouble / declared.size
+    assert(coverage >= 0.95,
+      f"committed baseline covers $coverage%.2f of the declared " +
+      "inventory — re-commit from a full clean sweep")
+  }
 }

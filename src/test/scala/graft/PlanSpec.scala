@@ -413,6 +413,20 @@ class PlanSpec extends SparkSuite {
       "PQ path must never shuffle-join the store against the codebook")
   }
 
+  test("ivfpq: static cell pruning at the scan, broadcast-only join tree") {
+    val p = planString("ann_ivfpq_topk")
+    // the routed cells must prune PARTITIONS of the codes scan (literal
+    // IN list from the nprobe routing collect), and every join — probe
+    // LUT, per-cell correction table, centroid dot, norm — must
+    // broadcast; the only shuffle is the (probe, id) combiner aggregate
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+ IN \\(".r
+      .findFirstIn(p).isDefined,
+      s"routed cells must statically prune the codes scan:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("ShuffledHashJoin"),
+      "IVFPQ scoring must never shuffle-join the codes")
+  }
+
   test("skyline: frontier joins back as a broadcast, no dominance self-join") {
     val p = planString("skyline_price_size")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))

@@ -40,11 +40,13 @@ class DedupSpec extends SparkSuite {
     // cosine test is exact), asserted anyway as the safety net:
     assert(dropped.subsetOf(exactDrop),
       s"dropped non-duplicates: ${dropped.diff(exactDrop).take(5)}")
-    // RECALL: cross-cell near-dups are missed by design; on this fixture
-    // the k=8 cells must still co-locate most >=0.4 pairs
+    // RECALL: cross-cell near-dups outside both probe sets are missed by
+    // design. Measured on this fixture: 0.42 under hard assignment, 0.855
+    // with the soft top-2 probes — gate at 0.7 so a regression back to
+    // hard assignment fails while seed sensitivity keeps headroom
     assert(exactDrop.nonEmpty, "fixture block should contain near-dups")
     val recall = dropped.size.toDouble / exactDrop.size
-    assert(recall >= 0.5,
+    assert(recall >= 0.7,
       s"semantic-cell recall $recall (${dropped.size}/${exactDrop.size})")
   }
 

@@ -127,6 +127,39 @@ class RagParitySpec extends SparkSuite {
     }
   }
 
+  test("retrieveBatch on a pre-metadata store yields empty maps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    implicit val sq: SQLContext = spark.sqlContext
+    withTmp("graft_oldstore_") { tmp =>
+      val store = s"$tmp/store"
+      // a store generation written BEFORE the metadata column existed:
+      // three columns only, the shape every pre-round-12 ingest produced
+      Seq("The capital of France is Paris.", "Catalyst optimizes plans.")
+        .toDF("text")
+        .select(xxhash64(col("text")).as("vec_id"), col("text"),
+          graft.functions.feature_hash_embed(col("text"), 64)
+            .as("embedding"))
+        .write.parquet(store)
+      val questions = MemoryStream[String]
+      questions.addData("What is the capital of France?")
+      var out: Array[org.apache.spark.sql.Row] = Array.empty
+      val q = questions.toDF().toDF("line").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out = streaming.Streams.retrieveBatch(b, store, k = 2).collect()
+        }
+        .start()
+      q.awaitTermination()
+      assert(out.length == 2)
+      // the TextSegment.from default surfaces as the EMPTY map, typed
+      out.foreach { r =>
+        assert(r.getMap[String, String](r.fieldIndex("metadata")).isEmpty,
+          r.toString)
+      }
+    }
+  }
+
   test("compactStore publishes atomically: a concurrent reader sees one whole generation") {
     import spark.implicits._
     implicit val sq: SQLContext = spark.sqlContext

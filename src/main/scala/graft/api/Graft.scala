@@ -586,7 +586,11 @@ object Graft {
     * cells (LSH-style OR-amplification recovering boundary pairs classic
     * hard-assignment SemDeDup misses; pair space grows ≈ probes²-fold,
     * still cell-bounded — probes=1 is the classic trade-off). Size cells
-    * via k ≈ n/target-cell so the within-cell quadratic stays bounded.
+    * via k ≈ n/target-cell so the within-cell quadratic stays bounded;
+    * `maxCell` is the hot-cell safety valve (degenerate k-means,
+    * boilerplate-heavy corpora): an oversized probed cell sub-salts by
+    * id hash into ⌈size/maxCell⌉ blocks — pair work is bounded at
+    * O(n·maxCell) and a split pair is missed, the LSH-band-cap contract.
     * The call is EAGER: the keep-list (O(n) narrow rows) is materialized
     * via localCheckpoint and the internal caches are released before
     * returning, so repeated calls in a long-lived session leak no cached
@@ -594,8 +598,9 @@ object Graft {
     * here needs a release handle).
     */
   def semanticDedup(store: DataFrame, k: Int, threshold: Double,
-      iters: Int = 3, probes: Int = 2): DataFrame =
-    graft.operators.Dedup.semanticDedupOf(store, k, threshold, iters, probes)
+      iters: Int = 3, probes: Int = 2, maxCell: Int = 10000): DataFrame =
+    graft.operators.Dedup.semanticDedupOf(
+      store, k, threshold, iters, probes, maxCell)
 
   /** Per-user RFM quintile scores over purchase events →
     * (user, r_score, f_score, m_score), each 1–5.

@@ -438,7 +438,8 @@ object Dedup {
     * calls leak no cached blocks.
     */
   private[graft] def semanticDedupOf(store: DataFrame, k: Int,
-      threshold: Double, iters: Int = 3, probes: Int = 2): DataFrame = {
+      threshold: Double, iters: Int = 3, probes: Int = 2,
+      maxCell: Int = 10000): DataFrame = {
     val assign = Ann.kmeansCells(
         store.select(col("id").as("vec_id"), col("embedding")), k, iters)
       .select(col("vec_id").as("id"), col("embedding"), col("cell"))
@@ -461,10 +462,13 @@ object Dedup {
             .as("top"))
         .select(col("id"), col("embedding"),
           explode(col("top.cell")).as("pcell"))
-      val dups = soft.select(col("pcell"), col("id").as("a_id"),
+      val blocks = saltedCellBlocks(soft, maxCell)
+      val dups = blocks
+        .select(col("pcell"), col("id").as("a_id"),
           col("embedding").as("a_emb"))
-        .join(soft.select(col("pcell"), col("id").as("b_id"),
-          col("embedding").as("b_emb")), Seq("pcell"))
+        .join(blocks
+          .select(col("pcell"), col("id").as("b_id"),
+            col("embedding").as("b_emb")), Seq("pcell"))
         .where(col("a_id") < col("b_id") &&
           cosine_sim(col("a_emb"), col("b_emb")) >= threshold)
         .select(col("b_id").as("id"))
@@ -473,6 +477,32 @@ object Dedup {
         .select(col("id"), col("cell"), col("dup").isNull.as("keep"))
         .localCheckpoint(true)
     } finally assign.unpersist(false)
+  }
+
+  /** Hot-cell safety valve for [[semanticDedupOf]] — the embedding
+    * analogue of the MinHash hot-bucket cap: a probed cell larger than
+    * `maxCell` (degenerate k-means, boilerplate-heavy corpora) would make
+    * the within-cell self-join quadratic in the corpus, so oversized
+    * cells SUB-SALT by a hash of the id into ⌈size/maxCell⌉ blocks and
+    * pairs are tested within a block only. Trade-off is explicit and
+    * documented: a near-dup pair split across sub-blocks of a hot cell
+    * is missed (probability ≈ 1 − 1/blocks for a random pair), which is
+    * the price of bounding worst-case pair work at O(n·maxCell) — the
+    * same contract the LSH band cap makes. Cells at or under the cap
+    * keep the single block (`salt` 0) and lose nothing.
+    */
+  private[graft] def saltedCellBlocks(soft: DataFrame, maxCell: Int)
+      : DataFrame = {
+    val sized = soft.withColumn("csz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pcell"))))
+    sized
+      .withColumn("blocks",
+        ceil(col("csz") / lit(maxCell.toDouble)).cast("long"))
+      .withColumn("pcell",
+        concat(col("pcell").cast("string"), lit("#"),
+          pmod(xxhash64(col("id")), greatest(col("blocks"), lit(1L)))))
+      .drop("csz", "blocks")
   }
 
   val defs: Seq[Q] = Seq(

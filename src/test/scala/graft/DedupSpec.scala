@@ -50,6 +50,45 @@ class DedupSpec extends SparkSuite {
       s"semantic-cell recall $recall (${dropped.size}/${exactDrop.size})")
   }
 
+  test("semanticDedup hot-cell cap: sub-salted blocks bound pair work") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.countDistinct
+    // structural contract of the safety valve: after sub-salting, NO
+    // block exceeds ~maxCell rows (hash splitting is uneven, allow 2x),
+    // and an under-cap cell keeps exactly one block
+    val soft = (0L until 300L).map(i =>
+        (i, Array.fill(4)(0.1f), if (i < 280) "hot" else "cold"))
+      .toDF("id", "embedding", "pcell")
+    val blocks = operators.Dedup.saltedCellBlocks(soft, maxCell = 100)
+    val sizes = blocks.groupBy("pcell").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keys.count(_.startsWith("hot#")) >= 3,
+      s"hot cell did not split: ${sizes.keys.toSeq.sorted}")
+    assert(sizes.values.max <= 200,
+      s"a block exceeds 2x maxCell: $sizes")
+    assert(sizes.keys.count(_.startsWith("cold#")) == 1,
+      "under-cap cell must keep a single block")
+    // every row keeps exactly one block membership (salting partitions,
+    // never duplicates or drops)
+    assert(blocks.count() == 300 &&
+      blocks.select(countDistinct("id")).head().getLong(0) == 300)
+    // end-to-end: with a cap far below the cluster size, dropped rows
+    // are STILL only true near-dups (precision is cap-invariant; only
+    // recall pays), on the same fixture block as the main gate
+    val e = Tables.embeddings(spark, sf).where(col("vec_id") < 500)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val out = api.Graft.semanticDedup(e, k = 4, threshold = 0.4, iters = 2,
+      maxCell = 50).collect().map(r => r.getLong(0) -> r.getBoolean(2))
+    val a = e.select(col("id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("id").as("ib"), col("embedding").as("eb"))
+    val exactDrop = a.join(b, col("ia") < col("ib") &&
+        graft.functions.cosine_sim(col("ea"), col("eb")) >= 0.4)
+      .select(col("ib")).distinct().collect().map(_.getLong(0)).toSet
+    val dropped = out.collect { case (id, false) => id }.toSet
+    assert(dropped.subsetOf(exactDrop),
+      s"capped run dropped non-duplicates: ${dropped.diff(exactDrop).take(5)}")
+  }
+
   test("dedup_simhash: hamming<=6 pairs include high-jaccard duplicates") {
     val sim = SparkEntry.queries("dedup_simhash")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -263,6 +263,25 @@ object Analytics {
     ranked.select(col("pu").as("u"), col("pr"))
   }
 
+  /** Shared body of the two co-purchase PageRank queries: basket edge
+    * build (same shape as graph_copurchase_pairs — one order-keyed
+    * shuffle collects each order's part set, both edge directions explode
+    * IN-TASK; no self-join, no pair-level Exchange before the adjacency
+    * build), then the integer PageRank in the requested adjacency layout.
+    */
+  private def pageRankCopurchase(s: SparkSession, d: String,
+      saltDegree: Long): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(col("ps"), explode(col("ps")).as("u"))
+      .select(col("u"), explode(expr("filter(ps, x -> x != u)")).as("v"))
+    pageRankOf(edges, 2, saltDegree = saltDegree, salts = 8)
+      .select(col("u").as("part"), col("pr").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("part"))
+      .limit(20)
+  }
+
   /** The (u, vs, d) adjacency frame [[pageRankOf]] iterates over — rows
     * carry the node's TOTAL deduped degree `d` so `pr div d` is a per-row
     * expression in both layouts. Not persisted here (pageRankOf does).
@@ -1525,19 +1544,40 @@ object Analytics {
         |       GROUP BY e.v, nn.n)
         |SELECT u AS part, pr AS rank_scaled FROM p2
         |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
-      // basket edge build (same shape as graph_copurchase_pairs): one
-      // order-keyed shuffle collects each order's part set (= the
-      // oracle's DISTINCT li), both edge directions explode IN-TASK —
-      // no self-join, no pair-level Exchange before the adjacency build
-      val edges = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(col("ps"), explode(col("ps")).as("u"))
-        .select(col("u"), explode(expr("filter(ps, x -> x != u)")).as("v"))
-      pageRankOf(edges, 2)
-        .select(col("u").as("part"), col("pr").as("rank_scaled"))
-        .orderBy(col("rank_scaled").desc, col("part"))
-        .limit(20)
+      pageRankCopurchase(s, d, saltDegree = 0L)
+    },
+
+    // The SALTED adjacency layout against the SAME integer oracle: the
+    // two-level (u, hash(v) mod salts) build — the power-law path that
+    // bounds hub row width — must produce BIT-IDENTICAL ranks to the
+    // single-row layout, and here that claim is hash-proven against the
+    // DuckDB recurrence rather than only spec-asserted. saltDegree 32
+    // actually triggers on this graph (co-purchase hub parts exceed it),
+    // so the extra partial-sum reduce is live in the verified plan.
+    Q("graph_pagerank_salted",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM li a JOIN li b
+        |       ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT DISTINCT u FROM pe),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT u, count(*) AS d FROM pe GROUP BY 1),
+        |p0 AS (SELECT nodes.u, CAST(1000000000 // nn.n AS BIGINT) AS pr
+        |       FROM nodes, nn),
+        |p1 AS (SELECT e.v AS u,
+        |         CAST((15 * (1000000000 // nn.n)) // 100
+        |           + (85 * sum(p0.pr // deg.d)) // 100 AS BIGINT) AS pr
+        |       FROM pe e JOIN p0 ON e.u = p0.u JOIN deg ON e.u = deg.u, nn
+        |       GROUP BY e.v, nn.n),
+        |p2 AS (SELECT e.v AS u,
+        |         CAST((15 * (1000000000 // nn.n)) // 100
+        |           + (85 * sum(p1.pr // deg.d)) // 100 AS BIGINT) AS pr
+        |       FROM pe e JOIN p1 ON e.u = p1.u JOIN deg ON e.u = deg.u, nn
+        |       GROUP BY e.v, nn.n)
+        |SELECT u AS part, pr AS rank_scaled FROM p2
+        |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
+      pageRankCopurchase(s, d, saltDegree = 32L)
     },
 
     // Directional n-gram containment |A∩B| / |A| — catches doc-IN-doc

@@ -53,6 +53,32 @@ object Dedup {
       |           string_split(text, ' ')[i+1] || ' ' ||
       |           string_split(text, ' ')[i+2]))""".stripMargin
 
+  /** Ground-truth component closure over the jac ≥ 0.5 pair graph — the
+    * shared oracle of BOTH cluster-collapse queries (min-label and
+    * large-star/small-star produce the same labeling by definition:
+    * cluster_id = component minimum).
+    */
+  private val CollapseOracle =
+    s"""WITH RECURSIVE
+       |s AS (
+       |  SELECT doc_id, $OracleShingle AS sh
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(a.sh || b.sh)) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+       |FROM (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** MinHash(32)+LSH(8 bands × 4 rows) candidate pairs, exact-Jaccard
     * verified at `threshold`: the scale path for corpus dedup (candidates
     * from band-hash equi-buckets only — never a cross product).
@@ -586,27 +612,21 @@ object Dedup {
     // 1 at every shipped SF, so the sketch pipeline hash-matches the exact
     // all-pairs oracle. The recursive CTE is the ground-truth component
     // closure; keep = "is the cluster representative".
-    Q("dedup_minhash_collapse",
-      s"""WITH RECURSIVE
-         |s AS (
-         |  SELECT doc_id, $OracleShingle AS sh
-         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / len(list_distinct(a.sh || b.sh)) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT src AS doc_id, src AS r FROM edges
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
-         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
-         |FROM (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Q("dedup_minhash_collapse", CollapseOracle) { (s, d) =>
       collapseClusters(minhashVerifiedPairs(s, d, 0.5)
+          .select("doc_a", "doc_b"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // The O(log n)-round large-star/small-star CC (the 100 TB diameter
+    // path — min-label propagation needs O(diameter) rounds, star
+    // contraction O(log n)) against the SAME recursive-CTE oracle:
+    // component labeling is exact set equality, so the scale algorithm
+    // is hash-proven per round, not only unit-tested on fixture graphs.
+    Q("dedup_collapse_logn", CollapseOracle) { (s, d) =>
+      collapseClustersLogN(minhashVerifiedPairs(s, d, 0.5)
           .select("doc_a", "doc_b"))
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).as("keep"))

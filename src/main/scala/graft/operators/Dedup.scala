@@ -603,6 +603,56 @@ object Dedup {
       minhashVerifiedPairs(s, d, 0.5).orderBy("doc_a", "doc_b")
     },
 
+    // Verbatim shared-window dedup — the EXACT-SUBSTRING family
+    // (the training-pipeline shape of Lee et al.'s "Deduplicating
+    // Training Data Makes Language Models Better": two docs sharing a
+    // long verbatim token window are near-dups even when global Jaccard
+    // is low — a paragraph lifted into an otherwise-different page).
+    // Pairs come from an 8-token-window equi-join (each doc's distinct
+    // windows explode once; candidates share a window hash-bucket, never
+    // a cross product), with the same hot-key cap as the MinHash path:
+    // a window appearing in > 50 docs is boilerplate, not duplication,
+    // and is dropped BEFORE the self-join so no degenerate window goes
+    // quadratic. Emits (doc_a, doc_b, shared_windows); integer counts of
+    // identical distinct-window sets — bit-identical cross-engine.
+    Q("dedup_shared_ngram_window",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 7),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+        |      || ' ' || w[i+7]))) AS g
+        |  FROM t),
+        |cool AS (
+        |  SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
+        |  WHERE df <= 50)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS shared_windows
+        |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |WHERE a.g IN (SELECT g FROM cool)
+        |GROUP BY 1, 2
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .where(col("doc_id") < 200 && size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"),
+          explode(array_distinct(word_ngrams(col("text"), 8))).as("g"))
+      val hot = g.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") > 50)
+        .select("g")
+      val cool = g.join(broadcast(hot), Seq("g"), "left_anti")
+      cool.select(col("g"), col("doc_id").as("doc_a"))
+        .join(cool.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Cluster collapse — the output a training-data pipeline actually
     // consumes: verified near-dup pairs → connected components (iterative
     // min-label propagation, join-based) → keep the min doc per cluster.

@@ -728,6 +728,77 @@ object Dedup {
     // DP) cascade is the 100 TB shape; the doc_id < 300 block bounds the
     // oracle, not the join strategy. At corpus scale the pair source is
     // the MinHash band join with this verify per candidate.
+    // Longest verbatim shared RUN — the statistic exact-substring dedup
+    // actually thresholds on ("drop if ≥ N shared tokens"): consecutive
+    // shared 8-token windows along a (pos_b − pos_a) DIAGONAL form a
+    // verbatim common span of run + 7 tokens. Classic gaps-and-islands
+    // over the matched window positions: windows keep their POSITIONS
+    // (posexplode, not distinct), matches group by pair + diagonal,
+    // islands key = pos − row_number. Both engines compute the identical
+    // integer recurrence; position bases (0- vs 1-indexed) cancel in the
+    // diagonal and island arithmetic. Same hot-window cap as
+    // dedup_shared_ngram_window (by DISTINCT doc count, since windows
+    // repeat within a doc here).
+    Q("dedup_longest_shared_run",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 8),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 7)) AS pos
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' ' || w[pos+3]
+        |      || ' ' || w[pos+4] || ' ' || w[pos+5] || ' ' || w[pos+6]
+        |      || ' ' || w[pos+7] AS g
+        |  FROM p),
+        |hot AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |  WHERE df > 50),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.pos AS pa, b.pos - a.pos AS diag
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  WHERE a.g NOT IN (SELECT g FROM hot)),
+        |r AS (
+        |  SELECT doc_a, doc_b, diag,
+        |    pa - row_number() OVER (
+        |      PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+        |  FROM m)
+        |SELECT doc_a, doc_b, max(cnt) + 7 AS longest_tokens
+        |FROM (SELECT doc_a, doc_b, diag, isl, count(*) AS cnt
+        |      FROM r GROUP BY 1, 2, 3, 4)
+        |GROUP BY 1, 2
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .where(col("doc_id") < 200 && size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"),
+          posexplode(word_ngrams(col("text"), 8)).as(Seq("pos", "g")))
+      val hot = g.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") > 50)
+        .select("g")
+      val cool = g.join(broadcast(hot), Seq("g"), "left_anti")
+      val m = cool.select(col("g"), col("doc_id").as("doc_a"),
+          col("pos").as("pa"))
+        .join(cool.select(col("g"), col("doc_id").as("doc_b"),
+          col("pos").as("pb")), Seq("g"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pa"),
+          (col("pb") - col("pa")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+      m.withColumn("isl", col("pa") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg((max(col("cnt")) + lit(7)).as("longest_tokens"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SemDeDup-shape semantic dedup as an inventory query (facade:
     // `Graft.semanticDedup`): k-means cells bound the pair space — the
     // embedding analogue of the MinHash band join — and only WITHIN-cell

@@ -50,6 +50,29 @@ class DedupSpec extends SparkSuite {
       s"semantic-cell recall $recall (${dropped.size}/${exactDrop.size})")
   }
 
+  test("exact-substring family: run pairs = window pairs, spans >= window") {
+    // the two queries share one pair space by construction (same block,
+    // same 8-token windows, same hot cap), and their statistics are
+    // mutually bounded: a longest run of L tokens contributes exactly
+    // L-7 consecutive windows, so shared_windows >= longest-7, and any
+    // run is at least one full window long
+    val win = SparkEntry.queries("dedup_shared_ngram_window")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val runs = SparkEntry.queries("dedup_longest_shared_run")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(win.nonEmpty, "fixture should contain verbatim-overlap pairs")
+    assert(runs.keySet == win.keySet,
+      s"pair spaces diverge: ${runs.keySet.diff(win.keySet).take(3)} / " +
+        s"${win.keySet.diff(runs.keySet).take(3)}")
+    runs.foreach { case (pair, l) =>
+      assert(l >= 8, s"$pair: span $l shorter than one window")
+      assert(win(pair) >= l - 7,
+        s"$pair: ${win(pair)} windows can't support a $l-token run")
+    }
+  }
+
   test("semanticDedup hot-cell cap: sub-salted blocks bound pair work") {
     import spark.implicits._
     import org.apache.spark.sql.functions.countDistinct

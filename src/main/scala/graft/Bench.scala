@@ -60,6 +60,16 @@ object Bench {
     * baseline committed from a slow placement no longer masks real
     * regressions up to the placement factor.
     */
+  /** Streaming queries run ONCE per sweep (init-dominated wall that
+    * repeats identically — min-of-two buys nothing, see BASELINE.md), so
+    * BOTH their committed baseline and any current value are single
+    * samples of a noisy per-job init cost (measured spread: 0.90–1.46 s
+    * for the same query on identical code within one session). The guard
+    * widens their wall gate accordingly.
+    */
+  private[graft] def isStreamingQuery(name: String): Boolean =
+    name.startsWith("stream_") || name == "source_rate_stream"
+
   private[graft] def guardFlags(prior: String,
       results: Seq[(String, Double, Double)],
       calib: Double, calibLoaded: Double,
@@ -128,7 +138,11 @@ object Bench {
             f"$hostRatio%.2f (placement, not code)"
         val flags = results.flatMap { case (name, t, c) =>
           priorWall.get(name).flatMap { p =>
-            val wallRegress = t > 1.5 * hostRatio * p && t - p > 0.3
+            // single-sample-vs-single-sample comparisons (streaming init
+            // wall) get a 2x gate; repeated-min batch measurements keep
+            // the tight 1.5x
+            val wallFactor = if (isStreamingQuery(name)) 2.0 else 1.5
+            val wallRegress = t > wallFactor * hostRatio * p && t - p > 0.3
             // cpu gate: placement-sensitive but code-sensitive too — a
             // real slowdown burns more cpu beyond the host normalization;
             // absent a cpu baseline, fall back to the wall verdict alone
@@ -232,8 +246,7 @@ object Bench {
     // (incremental planner, state-store setup) that repeats identically on
     // a second run — min-of-two bought nothing and cost ~18 s of the 65 s
     // budget across the 18 real streaming executions.
-    def isStreaming(name: String): Boolean =
-      name.startsWith("stream_") || name == "source_rate_stream"
+    def isStreaming(name: String): Boolean = Bench.isStreamingQuery(name)
     val results = SparkEntry.all.map { q =>
       def once(): (Double, Double, Double, Option[String]) = {
         val t0 = System.nanoTime()

@@ -147,6 +147,35 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(flags.isEmpty && notes.isEmpty)
   }
 
+  test("streaming queries get the 2x single-sample wall gate") {
+    // five-query fleet, majority stable so the host normalization stays
+    // at 1: the same 1.7x wall + 3x cpu inflation flags a BATCH query
+    // (repeated-min measurement, 1.5x gate) but not a STREAMING one
+    // (single init sample on both sides of the comparison, 2x gate)
+    val art =
+      """{"metric":"total","value":5.0,"unit":"sec","cpu":10.0,"gc":0.1,""" +
+        """"calib":0.45,"calib_loaded":0.50,""" +
+        """"queries":{"qa":1.000,"qb":1.000,"qc":1.000,"qd":1.000,""" +
+        """"stream_x":1.000},""" +
+        """"queries_cpu":{"qa":2.000,"qb":2.000,"qc":2.000,"qd":2.000,""" +
+        """"stream_x":2.000},""" +
+        """"errors":{},"failed":0,"sf":"/root/testdata/sf0.1"}"""
+    val stable = Seq(("qb", 1.0, 2.0), ("qc", 1.0, 2.0), ("qd", 1.0, 2.0))
+    // batch at 1.7x wall / 3x cpu: flags
+    val f1 = flagsOf(stable :+ (("qa", 1.7, 6.0)) :+ (("stream_x", 1.0, 2.0)),
+      calib = 0.45, loaded = 0.50, artifact = art)
+    assert(f1.exists(_.contains("qa")) && !f1.exists(_.contains("stream_x")),
+      f1.mkString("; "))
+    // streaming at the SAME 1.7x/3x: inside the 2x single-sample gate
+    val f2 = flagsOf(stable :+ (("qa", 1.0, 2.0)) :+ (("stream_x", 1.7, 6.0)),
+      calib = 0.45, loaded = 0.50, artifact = art)
+    assert(!f2.exists(_.contains("stream_x")), f2.mkString("; "))
+    // a genuine 2.5x streaming blow-up with matching cpu still flags
+    val f3 = flagsOf(stable :+ (("qa", 1.0, 2.0)) :+ (("stream_x", 2.5, 6.5)),
+      calib = 0.45, loaded = 0.50, artifact = art)
+    assert(f3.exists(_.contains("stream_x")), f3.mkString("; "))
+  }
+
   test("committed BENCH_DETAIL is the clean full-inventory gate denominator") {
     // BASELINE.md (round 12): the operative 2x-gate denominator is the
     // git-committed BENCH_DETAIL.json, which must itself honor the

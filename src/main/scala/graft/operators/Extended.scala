@@ -173,6 +173,34 @@ object Extended {
         .orderBy("s_suppkey")
     },
 
+    // Text-source round-trip — the remaining native format, and the one
+    // raw corpus ingest actually starts from (one line = one record, no
+    // schema): document texts write as line files and read back as a
+    // `value` column. Newlines inside a doc would split records — the
+    // writer is the contract violator there, so the query normalizes
+    // them first (the oracle mirrors it); the count+length aggregate is
+    // line-order-independent, which a line-file read must be.
+    Q("source_text_roundtrip",
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(length(replace(text, chr(10), ' '))) AS BIGINT)
+        |    AS total_chars,
+        |  CAST(min(length(replace(text, chr(10), ' '))) AS BIGINT)
+        |    AS min_chars,
+        |  CAST(max(length(replace(text, chr(10), ' '))) AS BIGINT)
+        |    AS max_chars
+        |FROM documents WHERE doc_id < 500""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_text_").toString
+      Tables.documents(s, d).where(col("doc_id") < 500)
+        .select(regexp_replace(col("text"), "\n", " ").as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(length(col("value")).cast("long").as("len"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("len")).as("total_chars"),
+          min(col("len")).as("min_chars"),
+          max(col("len")).as("max_chars"))
+    },
+
     // Dynamic partition overwrite — the lake backfill primitive: rewrite
     // ONE partition in place, leave every other partition's files
     // untouched. Store partitioned by event_type; the second write

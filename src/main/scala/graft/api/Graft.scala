@@ -404,6 +404,29 @@ object Graft {
       maxBucket: Int = 1000): DataFrame =
     graft.operators.Dedup.editDistancePairsOf(docs, maxDist, maxBucket)
 
+  /** Verbatim shared-window pairs (the exact-substring dedup family —
+    * Lee et al.'s training-data shape): pairs of `docs` (doc_id, text)
+    * sharing ≥1 verbatim `w`-token window, with the count of distinct
+    * shared windows → (doc_a, doc_b, shared_windows), doc_a < doc_b.
+    * Candidates come from a window equi-join — never a cross product —
+    * and windows appearing in more than `maxDocsPerWindow` docs are
+    * dropped as boilerplate before the self-join (the hot-bucket cap).
+    */
+  def sharedWindowPairs(docs: DataFrame, w: Int = 8,
+      maxDocsPerWindow: Int = 50): DataFrame =
+    graft.operators.Dedup.sharedWindowPairsOf(docs, w, maxDocsPerWindow)
+
+  /** Longest verbatim shared run per pair → (doc_a, doc_b,
+    * longest_tokens): the statistic exact-substring dedup thresholds on
+    * ("drop if ≥ N shared tokens"). Consecutive shared `w`-token windows
+    * along a position diagonal form a run of run+w−1 tokens
+    * (gaps-and-islands over positional window matches); same hot-window
+    * cap as [[sharedWindowPairs]], by distinct doc count.
+    */
+  def longestSharedRun(docs: DataFrame, w: Int = 8,
+      maxDocsPerWindow: Int = 50): DataFrame =
+    graft.operators.Dedup.longestSharedRunOf(docs, w, maxDocsPerWindow)
+
   /** Zonemap (per-file min/max) file pruning over the parquet files of
     * `dir`, statistic column `valueCol`: the file paths whose
     * [min, max] zone intersects [lo, hi], plus the total file count.

@@ -505,6 +505,66 @@ object Dedup {
     } finally assign.unpersist(false)
   }
 
+  /** Frame-parametric verbatim shared-window pairs (re-exported as
+    * `graft.api.Graft.sharedWindowPairs`): `docs` needs (doc_id, text).
+    * Pairs sharing ≥1 verbatim `w`-token window with the count of
+    * distinct shared windows — the exact-substring dedup family's
+    * candidate generator. Windows appearing in more than
+    * `maxDocsPerWindow` docs are boilerplate and are dropped BEFORE the
+    * self-join (the MinHash hot-bucket contract).
+    */
+  private[graft] def sharedWindowPairsOf(docs: DataFrame, w: Int,
+      maxDocsPerWindow: Int): DataFrame = {
+    val g = docs
+      .where(size(split(col("text"), " ")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(word_ngrams(col("text"), w))).as("g"))
+    val hot = g.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocsPerWindow)
+      .select("g")
+    val cool = g.join(broadcast(hot), Seq("g"), "left_anti")
+    cool.select(col("g"), col("doc_id").as("doc_a"))
+      .join(cool.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
+  /** Frame-parametric longest verbatim shared run (re-exported as
+    * `graft.api.Graft.longestSharedRun`): per pair, the length in tokens
+    * of the longest verbatim common span — consecutive shared `w`-token
+    * windows along a position diagonal form a run of run+w−1 tokens
+    * (gaps-and-islands; see the dedup_longest_shared_run query note).
+    * The hot cap counts DISTINCT docs since windows repeat in a doc.
+    */
+  private[graft] def longestSharedRunOf(docs: DataFrame, w: Int,
+      maxDocsPerWindow: Int): DataFrame = {
+    val g = docs
+      .where(size(split(col("text"), " ")) >= w)
+      .select(col("doc_id"),
+        posexplode(word_ngrams(col("text"), w)).as(Seq("pos", "g")))
+    val hot = g.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > maxDocsPerWindow)
+      .select("g")
+    val cool = g.join(broadcast(hot), Seq("g"), "left_anti")
+    val m = cool.select(col("g"), col("doc_id").as("doc_a"),
+        col("pos").as("pa"))
+      .join(cool.select(col("g"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pb") - col("pa")).as("diag"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    m.withColumn("isl", col("pa") - row_number().over(win))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("cnt")) + lit(w - 1)).as("longest_tokens"))
+  }
+
   /** Hot-cell safety valve for [[semanticDedupOf]] — the embedding
     * analogue of the MinHash hot-bucket cap: a probed cell larger than
     * `maxCell` (degenerate k-means, boilerplate-heavy corpora) would make
@@ -636,20 +696,9 @@ object Dedup {
         |WHERE a.g IN (SELECT g FROM cool)
         |GROUP BY 1, 2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val g = Tables.documents(s, d)
-        .where(col("doc_id") < 200 && size(split(col("text"), " ")) >= 8)
-        .select(col("doc_id"),
-          explode(array_distinct(word_ngrams(col("text"), 8))).as("g"))
-      val hot = g.groupBy(col("g"))
-        .agg(count(lit(1)).as("df"))
-        .where(col("df") > 50)
-        .select("g")
-      val cool = g.join(broadcast(hot), Seq("g"), "left_anti")
-      cool.select(col("g"), col("doc_id").as("doc_a"))
-        .join(cool.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared_windows"))
+      sharedWindowPairsOf(
+          Tables.documents(s, d).where(col("doc_id") < 200),
+          w = 8, maxDocsPerWindow = 50)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -773,29 +822,9 @@ object Dedup {
         |      FROM r GROUP BY 1, 2, 3, 4)
         |GROUP BY 1, 2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val g = Tables.documents(s, d)
-        .where(col("doc_id") < 200 && size(split(col("text"), " ")) >= 8)
-        .select(col("doc_id"),
-          posexplode(word_ngrams(col("text"), 8)).as(Seq("pos", "g")))
-      val hot = g.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .where(col("df") > 50)
-        .select("g")
-      val cool = g.join(broadcast(hot), Seq("g"), "left_anti")
-      val m = cool.select(col("g"), col("doc_id").as("doc_a"),
-          col("pos").as("pa"))
-        .join(cool.select(col("g"), col("doc_id").as("doc_b"),
-          col("pos").as("pb")), Seq("g"))
-        .where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("pa"),
-          (col("pb") - col("pa")).as("diag"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-      m.withColumn("isl", col("pa") - row_number().over(w))
-        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg((max(col("cnt")) + lit(7)).as("longest_tokens"))
+      longestSharedRunOf(
+          Tables.documents(s, d).where(col("doc_id") < 200),
+          w = 8, maxDocsPerWindow = 50)
         .orderBy("doc_a", "doc_b")
     },
 

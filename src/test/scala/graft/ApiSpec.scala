@@ -351,6 +351,36 @@ class ApiSpec extends SparkSuite {
     } finally idx.unpersist()
   }
 
+  test("sharedWindowPairs/longestSharedRun: exact spans on constructed docs") {
+    import spark.implicits._
+    // doc 1 and doc 2 share exactly one verbatim 10-token span
+    // ("s1..s10") embedded in different surroundings; doc 3 shares
+    // nothing. w=4 → the span yields 10-4+1 = 7 consecutive windows on
+    // one diagonal → longest run = 7 + 3 = 10 tokens, 7 shared windows.
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"one two $span three four five six"),
+      (3L, "totally unrelated words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Graft.sharedWindowPairs(docs, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) == 7L, pairs.toString)
+    val runs = Graft.longestSharedRun(docs, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(runs == Map((1L, 2L) -> 10L), runs.toString)
+    // the hot cap silences a window shared by too many docs: with the
+    // span in THREE docs and maxDocsPerWindow = 2, all span windows are
+    // boilerplate and no pair survives
+    val boiler = docs.union(Seq((4L, s"seven eight $span nine ten"))
+      .toDF("doc_id", "text"))
+    assert(Graft.sharedWindowPairs(boiler, w = 4, maxDocsPerWindow = 2)
+      .count() == 0)
+  }
+
   test("editDistancePairs: bucket blocking finds cross-bucket neighbors") {
     import spark.implicits._
     // d("abcdef","abcdxx")=2 same bucket; "abcdefgh" vs "abcdef" d=2 with

@@ -138,10 +138,14 @@ object Bench {
             f"$hostRatio%.2f (placement, not code)"
         val flags = results.flatMap { case (name, t, c) =>
           priorWall.get(name).flatMap { p =>
-            // single-sample-vs-single-sample comparisons (streaming init
-            // wall) get a 2x gate; repeated-min batch measurements keep
-            // the tight 1.5x
-            val wallFactor = if (isStreamingQuery(name)) 2.0 else 1.5
+            // streaming init wall is noisy per-sample (measured spread
+            // 0.90-1.46 s on identical code), but the sweep RE-SAMPLES a
+            // streaming query whose first run exceeds its committed wall
+            // and reports the min (see main) — so the comparison is
+            // min-of-samples vs a single committed draw and the gate
+            // tightens from the old single-vs-single 2x to 1.6x;
+            // repeated-min batch measurements keep the tight 1.5x
+            val wallFactor = if (isStreamingQuery(name)) 1.6 else 1.5
             val wallRegress = t > wallFactor * hostRatio * p && t - p > 0.3
             // cpu gate: placement-sensitive but code-sensitive too — a
             // real slowdown burns more cpu beyond the host normalization;
@@ -242,11 +246,44 @@ object Bench {
     // TWICE and report the min: a single transient stall (page-cache miss,
     // GC, JIT deopt) burned ~10 s of round-4's artifact; the first pass
     // warms OS/file caches, the second is the measurement. STREAMING
-    // queries run ONCE: their wall is dominated by fixed per-job init
-    // (incremental planner, state-store setup) that repeats identically on
-    // a second run — min-of-two bought nothing and cost ~18 s of the 65 s
-    // budget across the 18 real streaming executions.
+    // queries normally run ONCE: their wall is dominated by fixed per-job
+    // init (incremental planner, state-store setup), and unconditional
+    // min-of-two cost ~18 s of the 65 s budget across the 18 real
+    // streaming executions. Only a streaming sample that exceeds its
+    // committed wall re-samples (min-of-3, capped), which is what lets
+    // guardFlags hold a 1.6x streaming gate instead of 2x.
     def isStreaming(name: String): Boolean = Bench.isStreamingQuery(name)
+    // The comparison baseline is the COMMITTED snapshot (git HEAD), not
+    // the working file: the working copy can hold a host-contended driver
+    // run, and comparing against it would poison the next round's guard.
+    def committedDetail(): Option[String] =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_DETAIL.json")
+          .redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (p.waitFor() == 0 && out.contains("\"queries\"")) Some(out) else None
+      } catch { case _: Throwable => None }
+    // Committed streaming walls, parsed up-front: a streaming query whose
+    // FIRST sample exceeds its committed wall gets re-sampled (min of up
+    // to 3 runs) so the guard can hold a 1.6x gate instead of the old
+    // single-sample-vs-single-sample 2x (ADVICE r12). The trigger sits
+    // below the flag gate (1.4x + 0.15 s) so borderline draws re-sample
+    // too; re-runs are capped sweep-wide so a contended host can't turn
+    // the whole streaming family into triple runs.
+    val committedForResample = committedDetail().getOrElse("")
+    val priorStreamWall: Map[String, Double] = {
+      val i = committedForResample.indexOf("\"queries\":{")
+      val end = if (i < 0) -1 else committedForResample.indexOf("}", i)
+      if (i < 0 || end < 0) Map.empty
+      else """"([a-z0-9_]+)":([0-9.]+)""".r
+        .findAllMatchIn(committedForResample.substring(i, end + 1))
+        .collect { case m if isStreaming(m.group(1)) =>
+          m.group(1) -> m.group(2).toDouble }
+        .toMap
+    }
+    var streamResamples = 0
+    val maxStreamResamples = 8
     val results = SparkEntry.all.map { q =>
       def once(): (Double, Double, Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -263,8 +300,21 @@ object Bench {
       }
       val (t1, c1, g1, e1) = once()
       val out =
-        if (e1.isDefined || isStreaming(q.name)) (q.name, t1, c1, g1, e1)
-        else {
+        if (e1.isDefined) (q.name, t1, c1, g1, e1)
+        else if (isStreaming(q.name)) {
+          // single sample unless it looks regressed vs the committed wall
+          val suspicious = priorStreamWall.get(q.name)
+            .exists(p => t1 > 1.4 * p + 0.15)
+          if (!suspicious || streamResamples >= maxStreamResamples)
+            (q.name, t1, c1, g1, e1)
+          else {
+            streamResamples += 1
+            val samples = (t1, c1, g1, e1) +: Seq.fill(2)(once())
+            samples.filter(_._4.isEmpty).minByOption(_._1)
+              .map { case (t, c, g, e) => (q.name, t, c, g, e) }
+              .getOrElse((q.name, t1, c1, g1, e1))
+          }
+        } else {
           val (t2, c2, g2, e2) = once()
           if (t2 <= t1) (q.name, t2, c2, g2, e2) else (q.name, t1, c1, g1, e2)
         }
@@ -334,14 +384,6 @@ object Bench {
     // beyond the idle-calib / loaded-calib / fleet-median-cpu host
     // normalization before a query flags.
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
-    def committedDetail(): Option[String] =
-      try {
-        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_DETAIL.json")
-          .redirectErrorStream(false).start()
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (p.waitFor() == 0 && out.contains("\"queries\"")) Some(out) else None
-      } catch { case _: Throwable => None }
     try {
       val baseline = committedDetail().orElse {
         if (java.nio.file.Files.isRegularFile(detailPath))

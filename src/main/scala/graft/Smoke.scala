@@ -1,9 +1,11 @@
 package graft
 object Smoke {
   def main(args: Array[String]): Unit = {
+    // same harness-width contract as Bench/Verify/Profile
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

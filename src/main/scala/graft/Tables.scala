@@ -78,9 +78,20 @@ object Tables {
               s"(expected one of ${ok.map(_.simpleString).mkString("/")}; " +
               s"found columns: ${schema.fieldNames.mkString(", ")})")
           case Some(t) if !ok.contains(t) =>
+            // only `events.ts` is allowed to ride the session-wide
+            // nanosAsLong legacy coercion (table() sets it for the events
+            // read and it persists in the conf); a ts-like column in any
+            // OTHER table arriving as LONG means that fixture drifted to
+            // nanos timestamps and was silently coerced — name the cause
+            val nanosHint =
+              if (t == LongType && ok.subsetOf(tsLike))
+                " (a timestamp column read as LONG = parquet TIMESTAMP(NANOS)" +
+                " coerced by spark.sql.legacy.parquet.nanosAsLong; only" +
+                " events.ts may rely on that coercion)"
+              else ""
             throw new IllegalStateException(
               s"fixture schema drift: $path column '$col' is ${t.simpleString}, " +
-              s"expected one of ${ok.map(_.simpleString).mkString("/")}")
+              s"expected one of ${ok.map(_.simpleString).mkString("/")}$nanosHint")
           case _ => ()
         }
       }

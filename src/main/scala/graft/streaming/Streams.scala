@@ -153,7 +153,14 @@ object Streams {
     * holds one consistent generation for its whole lifetime).
     */
   def storeRead(s: SparkSession, storeDir: String): DataFrame =
-    s.read.parquet(storeDataDir(storeDir))
+    // mergeSchema: a store generation is normally schema-uniform, but an
+    // old pre-metadata store that took metadata-era appends before its
+    // next compaction holds mixed footers — without merging, which columns
+    // surface depends on WHICH file footer Spark samples, so `metadata`
+    // could silently vanish (or the read fail) based on file order. Merged,
+    // pre-metadata rows surface metadata=NULL and retrieveBatch restores
+    // the TextSegment empty-map default.
+    s.read.option("mergeSchema", "true").parquet(storeDataDir(storeDir))
 
   /** Regular files under `p` ending in `suffix`; empty for a non-dir.
     * (Files.list must be closed — it holds a directory handle.)
@@ -190,9 +197,10 @@ object Streams {
     // TextSegment parity ({text, metadata} — langchain4j's segment shape,
     // StreamingStoreKnowledge.java:93): a `metadata` MAP<STRING,STRING>
     // column on the input rides into the store verbatim; absent, rows
-    // carry the empty map `TextSegment.from(value)` defaults to. One
-    // store generation must stay schema-uniform: don't mix pre-metadata
-    // appends into a metadata-era store without compacting first.
+    // carry the empty map `TextSegment.from(value)` defaults to. A
+    // generation that mixes pre-metadata and metadata-era files is read
+    // with mergeSchema (storeRead), so the union schema always surfaces
+    // and old rows resolve to the empty-map default in retrieveBatch.
     val withMeta =
       if (lines.columns.contains("metadata")) lines
       else lines.withColumn("metadata",
@@ -379,7 +387,10 @@ object Streams {
       .columns.contains("metadata")
     val m = topMatches(batch, storeDir, k, dim,
       carry = if (hasMeta) Seq("metadata") else Nil)
-    (if (hasMeta) m
+    // pre-metadata rows in a mixed-generation store arrive as NULL under
+    // the merged schema — restore the `TextSegment.from` empty-map default
+    (if (hasMeta) m.withColumn("metadata",
+       coalesce(col("metadata"), map().cast("map<string,string>")))
      else m.withColumn("metadata", map().cast("map<string,string>")))
       .select(col("question"), col("text"), col("metadata"),
         col("score"), col("rn").as("rank"))

@@ -68,8 +68,14 @@ class DedupSpec extends SparkSuite {
         s"${win.keySet.diff(runs.keySet).take(3)}")
     runs.foreach { case (pair, l) =>
       assert(l >= 8, s"$pair: span $l shorter than one window")
-      assert(win(pair) >= l - 7,
-        s"$pair: ${win(pair)} windows can't support a $l-token run")
+      // NOT win(pair) >= l-7: shared_windows counts DISTINCT window
+      // strings while a run counts positions, so a periodic shared span
+      // (several positional windows with identical text) legitimately
+      // yields fewer distinct windows than run length - 7. The sound
+      // mutual bound is only that any >=8-token run implies at least one
+      // shared window.
+      assert(win(pair) >= 1,
+        s"$pair: a $l-token run must contribute at least one shared window")
     }
   }
 

@@ -498,6 +498,66 @@ object Streaming {
         .orderBy("eid_a", "eid_b")
     },
 
+    // Stream-stream LEFT OUTER join — the shape click/impression
+    // correlation actually needs: matched pairs emit immediately, and an
+    // UNMATCHED left row is emitted null-padded only once the right-side
+    // watermark proves no match can still arrive (state-expiry emission,
+    // the path the inner join never exercises; StreamingSpec pins the
+    // multi-batch timing). Oracle parity needs every retained left row's
+    // outcome to be decided by end-of-stream: a left row is provably
+    // unmatched only once watermark (= max ts − 10 min) passes ts_a +
+    // 5 min (the band end), so the left side keeps rows with
+    // ts_a ≤ max(ts) − 20 min — same cutoff in the DuckDB twin, computed
+    // with interval arithmetic (never epoch-millis math, which drops
+    // sub-millisecond µs) from a one-row driver-side max.
+    Q("stream_stream_left_outer",
+      """SELECT a.event_id AS eid_a, b.event_id AS eid_b
+        |FROM (SELECT * FROM events WHERE user_id < 100
+        |        AND ts <= (SELECT max(ts) FROM events) - INTERVAL 20 MINUTE) a
+        |LEFT JOIN (SELECT * FROM events WHERE user_id < 100) b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY eid_a, eid_b NULLS FIRST""".stripMargin) { (s, d) =>
+      val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+      val l = Streams.eventsStream(s, d).where(col("user_id") < 100)
+        .withWatermark("ts", "10 minutes")
+        .where(col("ts") <= lit(maxTs) - expr("INTERVAL 20 MINUTES"))
+        .select(col("event_id").as("eid_a"), col("user_id").as("uid_a"),
+          col("ts").as("ts_a"))
+      val r = Streams.eventsStream(s, d).where(col("user_id") < 100)
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("eid_b"), col("user_id").as("uid_b"),
+          col("ts").as("ts_b"))
+      val j = l.join(r,
+        col("uid_a") === col("uid_b") && col("eid_a") =!= col("eid_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"),
+        "left_outer")
+        .select("eid_a", "eid_b")
+      Streams.runToTable(j, "append", statePartitions = 4)
+        .orderBy(col("eid_a"), col("eid_b").asc_nulls_first)
+    },
+
+    // dropDuplicatesWithinWatermark (Spark 4's bounded-state dedup
+    // guarantee): unlike dropDuplicates, whose key state NEVER expires (at
+    // 100 TB that state grows without bound), state here is released once
+    // the watermark passes a key's event time + delay — so a key MAY
+    // legitimately re-emit after the horizon. The whole fixture arrives in
+    // one micro-batch (single-file source, watermark still at epoch), so
+    // the emitted set equals batch DISTINCT and is oracled; the
+    // post-horizon recurrence semantics — the part that differs from
+    // dropDuplicates — are pinned multi-batch in StreamingSpec.
+    Q("stream_dedup_within_wm",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val deduped = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+      Streams.runToTable(deduped, "append")
+        .orderBy("user_id", "event_type")
+    },
+
     // Late-data drop across micro-batches (algorithm-defined fixture —
     // no SQL oracle): batch 1 sets the watermark; batch 2 delivers one
     // in-order event and one 70-minutes-late event, which is dropped, so

@@ -174,6 +174,142 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("dropDuplicatesWithinWatermark lets a key recur after the horizon") {
+    // THE semantic line between dropDuplicates (key state never expires —
+    // unbounded at 100 TB) and dropDuplicatesWithinWatermark (state
+    // released once the watermark passes the key's event time + delay,
+    // after which the key legitimately re-emits). Same feed through both
+    // operators; only the within-watermark one re-emits uid 1.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    def run(name: String)(op: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val ms = MemoryStream[(java.sql.Timestamp, Long)]
+      val dd = op(ms.toDF().toDF("ts", "uid")
+        .withWatermark("ts", "10 minutes")).select("uid")
+      val q = dd.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        ms.addData((t("10:00"), 1L), (t("10:01"), 1L)) // in-horizon dup
+        q.processAllAvailable()
+        ms.addData((t("11:00"), 9L)) // watermark -> 10:50: uid-1 state expires
+        q.processAllAvailable()
+        ms.addData((t("11:05"), 1L)) // recurrence AFTER the horizon
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[Long].collect().toSeq
+    }
+    val wm = run("ddwm")(_.dropDuplicatesWithinWatermark("uid"))
+    assert(wm.count(_ == 1L) == 2,
+      s"post-horizon recurrence must survive dropDuplicatesWithinWatermark: $wm")
+    assert(wm.count(_ == 9L) == 1, wm.toString)
+    val plain = run("ddplain")(_.dropDuplicates("uid"))
+    assert(plain.count(_ == 1L) == 1,
+      s"plain dropDuplicates must suppress the recurrence forever: $plain")
+  }
+
+  test("left outer stream join emits null-padded row only after expiry") {
+    // The state-expiry emission path the inner join never exercises: an
+    // unmatched left row must NOT appear while a match could still
+    // arrive, and MUST appear (null-padded) once the watermark proves it
+    // cannot.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    val lm = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val rm = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val l = lm.toDF().toDF("ts_a", "uid_a", "id_a")
+      .withWatermark("ts_a", "10 minutes")
+    val r = rm.toDF().toDF("ts_b", "uid_b", "id_b")
+      .withWatermark("ts_b", "10 minutes")
+    val j = l.join(r,
+      col("uid_a") === col("uid_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+      .select(col("id_a"), col("id_b"))
+    val q = j.writeStream.format("memory").queryName("ssloj")
+      .outputMode("append").start()
+    def emitted(): Set[(Long, Long)] =
+      spark.table("ssloj").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+    try {
+      lm.addData((t("10:00"), 7L, 100L)) // never matched
+      lm.addData((t("10:00"), 8L, 101L)) // matched in-band
+      rm.addData((t("10:02"), 8L, 201L))
+      q.processAllAvailable()
+      assert(emitted() == Set((101L, 201L)),
+        s"unmatched left row must not emit while a match can arrive: ${emitted()}")
+      // advance both watermarks past ts_a + band + delay (10:00+5m+10m)
+      lm.addData((t("10:30"), 9L, 102L))
+      rm.addData((t("10:30"), 9L, 202L))
+      q.processAllAvailable()
+      assert(emitted() == Set((101L, 201L), (102L, 202L), (100L, -1L)),
+        s"expired unmatched left row must emit null-padded: ${emitted()}")
+    } finally q.stop()
+  }
+
+  test("mid-stream failure: restart replays the uncommitted batch once") {
+    // Harder than the graceful-restart tests above: the first run DIES
+    // mid-stream (injected failure in batch 1, after batch 0 committed),
+    // leaving an in-flight batch whose side effect never ran. The
+    // restarted query must resume AT the failed batch — replaying it
+    // exactly once — then drain the rest. mergeRollupBatch is not
+    // replay-idempotent, so store == batch afterwards proves both no-loss
+    // (the crashed batch was re-run) and no-double-count (batch 0 wasn't).
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_crash_").toString
+    val src = s"$root/src"; val chk = s"$root/chk"; val store = s"$root/store"
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def feed(rows: (java.sql.Timestamp, String, Double)*): Unit =
+      rows.toSeq.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(crashAtBatch: Long): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1") // one micro-batch per file
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id == crashAtBatch && injected.compareAndSet(false, true))
+            throw new RuntimeException("injected mid-stream failure")
+          operators.Streaming.mergeRollupBatch(b, store)
+        }
+        .start()
+      try q.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    try {
+      feed((t("10:00"), "click", 1.5), (t("10:10"), "view", 2.0))
+      feed((t("11:00"), "click", 0.5))
+      feed((t("12:00"), "view", 4.0))
+      runOnce(crashAtBatch = 1) // batch 0 commits, batch 1 dies in-flight
+      assert(injected.get, "failure injection never fired")
+      runOnce(crashAtBatch = -1) // restart: batch 1 replays, then batch 2
+      val got = streaming.Streams.storeRead(spark, store)
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3).doubleValue())).toSeq
+      val want = spark.read.parquet(src)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == want, s"recovered store $got vs batch $want")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("restart from checkpoint resumes where the stopped query left off") {
     // The reference's savepoint story (AiJob.java:41): stop, new data
     // arrives, restart from the SAME checkpoint — no loss, no duplicates.

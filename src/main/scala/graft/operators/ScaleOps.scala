@@ -88,7 +88,95 @@ object ScaleOps {
     }
   }
 
+  /** The un-hinted CBO program shared by `stats_cbo_join_reorder` and
+    * PlanSpec: six cached temp views with ANALYZE'd statistics, CBO +
+    * cost-based join reorder scoped on (or off, for the plan diff), and a
+    * Q5-shaped join written with NO hints in a deliberately fact-first
+    * FROM order. Every other inventory join order is hint- or DSL-pinned;
+    * this is the path an un-hinted user query actually takes at 100×,
+    * where `ANALYZE TABLE` row counts — not authoring order — pick the
+    * join tree. Returns the LAZY frame: callers materialize (or read the
+    * optimized plan) inside [[withCboViews]] so optimization runs while
+    * the flags and view stats are still in place.
+    */
+  private[graft] val cboSql: String =
+    """SELECT n.n_name,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |    AS revenue
+      |FROM cbo_lineitem l, cbo_orders o, cbo_customer c, cbo_supplier s,
+      |     cbo_nation n, cbo_region r
+      |WHERE l.l_orderkey = o.o_orderkey
+      |  AND o.o_custkey = c.c_custkey
+      |  AND l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND n.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'EUROPE'
+      |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private[graft] def withCboViews[T](s: SparkSession, d: String,
+      reorder: Boolean)(body: => T): T = {
+    val tables = Seq("region", "nation", "customer", "orders",
+      "lineitem", "supplier")
+    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      tables.foreach { t =>
+        // ANALYZE refuses temp views (EXPECT_PERMANENT_VIEW_NOT_TEMP), so
+        // register EXTERNAL catalog tables over the fixture parquet — no
+        // data copy, stats land in the session catalog, exactly what a
+        // real deployment's ANALYZE does
+        s.sql(s"DROP TABLE IF EXISTS cbo_$t")
+        s.sql(s"CREATE TABLE cbo_$t USING parquet LOCATION '$d/$t.parquet'")
+        s.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS")
+      }
+      s.conf.set("spark.sql.cbo.enabled", reorder.toString)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+      body
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+      tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS cbo_$t"))
+    }
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // Stats-driven (CBO) join planning — the only inventory join whose
+    // tree is chosen by ANALYZE'd row counts instead of hints or DSL
+    // authoring order (see cboSql). The 5-row answer materializes eagerly
+    // (localCheckpoint) INSIDE the scoped flags, the ann_rewrite_topk
+    // discipline: optimization happens at execution, so returning a lazy
+    // frame would optimize after the flags were restored. PlanSpec
+    // asserts the stats-driven join tree actually differs from the
+    // stats-less one.
+    Q("stats_cbo_join_reorder",
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l, orders o, customer c, supplier s, nation n, region r
+        |WHERE l.l_orderkey = o.o_orderkey
+        |  AND o.o_custkey = c.c_custkey
+        |  AND l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      withCboViews(s, d, reorder = true) {
+        s.sql(cboSql).localCheckpoint(true)
+      }
+    },
 
     // Runtime Bloom-filter join (see bloomJoinShape). The injection fires
     // at optimization time, so the k-row result is materialized eagerly

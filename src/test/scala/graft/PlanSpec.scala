@@ -435,6 +435,33 @@ class PlanSpec extends SparkSuite {
       "skyline must never plan the quadratic dominance join")
   }
 
+  test("ANALYZE'd stats + CBO join reorder pick a different un-hinted tree") {
+    // Every other inventory join order is hint- or DSL-pinned; this is
+    // the path an un-hinted user query takes at 100×: ANALYZE TABLE row
+    // counts + spark.sql.cbo.joinReorder choose the join tree. The same
+    // SQL optimized with and without the stats-driven reorder must yield
+    // DIFFERENT join trees (else the CBO demonstration is vacuous), and
+    // identical answers.
+    def run(reorder: Boolean): (Seq[String], Seq[(String, Double)]) =
+      operators.ScaleOps.withCboViews(spark, sf, reorder) {
+        val df = spark.sql(operators.ScaleOps.cboSql)
+        val order = "cbo_[a-z]+".r
+          .findAllIn(df.queryExecution.optimizedPlan.toString).toSeq
+        val rows = df.collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        (order, rows)
+      }
+    val (offOrder, offRows) = run(reorder = false)
+    val (onOrder, onRows) = run(reorder = true)
+    assert(offOrder.size == 6 && onOrder.size == 6,
+      s"expected 6 relation leaves: off=$offOrder on=$onOrder")
+    assert(onOrder != offOrder,
+      s"stats-driven join tree must differ from the stats-less one " +
+        s"(both $onOrder) — CBO reorder did not fire")
+    assert(onRows == offRows, "join order must never change the answer")
+    assert(onRows.nonEmpty)
+  }
+
   test("pagerank scans lineitem once: adjacency persist feeds all subtrees") {
     // the adjacency frame feeds p0 + every iteration join (≥3 subtrees);
     // without the persist each consumer would re-derive the basket

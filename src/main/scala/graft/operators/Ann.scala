@@ -300,6 +300,165 @@ object Ann {
           round(col("score"), 6).as("score"))
         .orderBy("probe_id", "rnk")
     },
+
+    // Index-health as a QUERY (not just a build-time spec gate): recall@10
+    // of a routed cell search vs the exhaustive scan, per probe, emitted
+    // as exact integer hit counts — what an operator monitors at 100 TB
+    // where data drifts under a frozen index. This oracled variant uses
+    // the one coarse quantizer a SQL oracle can reproduce: cells = the
+    // `label` column, each cell represented by its min-vec_id member
+    // vector (deterministic and float-exact — a mean centroid's partial-
+    // sum ULPs could flip routing between engines). Route top-2 cells per
+    // probe by representative cosine, search only those cells, count the
+    // overlap with the exact top-10. All-integer output: nothing to
+    // round, nothing to drift. The seeded-k-means twin below audits the
+    // REAL persisted IVFPQ/graph index the same way (no SQL oracle — the
+    // assignment is k-means-defined; ApiSpec cross-checks its numbers
+    // against the inventory's own oracled exact and no-oracle IVFPQ
+    // queries).
+    Q("ann_recall_audit",
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+        |  FROM embeddings WHERE vec_id < 8),
+        |reps AS (
+        |  SELECT label, CAST(min_by(embedding, vec_id) AS DOUBLE[]) AS rep
+        |  FROM embeddings GROUP BY label),
+        |routed AS (
+        |  SELECT probe_id, label, pe FROM (
+        |    SELECT p.probe_id, r.label, p.pe,
+        |      row_number() OVER (PARTITION BY p.probe_id
+        |        ORDER BY list_cosine_similarity(r.rep, p.pe) DESC, r.label)
+        |        AS rn
+        |    FROM reps r CROSS JOIN probes p)
+        |  WHERE rn <= 2),
+        |approx AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT t.probe_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY t.probe_id
+        |        ORDER BY list_cosine_similarity(
+        |                   CAST(e.embedding AS DOUBLE[]), t.pe) DESC,
+        |                 e.vec_id) AS rn
+        |    FROM embeddings e JOIN routed t ON e.label = t.label
+        |    WHERE e.vec_id <> t.probe_id)
+        |  WHERE rn <= 10),
+        |exact AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT p.probe_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY p.probe_id
+        |        ORDER BY list_cosine_similarity(
+        |                   CAST(e.embedding AS DOUBLE[]), p.pe) DESC,
+        |                 e.vec_id) AS rn
+        |    FROM embeddings e CROSS JOIN probes p
+        |    WHERE e.vec_id <> p.probe_id)
+        |  WHERE rn <= 10)
+        |SELECT x.probe_id, count(a.vec_id) AS hits, count(*) AS n_exact
+        |FROM exact x LEFT JOIN approx a
+        |  ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+        |GROUP BY x.probe_id
+        |ORDER BY x.probe_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val probes = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val reps = e.groupBy("label")
+        .agg(min_by(col("embedding"), col("vec_id")).as("rep"))
+      val routed = reps.crossJoin(broadcast(probes))
+        .withColumn("rn", row_number().over(w.partitionBy("probe_id")
+          .orderBy(cosine_sim(col("rep"), col("pe")).desc, col("label"))))
+        .where(col("rn") <= 2)
+        .select("probe_id", "label", "pe")
+      // the routed search scans only 2 of the label cells per probe — at
+      // scale `label` is the partition key and this is partition pruning
+      val approx = e.join(broadcast(routed), Seq("label"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(w.partitionBy("probe_id")
+          .orderBy(cosine_sim(col("embedding"), col("pe")).desc,
+            col("vec_id"))))
+        .where(col("rn") <= 10)
+        .select("probe_id", "vec_id")
+      val exact = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(w.partitionBy("probe_id")
+          .orderBy(cosine_sim(col("embedding"), col("pe")).desc,
+            col("vec_id"))))
+        .where(col("rn") <= 10)
+        .select("probe_id", "vec_id")
+      exact.as("x")
+        .join(approx.as("a"),
+          col("x.probe_id") === col("a.probe_id") &&
+            col("x.vec_id") === col("a.vec_id"),
+          "left_outer")
+        .groupBy(col("x.probe_id").as("probe_id"))
+        .agg(count(col("a.vec_id")).as("hits"),
+          count(lit(1)).as("n_exact"))
+        .orderBy("probe_id")
+    },
+
+    // The persisted-index twin: recall@10 of the REAL seeded IVFPQ (ADC
+    // over routed cells' byte codes) and per-cell graph search, vs the
+    // exact scan, for probes 0-3 — the operational health check for the
+    // index ann_ivf_persisted/ann_ivfpq_topk/ann_ivf_graph_topk serve
+    // from. No SQL oracle (cells are seeded-k-means-defined); ApiSpec
+    // cross-checks the probe-0 rows against the intersection of the
+    // inventory's own ann_ivfpq_topk / ann_ivf_graph_topk outputs with
+    // the oracled exact top-k.
+    Q.noOracle("ann_recall_audit_persisted") { (s, d) =>
+      val dir = ivfIndex(s, d)
+      val e = Tables.embeddings(s, d)
+      val probeRows = e.where(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+      val perProbe = probeRows.map { case (pid, pvec) =>
+        val probe = e.where(col("vec_id") === pid)
+          .select(lit(pid).as("probe_id"), col("embedding").as("probe"))
+        val cells = routeCells(s, dir, probe, nprobe = 3).toIndexedSeq
+        val ivfpq = adcScoreResidual(
+            s.read.parquet(s"$dir/pq_codes")
+              .where(col("cell").isin(cells: _*))
+              .where(col("id") =!= pid),
+            s.read.parquet(s"$dir/pq_codebook"),
+            s.read.parquet(s"$dir/centroids")
+              .where(col("cell").isin(cells: _*)),
+            probe, 8, 10)
+          .select(lit(pid).as("probe_id"), lit("ivfpq").as("method"),
+            col("id").as("vec_id"))
+        val graph = graphSearchCells(s, s"$dir/graph", cells, pvec,
+            k = 12, ef = 48)
+          .where(col("vec_id") =!= pid)
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+          .select(lit(pid).as("probe_id"), lit("graph").as("method"),
+            col("vec_id"))
+        ivfpq.unionByName(graph)
+      }.reduce(_.unionByName(_))
+      val probes = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = org.apache.spark.sql.expressions.Window
+      val exact = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(w.partitionBy("probe_id")
+          .orderBy(cosine_sim(col("embedding"), col("pe")).desc,
+            col("vec_id"))))
+        .where(col("rn") <= 10)
+        .select("probe_id", "vec_id")
+      exact.as("x")
+        .join(broadcast(perProbe).as("a"),
+          col("x.probe_id") === col("a.probe_id") &&
+            col("x.vec_id") === col("a.vec_id"))
+        .groupBy(col("a.probe_id").as("probe_id"), col("a.method"))
+        .agg(count(lit(1)).as("hits"))
+        .unionByName(
+          // zero-hit (probe, method) pairs must still report: recall 0 is
+          // exactly the alert the audit exists to raise
+          perProbe.select("probe_id", "method").distinct()
+            .withColumn("hits", lit(0L)),
+          allowMissingColumns = false)
+        .groupBy("probe_id", "method")
+        .agg(max(col("hits")).as("hits"))
+        .withColumn("n_exact", lit(10L))
+        .orderBy("probe_id", "method")
+    },
   )
 
   private val indexDirs =

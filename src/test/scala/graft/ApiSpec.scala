@@ -742,4 +742,37 @@ class ApiSpec extends SparkSuite {
     assert(offByMoreThan1 <= math.max(1, exact.size / 5),
       s"$offByMoreThan1 of ${exact.size} users off by >1 quintile")
   }
+
+  test("ann_recall_audit_persisted counts match the inventory's own top-k") {
+    // The audit's (probe 0, method) hit counts must equal the
+    // intersection of the inventory's OWN ann_ivfpq_topk /
+    // ann_ivf_graph_topk outputs (same seeded index, same session cache)
+    // with the exact top-10 — the audit is a counter over those search
+    // paths, not a third algorithm. Also pins shape: 4 probes x 2
+    // methods, hits within [0, n_exact].
+    import graft.functions._
+    val audit = SparkEntry.queries("ann_recall_audit_persisted")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(audit.size == 8, s"4 probes x 2 methods expected: ${audit.keySet}")
+    audit.foreach { case (k, (hits, nExact)) =>
+      assert(nExact == 10L && hits >= 0L && hits <= nExact, s"$k -> $hits/$nExact")
+    }
+    val e = Tables.embeddings(spark, sf)
+    val probe0 = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val exact0 = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe0))
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("pe")).as("s"))
+      .orderBy(col("s").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    def topIds(q: String): Set[Long] =
+      SparkEntry.queries(q)(spark, sf).collect().map(_.getLong(0)).toSet
+    val wantIvfpq = (topIds("ann_ivfpq_topk") & exact0).size.toLong
+    val wantGraph = (topIds("ann_ivf_graph_topk") & exact0).size.toLong
+    assert(audit((0L, "ivfpq"))._1 == wantIvfpq,
+      s"ivfpq audit ${audit((0L, "ivfpq"))._1} != recomputed $wantIvfpq")
+    assert(audit((0L, "graph"))._1 == wantGraph,
+      s"graph audit ${audit((0L, "graph"))._1} != recomputed $wantGraph")
+  }
 }

@@ -403,35 +403,54 @@ object Ann {
     // inventory's own ann_ivfpq_topk / ann_ivf_graph_topk outputs with
     // the oracled exact top-k.
     Q.noOracle("ann_recall_audit_persisted") { (s, d) =>
+      import s.implicits._
       val dir = ivfIndex(s, d)
       val e = Tables.embeddings(s, d)
-      val probeRows = e.where(col("vec_id") < 4)
+      val w0 = org.apache.spark.sql.expressions.Window
+      val probeFrame = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      // ONE routing pass for all probes (k centroid rows × 4 probes →
+      // 12 bounded driver-side pairs, the routeCells precedent)
+      val routingRows = s.read.parquet(s"$dir/centroids")
+        .crossJoin(broadcast(probeFrame))
+        .withColumn("rn", row_number().over(w0.partitionBy("probe_id")
+          .orderBy(cosine_sim(col("cent"), col("probe")).desc, col("cell"))))
+        .where(col("rn") <= 3)
+        .select(col("probe_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val unionCells = routingRows.map(_._2).distinct.toIndexedSeq
+      // ONE ADC pass for all probes: codes of the routed-cell UNION,
+      // bound per probe through the r_pid channel (a code row joins only
+      // the probes actually routed to its cell), self-matches excluded
+      val routing = routingRows.toSeq.toDF("r_pid", "cell")
+      val codes = s.read.parquet(s"$dir/pq_codes")
+        .where(col("cell").isin(unionCells: _*))
+        .join(broadcast(routing), "cell")
+        .where(col("id") =!= col("r_pid"))
+      val ivfpq = adcScoreResidual(codes,
+          s.read.parquet(s"$dir/pq_codebook"),
+          s.read.parquet(s"$dir/centroids")
+            .where(col("cell").isin(unionCells: _*)),
+          probeFrame, 8, 10)
+        .select(col("probe_id"), lit("ivfpq").as("method"),
+          col("id").as("vec_id"))
+      // ONE graph pass for all probes: each cell task beam-searches only
+      // the probes routed to it
+      val pvecs = e.where(col("vec_id") < 4)
         .select(col("vec_id"), col("embedding"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+      val routedByProbe = routingRows.groupBy(_._1).toSeq
+        .map { case (p, rs) => (p, pvecs(p), rs.map(_._2).toSet) }
         .sortBy(_._1)
-      val perProbe = probeRows.map { case (pid, pvec) =>
-        val probe = e.where(col("vec_id") === pid)
-          .select(lit(pid).as("probe_id"), col("embedding").as("probe"))
-        val cells = routeCells(s, dir, probe, nprobe = 3).toIndexedSeq
-        val ivfpq = adcScoreResidual(
-            s.read.parquet(s"$dir/pq_codes")
-              .where(col("cell").isin(cells: _*))
-              .where(col("id") =!= pid),
-            s.read.parquet(s"$dir/pq_codebook"),
-            s.read.parquet(s"$dir/centroids")
-              .where(col("cell").isin(cells: _*)),
-            probe, 8, 10)
-          .select(lit(pid).as("probe_id"), lit("ivfpq").as("method"),
-            col("id").as("vec_id"))
-        val graph = graphSearchCells(s, s"$dir/graph", cells, pvec,
-            k = 12, ef = 48)
-          .where(col("vec_id") =!= pid)
-          .orderBy(col("score").desc, col("vec_id"))
-          .limit(10)
-          .select(lit(pid).as("probe_id"), lit("graph").as("method"),
-            col("vec_id"))
-        ivfpq.unionByName(graph)
-      }.reduce(_.unionByName(_))
+      val graph = graphSearchMulti(s.read.parquet(s"$dir/graph"),
+          routedByProbe, k = 12, ef = 48)
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(w0.partitionBy("probe_id")
+          .orderBy(col("score").desc, col("vec_id"))))
+        .where(col("rn") <= 10)
+        .select(col("probe_id"), lit("graph").as("method"), col("vec_id"))
+      val perProbe = ivfpq.unionByName(graph)
       val probes = e.where(col("vec_id") < 4)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val w = org.apache.spark.sql.expressions.Window
@@ -572,6 +591,43 @@ object Ann {
     * the scan-fraction evidence the specs gate on. Per-cell results are
     * O(k·cells) rows; the global top-k is a TakeOrdered over them.
     */
+  /** The in-task beam kernel shared by the single- and multi-probe graph
+    * searches: best-first beam of width `ef` from the deterministic
+    * min-vec_id entry over one cell's adjacency map. Returns the top-k
+    * (id, score, nVisited) rows.
+    */
+  private def beamSearch(byId: Map[Long, (Array[Float], Array[Long])],
+      probe: Array[Float], k: Int, ef: Int): Iterator[(Long, Double, Long)] =
+    if (byId.isEmpty) Iterator.empty
+    else {
+      val entry = byId.keysIterator.min
+      // beam: best ef seen so far (min-heap on score); frontier:
+      // unexpanded candidates (max-heap on score)
+      val beam = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long)](Ordering.by(t => (-t._1, t._2)))
+      val frontier = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long)](Ordering.by(t => (t._1, -t._2)))
+      val visited = scala.collection.mutable.HashSet[Long](entry)
+      val e0 = (cos(byId(entry)._1, probe), entry)
+      beam.enqueue(e0); frontier.enqueue(e0)
+      while (frontier.nonEmpty &&
+          (beam.size < ef || frontier.head._1 >= beam.head._1)) {
+        val (_, cur) = frontier.dequeue()
+        byId(cur)._2.foreach { nb =>
+          if (byId.contains(nb) && visited.add(nb)) {
+            val sc = (cos(byId(nb)._1, probe), nb)
+            if (beam.size < ef) { beam.enqueue(sc); frontier.enqueue(sc) }
+            else if (sc._1 > beam.head._1) {
+              beam.dequeue(); beam.enqueue(sc); frontier.enqueue(sc)
+            }
+          }
+        }
+      }
+      val nVisited = visited.size.toLong
+      beam.toSeq.sortBy(t => (-t._1, t._2)).take(k)
+        .map { case (score, id) => (id, score, nVisited) }.iterator
+    }
+
   private[graft] def graphSearchOf(graph: org.apache.spark.sql.DataFrame,
       probe: Array[Float], k: Int, ef: Int): org.apache.spark.sql.DataFrame = {
     val s = graph.sparkSession
@@ -584,35 +640,7 @@ object Ann {
       .mapPartitions { it =>
         it.toSeq.groupBy(_._4).iterator.flatMap { case (_, rows) =>
           val byId = rows.map(r => r._1 -> (r._2, r._3)).toMap
-          if (byId.isEmpty) Iterator.empty
-          else {
-            val entry = byId.keysIterator.min
-            // beam: best ef seen so far (min-heap on score); frontier:
-            // unexpanded candidates (max-heap on score)
-            val beam = scala.collection.mutable.PriorityQueue
-              .empty[(Double, Long)](Ordering.by(t => (-t._1, t._2)))
-            val frontier = scala.collection.mutable.PriorityQueue
-              .empty[(Double, Long)](Ordering.by(t => (t._1, -t._2)))
-            val visited = scala.collection.mutable.HashSet[Long](entry)
-            val e0 = (cos(byId(entry)._1, probe), entry)
-            beam.enqueue(e0); frontier.enqueue(e0)
-            while (frontier.nonEmpty &&
-                (beam.size < ef || frontier.head._1 >= beam.head._1)) {
-              val (_, cur) = frontier.dequeue()
-              byId(cur)._2.foreach { nb =>
-                if (byId.contains(nb) && visited.add(nb)) {
-                  val sc = (cos(byId(nb)._1, probe), nb)
-                  if (beam.size < ef) { beam.enqueue(sc); frontier.enqueue(sc) }
-                  else if (sc._1 > beam.head._1) {
-                    beam.dequeue(); beam.enqueue(sc); frontier.enqueue(sc)
-                  }
-                }
-              }
-            }
-            val nVisited = visited.size.toLong
-            beam.toSeq.sortBy(t => (-t._1, t._2)).take(k)
-              .map { case (score, id) => (id, score, nVisited) }.iterator
-          }
+          beamSearch(byId, probe, k, ef)
         }
       }
       .toDF("vec_id", "score", "visited")
@@ -622,6 +650,38 @@ object Ann {
       // scan-fraction gates). O(k·cells) rows, trivial shuffle.
       .groupBy("vec_id")
       .agg(max("score").as("score"), max("visited").as("visited"))
+  }
+
+  /** Multi-probe graph search in ONE pass (the recall audit's batch
+    * shape): each probe carries its OWN routed-cell set; a cell's task
+    * beam-searches only the probes routed to it, so per-probe candidate
+    * restriction is preserved while the graph store is read once.
+    */
+  private def graphSearchMulti(graph: org.apache.spark.sql.DataFrame,
+      probes: Seq[(Long, Array[Float], Set[String])], k: Int, ef: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = graph.sparkSession
+    import s.implicits._
+    val wanted = probes.flatMap(_._3).distinct
+    graph
+      .where(col("cell").isin(wanted: _*))
+      .select(col("vec_id"), col("embedding"), col("neighbors"),
+        col("cell").cast("string").as("cell"))
+      .as[(Long, Array[Float], Array[Long], String)]
+      .repartition(col("cell"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._4).iterator.flatMap { case (cell, rows) =>
+          val byId = rows.map(r => r._1 -> (r._2, r._3)).toMap
+          probes.iterator.filter(_._3.contains(cell))
+            .flatMap { case (pid, pv, _) =>
+              beamSearch(byId, pv, k, ef).map(t => (pid, t._1, t._2))
+            }
+        }
+      }
+      .toDF("probe_id", "vec_id", "score")
+      // stitch replicas merge per (probe, id), same as graphSearchOf
+      .groupBy("probe_id", "vec_id")
+      .agg(max("score").as("score"))
   }
 
   /** One-time persisted IVF index (built once per (session, sf), like the

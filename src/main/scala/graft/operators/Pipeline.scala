@@ -549,6 +549,36 @@ object Pipeline {
     // aggregates (no self-join of the two halves, no second pass); the
     // two count-distincts expand to a single Expand + two-level
     // aggregate, still one data-sized shuffle at 100 TB.
+    // Observed metrics (Dataset.observe + Observation): DQ counters that
+    // ride the SAME pass as the pipeline's real work — at 100 TB a
+    // separate metrics scan doubles the IO bill, so production loaders
+    // attach observers to the write job instead. Here the "real work" is
+    // a noop-sink write of the scan (the pipeline shape without a side
+    // effect); the observed map is bounded driver metadata by design.
+    Q("dq_observe_metrics",
+      """SELECT count(*) AS nrows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |  count(CASE WHEN l_discount > 0.05 THEN 1 END) AS discounted,
+        |  count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_ship
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation("graft_dq_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      Tables.lineitem(s, d)
+        .observe(obs,
+          count(lit(1)).as("nrows"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("qty"),
+          count(when(col("l_discount") > 0.05, 1)).as("discounted"),
+          count(when(col("l_shipdate").isNull, 1)).as("null_ship"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("nrows").asInstanceOf[Long],
+        m("qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+        m("discounted").asInstanceOf[Long],
+        m("null_ship").asInstanceOf[Long]))
+        .toDF("nrows", "qty", "discounted", "null_ship")
+    },
+
     Q("dq_profile_drift",
       """SELECT o_orderstatus,
         |  CAST(sum(CASE WHEN o_orderdate < '1998-01-01' THEN 1 ELSE 0 END)

@@ -48,6 +48,81 @@ object Streaming {
     }
   }
 
+  /** One closed-or-open session interval in [[TimerSessionProcessor]]
+    * state: event-time extent in MICROSECONDS (the fixture's ts has
+    * sub-millisecond components, so ms arithmetic would split sessions
+    * differently from the µs-exact batch oracle) plus the event count.
+    */
+  case class SessIv(startUs: Long, endUs: Long, n: Long)
+  case class SessList(items: List[SessIv])
+  case class SessOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Event-time TIMER sessionization on transformWithState — the timer
+    * path of Spark 4's arbitrary-state API (registerTimer +
+    * handleExpiredTimer), which the running-max processor above never
+    * exercises. State per user = the interval list of its sessions
+    * (inserting a row as a [ts,ts] interval and coalescing on the 30-min
+    * gap handles in-watermark late rows that BRIDGE two open sessions);
+    * a session emits only from handleExpiredTimer, once the watermark
+    * proves its 30-min gap can no longer be re-opened. The emission rule
+    * is applied in µs INSIDE the callback (endUs + gap < watermarkUs) so
+    * the emitted set is a pure function of the final watermark; the
+    * timer expiry itself only has to fire AT OR AFTER that point
+    * (ceil-to-ms + 1), never to decide it. Sessions still open at
+    * end-of-stream stay in state — exactly the contract a resumed job
+    * needs. State is O(open sessions per user), not O(rows).
+    */
+  class TimerSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[SessList] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessList]("sessions",
+        org.apache.spark.sql.Encoders.product[SessList],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def tsUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    private def merged(items: List[SessIv]): List[SessIv] =
+      items.sortBy(iv => (iv.startUs, iv.endUs)).foldLeft(List.empty[SessIv]) {
+        case (acc @ (h :: t), iv) if iv.startUs - h.endUs <= gapUs =>
+          SessIv(h.startUs, math.max(h.endUs, iv.endUs), h.n + iv.n) :: t
+        case (acc, iv) => iv :: acc
+      }.reverse
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessOut] = {
+      val prev = if (st.exists()) st.get().items else Nil
+      val all = merged(prev ++ rows.map(e =>
+        SessIv(tsUs(e.ts), tsUs(e.ts), 1L)))
+      st.update(SessList(all))
+      // one timer at the earliest possible closure; re-armed on expiry
+      // until every closable session has emitted
+      all.headOption.foreach { iv =>
+        getHandle.registerTimer(
+          math.floorDiv(iv.endUs + gapUs, 1000L) + 2L)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessOut] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val items = if (st.exists()) st.get().items else Nil
+      val (closed, open) = items.partition(iv => iv.endUs + gapUs < wmUs)
+      if (open.isEmpty) st.clear() else st.update(SessList(open))
+      open.headOption.foreach { iv =>
+        getHandle.registerTimer(
+          math.floorDiv(iv.endUs + gapUs, 1000L) + 2L)
+      }
+      closed.sortBy(_.startUs).iterator
+        .map(iv => SessOut(key, iv.startUs, iv.endUs, iv.n))
+    }
+  }
+
   /** Merge one micro-batch of events into the (day × type) rollup store —
     * shared by `stream_incremental_rollup` and StreamingSpec's multi-batch
     * proof. `sv` is held as DECIMAL(30,2) in the store so repeated merges
@@ -556,6 +631,105 @@ object Streaming {
         .select("user_id", "event_type")
       Streams.runToTable(deduped, "append")
         .orderBy("user_id", "event_type")
+    },
+
+    // Event-time TIMERS on transformWithState ([[TimerSessionProcessor]]):
+    // per-user 30-min-gap sessions emitted from handleExpiredTimer once
+    // the watermark proves the gap can't re-open — the third arbitrary-
+    // state surface (after flatMapGroupsWithState and the timer-less
+    // transformWithState above), and the one a 100 TB sessionizer
+    // actually runs on: state holds interval summaries (not rows), late
+    // in-watermark rows can bridge sessions, and closure is
+    // watermark-driven, not batch-driven. ORACLED against the batch
+    // gaps-and-islands twin restricted to closeable sessions: emitted ⟺
+    // end + 30 min < final watermark (= ms-floored max ts − 10 min),
+    // exact integer-µs arithmetic in both engines. Session extents are
+    // emitted as epoch-µs longs, sidestepping every ns/µs cast hazard.
+    Q("stream_timer_sessions",
+      """WITH s AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS session_id
+        |    FROM (
+        |      SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               IS NULL
+        |             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                > INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM events))
+        |  GROUP BY user_id, session_id),
+        |wm AS (
+        |  SELECT (CAST(epoch_ms(CAST(max(ts) AS TIMESTAMP)) AS BIGINT)
+        |          - 600000) * 1000 AS wm_us
+        |  FROM events)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM s, wm
+        |WHERE end_us + 1800000000 < wm_us
+        |ORDER BY user_id, start_us""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val evs = Streams.eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+        val sessions = evs.groupByKey(_.user_id)
+          .transformWithState(
+            new TimerSessionProcessor(gapUs = 30L * 60L * 1000000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Update())
+          .toDF()
+        val out = Streams.runToTable(sessions, "update", statePartitions = 2)
+        out.orderBy("user_id", "start_us")
+      } finally prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+
+    // State-store introspection (Spark 4 state data source): the
+    // checkpointed state of a stateful streaming job read back as a
+    // batch DataFrame — the operational tool for state-skew debugging,
+    // state audits, and checkpoint forensics WITHOUT stopping the job
+    // (at 100 TB the reader is a batch job over the checkpoint dir; a
+    // running query keeps appending). ORACLED end-to-end: after the
+    // AvailableNow pass, the per-user (count, decimal sum) agg STATE
+    // must equal the batch group-by — the state is the answer.
+    Q("stream_state_reader",
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+      val ck = java.nio.file.Files.createTempDirectory("graft_ssread_")
+        .toString
+      val agg = Streams.eventsStream(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).as("sv"))
+      val name = "ssr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      Streams.withStatePartitions(s, 4) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ck)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.format("statestore").option("path", ck).load()
+        .select(col("key.user_id").as("user_id"),
+          col("value.count").as("n"),
+          col("value.sum").cast("double").as("sv"))
+        .orderBy("user_id")
     },
 
     // Late-data drop across micro-batches (algorithm-defined fixture —

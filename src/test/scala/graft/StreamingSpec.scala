@@ -208,6 +208,75 @@ class StreamingSpec extends SparkSuite {
       s"plain dropDuplicates must suppress the recurrence forever: $plain")
   }
 
+  test("timer sessions: bridge via late row, emit only after closure") {
+    // The event-time-timer path of transformWithState
+    // (TimerSessionProcessor): (a) nothing emits while a session's
+    // 30-min gap could still re-open; (b) an in-watermark late row
+    // BRIDGES two intervals that would otherwise be separate sessions;
+    // (c) handleExpiredTimer emits exactly the closed sessions once the
+    // watermark passes end + gap.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val evs = ms.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value")
+        .withWatermark("ts", "10 minutes")
+        .as[operators.Streaming.Ev]
+      val sessions = evs.groupByKey(_.user_id)
+        .transformWithState(
+          new operators.Streaming.TimerSessionProcessor(
+            gapUs = 30L * 60L * 1000000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+      val name = "timersess"
+      streaming.Streams.withStatePartitions(spark, 2) {
+        val q = sessions.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          // uid 1: one 2-row session; uid 3: rows 31 min apart (would be
+          // TWO sessions unless bridged)
+          ms.addData((1L, t("10:00"), 1L, "e", 0.0),
+            (2L, t("10:05"), 1L, "e", 0.0),
+            (3L, t("10:00"), 3L, "e", 0.0),
+            (4L, t("10:31"), 3L, "e", 0.0))
+          q.processAllAvailable()
+          assert(spark.table(name).isEmpty,
+            "no session may emit while its gap can re-open")
+          // late (in-watermark) bridge row for uid 3: watermark after
+          // batch 1 is 10:21 (max ts 10:31 - 10 min), so 10:25 is late
+          // relative to uid 3's own rows but still inside the watermark
+          ms.addData((5L, t("10:25"), 3L, "e", 0.0))
+          q.processAllAvailable()
+          assert(spark.table(name).isEmpty,
+            "bridge batch must not emit either (watermark unchanged)")
+          // advance the watermark to 11:50: everything closes
+          ms.addData((6L, t("12:00"), 9L, "e", 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val rows = spark.table(name)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(r => (r._1, r._2)).toSeq
+      def us(hhmm: String) = t(hhmm).getTime * 1000L
+      assert(rows == Seq(
+        (1L, us("10:00"), us("10:05"), 2L),
+        (3L, us("10:00"), us("10:31"), 3L)),
+        s"expected uid1 closed + uid3 BRIDGED single session, got $rows")
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("left outer stream join emits null-padded row only after expiry") {
     // The state-expiry emission path the inner join never exercises: an
     // unmatched left row must NOT appear while a match could still

@@ -372,5 +372,26 @@ object Functions {
           expr("variant_get(vbad, '$.k', 'int')").as("bad_k"))
         .orderBy("event_id")
     },
+
+    // XML ingestion (from_xml, built-in since Spark 4): schema-directed
+    // extraction from an XML payload column — the remaining wire format
+    // after JSON (fn_json) and VARIANT (fn_variant). The XML is built
+    // from fixture fields, so the oracle pins the extraction by
+    // selecting those fields directly — any parse/extract drift
+    // hash-fails without DuckDB needing an XML parser.
+    Q("fn_xml",
+      """SELECT doc_id, lang AS xlang, n_chars AS xn, source AS xsrc
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("<doc><lang>"), col("lang"), lit("</lang><n>"),
+            col("n_chars"), lit("</n><src>"), col("source"),
+            lit("</src></doc>")).as("xml"))
+        .select(col("doc_id"),
+          expr("from_xml(xml, 'lang STRING, n BIGINT, src STRING')").as("v"))
+        .select(col("doc_id"), col("v.lang").as("xlang"),
+          col("v.n").as("xn"), col("v.src").as("xsrc"))
+        .orderBy("doc_id")
+    },
   )
 }

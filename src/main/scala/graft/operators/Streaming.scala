@@ -697,6 +697,42 @@ object Streaming {
       }
     },
 
+    // The backfill seam (lambda-architecture reality): a batch backfill
+    // below a cutoff plus a streaming tail that re-reads an OVERLAP
+    // window before the seam (at-least-once delivery means the tail
+    // can't start exactly at the cutoff), reconciled by key dedup at
+    // read. The oracle is cutoff-free — the union must reconstruct the
+    // table EXACTLY, proving the seam neither drops nor duplicates. At
+    // 100 TB the overlap window is the retention of the upstream queue
+    // and the dedup is the store's MERGE key.
+    Q("stream_backfill_union",
+      """SELECT event_id, user_id FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val mm = Tables.events(s, d)
+        .agg(min(col("ts")), max(col("ts"))).head()
+      val cutMs = mm.getTimestamp(0).getTime +
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+      val cut = new java.sql.Timestamp(cutMs)
+      val overlap = new java.sql.Timestamp(cutMs - 24L * 3600 * 1000)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_backfill_").toString
+      val q = Streams.eventsStream(s, d)
+        .where(col("ts") >= lit(overlap)) // tail + 1-day overlap
+        .select("event_id", "user_id")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(store)
+        }
+        .start()
+      q.awaitTermination()
+      Tables.events(s, d).where(col("ts") < lit(cut))
+        .select("event_id", "user_id")
+        .unionByName(s.read.parquet(store))
+        .dropDuplicates("event_id")
+        .orderBy("event_id")
+    },
+
     // State-store introspection (Spark 4 state data source): the
     // checkpointed state of a stateful streaming job read back as a
     // batch DataFrame — the operational tool for state-skew debugging,

@@ -640,4 +640,52 @@ object Graft {
       approx: Boolean = false): DataFrame =
     graft.operators.Analytics.rfmScoresOf(
       events, userCol, tsCol, typeCol, valueCol, exact = !approx)
+
+  /** Recall@k audit of ANY candidate search result against the exact
+    * scan: `candidates` carries (probe_id, id) rows from whatever index
+    * served the query (IVF, LSH, PQ, a graph, an external store); the
+    * result is one (probe_id, hits, n_exact) row per probe — exact
+    * integer counts, the index-health metric an operator monitors when
+    * data drifts under a frozen index. Probes with zero surviving
+    * candidates still report (hits 0), which is exactly the alert the
+    * audit exists to raise. Cost: one exact [[cosineTopK]] pass plus an
+    * O(probes·k) join — the candidate frame is never rescored.
+    */
+  def recallAudit(store: DataFrame, probes: DataFrame,
+      candidates: DataFrame, k: Int): DataFrame =
+    cosineTopK(store, probes, k).select(col("probe_id"), col("id")).as("x")
+      .join(candidates.select(col("probe_id"), col("id")).as("a"),
+        col("x.probe_id") === col("a.probe_id") &&
+          col("x.id") === col("a.id"),
+        "left_outer")
+      .groupBy(col("x.probe_id").as("probe_id"))
+      .agg(count(col("a.id")).as("hits"), count(lit(1)).as("n_exact"))
+
+  /** Event-time timer sessionization of a STREAMING frame (user, ts):
+    * per-user `gapMinutes`-gap sessions emitted once the watermark
+    * proves the gap can't re-open, as (user_id, start_us, end_us,
+    * n_events) in epoch-µs. Caller contract: `events` is a streaming
+    * DataFrame with the watermark already set on `tsCol`, and the
+    * session uses the RocksDB state-store provider (transformWithState
+    * requires it). State per user is O(open sessions), not O(rows);
+    * in-watermark late rows may BRIDGE two open sessions
+    * (StreamingSpec pins the semantics).
+    */
+  def timerSessions(events: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(lit(0L).as("event_id"), col(tsCol).as("ts"),
+        col(userCol).cast("long").as("user_id"),
+        lit("").as("event_type"), lit(0.0).as("value"))
+      .as[graft.operators.Streaming.Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new graft.operators.Streaming.TimerSessionProcessor(
+          gapMinutes * 60L * 1000000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+  }
 }

@@ -743,6 +743,65 @@ class ApiSpec extends SparkSuite {
       s"$offByMoreThan1 of ${exact.size} users off by >1 quintile")
   }
 
+  test("recallAudit counts hand-checkable hits; empty candidates report 0") {
+    import spark.implicits._
+    // 6 store vectors on two axes: probe (1,0) ranks ids 1,2 (x-axis)
+    // above 3,4 (diagonal) above 5,6 (y-axis)
+    val store = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.7f, 0.7f)), (4L, Array(0.6f, 0.8f)),
+      (5L, Array(0.1f, 0.9f)), (6L, Array(0f, 1f)))
+      .toDF("id", "embedding")
+    val probes = Seq((0L, Array(1f, 0f))).toDF("probe_id", "probe")
+    // candidate set found ids 1 and 3 (2 of the exact top-3 {1,2,3})
+    val cands = Seq((0L, 1L), (0L, 3L)).toDF("probe_id", "id")
+    val audit = api.Graft.recallAudit(store, probes, cands, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(audit == Seq((0L, 2L, 3L)), audit.toString)
+    // a probe whose index returned nothing must still report hits=0
+    val none = api.Graft.recallAudit(store, probes,
+        Seq.empty[(Long, Long)].toDF("probe_id", "id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(none == Seq((0L, 0L, 3L)), none.toString)
+  }
+
+  test("timerSessions facade sessionizes a caller stream frame") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      val sessions = api.Graft.timerSessions(
+        ms.toDF().toDF("uid", "when").withWatermark("when", "10 minutes"),
+        "uid", "when", gapMinutes = 30)
+      val name = "facadesess"
+      streaming.Streams.withStatePartitions(spark, 2) {
+        val q = sessions.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          ms.addData((7L, t("09:00")), (7L, t("09:10")))
+          q.processAllAvailable()
+          ms.addData((8L, t("11:00"))) // watermark -> 10:50, closes uid 7
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val rows = spark.table(name)
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((7L, 2L)), rows.toString)
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("ann_recall_audit_persisted counts match the inventory's own top-k") {
     // The audit's (probe 0, method) hit counts must equal the
     // intersection of the inventory's OWN ann_ivfpq_topk /

@@ -128,13 +128,18 @@ object Streaming {
     * proof. `sv` is held as DECIMAL(30,2) in the store so repeated merges
     * stay exact (double accumulation would drift across batches).
     */
-  private[graft] def mergeRollupBatch(batch: DataFrame, store: String): Unit = {
+  private[graft] def mergeRollupBatch(batch: DataFrame, store: String,
+      batchId: Option[Long] = None): Unit = {
     val partial = batch
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(30,2)").as("sv"))
-    Streams.upsertGeneration(batch.sparkSession, store) {
+    // batchId (when the caller runs under a streaming checkpoint) arms
+    // the _COMMIT_BATCHID fence in upsertGeneration: a replayed epoch is
+    // skipped instead of double-counted — exactly-once on a plain file
+    // store (StreamingSpec proves it with a post-merge crash)
+    Streams.upsertGeneration(batch.sparkSession, store, batchId) {
       case None => partial
       case Some(cur) => cur.unionByName(partial)
         .groupBy("day", "event_type")
@@ -334,8 +339,8 @@ object Streaming {
         .createTempDirectory("graft_rollup_mv_").toString
       val q = Streams.eventsStream(s, d).writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          mergeRollupBatch(batch, store)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          mergeRollupBatch(batch, store, Some(id))
         }
         .start()
       q.awaitTermination()

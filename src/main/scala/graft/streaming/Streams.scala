@@ -297,10 +297,40 @@ object Streams {
     * what makes a streaming materialized view affordable at 100 TB.
     */
   def upsertGeneration(s: SparkSession, storeDir: String)(
+      next: Option[DataFrame] => DataFrame): Unit =
+    upsertGeneration(s, storeDir, batchId = None)(next)
+
+  /** Exactly-once variant: `batchId` (the foreachBatch epoch) is written
+    * as a `_COMMIT_BATCHID` marker INSIDE the new generation dir before
+    * the atomic pointer swap, so the marker becomes visible exactly when
+    * the generation does. A replayed batch (crash AFTER the merge's
+    * pointer swap but BEFORE the streaming checkpoint committed — the
+    * window where a non-idempotent merge double-counts) finds its own id
+    * already committed in the live generation and SKIPS — the batchId
+    * fence that upgrades foreachBatch's at-least-once to exactly-once on
+    * a plain file store, no transactional sink required. Spark's scans
+    * ignore underscore-prefixed files, so the marker never pollutes
+    * reads.
+    */
+  def upsertGeneration(s: SparkSession, storeDir: String,
+      batchId: Option[Long])(
       next: Option[DataFrame] => DataFrame): Unit = {
     val root = java.nio.file.Paths.get(storeDir)
     java.nio.file.Files.createDirectories(root)
     val dataDir = java.nio.file.Paths.get(storeDataDir(storeDir))
+    val committed: Option[Long] = {
+      val marker = dataDir.resolve("_COMMIT_BATCHID")
+      if (java.nio.file.Files.isRegularFile(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), Utf8)
+          .trim.toLongOption
+      else None
+    }
+    val replayed = (batchId, committed) match {
+      case (Some(id), Some(c)) => c >= id
+      case _                   => false
+    }
+    if (replayed)
+      return // replayed epoch: the live generation already contains it
     val cur =
       if (listFiles(dataDir, ".parquet").nonEmpty)
         Some(s.read.parquet(dataDir.toString))
@@ -310,6 +340,8 @@ object Streams {
       else dataDir.getFileName.toString.stripPrefix("gen-").toInt
     val nextDir = root.resolve(s"gen-${curGen + 1}")
     next(cur).write.mode("overwrite").parquet(nextDir.toString)
+    batchId.foreach(id => java.nio.file.Files.write(
+      nextDir.resolve("_COMMIT_BATCHID"), id.toString.getBytes(Utf8)))
     val tmp = root.resolve("CURRENT.tmp")
     java.nio.file.Files.write(tmp, s"gen-${curGen + 1}".getBytes(Utf8))
     java.nio.file.Files.move(tmp, root.resolve("CURRENT"),

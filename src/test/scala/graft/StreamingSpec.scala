@@ -379,6 +379,69 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("post-merge crash: the batchId fence makes replay exactly-once") {
+    // The failure window the previous test deliberately avoids: the
+    // crash lands AFTER the merge's atomic pointer swap but BEFORE the
+    // streaming checkpoint commits the epoch. foreachBatch semantics are
+    // at-least-once, so the restart REPLAYS that batch — without the
+    // _COMMIT_BATCHID fence a non-idempotent merge would double-count
+    // it. With the fence armed (batchId flows into upsertGeneration),
+    // the replay finds its own id in the live generation and skips, so
+    // store == batch even though the side effect ran before the crash.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fence_").toString
+    val src = s"$root/src"; val chk = s"$root/chk"; val store = s"$root/store"
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def feed(rows: (java.sql.Timestamp, String, Double)*): Unit =
+      rows.toSeq.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(crashAfterBatch: Long): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          operators.Streaming.mergeRollupBatch(b, store, Some(id))
+          if (id == crashAfterBatch && injected.compareAndSet(false, true))
+            throw new RuntimeException("injected post-merge failure")
+        }
+        .start()
+      try q.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    try {
+      feed((t("10:00"), "click", 1.5), (t("10:10"), "view", 2.0))
+      feed((t("11:00"), "click", 0.5))
+      feed((t("12:00"), "view", 4.0))
+      runOnce(crashAfterBatch = 1) // batch 1 MERGES, then the epoch dies
+      assert(injected.get, "failure injection never fired")
+      runOnce(crashAfterBatch = -1) // restart replays batch 1: fence skips
+      val got = streaming.Streams.storeRead(spark, store)
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3).doubleValue())).toSeq
+      val want = spark.read.parquet(src)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == want,
+        s"fenced store $got vs batch $want — replay double-counted")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("restart from checkpoint resumes where the stopped query left off") {
     // The reference's savepoint story (AiJob.java:41): stop, new data
     // arrives, restart from the SAME checkpoint — no loss, no duplicates.

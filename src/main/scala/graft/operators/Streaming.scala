@@ -618,6 +618,42 @@ object Streaming {
         .orderBy(col("eid_a"), col("eid_b").asc_nulls_first)
     },
 
+    // FULL OUTER completes the watermarked stream-stream join family
+    // (inner above, left outer above): BOTH sides' unmatched rows emit
+    // null-padded on state expiry. Here both inputs take the
+    // max(ts) − 20 min cutoff — a left row is decided once the watermark
+    // passes ts_a + 5 min (band end), a right row once it passes ts_b,
+    // and both bounds sit inside the final watermark (max − 10 min) for
+    // every retained row, so the emitted set hash-matches the batch FULL
+    // JOIN of the same cutoff subsets.
+    Q("stream_stream_full_outer",
+      """SELECT a.event_id AS eid_a, b.event_id AS eid_b
+        |FROM (SELECT * FROM events WHERE user_id < 100
+        |        AND ts <= (SELECT max(ts) FROM events) - INTERVAL 20 MINUTE) a
+        |FULL JOIN (SELECT * FROM events WHERE user_id < 100
+        |        AND ts <= (SELECT max(ts) FROM events) - INTERVAL 20 MINUTE) b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY eid_a NULLS FIRST, eid_b NULLS FIRST""".stripMargin) {
+      (s, d) =>
+      val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+      def side(eid: String, uid: String, ts: String) =
+        Streams.eventsStream(s, d).where(col("user_id") < 100)
+          .withWatermark("ts", "10 minutes")
+          .where(col("ts") <= lit(maxTs) - expr("INTERVAL 20 MINUTES"))
+          .select(col("event_id").as(eid), col("user_id").as(uid),
+            col("ts").as(ts))
+      val j = side("eid_a", "uid_a", "ts_a").join(
+        side("eid_b", "uid_b", "ts_b"),
+        col("uid_a") === col("uid_b") && col("eid_a") =!= col("eid_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"),
+        "full_outer")
+        .select("eid_a", "eid_b")
+      Streams.runToTable(j, "append", statePartitions = 4)
+        .orderBy(col("eid_a").asc_nulls_first, col("eid_b").asc_nulls_first)
+    },
+
     // dropDuplicatesWithinWatermark (Spark 4's bounded-state dedup
     // guarantee): unlike dropDuplicates, whose key state NEVER expires (at
     // 100 TB that state grows without bound), state here is released once

@@ -380,5 +380,47 @@ object Extended {
           nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
         .orderBy("o_custkey", "o_orderkey")
     },
+
+    // Recursive CTE (new SQL surface in Spark 4): transitive reachability
+    // over the per-region nation successor chain — the fixpoint-iteration
+    // query shape (org charts, BOM explosion, graph closure) that used to
+    // need driver-side loops (the dedup collapse queries hand-roll the
+    // same pattern). Each recursion step plans as one join; depth here is
+    // bounded by region size. Both engines run the same recursive SQL, so
+    // the oracle pins Spark's fixpoint semantics against DuckDB's.
+    Q("sql_recursive_cte",
+      """WITH RECURSIVE nxt AS (
+        |  SELECT a.n_nationkey AS src, min(b.n_nationkey) AS dst
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey
+        |   AND b.n_nationkey > a.n_nationkey
+        |  GROUP BY a.n_nationkey
+        |),
+        |reach(src, dst, depth) AS (
+        |  SELECT src, dst, 1 AS depth FROM nxt
+        |  UNION ALL
+        |  SELECT r.src, n.dst, r.depth + 1
+        |  FROM reach r JOIN nxt n ON r.dst = n.src
+        |)
+        |SELECT src, dst, depth FROM reach
+        |ORDER BY src, dst""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_rec")
+      s.sql(
+        """WITH RECURSIVE nxt AS (
+          |  SELECT a.n_nationkey AS src, min(b.n_nationkey) AS dst
+          |  FROM nation_rec a JOIN nation_rec b
+          |    ON a.n_regionkey = b.n_regionkey
+          |   AND b.n_nationkey > a.n_nationkey
+          |  GROUP BY a.n_nationkey
+          |),
+          |reach(src, dst, depth) AS (
+          |  SELECT src, dst, 1 AS depth FROM nxt
+          |  UNION ALL
+          |  SELECT r.src, n.dst, r.depth + 1
+          |  FROM reach r JOIN nxt n ON r.dst = n.src
+          |)
+          |SELECT src, dst, depth FROM reach
+          |ORDER BY src, dst""".stripMargin)
+    },
   )
 }

@@ -393,5 +393,25 @@ object Functions {
           col("v.n").as("xn"), col("v.src").as("xsrc"))
         .orderBy("doc_id")
     },
+
+    // Collated comparison (Spark 4 collation surface): UTF8_LCASE makes
+    // equality/grouping case-insensitive AT THE TYPE level — the scan and
+    // the hash join/agg see collated keys, instead of every predicate
+    // wrapping lower() (which blocks pushdown and breaks statistics on
+    // the original column). The oracle pins semantics via lower().
+    Q("fn_collation",
+      """SELECT lower(p_type) AS t, count(*) AS n,
+        |  count(CASE WHEN lower(p_type) = 'promo' THEN 1 END) AS promo_ci
+        |FROM part
+        |GROUP BY lower(p_type)
+        |ORDER BY t""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .groupBy(lower(expr("p_type COLLATE UTF8_LCASE")).as("t"))
+        .agg(count(lit(1)).as("n"),
+          count(when(expr("p_type COLLATE UTF8_LCASE") === lit("Promo"), 1))
+            .as("promo_ci"))
+        .select(col("t").cast("string").as("t"), col("n"), col("promo_ci"))
+        .orderBy("t")
+    },
   )
 }

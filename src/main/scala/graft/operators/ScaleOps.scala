@@ -261,6 +261,46 @@ object ScaleOps {
       skewJoinShape(Tables.lineitem(s, d), Tables.orders(s, d))
     },
 
+    // MANUAL two-sided salting of the same skewed join — the fallback
+    // when AQE can't save you (the dim is too big to broadcast AND the
+    // skew sits in the JOIN KEY state itself, e.g. under a sort-merge
+    // both sides of the hot key land in one task). Fact side: salt =
+    // hash(row) mod S appended to the key, splitting the hot key's rows
+    // across S tasks. Dim side: each row REPLICATES S ways (one per
+    // salt) via an in-task explode — S× the dim, never the fact. The
+    // join key becomes (k, salt): same matches, S-way parallel hot key.
+    // The split must not change the answer — that equality is the
+    // oracle (same result SQL as join_skew_aqe's plain join).
+    Q("join_salted_manual",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS price
+        |FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_orderkey END
+        |               AS k,
+        |             l_extendedprice FROM lineitem) l
+        |JOIN orders o ON o.o_orderkey = l.k
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val salts = 8
+      val l = Tables.lineitem(s, d).select(
+          when(col("l_orderkey") % 2 === 0, lit(1L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_extendedprice"))
+        .withColumn("salt",
+          pmod(xxhash64(col("l_extendedprice"), monotonically_increasing_id()),
+            lit(salts)).cast("int"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(lit((0 until salts).toArray)))
+        .hint("merge") // force the shuffle join the salting exists to fix
+      l.join(o, col("k") === col("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            .as("price"))
+        .orderBy("o_orderpriority")
+    },
+
     // TPC-H Q3-shaped flagship: 3-table join + aggregate + top-k with NO
     // hints — Catalyst/AQE pick the join order and strategies. The
     // filtered customer dim broadcasts down the chain and the top-10

@@ -418,5 +418,65 @@ object Corpus {
           expr("percentile(n_chars, 0.75D)").as("p75"))
         .orderBy("lang")
     },
+
+    // Paragraph-level exact dedup WITH reassembly — the C4/RefinedWeb step
+    // that removes a repeated span from every document but the first while
+    // keeping the rest of each document intact (document-level dedup can't
+    // do this: boilerplate repeats across otherwise-unique docs).
+    // "Paragraphs" here are the deterministic 20-word segmentation of the
+    // fixture text (it has no newlines); first occurrence = lowest
+    // (doc_id, seg_idx). Scale shape: ONE hash shuffle keyed on the
+    // segment text (same partitioning exact dedup uses — Spark hashes the
+    // string key, so a 100 TB corpus spreads by content, not by doc), a
+    // per-segment keep-first window, then a per-doc re-aggregation; the
+    // reassembled text is emitted as its md5 so the result stays
+    // row-bounded. No driver-side state anywhere.
+    Q("corpus_dedup_paragraph",
+      """WITH segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(words[(i * 20 + 1):(i * 20 + 20)], ' ') AS seg
+        |  FROM (
+        |    SELECT doc_id, words,
+        |      unnest(generate_series(0,
+        |        CAST(ceil(len(words) / 20.0) AS INT) - 1)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |          FROM documents))),
+        |ranked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |  count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+        |    ORDER BY seg_idx), '')) AS kept_md5
+        |FROM ranked
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = split(col("text"), " ")
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), words.as("words"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ceil(size(col("words")) / 20.0).cast("int") - 1),
+            i => concat_ws(" ", slice(col("words"), i * 20 + 1, lit(20)))))
+            .as(Seq("seg_idx", "seg")))
+      val ranked = segs.withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))))
+      // kept segments re-concatenate in seg_idx order; collect_list drops
+      // the NULLs `when` leaves on duplicate rows, and sorting the
+      // (seg_idx, seg) structs restores document order inside one task
+      val keptArr = array_sort(collect_list(
+        when(col("rn") === 1, struct(col("seg_idx"), col("seg")))))
+      ranked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          md5(concat_ws(" ",
+            transform(keptArr, x => x.getField("seg"))).cast("binary"))
+            .as("kept_md5"))
+        .orderBy("doc_id")
+    },
   )
 }

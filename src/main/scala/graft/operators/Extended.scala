@@ -422,5 +422,49 @@ object Extended {
           |SELECT src, dst, depth FROM reach
           |ORDER BY src, dst""".stripMargin)
     },
+
+    // SQL pipe syntax (`|>`, new SQL surface in Spark 4): the same logical
+    // plan as a classic WHERE→GROUP BY→ORDER BY query, written as a linear
+    // operator chain. Purely frontend — Catalyst sees the identical
+    // Aggregate(Filter(Scan)) tree, so pushdown/partial-agg behavior is
+    // unchanged; the oracle pins that equivalence in classic SQL.
+    Q("sql_pipe_syntax",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_pipe")
+      s.sql(
+        """FROM orders_pipe
+          ||> WHERE o_orderstatus = 'O'
+          ||> AGGREGATE count(*) AS n,
+          |     CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          |       AS sum_price
+          |   GROUP BY o_orderpriority
+          ||> SELECT o_orderpriority, n, sum_price
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar): every non-aggregate
+    // select item becomes a grouping key, every output column a sort key —
+    // the ad-hoc exploration shape. Resolution happens at analysis time;
+    // the oracle pins it against the explicit ordinal form.
+    Q("sql_group_by_all",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gba")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM orders_gba
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
+    },
   )
 }

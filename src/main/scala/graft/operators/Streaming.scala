@@ -259,6 +259,45 @@ object Streaming {
       Streams.runToTable(agg, "complete").orderBy("win_start", "event_type")
     },
 
+    // Chained event-time window aggregations — TWO stateful operators in
+    // ONE incremental job (Spark's multiple-stateful-operator support): a
+    // 10-minute per-type count whose window column feeds a second 1-hour
+    // rollup (`window` applied to the first aggregation's window struct).
+    // Chained aggs only run in append mode, so the sink holds exactly the
+    // hours CLOSED by the final watermark (wm = max ts − 10 min; an outer
+    // hour closes only after every inner bucket in it closed, since inner
+    // end <= outer end <= wm) — the oracle applies the same cutoff. At
+    // 100 TB this is the two-tier streaming MV pattern: the wide 10-min
+    // state is the only pass over raw rows; the hourly tier aggregates
+    // 6 rows/key/hour, so adding more tiers costs nothing.
+    Q("stream_chained_windows",
+      """WITH b AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS b_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT hour_start, event_type,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  count(*) AS n_buckets,
+        |  max(n) AS max_bucket
+        |FROM b
+        |WHERE hour_start + INTERVAL 1 HOUR
+        |  <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 10 MINUTE
+        |GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
+      val inner = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val outer = inner
+        .groupBy(window(col("window"), "1 hour"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_buckets"),
+          max(col("n")).as("max_bucket"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("n_buckets"), col("max_bucket"))
+      Streams.runToTable(outer, "append").orderBy("hour_start", "event_type")
+    },
+
     // Session windows, 30-minute gap. Spark closes a session when the next
     // event is >= gap after the previous — the oracle's gaps-and-islands
     // uses the same >= comparison.

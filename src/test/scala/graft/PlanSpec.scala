@@ -265,6 +265,17 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(3000)}")
   }
 
+  test("corpus_dedup_paragraph: content shuffle + doc reassembly, no more") {
+    // The C4-style paragraph dedup must cost exactly two hash exchanges:
+    // one keyed on the segment text (global keep-first window) and one on
+    // doc_id (reassembly agg) — a third would mean the explode or the md5
+    // stage introduced an extra shuffle.
+    val p = planString("corpus_dedup_paragraph")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, plan:\n${p.take(3000)}")
+  }
+
   test("scd2_orders_history: one entity-key shuffle, filter pushed to scan") {
     val p = planString("scd2_orders_history")
     val exchanges = p.linesIterator

@@ -318,6 +318,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("chained window aggs: two stateful operators, hour emits only closed") {
+    // Multiple-stateful-operator path: a 10-minute count whose window
+    // column feeds a 1-hour rollup, both in ONE query. The outer hour
+    // must stay unemitted while its inner buckets can still change, and
+    // emit exactly once after the watermark passes its end.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val inner = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val outer = inner
+      .groupBy(window(col("window"), "1 hour"), col("k"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_buckets"))
+      .select(col("window.start").as("hour_start"), col("k"),
+        col("n_events"), col("n_buckets"))
+    val q = outer.writeStream.format("memory").queryName("chained")
+      .outputMode("append").start()
+    try {
+      ms.addData((t("10:00"), "a"), (t("10:05"), "a"),
+        (t("10:25"), "a"), (t("10:59"), "a"))
+      q.processAllAvailable()
+      assert(spark.table("chained").count() == 0,
+        "hour 10:00 must not emit while the watermark can still admit rows")
+      ms.addData((t("12:30"), "a")) // wm → 12:20, closes hour [10:00, 11:00)
+      q.processAllAvailable()
+      val rows = spark.table("chained").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows == Set((t("10:00"), "a", 4L, 3L)),
+        s"hour 10:00 = 4 events over 3 closed buckets, got $rows")
+      assert(q.lastProgress.stateOperators.size == 2,
+        s"two stateful operators expected, got " +
+          s"${q.lastProgress.stateOperators.size}")
+    } finally q.stop()
+  }
+
   test("mid-stream failure: restart replays the uncommitted batch once") {
     // Harder than the graceful-restart tests above: the first run DIES
     // mid-stream (injected failure in batch 1, after batch 0 committed),

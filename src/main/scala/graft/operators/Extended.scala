@@ -466,5 +466,83 @@ object Extended {
           |GROUP BY ALL
           |ORDER BY ALL""".stripMargin)
     },
+
+    // SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN expr`):
+    // reusable logic shipped as catalog SQL instead of a JVM UDF — the body
+    // is inlined by the analyzer, so it stays inside codegen and pushdown
+    // (a black-box UDF would block both). Oracle inlines the same
+    // expression by hand.
+    Q("sql_udf_scalar",
+      """SELECT bucket, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+        |             o_totalprice
+        |      FROM orders)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_udf")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_bucket(x DOUBLE)
+              |RETURNS INT RETURN CAST(floor(x / 50000.0) AS INT)""".stripMargin)
+      s.sql(
+        """SELECT price_bucket(o_totalprice) AS bucket, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM orders_udf
+          |GROUP BY bucket
+          |ORDER BY bucket""".stripMargin)
+    },
+
+    // SQL-defined TABLE function (Spark 4): a parameterized view — the
+    // argument lands in the body's WHERE, so it reaches the parquet scan
+    // as an ordinary pushed filter. The function's relation then joins and
+    // aggregates like any table.
+    Q("sql_udf_table",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_tvf")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION status_orders(st STRING)
+          |RETURNS TABLE(o_orderkey BIGINT, o_orderpriority STRING,
+          |              o_totalprice DOUBLE)
+          |RETURN SELECT o_orderkey, o_orderpriority, o_totalprice
+          |       FROM orders_tvf WHERE o_orderstatus = st""".stripMargin)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM status_orders('F')
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Parameterized SQL (named parameter markers bound via spark.sql's
+    // args map — injection-safe literals, the programmatic-SQL surface)
+    // plus a lateral column alias (`gross` reused in the same SELECT).
+    // The oracle inlines the bound constants.
+    Q("sql_parameterized",
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice * 1.1 AS DECIMAL(14,4))) AS DOUBLE)
+        |    AS sum_gross
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice >= 100000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_param")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  count(*) AS n,
+          |  CAST(sum(gross) AS DOUBLE) AS sum_gross
+          |FROM (SELECT o_orderpriority,
+          |        CAST(o_totalprice * :uplift AS DECIMAL(14,4)) AS gross
+          |      FROM orders_param
+          |      WHERE o_orderstatus = :st AND o_totalprice >= :floor)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+        Map("st" -> "O", "floor" -> 100000.0, "uplift" -> 1.1))
+    },
   )
 }

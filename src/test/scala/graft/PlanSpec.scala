@@ -265,6 +265,19 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(3000)}")
   }
 
+  test("SQL-defined functions inline: TVF argument reaches the scan") {
+    // The point of SQL-defined functions over JVM UDFs is that the
+    // analyzer inlines the body — so the table function's bound `st`
+    // argument must surface as an ordinary pushed parquet filter, and the
+    // scalar function must leave no UDF black box in the plan.
+    val tvf = planString("sql_udf_table")
+    assert(tvf.contains("PushedFilters") && tvf.contains("EqualTo(o_orderstatus"),
+      s"TVF argument must push to the scan:\n${tvf.take(3000)}")
+    val sc = planString("sql_udf_scalar")
+    assert(!sc.contains("BatchEvalPython") && !sc.contains("ScalaUDF"),
+      s"scalar SQL function must inline, not wrap a UDF:\n${sc.take(3000)}")
+  }
+
   test("corpus_dedup_paragraph: content shuffle + doc reassembly, no more") {
     // The C4-style paragraph dedup must cost exactly two hash exchanges:
     // one keyed on the segment text (global keep-first window) and one on

@@ -688,4 +688,16 @@ object Graft {
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF()
   }
+
+  /** Paragraph-level exact dedup with reassembly (the C4/RefinedWeb
+    * boilerplate-removal step): segments each doc's text into
+    * `segWords`-word paragraphs, keeps the globally-first occurrence of
+    * each distinct segment, and reassembles the survivors per doc in
+    * original order. `docs` needs (doc_id LONG, text STRING); returns
+    * (doc_id, n_segs, n_dropped, kept_text). One content-keyed shuffle on
+    * the segment text plus one doc_id reassembly shuffle — no driver
+    * state, so a 100 TB corpus spreads by content.
+    */
+  def paragraphDedup(docs: DataFrame, segWords: Int = 20): DataFrame =
+    graft.operators.Corpus.paragraphDedup(docs, segWords)
 }

@@ -454,29 +454,45 @@ object Corpus {
         |FROM ranked
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val words = split(col("text"), " ")
-      val segs = Tables.documents(s, d)
-        .select(col("doc_id"), words.as("words"))
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), ceil(size(col("words")) / 20.0).cast("int") - 1),
-            i => concat_ws(" ", slice(col("words"), i * 20 + 1, lit(20)))))
-            .as(Seq("seg_idx", "seg")))
-      val ranked = segs.withColumn("rn",
-        row_number().over(
-          Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))))
-      // kept segments re-concatenate in seg_idx order; collect_list drops
-      // the NULLs `when` leaves on duplicate rows, and sorting the
-      // (seg_idx, seg) structs restores document order inside one task
-      val keptArr = array_sort(collect_list(
-        when(col("rn") === 1, struct(col("seg_idx"), col("seg")))))
-      ranked.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_segs"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
-          md5(concat_ws(" ",
-            transform(keptArr, x => x.getField("seg"))).cast("binary"))
-            .as("kept_md5"))
+      paragraphDedup(Tables.documents(s, d), 20)
+        .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+          md5(col("kept_text").cast("binary")).as("kept_md5"))
         .orderBy("doc_id")
     },
   )
+
+  /** Paragraph-level exact dedup with reassembly (frame-parametric kernel
+    * behind `corpus_dedup_paragraph` and `graft.api.Graft.paragraphDedup`):
+    * `docs` needs (doc_id LONG, text STRING). Segments text into
+    * `segWords`-word paragraphs, keeps the globally-first occurrence of
+    * each distinct segment (lowest (doc_id, seg_idx)), and reassembles the
+    * survivors per doc in original order → (doc_id, n_segs, n_dropped,
+    * kept_text).
+    */
+  private[graft] def paragraphDedup(docs: org.apache.spark.sql.DataFrame,
+      segWords: Int): org.apache.spark.sql.DataFrame = {
+    val words = split(col("text"), " ")
+    val segs = docs
+      .select(col("doc_id"), words.as("words"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("words")) / segWords.toDouble).cast("int") - 1),
+          i => concat_ws(" ", slice(col("words"), i * segWords + 1,
+            lit(segWords)))))
+          .as(Seq("seg_idx", "seg")))
+    val ranked = segs.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))))
+    // kept segments re-concatenate in seg_idx order; collect_list drops
+    // the NULLs `when` leaves on duplicate rows, and sorting the
+    // (seg_idx, seg) structs restores document order inside one task
+    val keptArr = array_sort(collect_list(
+      when(col("rn") === 1, struct(col("seg_idx"), col("seg")))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(keptArr, x => x.getField("seg")))
+          .as("kept_text"))
+  }
 }

@@ -834,4 +834,27 @@ class ApiSpec extends SparkSuite {
     assert(audit((0L, "graph"))._1 == wantGraph,
       s"graph audit ${audit((0L, "graph"))._1} != recomputed $wantGraph")
   }
+
+  test("paragraphDedup drops only the repeated span, keeps the rest") {
+    import spark.implicits._
+    // 4-word segments: doc 0 = A B; doc 1 = A C (A is shared boilerplate);
+    // doc 2 = short tail (< segWords) unique — must survive untouched.
+    val A = "the same legal boilerplate"
+    val B = "unique content of doc0"
+    val C = "unique content of doc1"
+    val docs = Seq(
+      (0L, s"$A $B"),
+      (1L, s"$A $C"),
+      (2L, "tiny tail")).toDF("doc_id", "text")
+    val out = graft.api.Graft.paragraphDedup(docs, segWords = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((0L, 2L, 0L, s"$A $B")),
+      s"doc 0 is first occurrence — keeps everything: ${out(0)}")
+    assert(out(1) == ((1L, 2L, 1L, C)),
+      s"doc 1 loses the shared span, keeps its unique segment: ${out(1)}")
+    assert(out(2) == ((2L, 1L, 0L, "tiny tail")),
+      s"sub-segment doc unchanged: ${out(2)}")
+  }
 }

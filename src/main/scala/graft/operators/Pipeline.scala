@@ -436,6 +436,55 @@ object Pipeline {
     // target (join_bucketed's layout) the target side doesn't even
     // re-shuffle at 100 TB; the streaming incremental twin is
     // `stream_scd2_upsert`'s generation store.
+    // CDC change-feed APPLY — the Debezium/changelog companion to the
+    // snapshot diff above: compact a keyed feed of upsert/delete ops to
+    // its LAST change per key (arrival order = event_id, never the ns
+    // timestamp the engines truncate differently), then apply over the
+    // base snapshot: last op D deletes, other touched keys take the feed
+    // value, untouched base rows carry. The feed key is offset so the
+    // fixture exercises all four paths (insert/update/delete/carry).
+    // Scale shape: ONE key shuffle compacts the feed (row_number keeps
+    // the newest op — at 100 TB the feed compacts BEFORE touching the
+    // base), then a co-partitioned full-outer join; no driver state.
+    Q("cdc_apply_changes",
+      """WITH feed AS (
+        |  SELECT user_id + 1400 AS k,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |lastc AS (SELECT k, op, v FROM feed WHERE rn = 1),
+        |base AS (SELECT c_custkey AS k, c_acctbal AS v FROM customer)
+        |SELECT coalesce(b.k, l.k) AS k,
+        |  CASE WHEN l.k IS NULL THEN 'carry'
+        |       WHEN b.k IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  CASE WHEN l.k IS NULL THEN b.v ELSE l.v END AS v
+        |FROM base b FULL JOIN lastc l ON b.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val wLast = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id").desc)
+      val lastc = Tables.events(s, d)
+        .select((col("user_id") + 1400L).as("k"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value").as("fv"), col("user_id"), col("event_id"))
+        .withColumn("rn", row_number().over(wLast))
+        .where(col("rn") === 1)
+        .select(col("k"), col("op"), col("fv"))
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("bk"), col("c_acctbal").as("bv"))
+      base.join(lastc, col("bk") === col("k"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("bk"), col("k")).as("k"),
+          when(col("k").isNull, "carry")
+            .when(col("bk").isNull, "insert")
+            .otherwise("update").as("action"),
+          when(col("k").isNull, col("bv")).otherwise(col("fv")).as("v"))
+        .orderBy("k")
+    },
+
     Q("merge_into_upsert",
       """WITH t AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),

@@ -1050,6 +1050,23 @@ object Ann {
     * with the `vector_avg` UDAF. `localCheckpoint` pins each round's
     * tiny centroid table so round r+1 doesn't replay rounds 1..r.
     */
+  /** Nearest-centroid assignment of a (vec_id, embedding) frame against a
+    * (cell, cent) centroid frame — the shared routing kernel of the
+    * k-means iterations and the streaming index ingest
+    * (`stream_ann_ingest`). Broadcast centroids, ONE vec_id-keyed
+    * combiner shuffle; ties break toward the larger cell id (struct max).
+    */
+  private[graft] def assignToCentroids(e: org.apache.spark.sql.DataFrame,
+      c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = e
+    .select(col("vec_id"), col("embedding"))
+    .crossJoin(broadcast(c))
+    .select(col("vec_id"), col("embedding"),
+      struct(cosine_sim(col("embedding"), col("cent")).as("cs"),
+        col("cell").as("cell")).as("sc"))
+    .groupBy(col("vec_id"))
+    .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("m"))
+    .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
+
   private[graft] def kmeansCells(e: org.apache.spark.sql.DataFrame,
       k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
     var cents = e
@@ -1057,15 +1074,7 @@ object Ann {
       .limit(k)
       .select(col("vec_id").as("cell"), col("embedding").as("cent"))
       .localCheckpoint(true)
-    def assignTo(c: org.apache.spark.sql.DataFrame) = e
-      .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("embedding"),
-        struct(cosine_sim(col("embedding"), col("cent")).as("cs"),
-          col("cell").as("cell")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("m"))
-      .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
+    def assignTo(c: org.apache.spark.sql.DataFrame) = assignToCentroids(e, c)
     for (_ <- 1 until iters)
       cents = assignTo(cents)
         .groupBy("cell").agg(vector_avg(col("embedding")).as("cent"))

@@ -853,6 +853,41 @@ object Streaming {
     // in-order event and one 70-minutes-late event, which is dropped, so
     // the 10:00 window closes at n=2, and the late 09:00 window never
     // appears.
+    // Streaming ANN index INGEST — maintenance for the persisted IVF
+    // index: each micro-batch of new vectors is routed to its nearest
+    // persisted centroid (broadcast k-row table, one combiner shuffle)
+    // and appended to the cell-partitioned store, so the index absorbs
+    // new data without a rebuild and every persisted-index query
+    // (ann_ivf_persisted / ann_ivfpq_topk / ann_ivf_graph_topk) can
+    // prune to the same cells over the grown store. At 100 TB this is
+    // the write path: routing cost is O(batch × k) map-side; the store
+    // stays partition-aligned with the readers. Output is the per-cell
+    // (count, id-checksum) census; no SQL oracle (cells are
+    // seeded-k-means-defined) — ApiSpec gates the ingested assignment
+    // against the batch nearest-centroid recompute exactly.
+    Q.noOracle("stream_ann_ingest") { (s, d) =>
+      val dir = Ann.ivfIndex(s, d)
+      val cents = s.read.parquet(s"$dir/centroids")
+      val ingest = java.nio.file.Files
+        .createTempDirectory("graft_ann_ingest_").toString
+      val q = Streams.embeddingsStream(s, d).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$ingest/chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Ann.assignToCentroids(batch, cents)
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$ingest/data")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$ingest/data")
+        // partition-column type inference may narrow "3" to int — pin the
+        // census to the index's string cell ids
+        .groupBy(col("cell").cast("string").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+        .orderBy("cell")
+    },
+
     Q.noOracle("stream_late_data") { (s, _) =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._

@@ -106,6 +106,21 @@ object Streams {
     s.readStream.schema(schema).parquet(dir)
   }
 
+  /** The embeddings table as a file stream (same symlink bridge as
+    * [[eventsStream]]; list<float> column streams as-is).
+    */
+  def embeddingsStream(s: SparkSession, sfDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val dir = streamDirs.computeIfAbsent(sfDir + "#embeddings", { _ =>
+      val dd = java.nio.file.Files.createTempDirectory("graft_embs_")
+      java.nio.file.Files.createSymbolicLink(
+        dd.resolve("embeddings.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"))
+      dd.toString
+    })
+    s.readStream.schema(schema).parquet(dir)
+  }
+
   /** Run `body` with a reduced shuffle-partition count — stateful
     * streaming ops allocate one state store per shuffle partition, and at
     * test scale 32 near-empty stores cost more than the data. (At 100 TB

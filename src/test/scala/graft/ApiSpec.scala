@@ -835,6 +835,22 @@ class ApiSpec extends SparkSuite {
       s"graph audit ${audit((0L, "graph"))._1} != recomputed $wantGraph")
   }
 
+  test("stream_ann_ingest census equals the batch nearest-centroid route") {
+    // The ingest path must put every streamed vector in exactly the cell
+    // a batch recompute against the SAME persisted centroids chooses —
+    // per-cell (count, id-checksum) equality catches any misrouted row.
+    val got = SparkEntry.queries("stream_ann_ingest")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = graft.operators.Ann.ivfIndex(spark, sf)
+    val want = graft.operators.Ann.assignToCentroids(
+        Tables.embeddings(spark, sf),
+        spark.read.parquet(s"$dir/centroids"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"ingested census $got != batch recompute $want")
+  }
+
   test("paragraphDedup drops only the repeated span, keeps the rest") {
     import spark.implicits._
     // 4-word segments: doc 0 = A B; doc 1 = A C (A is shared boilerplate);

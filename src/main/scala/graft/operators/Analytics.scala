@@ -1959,6 +1959,47 @@ object Analytics {
     // arboricity, not max degree). Wedges from integer degrees; the
     // clustering coefficient is ONE double division of two exact BIGINTs
     // — bit-identical cross-engine, no rounding.
+    // Connected components of the thresholded co-purchase graph — the
+    // min-label components come from the SAME large-star/small-star
+    // kernel the dedup collapse uses (O(log n) rounds, hub-safe: no
+    // per-component single task), re-exposed as a first-class graph
+    // query so the family reads degree → triangles → PageRank → CC.
+    // The recursive-CTE oracle recomputes the transitive closure
+    // independently, pinning the fixpoint the sketch-free way.
+    Q("graph_connected_components",
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT pa AS src, pb AS dst FROM p
+        |          UNION ALL SELECT pb, pa FROM p),
+        |reach AS (
+        |  SELECT src AS part_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.part_id)
+        |SELECT part_id, component_id FROM (
+        |  SELECT part_id, min(r) AS component_id FROM reach GROUP BY part_id)
+        |ORDER BY part_id""".stripMargin) { (s, d) =>
+      // basket formulation (see graph_copurchase_pairs): one order-keyed
+      // shuffle, in-task pair explode, combiner count; the >= 2 support
+      // threshold keeps the edge set sparse before the collapse rounds
+      val pairs = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(col("ps"), explode(col("ps")).as("pa"))
+        .select(col("pa"),
+          explode(expr("filter(ps, x -> x > pa)")).as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+      Dedup.collapseClustersLogN(pairs)
+        .select(col("doc_id").as("part_id"),
+          col("cluster_id").as("component_id"))
+        .orderBy("part_id")
+    },
+
     Q("graph_triangle_count",
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |           WHERE l_partkey < 2000),

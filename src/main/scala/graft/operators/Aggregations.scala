@@ -167,7 +167,11 @@ object Aggregations {
       Tables.customer(s, d)
         .where(col("c_custkey") <= 200)
         .groupBy("c_mktsegment")
-        .agg(array_join(sort_array(collect_list(col("c_name"))), "|").as("names"))
+        // native listagg (Spark 4): the WITHIN GROUP sort happens inside
+        // the aggregate's buffer merge — no collect_list array
+        // materialization per group
+        .agg(expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)")
+          .as("names"))
         .orderBy("c_mktsegment")
     },
 

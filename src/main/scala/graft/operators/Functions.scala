@@ -159,6 +159,39 @@ object Functions {
         .orderBy("event_id")
     },
 
+    // Higher-order MAP functions (the lambda family fn_map's entry-level
+    // accessors don't touch): transform_values / transform_keys /
+    // map_zip_with / map_filter, all codegen-friendly Catalyst lambdas.
+    // Scalar extractions keep the oracle plain integer arithmetic on the
+    // same JSON value.
+    Q("fn_map_lambda",
+      """SELECT event_id,
+        |  2 * j AS k2,
+        |  2 * j + 1 AS kz,
+        |  j AS tk,
+        |  CASE WHEN j > 50 THEN 1 ELSE 0 END AS nbig
+        |FROM (SELECT event_id,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS j
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"), lit("map<string,int>"))
+      Tables.events(s, d)
+        .withColumn("m", m)
+        // a second map with every value +1, built from the first
+        .withColumn("m1", map_from_arrays(map_keys(col("m")),
+          transform(map_values(col("m")), v => v + 1)))
+        .select(
+          col("event_id"),
+          element_at(transform_values(col("m"), (_, v) => v * 2), "k")
+            .as("k2"),
+          element_at(map_zip_with(col("m"), col("m1"),
+            (_, a, b) => a + b), "k").as("kz"),
+          element_at(transform_keys(col("m"),
+            (k, _) => concat(k, lit("!"))), "k!").as("tk"),
+          size(map_filter(col("m"), (_, v) => v > 50)).as("nbig"))
+        .orderBy("event_id")
+    },
+
     Q("fn_json",
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS gj,

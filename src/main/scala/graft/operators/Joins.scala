@@ -282,6 +282,41 @@ object Joins {
         .orderBy("purchase_id")
     },
 
+    // As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=…)):
+    // the carried backward match only counts if it is within 1 hour of
+    // the probe — staleness-bounded enrichment (a quote older than the
+    // bound is no quote). Same union+carry-forward plan as join_asof
+    // (ONE user Exchange, no join node); the bound is applied AFTER the
+    // carry, as a null-out, so the window stays a plain last().
+    Q("join_asof_tolerance",
+      """SELECT p.event_id AS purchase_id,
+        |  (SELECT max_by(c.event_id, c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        |    AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          struct(col("ts").as("cts"), col("event_id").as("cid")).as("c"),
+          lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("struct<cts:timestamp,cid:bigint>").as("c"),
+          col("event_id").as("purchase_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("tag").asc, col("c.cid").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("lastc", last(col("c"), ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .select(col("purchase_id"),
+          when(col("lastc.cts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+            col("lastc.cid")).as("click_id"))
+        .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_first)
+    },
+
     // k-NN join: 5 probe vectors × store, exact top-3 per probe.
     // Scale path: probes broadcast; store streams; per-probe heaps via
     // window rank on (probe, score) — shuffle is k×probes rows only after

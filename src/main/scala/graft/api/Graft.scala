@@ -700,4 +700,19 @@ object Graft {
     */
   def paragraphDedup(docs: DataFrame, segWords: Int = 20): DataFrame =
     graft.operators.Corpus.paragraphDedup(docs, segWords)
+
+  /** CDC change-feed apply: compact `feed` to its highest-`seqCol` op per
+    * key (ONE key shuffle, before touching the base), then apply over
+    * `base` — last op `"D"` deletes the key, any other op takes the feed
+    * value, untouched base rows carry. A delete followed by a later
+    * upsert resurrects the key (last-write-wins). Returns
+    * (k, action ∈ {carry, insert, update}, v).
+    */
+  def applyChanges(base: DataFrame, keyCol: String, valCol: String,
+      feed: DataFrame, feedKeyCol: String, seqCol: String, opCol: String,
+      feedValCol: String): DataFrame =
+    graft.operators.Pipeline.applyChangesOf(
+      base.select(col(keyCol).as("k"), col(valCol).as("v")),
+      feed.select(col(feedKeyCol).as("k"), col(seqCol).as("seq"),
+        col(opCol).as("op"), col(feedValCol).as("v")))
 }

@@ -464,25 +464,14 @@ object Pipeline {
         |FROM base b FULL JOIN lastc l ON b.k = l.k
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY k""".stripMargin) { (s, d) =>
-      val wLast = Window.partitionBy(col("user_id"))
-        .orderBy(col("event_id").desc)
-      val lastc = Tables.events(s, d)
+      val feed = Tables.events(s, d)
         .select((col("user_id") + 1400L).as("k"),
+          col("event_id").as("seq"),
           when(col("event_type") === "error", "D").otherwise("U").as("op"),
-          col("value").as("fv"), col("user_id"), col("event_id"))
-        .withColumn("rn", row_number().over(wLast))
-        .where(col("rn") === 1)
-        .select(col("k"), col("op"), col("fv"))
+          col("value").as("v"))
       val base = Tables.customer(s, d)
-        .select(col("c_custkey").as("bk"), col("c_acctbal").as("bv"))
-      base.join(lastc, col("bk") === col("k"), "full_outer")
-        .where(col("op").isNull || col("op") =!= "D")
-        .select(coalesce(col("bk"), col("k")).as("k"),
-          when(col("k").isNull, "carry")
-            .when(col("bk").isNull, "insert")
-            .otherwise("update").as("action"),
-          when(col("k").isNull, col("bv")).otherwise(col("fv")).as("v"))
-        .orderBy("k")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+      applyChangesOf(base, feed).orderBy("k")
     },
 
     Q("merge_into_upsert",
@@ -695,6 +684,33 @@ object Pipeline {
     * source keys append (insert), untouched target rows carry — plus an
     * `action` audit column. One co-partitioned full-outer shuffle join.
     */
+  /** CDC change-feed apply (frame-parametric kernel behind
+    * `cdc_apply_changes` and `graft.api.Graft.applyChanges`): `base` is
+    * (k, v), `feed` is (k, seq, op ∈ {U, D}, v). The feed compacts to
+    * its highest-seq op per key on ONE key shuffle BEFORE touching the
+    * base; last-op D deletes, other touched keys take the feed value,
+    * untouched base rows carry → (k, action, v). A delete followed by a
+    * later upsert resurrects the key (last-write-wins, not
+    * delete-is-sticky).
+    */
+  private[graft] def applyChangesOf(base: org.apache.spark.sql.DataFrame,
+      feed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wLast = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    val lastc = feed
+      .withColumn("rn", row_number().over(wLast))
+      .where(col("rn") === 1)
+      .select(col("k").as("fk"), col("op"), col("v").as("fv"))
+    base.select(col("k").as("bk"), col("v").as("bv"))
+      .join(lastc, col("bk") === col("fk"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("bk"), col("fk")).as("k"),
+        when(col("fk").isNull, "carry")
+          .when(col("bk").isNull, "insert")
+          .otherwise("update").as("action"),
+        when(col("fk").isNull, col("bv")).otherwise(col("fv")).as("v"))
+  }
+
   private[graft] def mergeUpsertOf(target: org.apache.spark.sql.DataFrame,
       source: org.apache.spark.sql.DataFrame, key: String)
       : org.apache.spark.sql.DataFrame = {

@@ -851,6 +851,22 @@ class ApiSpec extends SparkSuite {
     assert(got == want, s"ingested census $got != batch recompute $want")
   }
 
+  test("applyChanges: delete wins by seq, later upsert resurrects") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+    val feed = Seq(
+      (2L, 1L, "U", 21.0), (2L, 2L, "D", 0.0),   // update then delete → gone
+      (3L, 1L, "D", 0.0), (3L, 2L, "U", 31.0),   // delete then upsert → back
+      (4L, 1L, "U", 40.0)                         // unseen key → insert
+    ).toDF("id", "seq", "op", "bal")
+    val out = graft.api.Graft
+      .applyChanges(base, "id", "bal", feed, "id", "seq", "op", "bal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set((1L, "carry", 10.0), (3L, "update", 31.0),
+      (4L, "insert", 40.0)), s"got $out")
+  }
+
   test("paragraphDedup drops only the repeated span, keeps the rest") {
     import spark.implicits._
     // 4-word segments: doc 0 = A B; doc 1 = A C (A is shared boilerplate);

@@ -1994,6 +1994,11 @@ object Analytics {
         .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
         .where(col("n") >= 2)
         .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+        // eager, O(edges) rows: the collapse kernel derives nodes AND the
+        // initial edge frame from `pairs` — unpinned, the lineitem basket
+        // explode would replay for each (the minhash callers pass
+        // already-checkpointed pairs for the same reason)
+        .localCheckpoint(true)
       Dedup.collapseClustersLogN(pairs)
         .select(col("doc_id").as("part_id"),
           col("cluster_id").as("component_id"))

@@ -369,13 +369,17 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       // fixed point (BOTH required — see scaladoc): one target per
-      // source, and no target has an outgoing edge
+      // source, and no target has an outgoing edge. Both violation
+      // frames union into ONE action — at round-overhead-dominated
+      // sizes the job count per round is the cost, not the rows.
       edges = small
       val srcs = edges.select(col("u").as("t")).distinct()
-      val multiTarget = edges.groupBy("u")
+      val violations = edges.groupBy("u")
         .agg(count(lit(1)).as("c")).where(col("c") > 1)
-      converged = multiTarget.isEmpty &&
-        edges.join(srcs, col("v") === col("t"), "left_semi").isEmpty
+        .select(lit(1).as("x"))
+        .unionAll(edges.join(srcs, col("v") === col("t"), "left_semi")
+          .select(lit(1).as("x")))
+      converged = violations.isEmpty
       it += 1
     }
     if (!converged)

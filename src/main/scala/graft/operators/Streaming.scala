@@ -259,6 +259,51 @@ object Streaming {
       Streams.runToTable(agg, "complete").orderBy("win_start", "event_type")
     },
 
+    // Session windows with a DYNAMIC per-row gap (the session_window
+    // expression form): an error tightens its session's extension to
+    // 5 minutes while normal activity keeps 30 — per-event-type
+    // inactivity thresholds in ONE stateful op, no pre-split. Spark
+    // merges the [ts, ts+gap(row)) intervals; the oracle reproduces the
+    // same islands via the cumulative-max-of-previous-ends formulation
+    // (an event starts a new session iff it is at or past every prior
+    // event's extension, matching the static form's >= split rule).
+    Q("stream_session_dynamic_gap",
+      """SELECT user_id, session_start, session_end, n_events FROM (
+        |  SELECT user_id, min(ts2) AS session_start, max(ts2) AS session_end,
+        |         count(*) AS n_events
+        |  FROM (
+        |    SELECT user_id, ts2,
+        |      CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS sid
+        |    FROM (
+        |      SELECT user_id, ts2,
+        |        CASE WHEN prev_max_end IS NULL OR ts2 >= prev_max_end
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM (
+        |        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |          max(CAST(ts AS TIMESTAMP) +
+        |              CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+        |                   ELSE INTERVAL 30 MINUTE END)
+        |            OVER (PARTITION BY user_id ORDER BY ts
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |            AS prev_max_end
+        |        FROM events)))
+        |  GROUP BY user_id, sid)
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val gap = when(col("event_type") === "error", "5 minutes")
+        .otherwise("30 minutes")
+      val agg = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+      Streams.runToTable(agg, "complete").orderBy("user_id", "session_start")
+    },
+
     // Chained event-time window aggregations — TWO stateful operators in
     // ONE incremental job (Spark's multiple-stateful-operator support): a
     // 10-minute per-type count whose window column feeds a second 1-hour

@@ -423,6 +423,37 @@ object Extended {
           |ORDER BY src, dst""".stripMargin)
     },
 
+    // JDBC source against an embedded in-memory Derby database — the
+    // operational-DB ingest surface: the slice is loaded ONCE through
+    // Spark's distributed JDBC writer, then read back as a PARTITIONED
+    // parallel scan (numPartitions stride ranges on the key) with the
+    // price predicate PUSHED INTO the database (PushedFilters on the
+    // JDBCRelation — plan-gated). At 100 TB the pattern is the same:
+    // partitionColumn ranges fan the operational table across executors
+    // and the DB does the filtering, not Spark. (Spark's JDBC writer
+    // quotes identifiers, so the Derby table keeps the lowercase names.)
+    Q("source_jdbc_pushdown",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey <= 5000 AND o_totalprice >= 150000.0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val url = jdbcOrdersUrl(s, d)
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "orders_slice")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "0").option("upperBound", "5000")
+        .option("numPartitions", "4")
+        .load()
+        .where(col("o_totalprice") >= 150000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // SQL pipe syntax (`|>`, new SQL surface in Spark 4): the same logical
     // plan as a classic WHERE→GROUP BY→ORDER BY query, written as a linear
     // operator chain. Purely frontend — Catalyst sees the identical
@@ -545,4 +576,24 @@ object Extended {
         Map("st" -> "O", "floor" -> 100000.0, "uplift" -> 1.1))
     },
   )
+
+  /** One-time load of the orders slice into an embedded in-memory Derby
+    * database (per sfDir), via Spark's distributed JDBC writer; returns
+    * the JDBC url. Storage preparation, not per-query cost — the same
+    * contract as the bucketed warehouse (`bucketedJoin`).
+    */
+  private val jdbcDbs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def jdbcOrdersUrl(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    jdbcDbs.computeIfAbsent(d, { _ =>
+      val db = "graftjdbc" + java.lang.Integer.toHexString(d.hashCode)
+      val create = s"jdbc:derby:memory:$db;create=true"
+      graft.Tables.orders(s, d).where(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").format("jdbc")
+        .option("url", create).option("dbtable", "orders_slice").save()
+      s"jdbc:derby:memory:$db"
+    })
 }

@@ -265,6 +265,19 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(3000)}")
   }
 
+  test("source_jdbc_pushdown: predicate into the DB, 4-way parallel scan") {
+    // The JDBC source must do its filtering IN the database (PushedFilters
+    // on the JDBCRelation) and fan the table across partitionColumn
+    // stride ranges — otherwise the operational-DB read is a single
+    // connection pulling unfiltered rows.
+    val p = planString("source_jdbc_pushdown")
+    assert(p.contains("JDBCRelation"), p.take(2500))
+    assert(p.contains("numPartitions=4"),
+      s"expected a 4-way partitioned JDBC scan:\n${p.take(2500)}")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice"),
+      s"price predicate must push into the database:\n${p.take(2500)}")
+  }
+
   test("SQL-defined functions inline: TVF argument reaches the scan") {
     // The point of SQL-defined functions over JVM UDFs is that the
     // analyzer inlines the body — so the table function's bound `st`

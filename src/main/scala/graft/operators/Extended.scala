@@ -454,6 +454,38 @@ object Extended {
         .orderBy("o_orderstatus")
     },
 
+    // JDBC AGGREGATE pushdown (DSv2 JDBCTableCatalog): the GROUP BY
+    // itself runs INSIDE the database — Spark receives one row per
+    // group, not the table (plan-gated on PushedAggregates). This is
+    // the federation shape for an operational DB at 100 TB: ship the
+    // aggregation to the data. Aggregates chosen order-free (COUNT,
+    // integer SUM, MIN/MAX) so the DB's evaluation order can't produce
+    // a different double than the oracle.
+    Q("source_jdbc_agg_pushdown",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders WHERE o_orderkey <= 5000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val url = jdbcOrdersUrl(s, d)
+      s.conf.set("spark.sql.catalog.graft_jdbc",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_jdbc.url", url)
+      s.conf.set("spark.sql.catalog.graft_jdbc.pushDownAggregate", "true")
+      // the distributed writer issued unquoted DDL, so Derby stored the
+      // table and columns UPPERCASE; aliases pin the oracle's lowercase
+      s.sql(
+        """SELECT o_orderstatus AS o_orderstatus, count(*) AS n,
+          |  sum(o_custkey) AS sum_cust,
+          |  min(o_totalprice) AS min_price,
+          |  max(o_totalprice) AS max_price
+          |FROM graft_jdbc.APP.ORDERS_SLICE
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // SQL pipe syntax (`|>`, new SQL surface in Spark 4): the same logical
     // plan as a classic WHERE→GROUP BY→ORDER BY query, written as a linear
     // operator chain. Purely frontend — Catalyst sees the identical
@@ -593,7 +625,11 @@ object Extended {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
         .write.mode("overwrite").format("jdbc")
-        .option("url", create).option("dbtable", "orders_slice").save()
+        .option("url", create).option("dbtable", "orders_slice")
+        // Derby's default StringType mapping is CLOB, which the DB
+        // cannot GROUP BY — pin VARCHAR so aggregate pushdown can land
+        .option("createTableColumnTypes", "o_orderstatus VARCHAR(1)")
+        .save()
       s"jdbc:derby:memory:$db"
     })
 }

@@ -278,6 +278,17 @@ class PlanSpec extends SparkSuite {
       s"price predicate must push into the database:\n${p.take(2500)}")
   }
 
+  test("source_jdbc_agg_pushdown: the GROUP BY runs inside the database") {
+    // Federation shape: Spark must receive one row per group from the
+    // JDBC scan, not the table — PushedAggregates + the group-by
+    // expression on the v2 scan prove the DB did the aggregation.
+    val p = planString("source_jdbc_agg_pushdown")
+    assert(p.contains("PushedAggregates"),
+      s"aggregate must push into the database:\n${p.take(2500)}")
+    assert(p.contains("PushedGroupByExpressions"),
+      s"group-by must push into the database:\n${p.take(2500)}")
+  }
+
   test("SQL-defined functions inline: TVF argument reaches the scan") {
     // The point of SQL-defined functions over JVM UDFs is that the
     // analyzer inlines the body — so the table function's bound `st`

@@ -97,6 +97,30 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    // EXACT distinct counting via segment bitmaps (Spark 4 bitmap_*
+    // aggregates): keys bucket into fixed 32k-bit segments, each
+    // (group, bucket) folds to ONE bitmap with map-side partials, and
+    // the distinct count is the sum of per-segment popcounts. Unlike
+    // count(DISTINCT) — whose expand+reshuffle carries every distinct
+    // key — the shuffled state here is bounded by key-range/32k bitmaps
+    // per group, and unlike HLL it is exact. The pre-aggregated bitmaps
+    // are also mergeable across partitions/days (bitmap_or_agg), the
+    // incremental-MV form of distinct.
+    Q("agg_bitmap_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(" +
+          "bitmap_bit_position(l_partkey)))").as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("cnt")).cast("bigint").as("n_part"))
+        .orderBy("l_returnflag")
+    },
+
     // HLL sketch — no oracle (sketches differ across engines); FunctionSpec
     // asserts ±5% of exact. The 100 TB answer to count-distinct: fixed
     // memory, one pass, mergeable partials.

@@ -350,12 +350,14 @@ object Dedup {
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // NOT checkpointed: its two consumers below land in ONE job, where
+      // the trailing distinct's Exchange is reused (ReusedExchange), so
+      // pinning it here would only add a materialization job per round
       val large = nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
       // small-star: orient high->low, attach smaller-or-equal neighbors
       // (and u itself) to the minimum of the closed neighborhood
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))

@@ -207,9 +207,10 @@ object Analytics {
     * connected-components rounds).
     *
     * Internally the edge multiset is held as an ADJACENCY LIST
-    * (u, set(v)): one node-keyed shuffle builds it and `collect_set`
-    * dedups in the aggregation, so no separate pair-level distinct
-    * Exchange exists. Each iteration is then a node-level join of the
+    * (u, neighbors): a pair-level codegen DISTINCT (map-side partial
+    * dedup) feeds one node-keyed `collect_list` append — see
+    * [[pageRankAdjacency]] for why this beats a one-shuffle per-node
+    * `collect_set`. Each iteration is then a node-level join of the
     * O(nodes) rank frame against the O(nodes) adjacency frame (AQE
     * broadcasts the rank side while it fits), an in-task explode, and
     * ONE node-keyed shuffle for the sum — the per-edge contribution
@@ -220,8 +221,8 @@ object Analytics {
     * hash(v) mod `salts`, so a multi-million-degree hub's set splits
     * across ≤`salts` rows instead of one unboundedly-wide row (the
     * single-row layout's documented cap). Salting by a hash OF THE
-    * NEIGHBOR keeps the build a set-dedup: a duplicate (u,v) edge lands
-    * in the same (u, salt) group. Total degree then needs the extra
+    * NEIGHBOR keeps the per-salt neighbor lists disjoint (pairs are
+    * already globally deduped upstream). Total degree then needs the extra
     * PARTIAL-SUM REDUCE — a node-keyed window sums the per-salt set
     * sizes (O(rows) = O(nodes·salts) worst case, tiny) — and a
     * compaction re-merges nodes at degree ≤ saltDegree back to one row
@@ -257,8 +258,12 @@ object Analytics {
         .select(explode(col("vs")).as("pu"), col("c"))
         .groupBy(col("pu"))
         .agg((lit(base) + expr("(85L * sum(c)) div 100")).as("pr"))
+    // localCheckpoint is EAGER — each one is a full extra job — and plan
+    // depth grows only LINEARLY per round here, so cut the lineage every
+    // third round instead of every round: short walks (iters <= 3, both
+    // bench queries) plan zero checkpoint jobs, long walks stay bounded.
     val ranked = (1 to iters).foldLeft(p0) { (p, i) =>
-      if (i < iters) step(p).localCheckpoint() else step(p)
+      if (i < iters && i % 3 == 0) step(p).localCheckpoint() else step(p)
     }
     ranked.select(col("pu").as("u"), col("pr"))
   }
@@ -289,16 +294,28 @@ object Analytics {
     * row structure directly.
     */
   private[graft] def pageRankAdjacency(edges: DataFrame,
-      saltDegree: Long, salts: Int): DataFrame =
+      saltDegree: Long, salts: Int): DataFrame = {
+    // Pair-level DISTINCT first (whole-stage-codegen HashAggregate over
+    // compact (u, v) Tungsten rows, with map-side partial dedup — at
+    // co-purchase scale duplicate pairs across orders collapse BEFORE
+    // the node-keyed shuffle), then a plain collect_list APPEND per
+    // node. The former one-shuffle build dedup'd inside the aggregation
+    // via per-node collect_set (ObjectHashAggregate growing one hash
+    // set per group), which r13 measured as hypersensitive to VM
+    // placement — up to ~20x process-CPU swings concentrated exactly in
+    // hash-set memory traffic (BASELINE.md). Paying one extra exchange
+    // of already-unique pairs for a codegen dedup + cheap append is
+    // faster on every placement and the placement-robust 100 TB plan.
+    val dedup = edges.select(col("u"), col("v")).distinct()
     if (saltDegree <= 0L) {
-      edges.groupBy(col("u"))
-        .agg(collect_set(col("v")).as("vs"))
+      dedup.groupBy(col("u"))
+        .agg(collect_list(col("v")).as("vs"))
         .select(col("u"), col("vs"), size(col("vs")).cast("long").as("d"))
     } else {
-      val partial = edges
+      val partial = dedup
         .groupBy(col("u"),
           pmod(xxhash64(col("v")), lit(salts.toLong)).as("salt"))
-        .agg(collect_set(col("v")).as("vs"))
+        .agg(collect_list(col("v")).as("vs"))
       // extra partial-sum reduce: total degree from the per-salt sizes
       // (window over the partial rows, not a self-join — partial is
       // derived once)
@@ -312,6 +329,7 @@ object Analytics {
           first(col("d")).as("d"))
         .select(col("u"), col("vs"), col("d"))
     }
+  }
 
   /** Frame-parametric last-touch attribution (re-exported as
     * `graft.api.Graft.lastTouch`): one row per `convType` event with the

@@ -329,11 +329,13 @@ object Dedup {
       maxRounds: Int = 50): DataFrame = {
     // every node ever seen — from the RAW pairs, BEFORE self-loops drop:
     // a doc whose only pair is (x, x) must still be labeled, and star
-    // reduction can drop isolated-after-merge nodes from the edge list
+    // reduction can drop isolated-after-merge nodes from the edge list.
+    // NOT checkpointed: callers pass an already-pinned `pairs` frame (the
+    // contract this kernel documents), so deriving nodes at the final
+    // join replans only a cheap in-memory scan — one fewer eager job.
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-      .localCheckpoint(true)
     // canonical undirected edges, self-loops dropped, deduped
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -371,16 +373,21 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       // fixed point (BOTH required — see scaladoc): one target per
-      // source, and no target has an outgoing edge. Both violation
-      // frames union into ONE action — at round-overhead-dominated
-      // sizes the job count per round is the cost, not the rows.
+      // source, and no target has an outgoing edge. ONE role-tagged
+      // aggregation checks both — a node violates iff it sources two
+      // edges (s > 1) or is both a source and a target (s, d >= 1) —
+      // replacing the former distinct + groupBy + semi-join chain
+      // (3 shuffles) with a single shuffle over the in-memory edges: at
+      // round-overhead-dominated sizes the job shape per round IS the
+      // cost, not the rows.
       edges = small
-      val srcs = edges.select(col("u").as("t")).distinct()
-      val violations = edges.groupBy("u")
-        .agg(count(lit(1)).as("c")).where(col("c") > 1)
-        .select(lit(1).as("x"))
-        .unionAll(edges.join(srcs, col("v") === col("t"), "left_semi")
-          .select(lit(1).as("x")))
+      val roles = edges.select(col("u").as("n"), lit(1L).as("s"),
+          lit(0L).as("t"))
+        .unionAll(edges.select(col("v").as("n"), lit(0L).as("s"),
+          lit(1L).as("t")))
+      val violations = roles.groupBy("n")
+        .agg(sum(col("s")).as("s"), sum(col("t")).as("t"))
+        .where(col("s") > 1 || (col("s") >= 1 && col("t") >= 1))
       converged = violations.isEmpty
       it += 1
     }

@@ -738,6 +738,42 @@ object Streaming {
         .orderBy(col("eid_a").asc_nulls_first, col("eid_b").asc_nulls_first)
     },
 
+    // LEFT SEMI completes the watermarked stream-stream join family
+    // (inner/left-outer/full-outer above): a left row emits AT MOST ONCE,
+    // and only when a band-matching right row exists — the "did this
+    // impression ever convert?" shape, with no right-side columns carried.
+    // Spark emits the left row as soon as its first match arrives and
+    // marks its state matched (never re-emitting on later matches), so a
+    // single AvailableNow pass over the fixture equals the batch EXISTS;
+    // the at-most-once + only-on-match timing is pinned multi-batch in
+    // StreamingSpec.
+    Q("stream_stream_left_semi",
+      """SELECT a.event_id AS eid_a
+        |FROM events a
+        |WHERE a.user_id < 100 AND EXISTS (
+        |  SELECT 1 FROM events b
+        |  WHERE b.user_id = a.user_id AND b.user_id < 100
+        |    AND b.event_id <> a.event_id
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+        |ORDER BY eid_a""".stripMargin) { (s, d) =>
+      val l = Streams.eventsStream(s, d).where(col("user_id") < 100)
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("eid_a"), col("user_id").as("uid_a"),
+          col("ts").as("ts_a"))
+      val r = Streams.eventsStream(s, d).where(col("user_id") < 100)
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id").as("eid_b"), col("user_id").as("uid_b"),
+          col("ts").as("ts_b"))
+      val j = l.join(r,
+        col("uid_a") === col("uid_b") && col("eid_a") =!= col("eid_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"),
+        "left_semi")
+        .select("eid_a")
+      Streams.runToTable(j, "append", statePartitions = 4)
+        .orderBy("eid_a")
+    },
+
     // dropDuplicatesWithinWatermark (Spark 4's bounded-state dedup
     // guarantee): unlike dropDuplicates, whose key state NEVER expires (at
     // 100 TB that state grows without bound), state here is released once

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.{chunks, winnow_fingerprint, word_ngrams}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus (north-star
@@ -28,6 +29,106 @@ object Text {
     s"""list_transform(generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
        |      i -> $words)""".stripMargin
   }
+
+  /** Classic BPE training (Sennrich et al. 2016) over the corpus's
+    * word-frequency dictionary: start from characters, repeatedly merge
+    * the most-frequent adjacent symbol pair (ties: max count, then
+    * lexicographically smallest left, then right — fully deterministic),
+    * for a fixed 20 merges. The 100 TB shape is the same one real
+    * tokenizer trainers (subword-nmt, HF tokenizers) use: ONE distributed
+    * combiner-friendly word-count shuffle reduces the corpus to a
+    * (word, count) dictionary bounded by VOCABULARY size (corpus-
+    * sublinear — natural-language vocab is ~1e7 even at web scale,
+    * and a min-count floor bounds it harder), then training is
+    * O(vocab × merges) on the compact dictionary. Merges are memoized
+    * per sfDir so the encode query reuses the trained model.
+    *
+    * Merge application uses the separator-join string trick on BOTH
+    * engines: symbols joined with '|' (not in the corpus alphabet), one
+    * literal `replace(s, l||'|'||r, l||r)` per merge — standard
+    * left-to-right non-overlapping replace semantics are identical in
+    * Java and DuckDB, which makes greedy BPE merge order engine-exact.
+    */
+  private def trainBpeOn(dict: Seq[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    val cnt = dict.toMap
+    var syms: Map[String, Vector[String]] =
+      dict.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var it = 0
+    var exhausted = false
+    while (it < nMerges && !exhausted) {
+      val pairs = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((w, ss) <- syms; i <- 0 until ss.length - 1) {
+        val k = (ss(i), ss(i + 1))
+        pairs.update(k, pairs.getOrElse(k, 0L) + cnt(w))
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        out += ((it + 1L, l, r, c))
+        val pat = l + "|" + r
+        val rep = l + r
+        syms = syms.map { case (w, ss) =>
+          w -> ss.mkString("|").replace(pat, rep).split("[|]").toVector
+        }
+        it += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[(Long, String, String, Long)]]()
+
+  /** Trained merge table for `sfDir`'s corpus (memoized): the word-count
+    * reduction is the only distributed step; see [[trainBpeOn]].
+    */
+  private[operators] def trainBpe(s: SparkSession, d: String)
+      : Seq[(Long, String, String, Long)] =
+    bpeMemo.computeIfAbsent(d, _ => {
+      val dict = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      trainBpeOn(dict, nMerges = 20)
+    })
+
+  /** DuckDB twin of [[trainBpe]]: word-count dict, then a recursive CTE
+    * whose working table is the per-word symbol state; each step picks
+    * the argmax pair (same tie-break) and applies it with the same
+    * separator-join replace. Shared by the train and encode oracles.
+    */
+  private val bpeTrainCte =
+    """vocab AS (
+      |  SELECT word, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |bpe AS (
+      |  SELECT 0 AS it, word, cnt,
+      |         array_to_string(string_split(word, ''), '|') AS syms,
+      |         CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+      |         CAST(NULL AS BIGINT) AS mcnt
+      |  FROM vocab
+      |  UNION ALL
+      |  SELECT b.it + 1, b.word, b.cnt,
+      |         replace(b.syms, best.l || '|' || best.r, best.l || best.r),
+      |         best.l, best.r, best.c
+      |  FROM bpe b, (
+      |    SELECT p.l, p.r, CAST(sum(p.cnt) AS BIGINT) AS c
+      |    FROM (
+      |      SELECT x.cnt, x.parts[i] AS l, x.parts[i + 1] AS r
+      |      FROM (SELECT cnt, string_split(syms, '|') AS parts, it AS pit
+      |            FROM bpe) x,
+      |           unnest(generate_series(1, len(x.parts) - 1)) AS g(i)
+      |      WHERE x.pit = (SELECT max(it) FROM bpe)
+      |    ) p
+      |    GROUP BY p.l, p.r
+      |    ORDER BY c DESC, p.l, p.r
+      |    LIMIT 1) best
+      |  WHERE b.it = (SELECT max(it) FROM bpe) AND b.it < 20)""".stripMargin
 
   val defs: Seq[Q] = Seq(
 
@@ -309,6 +410,65 @@ object Text {
         .where(col("n_docs") >= 3)
         .orderBy(col("n_docs").desc, col("gram"))
         .limit(100)
+    },
+
+    // BPE training: the learned merge table (rank, pair, weighted pair
+    // count) — see trainBpe for the algorithm, determinism contract, and
+    // the 100 TB shape (one word-count shuffle, then O(vocab × merges)
+    // on the corpus-sublinear dictionary).
+    Q("text_bpe_train",
+      s"""WITH RECURSIVE $bpeTrainCte
+         |SELECT CAST(it AS BIGINT) AS rank, ml AS left_sym, mr AS right_sym,
+         |       mcnt AS pair_count
+         |FROM (SELECT DISTINCT it, ml, mr, mcnt FROM bpe WHERE it > 0)
+         |ORDER BY rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      trainBpe(s, d)
+        .toDF("rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("rank")
+    },
+
+    // BPE encode under the learned merges: per-doc token counts. The
+    // tokenizer is ONE codegen'd expression — char-split via separator
+    // insertion, then the 20 trained replaces in rank order — so encoding
+    // is a pure map-side pass (no shuffle, no dictionary join, no UDF);
+    // the only exchange is the final per-doc sum. 100 TB: embarrassingly
+    // parallel, ~the per-word work any tokenizer pays. (Alternative for
+    // extreme word repetition: token-count the DISTINCT-word frame and
+    // broadcast-join back — memoization at the cost of a shuffle.)
+    Q("text_bpe_encode",
+      s"""WITH RECURSIVE $bpeTrainCte,
+         |merges AS (SELECT DISTINCT it, ml, mr FROM bpe WHERE it > 0),
+         |enc AS (
+         |  SELECT 0 AS it, word,
+         |         array_to_string(string_split(word, ''), '|') AS syms
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT e.it + 1, e.word,
+         |         replace(e.syms, m.ml || '|' || m.mr, m.ml || m.mr)
+         |  FROM enc e JOIN merges m ON m.it = e.it + 1),
+         |wtok AS (
+         |  SELECT word, len(string_split(syms, '|')) AS ntok
+         |  FROM enc WHERE it = (SELECT count(*) FROM merges)),
+         |docwords AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT d.doc_id, CAST(sum(w.ntok) AS BIGINT) AS n_tokens,
+         |       count(*) AS n_words
+         |FROM docwords d JOIN wtok w ON d.word = w.word
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val syms0 = regexp_replace(col("word"), "(.)(?=.)", "$1|")
+      val folded = trainBpe(s, d).foldLeft(syms0: Column) {
+        case (c, (_, l, r, _)) => replace(c, lit(l + "|" + r), lit(l + r))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .select(col("doc_id"), size(split(folded, "[|]")).as("ntok"))
+        .groupBy("doc_id")
+        .agg(sum(col("ntok")).as("n_tokens"), count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
     },
   )
 }

@@ -318,6 +318,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left semi stream join emits a left row at most once, only on match") {
+    // The two guarantees the batch oracle can't see: (1) an unmatched left
+    // row NEVER emits (no expiry emission, unlike left outer); (2) a left
+    // row with MULTIPLE matches — including matches arriving in later
+    // micro-batches — emits exactly once, on its first match.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    val lm = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val rm = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val l = lm.toDF().toDF("ts_a", "uid_a", "id_a")
+      .withWatermark("ts_a", "10 minutes")
+    val r = rm.toDF().toDF("ts_b", "uid_b", "id_b")
+      .withWatermark("ts_b", "10 minutes")
+    val j = l.join(r,
+      col("uid_a") === col("uid_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"),
+      "left_semi")
+      .select(col("id_a"))
+    val q = j.writeStream.format("memory").queryName("sslsj")
+      .outputMode("append").start()
+    def emitted(): Seq[Long] =
+      spark.table("sslsj").collect().map(_.getLong(0)).toSeq.sorted
+    try {
+      lm.addData((t("10:00"), 7L, 100L)) // no match yet
+      lm.addData((t("10:00"), 8L, 101L)) // matched in-band, same batch
+      rm.addData((t("10:02"), 8L, 201L))
+      q.processAllAvailable()
+      assert(emitted() == Seq(101L),
+        s"only the matched left row may emit: ${emitted()}")
+      // a SECOND match for uid 8 must not re-emit 101; a first match for
+      // uid 7 (arriving a batch later) must emit 100 exactly once
+      rm.addData((t("10:03"), 8L, 202L))
+      rm.addData((t("10:02"), 7L, 300L))
+      q.processAllAvailable()
+      assert(emitted() == Seq(100L, 101L),
+        s"each matched left row must emit exactly once: ${emitted()}")
+      // advance watermarks far past every band: no expiry emissions exist
+      lm.addData((t("11:00"), 9L, 102L))
+      rm.addData((t("11:30"), 10L, 203L))
+      q.processAllAvailable()
+      assert(emitted() == Seq(100L, 101L),
+        s"unmatched left rows must never emit, even on expiry: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("chained window aggs: two stateful operators, hour emits only closed") {
     // Multiple-stateful-operator path: a 10-minute count whose window
     // column feeds a 1-hour rollup, both in ONE query. The outer hour

@@ -141,11 +141,18 @@ object Bench {
             // streaming init wall is noisy per-sample (measured spread
             // 0.90-1.46 s on identical code), but the sweep RE-SAMPLES a
             // streaming query whose first run exceeds its committed wall
-            // and reports the min (see main) — so the comparison is
-            // min-of-samples vs a single committed draw and the gate
-            // tightens from the old single-vs-single 2x to 1.6x;
-            // repeated-min batch measurements keep the tight 1.5x
-            val wallFactor = if (isStreamingQuery(name)) 1.6 else 1.5
+            // and reports the min (see main). Against a baseline that
+            // was itself committed from a min-of-3 run (self-described
+            // by its "stream_min3":1 marker, written under
+            // SPARK_GRAFT_BASELINE=1) the comparison is min-of-samples
+            // vs min-of-samples and streaming holds the SAME tight 1.5x
+            // as batch (ADVICE r13); a legacy single-draw baseline keeps
+            // the wider 1.6x. Repeated-min batch measurements are always
+            // 1.5x.
+            val minSampledBaseline = prior.contains("\"stream_min3\":1")
+            val wallFactor =
+              if (isStreamingQuery(name) && !minSampledBaseline) 1.6
+              else 1.5
             val wallRegress = t > wallFactor * hostRatio * p && t - p > 0.3
             // cpu gate: placement-sensitive but code-sensitive too — a
             // real slowdown burns more cpu beyond the host normalization;
@@ -282,6 +289,13 @@ object Bench {
           m.group(1) -> m.group(2).toDouble }
         .toMap
     }
+    // Baseline-producing runs (SPARK_GRAFT_BASELINE=1) take EVERY
+    // streaming query as min-of-3, uncapped: the committed denominator is
+    // then a min-of-samples draw, which is what lets guardFlags hold the
+    // tight 1.5x streaming gate against it (the artifact self-describes
+    // via "stream_min3":1). Official sweeps keep the cheap
+    // suspicion-triggered re-sampling below.
+    val baselineMode = sys.env.get("SPARK_GRAFT_BASELINE").contains("1")
     var streamResamples = 0
     val maxStreamResamples = 8
     val results = SparkEntry.all.map { q =>
@@ -303,12 +317,14 @@ object Bench {
         if (e1.isDefined) (q.name, t1, c1, g1, e1)
         else if (isStreaming(q.name)) {
           // single sample unless it looks regressed vs the committed wall
+          // (or this is a baseline-producing run: always min-of-3)
           val suspicious = priorStreamWall.get(q.name)
             .exists(p => t1 > 1.4 * p + 0.15)
-          if (!suspicious || streamResamples >= maxStreamResamples)
+          if (!baselineMode &&
+              (!suspicious || streamResamples >= maxStreamResamples))
             (q.name, t1, c1, g1, e1)
           else {
-            streamResamples += 1
+            if (!baselineMode) streamResamples += 1
             val samples = (t1, c1, g1, e1) +: Seq.fill(2)(once())
             samples.filter(_._4.isEmpty).minByOption(_._1)
               .map { case (t, c, g, e) => (q.name, t, c, g, e) }
@@ -369,7 +385,10 @@ object Bench {
       .getOrElse("")
     val calibs =
       s""""calib":${sec(calib)},"calib_loaded":${sec(calibLoaded)}"""
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},$calibs,$hostBusy"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
+    // baseline-mode runs self-describe their min-of-3 streaming sampling
+    // so guardFlags knows a committed copy supports the 1.5x gate
+    val min3 = if (baselineMode) """"stream_min3":1,""" else ""
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},$calibs,$hostBusy$min3"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
     println(detail)
     // Cross-round regression guard + full-detail artifact: the driver's
     // 2000-char stdout tail keeps only ~90 of the per-query timings, so

@@ -102,6 +102,46 @@ object Tables {
       name: String, schema: StructType, path: String): Unit =
     assertContract(name, schema, path)
 
+  /** Top-level columns the parquet FOOTER declares TIMESTAMP(NANOS).
+    *
+    * The `nanosAsLong` legacy conf is necessarily session-wide (no
+    * per-read parquet option exists) and must stay on for events-query
+    * EXECUTION, so once an events read has set it, a nanos column in any
+    * other fixture would no longer fail Spark's footer conversion — it
+    * would arrive as a silently-coerced LONG. The Spark-side contract
+    * catches that for contracted ts-like columns (LONG ∉ tsLike), but an
+    * UNCONTRACTED column would slip through; this footer read closes that
+    * blind spot positively (ADVICE r13). One footer per (sfDir, table),
+    * same cost class as the schema inference itself.
+    */
+  private def nanosColumns(s: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet"))
+      else Some(p)
+    file.toSeq.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .filter { fld =>
+            Option(fld.getLogicalTypeAnnotation).exists {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }
+          }.map(_.getName).toSeq
+      } finally reader.close()
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // a nanos-era events fixture fails inside Spark's footer reader
     // ("Illegal Parquet type") BEFORE the contract check unless the legacy
@@ -114,6 +154,18 @@ object Tables {
     val key = s"$sfDir/$name"
     if (!checked.contains(key)) {
       assertContract(name, df.schema, s"$sfDir/$name.parquet")
+      // only events.ts may ride the nanosAsLong coercion: with the conf
+      // already on from a prior events read, a nanos-drifted column in any
+      // OTHER fixture no longer fails Spark's footer conversion, so assert
+      // it against the parquet footer directly (see nanosColumns)
+      if (name != "events") {
+        val nanos = nanosColumns(spark, s"$sfDir/$name.parquet")
+        if (nanos.nonEmpty)
+          throw new IllegalStateException(
+            s"fixture schema drift: $sfDir/$name.parquet stores " +
+            s"TIMESTAMP(NANOS) column(s) ${nanos.mkString(", ")} — only " +
+            "events.ts may rely on the nanosAsLong legacy coercion")
+      }
       checked.add(key)
     }
     df

@@ -1041,15 +1041,6 @@ object Ann {
       .where(col("rn") <= k).drop("rn")
   }
 
-  /** Distributed k-means over the embedding column: returns the final
-    * (vec_id, embedding, cell) assignment. Init takes the k
-    * hash-smallest vectors as seed centroids (deterministic, spread by
-    * the hash, no driver collect — a TakeOrderedAndProject of k rows);
-    * each round broadcasts the k centroids, reassigns via argmax cosine
-    * (struct-max for deterministic tie-break), and recomputes centroids
-    * with the `vector_avg` UDAF. `localCheckpoint` pins each round's
-    * tiny centroid table so round r+1 doesn't replay rounds 1..r.
-    */
   /** Nearest-centroid assignment of a (vec_id, embedding) frame against a
     * (cell, cent) centroid frame — the shared routing kernel of the
     * k-means iterations and the streaming index ingest
@@ -1067,6 +1058,15 @@ object Ann {
     .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("m"))
     .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
 
+  /** Distributed k-means over the embedding column: returns the final
+    * (vec_id, embedding, cell) assignment. Init takes the k
+    * hash-smallest vectors as seed centroids (deterministic, spread by
+    * the hash, no driver collect — a TakeOrderedAndProject of k rows);
+    * each round broadcasts the k centroids, reassigns via argmax cosine
+    * (struct-max for deterministic tie-break), and recomputes centroids
+    * with the `vector_avg` UDAF. `localCheckpoint` pins each round's
+    * tiny centroid table so round r+1 doesn't replay rounds 1..r.
+    */
   private[graft] def kmeansCells(e: org.apache.spark.sql.DataFrame,
       k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
     var cents = e

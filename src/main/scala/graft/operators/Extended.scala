@@ -470,18 +470,24 @@ object Extended {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       val url = jdbcOrdersUrl(s, d)
-      s.conf.set("spark.sql.catalog.graft_jdbc",
+      // catalog name is a function of the sfDir: Spark's CatalogManager
+      // caches catalog INSTANCES per session after first load, so a fixed
+      // name would silently keep serving the first sfDir's Derby database
+      // if one session ever ran this against two fixture dirs (ADVICE r13)
+      val cat = "graft_jdbc_" +
+        java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
+      s.conf.set(s"spark.sql.catalog.$cat",
         "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
-      s.conf.set("spark.sql.catalog.graft_jdbc.url", url)
-      s.conf.set("spark.sql.catalog.graft_jdbc.pushDownAggregate", "true")
+      s.conf.set(s"spark.sql.catalog.$cat.url", url)
+      s.conf.set(s"spark.sql.catalog.$cat.pushDownAggregate", "true")
       // the distributed writer issued unquoted DDL, so Derby stored the
       // table and columns UPPERCASE; aliases pin the oracle's lowercase
       s.sql(
-        """SELECT o_orderstatus AS o_orderstatus, count(*) AS n,
+        s"""SELECT o_orderstatus AS o_orderstatus, count(*) AS n,
           |  sum(o_custkey) AS sum_cust,
           |  min(o_totalprice) AS min_price,
           |  max(o_totalprice) AS max_price
-          |FROM graft_jdbc.APP.ORDERS_SLICE
+          |FROM $cat.APP.ORDERS_SLICE
           |GROUP BY o_orderstatus
           |ORDER BY o_orderstatus""".stripMargin)
     },

@@ -691,12 +691,16 @@ object Pipeline {
     * base; last-op D deletes, other touched keys take the feed value,
     * untouched base rows carry → (k, action, v). A delete followed by a
     * later upsert resurrects the key (last-write-wins, not
-    * delete-is-sticky).
+    * delete-is-sticky). Seq ties break deterministically: 'D' sorts
+    * before 'U' at equal seq (delete wins), then the value column
+    * descending — so the compaction is a pure function of the feed's
+    * CONTENTS, not of partitioning or arrival order (ADVICE r13).
     */
   private[graft] def applyChangesOf(base: org.apache.spark.sql.DataFrame,
       feed: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val wLast = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    val wLast = Window.partitionBy(col("k"))
+      .orderBy(col("seq").desc, col("op").asc, col("v").desc_nulls_last)
     val lastc = feed
       .withColumn("rn", row_number().over(wLast))
       .where(col("rn") === 1)

@@ -48,6 +48,62 @@ object Streaming {
     }
   }
 
+  /** One remembered event in [[RecencyProcessor]]'s ListState: event-time
+    * extent in microseconds plus the id for a total order.
+    */
+  case class EvRef(tsUs: Long, event_id: Long)
+  case class RecencyOut(user_id: Long, n_seen: Long, last3: String,
+      type_counts: String)
+
+  /** Per-user recency profile on transformWithState, exercising the state
+    * variables the other processors don't (VERDICT r13): a `ListState`
+    * holds the K most-recent events (trimmed IN STATE, so state is O(K)
+    * per user, never O(rows)), a `MapState` holds per-event-type counts
+    * (point lookups + per-key updates — the shape a large per-user
+    * profile needs, since a ValueState map would rewrite the whole blob
+    * per row), and BOTH carry a processing-time TTL: a user silent for
+    * `ttl` drops out of the store entirely, which is how a 100 TB
+    * deployment bounds state for ever-growing key domains. Emits the
+    * running (n_seen, last-K, counts) snapshot per batch; n_seen is
+    * strictly increasing, so the final snapshot per user is the max_by.
+    */
+  class RecencyProcessor(k: Int, ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, RecencyOut] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[EvRef] = _
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = org.apache.spark.sql.streaming.TTLConfig(ttl)
+      recent = getHandle.getListState[EvRef]("recent",
+        org.apache.spark.sql.Encoders.product[EvRef], ttlConf)
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+    }
+    private def tsUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RecencyOut] = {
+      val rs = rows.toSeq
+      rs.groupBy(_.event_type).foreach { case (t, es) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + es.size)
+      }
+      val prev = if (recent.exists()) recent.get().toSeq else Nil
+      val top = (prev ++ rs.map(e => EvRef(tsUs(e.ts), e.event_id)))
+        .sortBy(r => (-r.tsUs, -r.event_id)).take(k)
+      recent.put(top.toArray)
+      val snap = counts.iterator().toSeq.sortBy(_._1)
+      Iterator(RecencyOut(key, snap.map(_._2).sum,
+        top.map(_.event_id).mkString(","),
+        snap.map { case (t, n) => s"$t:$n" }.mkString(",")))
+    }
+  }
+
   /** One closed-or-open session interval in [[TimerSessionProcessor]]
     * state: event-time extent in MICROSECONDS (the fixture's ts has
     * sub-millisecond components, so ms arithmetic would split sessions
@@ -633,6 +689,64 @@ object Streaming {
       }
     },
 
+    // transformWithState LIST + MAP state under a processing-time TTL
+    // (see RecencyProcessor): last-3 events and per-type counts per user.
+    // The 1-hour TTL is the state-bounding contract — nothing expires
+    // within one AvailableNow pass, so the batch twin is exact; the
+    // multi-batch EXPIRY behavior (a silent user's state vanishing) is
+    // pinned in StreamingSpec with a sub-second TTL, where wall time can
+    // provably exceed it.
+    Q("stream_state_recency_ttl",
+      """WITH e AS (SELECT * FROM events WHERE user_id < 50),
+        |ranked AS (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e),
+        |l AS (SELECT user_id,
+        |    string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS last3
+        |  FROM ranked WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT user_id,
+        |    string_agg(event_type || ':' || CAST(cnt AS VARCHAR), ','
+        |      ORDER BY event_type) AS type_counts,
+        |    CAST(sum(cnt) AS BIGINT) AS n_seen
+        |  FROM (SELECT user_id, event_type, count(*) AS cnt
+        |        FROM e GROUP BY 1, 2)
+        |  GROUP BY user_id)
+        |SELECT c.user_id, c.n_seen, l.last3, c.type_counts
+        |FROM c JOIN l ON c.user_id = l.user_id
+        |ORDER BY c.user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val evs = Streams.eventsStream(s, d).where(col("user_id") < 50)
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+        val updates = evs.groupByKey(_.user_id)
+          .transformWithState(
+            new RecencyProcessor(3, java.time.Duration.ofHours(1)),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            OutputMode.Update())
+          .toDF("user_id", "n_seen", "last3", "type_counts")
+        // Trigger.Once, not AvailableNow: processing-time TTL keeps
+        // shouldRunAnotherBatch true forever (see runToTableOnce)
+        val out = Streams.runToTableOnce(updates, "update",
+          statePartitions = 2)
+        // n_seen strictly increases per user, so max_by picks the final
+        // snapshot even if a source ever split the pass into batches
+        out.groupBy("user_id").agg(max("n_seen").as("n_seen"),
+            max_by(col("last3"), col("n_seen")).as("last3"),
+            max_by(col("type_counts"), col("n_seen")).as("type_counts"))
+          .orderBy("user_id")
+      } finally prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+
     // Stream-stream inner join: events ⋈ events on user_id within a
     // [0, +5 min] band, both sides watermarked.
     // (user_id < 100 bounds join state so the bench measures the operator,
@@ -929,11 +1043,6 @@ object Streaming {
         .orderBy("user_id")
     },
 
-    // Late-data drop across micro-batches (algorithm-defined fixture —
-    // no SQL oracle): batch 1 sets the watermark; batch 2 delivers one
-    // in-order event and one 70-minutes-late event, which is dropped, so
-    // the 10:00 window closes at n=2, and the late 09:00 window never
-    // appears.
     // Streaming ANN index INGEST — maintenance for the persisted IVF
     // index: each micro-batch of new vectors is routed to its nearest
     // persisted centroid (broadcast k-row table, one combiner shuffle)
@@ -969,6 +1078,11 @@ object Streaming {
         .orderBy("cell")
     },
 
+    // Late-data drop across micro-batches (algorithm-defined fixture —
+    // no SQL oracle): batch 1 sets the watermark; batch 2 delivers one
+    // in-order event and one 70-minutes-late event, which is dropped, so
+    // the 10:00 window closes at n=2, and the late 09:00 window never
+    // appears.
     Q.noOracle("stream_late_data") { (s, _) =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._

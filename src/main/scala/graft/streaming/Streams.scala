@@ -145,6 +145,26 @@ object Streams {
       df.sparkSession.table(name)
     }
 
+  /** Single-batch variant of [[runToTable]] for stateful queries whose
+    * operator reports processing-time work pending FOREVER — a
+    * `transformWithState` in `TimeMode.ProcessingTime` with state TTL
+    * keeps `shouldRunAnotherBatch` true, so `Trigger.AvailableNow` never
+    * reaches its termination condition (measured: thousands of no-data
+    * micro-batches). `Trigger.Once` runs exactly one batch — all
+    * available source data — and stops unconditionally, which is the
+    * correct run-to-completion harness for that operator family.
+    */
+  @annotation.nowarn("cat=deprecation")
+  def runToTableOnce(df: DataFrame, mode: String, statePartitions: Int = 8)
+      : DataFrame =
+    withStatePartitions(df.sparkSession, statePartitions) {
+      val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.Once()).start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
+
   // ---- vector-store layout: flat append dir, upgraded on first
   // compaction to generation directories + an atomic CURRENT pointer ----
 

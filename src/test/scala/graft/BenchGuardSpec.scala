@@ -180,6 +180,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(f3.exists(_.contains("stream_x")), f3.mkString("; "))
   }
 
+  test("min-of-3 baseline (stream_min3 marker) tightens streaming to 1.5x") {
+    // ADVICE r13: once the committed baseline itself was produced with
+    // min-of-3 streaming samples (SPARK_GRAFT_BASELINE=1 writes the
+    // "stream_min3":1 marker), the comparison is min-of-samples vs
+    // min-of-samples and streaming holds the same 1.5x gate as batch —
+    // the 1.55x/3x case that hid inside the legacy 1.6x gate now flags.
+    val art =
+      """{"metric":"total","value":5.0,"unit":"sec","cpu":10.0,"gc":0.1,""" +
+        """"calib":0.45,"calib_loaded":0.50,"stream_min3":1,""" +
+        """"queries":{"qa":1.000,"qb":1.000,"qc":1.000,"qd":1.000,""" +
+        """"stream_x":1.000},""" +
+        """"queries_cpu":{"qa":2.000,"qb":2.000,"qc":2.000,"qd":2.000,""" +
+        """"stream_x":2.000},""" +
+        """"errors":{},"failed":0,"sf":"/root/testdata/sf0.1"}"""
+    val stable = Seq(("qb", 1.0, 2.0), ("qc", 1.0, 2.0), ("qd", 1.0, 2.0))
+    val f = flagsOf(stable :+ (("qa", 1.0, 2.0)) :+ (("stream_x", 1.55, 6.0)),
+      calib = 0.45, loaded = 0.50, artifact = art)
+    assert(f.exists(_.contains("stream_x")), f.mkString("; "))
+  }
+
   test("committed BENCH_DETAIL is the clean full-inventory gate denominator") {
     // BASELINE.md (round 12): the operative 2x-gate denominator is the
     // git-committed BENCH_DETAIL.json, which must itself honor the

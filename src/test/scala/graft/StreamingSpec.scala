@@ -364,6 +364,95 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("recency list/map state merges across batches; TTL expires silent keys") {
+    // The ListState/MapState + TTL surface (VERDICT r13 #4): (a) a second
+    // batch MERGES with surviving state — the list re-sorts by recency
+    // across batches, the map's per-key counts accumulate; (b) after the
+    // processing-time TTL elapses with no input for a key, its state
+    // reads back EMPTY, so the next snapshot restarts from scratch —
+    // the state-bounding contract for ever-growing key domains.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // generous TTL: pass 2 must land INSIDE it even though each pass
+      // pays a RocksDB query restart (~1-2 s); the expiry sleep exceeds
+      // it with margin
+      val ttlMs = 6000L
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val evs = ms.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value")
+        .as[operators.Streaming.Ev]
+      val out = evs.groupByKey(_.user_id)
+        .transformWithState(
+          new operators.Streaming.RecencyProcessor(3,
+            java.time.Duration.ofMillis(ttlMs)),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n_seen", "last3", "type_counts")
+      // processing-time TTL keeps shouldRunAnotherBatch true forever
+      // (processAllAvailable never latches, AvailableNow never reaches
+      // its termination condition — measured), so each phase is a
+      // single-batch Trigger.Once pass over a SHARED checkpoint — state
+      // persists across restarts, and each pass's memory table holds
+      // exactly that pass's emissions
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ttl_").toString
+      val ck = s"$tmp/chk"
+      var passNo = 0
+      // memory sink refuses checkpoint recovery, so each pass appends its
+      // batch to a fresh parquet dir via foreachBatch (recovery-capable)
+      @annotation.nowarn("cat=deprecation")
+      def pass(): Map[Long, (Long, String, String)] =
+        streaming.Streams.withStatePartitions(spark, 2) {
+          passNo += 1
+          val outDir = s"$tmp/pass$passNo"
+          val q = out.writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                b.write.mode("append").parquet(outDir)
+            }
+            .start()
+          try q.awaitTermination() finally q.stop()
+          spark.read.parquet(outDir).collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+        }
+      // pass 1: uid 1 gets 3 events out of ts order; uid 2 one
+      ms.addData((2L, t("10:05"), 1L, "x", 0.0),
+        (1L, t("10:00"), 1L, "x", 0.0),
+        (3L, t("10:07"), 1L, "y", 0.0),
+        (4L, t("10:00"), 2L, "x", 0.0))
+      val p1 = pass()
+      assert(p1 == Map(1L -> ((3L, "3,2,1", "x:2,y:1")),
+        2L -> ((1L, "4", "x:1"))), s"pass-1 snapshots: $p1")
+      // pass 2 (within TTL): list trims to K=3 most recent across both
+      // passes, map accumulates; silent uid 2 emits nothing
+      ms.addData((5L, t("10:09"), 1L, "y", 0.0))
+      val p2 = pass()
+      assert(p2 == Map(1L -> ((4L, "5,3,2", "x:2,y:2"))),
+        s"cross-batch merge: $p2")
+      // sleep past the TTL: BOTH uids' state expires; uid 1's next
+      // snapshot restarts from scratch (surviving state would have
+      // emitted (5, "6,5,3", "x:2,y:2,z:1") instead)
+      Thread.sleep(ttlMs + 800L)
+      ms.addData((6L, t("10:30"), 1L, "z", 0.0))
+      val p3 = pass()
+      assert(p3 == Map(1L -> ((1L, "6", "z:1"))),
+        s"post-TTL snapshot must restart from empty state: $p3")
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("chained window aggs: two stateful operators, hour emits only closed") {
     // Multiple-stateful-operator path: a 10-minute count whose window
     // column feeds a 1-hour rollup, both in ONE query. The outer hour

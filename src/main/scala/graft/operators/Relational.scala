@@ -136,5 +136,31 @@ object Relational {
       "SELECT count(*) AS n FROM lineitem") { (s, d) =>
       Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
     },
+
+    // Hidden file-metadata columns (Spark 4 `_metadata` on file sources):
+    // the lineage/debugging scan — which FILE did a row come from, at
+    // which position. Projects `_metadata.file_name` / `.row_index` and
+    // reduces them to a per-file census; the oracle pins row_index's
+    // contract (dense 0..n-1 within each file) purely arithmetically
+    // (min=0, max=n-1, sum=n(n-1)/2), so no engine-specific virtual
+    // column is needed on the DuckDB side. At 100 TB this is how a bad
+    // row is traced to its source file for quarantine/replay: the scan
+    // stays columnar, metadata fields come from the reader's file split,
+    // not from data pages.
+    Q("scan_metadata_cols",
+      """SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS min_ri, count(*) - 1 AS max_ri,
+        |  count(*) * (count(*) - 1) // 2 AS sum_ri
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      // read directly (not via Tables): _metadata resolves on the file
+      // source relation, and this query's contract is about the scan
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"), min(col("ri")).as("min_ri"),
+          max(col("ri")).as("max_ri"), sum(col("ri")).as("sum_ri"))
+        .orderBy("file_name")
+    },
   ) ++ pageDefs
 }

@@ -355,6 +355,18 @@ class PlanSpec extends SparkSuite {
     assert(!read.contains("l_partkey") && !read.contains("l_returnflag"), read)
   }
 
+  test("scan_metadata_cols reads zero data columns (metadata-only scan)") {
+    // _metadata.file_name comes from the file split (constant per task)
+    // and row_index from the reader's synthetic per-row counter
+    // (_tmp_metadata_row_index) — the ReadSchema must contain ONLY that
+    // synthetic column, never a data column: no data pages are decoded,
+    // same cost class as the footer-answered count(*)
+    val p = planString("scan_metadata_cols")
+    val read = "ReadSchema: struct<[^>]*>".r.findFirstIn(p).getOrElse("")
+    assert(read == "ReadSchema: struct<_tmp_metadata_row_index:bigint>" ||
+      read == "ReadSchema: struct<>", read)
+  }
+
   test("profile_columns prunes each union leg to its column; dq anti-joins broadcast") {
     val prof = planString("profile_columns")
     // Catalyst rewrites the shared aggregate into per-leg aggregates with

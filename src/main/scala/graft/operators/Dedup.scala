@@ -343,6 +343,24 @@ object Dedup {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // Size the per-round shuffles to the MATERIALIZED edge set: the
+    // near-dup / co-purchase residual graph is orders of magnitude
+    // smaller than the corpus (sf0.1 co-purchase: 3.6k edges), and an
+    // O(log n)-round kernel at the session's partition count pays
+    // (rounds × partitions) near-empty tasks of pure fixed overhead.
+    // ~50k edges per partition, floored at 8 for spread, capped at the
+    // session setting so a genuinely large graph keeps its configured
+    // parallelism — this is the same size-to-data rule the streaming
+    // state stores apply, applied to an iterative batch kernel. The
+    // count is a cheap scan of the just-checkpointed in-memory blocks.
+    val sess = pairs.sparkSession
+    val sessionParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val kernelParts = math.max(8, math.min(sessionParts,
+      (edges.count() / 50000L + 1L).toInt))
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    if (kernelParts < sessionParts)
+      sess.conf.set("spark.sql.shuffle.partitions", kernelParts.toString)
+    try {
     var converged = false
     var it = 0
     while (!converged && it < maxRounds) {
@@ -396,6 +414,12 @@ object Dedup {
         s"collapseClustersLogN did not stabilize in $maxRounds rounds " +
           "(expected O(log n)); the pair graph is adversarial or maxRounds " +
           "is set too low.")
+    } finally {
+      // restore BEFORE the (lazy) final label join plans: only the
+      // eager per-round jobs above run at the kernel's partition count
+      if (kernelParts < sessionParts)
+        sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     // depth-1 stars: u -> component min; roots label themselves
     nodes.join(edges.select(col("u").as("doc_id"), col("v").as("cid")),
         Seq("doc_id"), "left")

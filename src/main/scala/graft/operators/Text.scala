@@ -49,7 +49,7 @@ object Text {
     * left-to-right non-overlapping replace semantics are identical in
     * Java and DuckDB, which makes greedy BPE merge order engine-exact.
     */
-  private def trainBpeOn(dict: Seq[(String, Long)],
+  private[graft] def trainBpeOn(dict: Seq[(String, Long)],
       nMerges: Int): Seq[(Long, String, String, Long)] = {
     val cnt = dict.toMap
     var syms: Map[String, Vector[String]] =
@@ -83,7 +83,14 @@ object Text {
       Seq[(Long, String, String, Long)]]()
 
   /** Trained merge table for `sfDir`'s corpus (memoized): the word-count
-    * reduction is the only distributed step; see [[trainBpeOn]].
+    * reduction is the only distributed step; see [[trainBpeOn]]. The
+    * driver receives the FREQUENCY-CAPPED dictionary — top 50k words by
+    * (count desc, word), a TakeOrderedAndProject, so the transfer is
+    * bounded no matter the corpus size. Frequency-capped dict training
+    * is the standard BPE shape (rare-word tails contribute ~nothing to
+    * pair counts and dominate vocab size at 100 TB); at fixture scale
+    * the cap exceeds the whole vocabulary, so the DuckDB oracle — which
+    * trains on the full dict — sees identical input.
     */
   private[operators] def trainBpe(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long)] =
@@ -92,6 +99,8 @@ object Text {
         .select(explode(split(col("text"), " ")).as("word"))
         .where(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(50000)
         .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
       trainBpeOn(dict, nMerges = 20)
     })

@@ -222,4 +222,28 @@ class CorpusSpec extends SparkSuite {
         s"${(expected.keySet diff got.keySet).take(3)}")
     got.foreach { case (k, v) => assert(expected(k) == v, s"$k") }
   }
+
+  test("BPE training reproduces the hand-computed merge sequence (golden)") {
+    // The Sennrich-et-al. worked example: dict {low:5, lower:2, newest:6,
+    // widest:3}. Hand-computed pair counts give merges, with the kernel's
+    // documented tie-break (max count, then lexical (left, right)):
+    //   1. (e,s)  9   (ties (s,t) 9 -> 'e' < 's')
+    //   2. (es,t) 9
+    //   3. (l,o)  7   (ties (o,w) 7 -> 'l' < 'o')
+    //   4. (lo,w) 7
+    //   5. (e,w)  6   (ties (n,e)/(w,est) 6 -> 'e' smallest left)
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val merges = operators.Text.trainBpeOn(dict, nMerges = 5)
+    assert(merges == Seq(
+      (1L, "e", "s", 9L),
+      (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L),
+      (4L, "lo", "w", 7L),
+      (5L, "e", "w", 6L)), merges.toString)
+    // exhaustion: a single-word dict runs out of pairs before nMerges
+    // and must stop rather than loop
+    val tiny = operators.Text.trainBpeOn(Seq(("ab", 1L)), nMerges = 5)
+    assert(tiny == Seq((1L, "a", "b", 1L)), tiny.toString)
+  }
 }

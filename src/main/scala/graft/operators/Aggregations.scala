@@ -121,6 +121,40 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    // Winsorized robust statistics — the standard outlier-tamed prep for
+    // feature/reward columns in a training pipeline: clip each value to
+    // its group's [p5, p95] band, then aggregate. Two passes: exact
+    // interpolated percentiles per group (one shuffle; at 100 TB swap in
+    // approx_percentile — the clip is band-insensitive to sketch error),
+    // bounds broadcast back, and the clipped aggregate is map-side
+    // combinable. Float parity: bounds rounded to 6 BEFORE the clip so
+    // both engines compare against identical doubles; clipped values
+    // cast to DECIMAL(18,6) so the sum is order-independent; the final
+    // mean division is one double op on identical operands.
+    Q("agg_winsorized_stats",
+      """WITH p AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
+        |         round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, p.lo, p.hi, count(*) AS n,
+        |  CAST(sum(CAST(LEAST(GREATEST(e.value, p.lo), p.hi)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS wmean
+        |FROM events e JOIN p ON e.event_type = p.event_type
+        |GROUP BY e.event_type, p.lo, p.hi
+        |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+          round(expr("percentile(value, 0.95)"), 6).as("hi"))
+      ev.join(broadcast(p), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          (sum(least(greatest(col("value"), col("lo")), col("hi"))
+            .cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("wmean"))
+        .orderBy("event_type")
+    },
+
     // HLL sketch — no oracle (sketches differ across engines); FunctionSpec
     // asserts ±5% of exact. The 100 TB answer to count-distinct: fixed
     // memory, one pass, mergeable partials.

@@ -2023,6 +2023,93 @@ object Analytics {
         .orderBy("part_id")
     },
 
+    // k-CORE decomposition (k=3) of the thresholded co-purchase graph —
+    // the dense-community filter: iteratively peel nodes of degree < k
+    // until the survivor set is stable, then report each survivor's
+    // degree WITHIN the core. The standard pre-step before expensive
+    // community/motif analytics (peeling drops the long low-degree tail
+    // that dominates a power-law graph). Each peel round is one degree
+    // aggregation + two broadcast semi-joins over the shrinking edge
+    // frame (survivor lists are node-sized, ≪ edges; past broadcast
+    // range, drop the hint and the planner shuffles the semi-join on
+    // the node key instead); convergence is
+    // monotone, round counts are checked on checkpointed in-memory
+    // frames, and shuffles run at the session setting (the edge frame
+    // shrinks every round, so AQE coalesces the tails). The oracle
+    // replays the identical peel as a DuckDB recursive CTE run to a
+    // fixed 50 iterations — past convergence every iteration re-emits
+    // the stable core, so level 50 IS the fixpoint, and an early-emptied
+    // core leaves level 50 empty in both engines.
+    Q("graph_kcore_decompose",
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |core AS (
+        |  SELECT 0 AS it, pa AS u, pb AS v FROM p
+        |  UNION ALL
+        |  SELECT cur.it + 1, cur.u, cur.v
+        |  FROM (SELECT * FROM core
+        |        WHERE it = (SELECT max(it) FROM core) AND it < 50) cur
+        |  JOIN (SELECT n FROM (
+        |          SELECT u AS n FROM core
+        |          WHERE it = (SELECT max(it) FROM core)
+        |          UNION ALL
+        |          SELECT v FROM core
+        |          WHERE it = (SELECT max(it) FROM core))
+        |        GROUP BY n HAVING count(*) >= 3) ku ON cur.u = ku.n
+        |  JOIN (SELECT n FROM (
+        |          SELECT u AS n FROM core
+        |          WHERE it = (SELECT max(it) FROM core)
+        |          UNION ALL
+        |          SELECT v FROM core
+        |          WHERE it = (SELECT max(it) FROM core))
+        |        GROUP BY n HAVING count(*) >= 3) kv ON cur.v = kv.n)
+        |SELECT n AS part_id, count(*) AS core_degree FROM (
+        |  SELECT u AS n FROM core WHERE it = 50
+        |  UNION ALL
+        |  SELECT v FROM core WHERE it = 50)
+        |GROUP BY n
+        |ORDER BY part_id""".stripMargin) { (s, d) =>
+      val k = 3
+      var edges = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(col("ps"), explode(col("ps")).as("pa"))
+        .select(col("pa"),
+          explode(expr("filter(ps, x -> x > pa)")).as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .select(col("pa").as("u"), col("pb").as("v"))
+        .localCheckpoint(true)
+      var cnt = edges.count()
+      var changed = cnt > 0
+      var rounds = 0
+      def degrees(e: org.apache.spark.sql.DataFrame) = e
+        .select(col("u").as("nd")).unionAll(e.select(col("v").as("nd")))
+        .groupBy("nd").agg(count(lit(1)).as("dg"))
+      while (changed && rounds < 50) {
+        val keep = degrees(edges).where(col("dg") >= k).select(col("nd"))
+        val next = edges
+          .join(broadcast(keep), col("u") === col("nd"), "left_semi")
+          .join(broadcast(keep), col("v") === col("nd"), "left_semi")
+          .localCheckpoint(true)
+        val ncnt = next.count()
+        changed = ncnt != cnt
+        cnt = ncnt
+        edges = next
+        rounds += 1
+      }
+      if (changed)
+        throw new IllegalStateException(
+          "k-core peel did not stabilize in 50 rounds")
+      degrees(edges)
+        .select(col("nd").as("part_id"), col("dg").as("core_degree"))
+        .orderBy("part_id")
+    },
+
     Q("graph_triangle_count",
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |           WHERE l_partkey < 2000),
@@ -2082,6 +2169,50 @@ object Analytics {
         .agg(count(lit(1)).as("n_nodes"),
           min(col("dg")).as("min_deg"), max(col("dg")).as("max_deg"))
         .orderBy("bucket")
+    },
+
+    // Pairwise AUDIENCE OVERLAP between event types: |users(a)∩users(b)|
+    // and Jaccard for every type pair — the segment-overlap report behind
+    // campaign targeting and behavioral-cohort design. Basket
+    // formulation (the co-purchase trick applied to (user → type-set)):
+    // one user-keyed combiner shuffle builds the per-user distinct type
+    // set, pairs explode IN TASK (bounded by the tiny type domain, never
+    // by user count), and the per-pair count is map-side combinable —
+    // no user×user or row×row self-join anywhere. Set sizes broadcast
+    // back; Jaccard is one double division of exact BIGINTs.
+    Q("events_audience_overlap",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |s AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(p.n_both AS DOUBLE) / (sa.n + sb.n - p.n_both) AS jaccard
+        |FROM pairs p JOIN s sa ON p.type_a = sa.event_type
+        |             JOIN s sb ON p.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val pairs = ut.groupBy("user_id")
+        .agg(collect_set(col("event_type")).as("ts"))
+        .select(col("ts"), explode(col("ts")).as("type_a"))
+        .select(col("type_a"),
+          explode(expr("filter(ts, x -> x > type_a)")).as("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("n_a"), col("n_b"),
+          (col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+        .orderBy("type_a", "type_b")
     },
 
     // First-order Markov transition matrix over per-user event sequences

@@ -678,12 +678,6 @@ object Pipeline {
       .unionAll(rule("totalprice_positive", col("v_price")))
   }
 
-  /** Frame-parametric MERGE INTO / upsert (re-exported as
-    * `graft.api.Graft.mergeUpsert`): `target` and `source` share a schema;
-    * matched `key` rows take the source's values (update), unmatched
-    * source keys append (insert), untouched target rows carry — plus an
-    * `action` audit column. One co-partitioned full-outer shuffle join.
-    */
   /** CDC change-feed apply (frame-parametric kernel behind
     * `cdc_apply_changes` and `graft.api.Graft.applyChanges`): `base` is
     * (k, v), `feed` is (k, seq, op ∈ {U, D}, v). The feed compacts to
@@ -715,6 +709,12 @@ object Pipeline {
         when(col("fk").isNull, col("bv")).otherwise(col("fv")).as("v"))
   }
 
+  /** Frame-parametric MERGE INTO / upsert (re-exported as
+    * `graft.api.Graft.mergeUpsert`): `target` and `source` share a schema;
+    * matched `key` rows take the source's values (update), unmatched
+    * source keys append (insert), untouched target rows carry — plus an
+    * `action` audit column. One co-partitioned full-outer shuffle join.
+    */
   private[graft] def mergeUpsertOf(target: org.apache.spark.sql.DataFrame,
       source: org.apache.spark.sql.DataFrame, key: String)
       : org.apache.spark.sql.DataFrame = {

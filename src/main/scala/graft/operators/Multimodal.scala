@@ -122,6 +122,49 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // RESIZE + inference-batch shaping — the preprocessing stage between
+    // decode and the model: letterbox each image into a 224×224 budget
+    // preserving aspect ratio (pure integer geometry on the stub's
+    // decoded dims — the pixel resample itself is the codec stub's job),
+    // assign fixed-size inference batches, and emit each batch's PADDED
+    // shape (max out_w/out_h = the padding target) + total tensor bytes —
+    // exactly what a GPU feeder allocates from. Scan-side arithmetic +
+    // one tiny batch-keyed combiner shuffle; no row ever carries pixels
+    // through a shuffle.
+    Q("multimodal_resize_batch",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    greatest(octet_length(encode(text)) % 640, 1) AS w,
+        |    greatest((octet_length(encode(text)) * 7) % 480, 1) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, h,
+        |    CAST((w * 224) // greatest(w, h) AS BIGINT) AS out_w,
+        |    CAST((h * 224) // greatest(w, h) AS BIGINT) AS out_h,
+        |    doc_id // 32 AS batch_id
+        |  FROM m)
+        |SELECT batch_id, count(*) AS n_imgs,
+        |  max(out_w) AS pad_w, max(out_h) AS pad_h,
+        |  CAST(sum(out_w * out_h * 3) AS BIGINT) AS tensor_bytes
+        |FROM r GROUP BY batch_id
+        |ORDER BY batch_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bl", octet_length(encode(col("text"), "utf-8")))
+        .select(col("doc_id"),
+          greatest(col("bl") % 640, lit(1)).as("w"),
+          greatest(col("bl") * 7 % 480, lit(1)).as("h"))
+        .select(col("doc_id"),
+          expr("(w * 224) div greatest(w, h)").cast("long").as("out_w"),
+          expr("(h * 224) div greatest(w, h)").cast("long").as("out_h"),
+          expr("doc_id div 32").as("batch_id"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_imgs"),
+          max(col("out_w")).as("pad_w"), max(col("out_h")).as("pad_h"),
+          sum(col("out_w") * col("out_h") * 3).cast("bigint")
+            .as("tensor_bytes"))
+        .orderBy("batch_id")
+    },
+
     // Typed mapPartitions decode pipeline (per-partition codec init).
     // Algorithm-defined sig → no SQL oracle; MultimodalSpec pins values.
     Q.noOracle("multimodal_decode_typed") { (s, d) =>

@@ -428,4 +428,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(got == frontier,
       s"skyline ${got.size} rows vs brute ${frontier.size}")
   }
+
+  test("kcore members all carry in-core degree >= k; core is edge-closed") {
+    // the k-core invariant the oracle's fixpoint can't state directly:
+    // every reported survivor has degree >= 3 WITHIN the survivor set
+    val rows = SparkEntry.queries("graph_kcore_decompose")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 3L),
+      rows.filter(_._2 < 3L).take(5).mkString(", "))
+  }
+
+  test("winsorized mean lies inside its group's clip band") {
+    val rows = SparkEntry.queries("agg_winsorized_stats")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, lo, hi, n, wm) =>
+      assert(n > 0 && lo <= hi && wm >= lo - 1e-9 && wm <= hi + 1e-9,
+        s"$t: lo=$lo hi=$hi wmean=$wm") }
+  }
+
+  test("audience overlap: intersection bounded by set sizes, jaccard in (0,1]") {
+    val rows = SparkEntry.queries("events_audience_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nBoth, nA, nB, j) =>
+      assert(a < b && nBoth <= math.min(nA, nB) && j > 0.0 && j <= 1.0,
+        s"($a,$b): both=$nBoth a=$nA b=$nB j=$j") }
+  }
 }

@@ -613,6 +613,43 @@ object Extended {
           |ORDER BY o_orderpriority""".stripMargin,
         Map("st" -> "O", "floor" -> 100000.0, "uplift" -> 1.1))
     },
+
+    // SQL scripting (Spark 4 procedural surface): DECLARE'd script-local
+    // variables, a WHILE loop, and SET arithmetic inside one BEGIN…END
+    // block whose final SELECT is the result — the migration target for
+    // stored-procedure workloads. The loop accumulates the dyadic series
+    // Σ 2^-i (exact in binary at every step, so the iterative sum is
+    // bit-identical to the oracle's closed-form literal) and the final
+    // statement joins it against a real aggregate so the script surface
+    // is exercised over table data, not just scalars.
+    Q("sql_scripting_loop",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(1.998046875, 6) AS geo_sum
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_script")
+      val prev = s.conf.getOption("spark.sql.scripting.enabled")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      try s.sql(
+        """BEGIN
+          |  DECLARE total DOUBLE DEFAULT 0d;
+          |  DECLARE i INT DEFAULT 0;
+          |  WHILE i < 10 DO
+          |    SET total = total + power(0.5d, i);
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT o_orderstatus, count(*) AS n,
+          |    round(total, 6) AS geo_sum
+          |  FROM orders_script
+          |  GROUP BY o_orderstatus
+          |  ORDER BY o_orderstatus;
+          |END""".stripMargin)
+      finally prev match {
+        case Some(p) => s.conf.set("spark.sql.scripting.enabled", p)
+        case None => s.conf.unset("spark.sql.scripting.enabled")
+      }
+    },
   )
 
   /** One-time load of the orders slice into an embedded in-memory Derby

@@ -605,6 +605,27 @@ object Analytics {
 
   // ---------------------------------------------------------------------
 
+  /** Support-thresholded (≥ 2 orders) co-purchase edge frame shared by
+    * the iterative graph queries (connected components, k-core): basket
+    * formulation — one order-keyed shuffle, in-task pair explode bounded
+    * by basket size, combiner count — and EAGER (`localCheckpoint`):
+    * the iterative kernels derive nodes and per-round frames from it, so
+    * unpinned the lineitem explode would replay per consumer (same
+    * contract the minhash callers honor for `collapseClustersLogN`).
+    */
+  private def thresholdedCopurchaseEdges(s: SparkSession, d: String,
+      aName: String, bName: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(col("ps"), explode(col("ps")).as("pa"))
+      .select(col("pa"),
+        explode(expr("filter(ps, x -> x > pa)")).as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(col("pa").as(aName), col("pb").as(bName))
+      .localCheckpoint(true)
+
   val defs: Seq[Q] = Seq(
 
     // Exact heavy hitters, one combiner-friendly shuffle: tokens partial-
@@ -1656,6 +1677,49 @@ object Analytics {
     // the exact binary rank 0.5 (sum/2 — bit-identical both engines; the
     // p90-style non-dyadic ranks are exactly what the explicit-lerp
     // funnel percentiles exist for, deliberately not repeated here).
+    // TIME-WEIGHTED average per (type, day) — the TSDB aggregation for
+    // irregularly-sampled series (a value "holds" until the next sample,
+    // so sparse spikes don't dominate the way a plain mean lets them):
+    // each value is weighted by its integer-µs hold time to the next
+    // event of the same type that day; the day's last sample carries no
+    // interval and drops. ONE type-day-keyed window shuffle, then a
+    // combiner-friendly aggregate. Float parity: weights are exact
+    // BIGINT µs, values DECIMAL(12,2), so the weighted sum is exact
+    // decimal in both engines and the single closing division is one
+    // double op on identical operands.
+    Q("ts_time_weighted_avg",
+      """WITH seq AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    epoch_us(ts) AS tus, event_id, CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events),
+        |iv AS (
+        |  SELECT event_type, day, v,
+        |    lead(tus) OVER (PARTITION BY event_type, day
+        |                    ORDER BY tus, event_id) - tus AS dt
+        |  FROM seq)
+        |SELECT event_type, day, count(*) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS span_us,
+        |  CAST(CAST(sum(v * dt) AS DOUBLE) / sum(dt) AS DOUBLE) AS twa
+        |FROM iv WHERE dt IS NOT NULL
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type", "day")
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          unix_micros(col("ts")).as("tus"), col("event_id"),
+          col("value").cast("decimal(12,2)").as("v"))
+        .withColumn("dt", lead(col("tus"), 1).over(w) - col("tus"))
+        .where(col("dt").isNotNull)
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).cast("long").as("span_us"),
+          (sum(col("v") * col("dt")).cast("double") /
+            sum(col("dt"))).cast("double").as("twa"))
+        .orderBy("event_type", "day")
+    },
+
     Q("ts_interarrival_stats",
       """WITH seq AS (
         |  SELECT event_type, epoch_us(ts) AS tus, event_id FROM events),
@@ -2000,24 +2064,8 @@ object Analytics {
         |SELECT part_id, component_id FROM (
         |  SELECT part_id, min(r) AS component_id FROM reach GROUP BY part_id)
         |ORDER BY part_id""".stripMargin) { (s, d) =>
-      // basket formulation (see graph_copurchase_pairs): one order-keyed
-      // shuffle, in-task pair explode, combiner count; the >= 2 support
-      // threshold keeps the edge set sparse before the collapse rounds
-      val pairs = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(col("ps"), explode(col("ps")).as("pa"))
-        .select(col("pa"),
-          explode(expr("filter(ps, x -> x > pa)")).as("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
-        .where(col("n") >= 2)
-        .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
-        // eager, O(edges) rows: the collapse kernel derives nodes AND the
-        // initial edge frame from `pairs` — unpinned, the lineitem basket
-        // explode would replay for each (the minhash callers pass
-        // already-checkpointed pairs for the same reason)
-        .localCheckpoint(true)
-      Dedup.collapseClustersLogN(pairs)
+      Dedup.collapseClustersLogN(
+        thresholdedCopurchaseEdges(s, d, "doc_a", "doc_b"))
         .select(col("doc_id").as("part_id"),
           col("cluster_id").as("component_id"))
         .orderBy("part_id")
@@ -2074,16 +2122,7 @@ object Analytics {
         |GROUP BY n
         |ORDER BY part_id""".stripMargin) { (s, d) =>
       val k = 3
-      var edges = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(col("ps"), explode(col("ps")).as("pa"))
-        .select(col("pa"),
-          explode(expr("filter(ps, x -> x > pa)")).as("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
-        .where(col("n") >= 2)
-        .select(col("pa").as("u"), col("pb").as("v"))
-        .localCheckpoint(true)
+      var edges = thresholdedCopurchaseEdges(s, d, "u", "v")
       var cnt = edges.count()
       var changed = cnt > 0
       var rounds = 0

@@ -715,4 +715,47 @@ object Graft {
       base.select(col(keyCol).as("k"), col(valCol).as("v")),
       feed.select(col(feedKeyCol).as("k"), col(seqCol).as("seq"),
         col(opCol).as("op"), col(feedValCol).as("v")))
+
+  /** k-core decomposition: iteratively peel nodes with degree < k from
+    * the undirected (uCol, vCol) edge frame until stable; returns
+    * (node, core_degree) for the surviving dense core. The edge frame is
+    * pinned internally (each peel round and its convergence count
+    * re-read it). See `Analytics.kCoreOf` for the per-round plan shape.
+    */
+  def kCore(edges: DataFrame, k: Int,
+      uCol: String = "u", vCol: String = "v"): DataFrame =
+    graft.operators.Analytics.kCoreOf(
+      edges.select(col(uCol).as("u"), col(vCol).as("v"))
+        .localCheckpoint(true), k)
+
+  /** Pairwise overlap of the member sets keyed by `keyCol`: for every
+    * unordered pair of `itemCol` values, the number of keys containing
+    * both, each item's key count, and Jaccard — (item_a, item_b, n_both,
+    * n_a, n_b, jaccard). Basket formulation: the pair space is bounded
+    * by per-key item counts, never by the key count.
+    */
+  def setOverlap(df: DataFrame, keyCol: String, itemCol: String): DataFrame =
+    graft.operators.Analytics.setOverlapOf(df, keyCol, itemCol)
+
+  /** Winsorized robust statistics: clip each `groupCol` group's
+    * `valueCol` to its [loQ, hiQ] interpolated-percentile band, then
+    * aggregate → (group, lo, hi, n, wmean). Deterministic: bounds
+    * rounded before the clip, clipped values summed as DECIMAL.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame =
+    graft.operators.Aggregations.winsorizedStatsOf(
+      df, groupCol, valueCol, loQ, hiQ)
+
+  /** Time-weighted average per key group over an irregularly-sampled
+    * series: each value holds until the key's next sample (exact
+    * integer-µs weights; the last sample per key drops). `df` needs the
+    * key columns, `tsUsCol` (BIGINT µs), an order tiebreak column, and
+    * an exact (decimal) value column → keyCols ++ (n_intervals, span_us,
+    * twa).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+      ordCol: String, vCol: String): DataFrame =
+    graft.operators.Analytics.timeWeightedAvgOf(
+      df, keyCols, tsUsCol, ordCol, vCol)
 }

@@ -43,6 +43,31 @@ object Aggregations {
   /** sum(cast(x as decimal(12,2))) cast back to double — engine-exact. */
   private def dsum(c: String) = sum(col(c).cast("decimal(12,2)")).cast("double")
 
+  /** Winsorized robust statistics kernel (re-exported as
+    * `graft.api.Graft.winsorizedStats`): clip each group's values to its
+    * [loQ, hiQ] interpolated-percentile band, then aggregate. Exact
+    * percentiles per group on one shuffle (swap in `approx_percentile`
+    * at 100 TB — the clip is band-insensitive to sketch error), bounds
+    * broadcast back, clipped aggregate map-side combinable. Bounds are
+    * rounded to 6 decimals BEFORE the clip and clipped values summed as
+    * DECIMAL(18,6), so the result is a pure function of the data, not of
+    * partitioning or fold order. Returns (group, lo, hi, n, wmean).
+    */
+  private[graft] def winsorizedStatsOf(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95)
+      : org.apache.spark.sql.DataFrame = {
+    val p = df.groupBy(groupCol)
+      .agg(round(expr(s"percentile($valueCol, $loQ)"), 6).as("lo"),
+        round(expr(s"percentile($valueCol, $hiQ)"), 6).as("hi"))
+    df.join(broadcast(p), groupCol)
+      .groupBy(groupCol, "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        (sum(least(greatest(col(valueCol), col("lo")), col("hi"))
+          .cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("wmean"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // TPC-H Q1 shape: tiny key space ⇒ map-side partials reduce ~all rows
@@ -142,17 +167,48 @@ object Aggregations {
         |FROM events e JOIN p ON e.event_type = p.event_type
         |GROUP BY e.event_type, p.lo, p.hi
         |ORDER BY e.event_type""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val p = ev.groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
-          round(expr("percentile(value, 0.95)"), 6).as("hi"))
-      ev.join(broadcast(p), "event_type")
-        .groupBy("event_type", "lo", "hi")
-        .agg(count(lit(1)).as("n"),
-          (sum(least(greatest(col("value"), col("lo")), col("hi"))
-            .cast("decimal(18,6)")).cast("double") / count(lit(1)))
-            .as("wmean"))
+      winsorizedStatsOf(Tables.events(s, d), "event_type", "value")
         .orderBy("event_type")
+    },
+
+    // approx_top_k (Spark 4 frequent-items sketch, DataSketches
+    // frequent-strings under the hood): ONE pass, fixed memory, mergeable
+    // partials (approx_top_k_accumulate/_combine are the cross-segment
+    // MV form) — the heavy-hitters surface as a built-in, next to the
+    // hand-built Misra-Gries pair (`agg_heavy_hitters*`). ORACLED
+    // because the sketch is EXACT whenever the tracked-item budget
+    // exceeds the distinct count (3 return flags ≪ the default 10k
+    // capacity) — the same exactness argument the oracle relies on.
+    Q("agg_approx_topk",
+      """SELECT l_returnflag AS item, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY cnt DESC, item""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("li_approx_topk")
+      s.sql(
+        """SELECT t.item AS item, t.count AS cnt FROM (
+          |  SELECT explode(approx_top_k(l_returnflag, 3)) AS t
+          |  FROM li_approx_topk)
+          |ORDER BY cnt DESC, item""".stripMargin)
+    },
+
+    // The MERGEABLE form of the frequent-items sketch: per-source
+    // accumulate → combine → estimate, the incremental-MV pattern that
+    // computes a global top-k from per-segment sketch states WITHOUT
+    // rescanning raw rows (the frequency analog of hll_sketch_merge).
+    // Exactness argument as above: the language domain is far below the
+    // tracked-item budget, so the merged estimate equals the true counts.
+    Q("agg_topk_sketch_merge",
+      """SELECT lang AS item, count(*) AS cnt
+        |FROM documents GROUP BY lang
+        |ORDER BY cnt DESC, item""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("docs_topk_merge")
+      s.sql(
+        """SELECT t.item AS item, t.count AS cnt FROM (
+          |  SELECT explode(approx_top_k_estimate(
+          |    approx_top_k_combine(sk), 10)) AS t
+          |  FROM (SELECT approx_top_k_accumulate(lang) AS sk
+          |        FROM docs_topk_merge GROUP BY source))
+          |ORDER BY cnt DESC, item""".stripMargin)
     },
 
     // HLL sketch — no oracle (sketches differ across engines); FunctionSpec

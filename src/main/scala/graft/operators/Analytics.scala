@@ -605,6 +605,100 @@ object Analytics {
 
   // ---------------------------------------------------------------------
 
+  /** Time-weighted-average kernel (re-exported as
+    * `graft.api.Graft.timeWeightedAvg`): `df` provides the key columns,
+    * an exact integer-µs timestamp (`tsUsCol`), a tiebreak order column,
+    * and an exact (decimal) value column. Each value is weighted by its
+    * hold time to the key's next sample; the last sample per key carries
+    * no interval and drops. ONE key-partitioned window shuffle + a
+    * combiner aggregate; the weighted sum stays exact decimal × BIGINT
+    * and only the closing division is floating-point. Returns
+    * keyCols ++ (n_intervals, span_us, twa).
+    */
+  private[graft] def timeWeightedAvgOf(df: DataFrame, keyCols: Seq[String],
+      tsUsCol: String, ordCol: String, vCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol), col(ordCol))
+    df.withColumn("dt", lead(col(tsUsCol), 1).over(w) - col(tsUsCol))
+      .where(col("dt").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).cast("long").as("span_us"),
+        (sum(col(vCol) * col("dt")).cast("double") /
+          sum(col("dt"))).cast("double").as("twa"))
+  }
+
+  /** Pairwise set-overlap kernel (re-exported as
+    * `graft.api.Graft.setOverlap`): `df` provides (setKey, item) rows —
+    * a membership relation — and the result is, for every unordered item
+    * pair, the number of set keys containing BOTH, each item's total key
+    * count, and the Jaccard similarity. Basket formulation: one
+    * setKey-keyed combiner shuffle collects each key's distinct items,
+    * pairs explode IN TASK (bounded by per-key item count, never by key
+    * count), per-pair counts combine map-side, and the item totals
+    * broadcast back. Jaccard is one double division of exact BIGINTs.
+    * Returns (item_a, item_b, n_both, n_a, n_b, jaccard), item_a < item_b.
+    */
+  private[graft] def setOverlapOf(df: DataFrame, keyCol: String,
+      itemCol: String): DataFrame = {
+    val m = df.select(col(keyCol).as("sk"), col(itemCol).as("item"))
+      .distinct()
+    val pairs = m.groupBy("sk")
+      .agg(collect_set(col("item")).as("is"))
+      .select(col("is"), explode(col("is")).as("item_a"))
+      .select(col("item_a"),
+        explode(expr("filter(is, x -> x > item_a)")).as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_both"))
+    val sizes = m.groupBy("item").agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("item").as("item_a"),
+        col("n").as("n_a"))), "item_a")
+      .join(broadcast(sizes.select(col("item").as("item_b"),
+        col("n").as("n_b"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+  }
+
+  /** k-CORE peel kernel (re-exported as `graft.api.Graft.kCore`):
+    * `edges` is an undirected (u, v) pair frame, ALREADY eager/pinned
+    * (same caller contract as `collapseClustersLogN` — every round and
+    * the convergence count re-read it). Iteratively removes nodes whose
+    * degree in the surviving subgraph is < k until stable (monotone, so
+    * round counts on checkpointed in-memory frames are cheap) and
+    * returns (node, core_degree) for the survivors. Survivor lists are
+    * node-sized ≪ edges and broadcast into the semi-joins; past
+    * broadcast range drop the hint and the planner shuffles on the node
+    * key instead.
+    */
+  private[graft] def kCoreOf(edges0: DataFrame, k: Int): DataFrame = {
+    var edges = edges0
+    var cnt = edges.count()
+    var changed = cnt > 0
+    var rounds = 0
+    def degrees(e: DataFrame) = e
+      .select(col("u").as("nd")).unionAll(e.select(col("v").as("nd")))
+      .groupBy("nd").agg(count(lit(1)).as("dg"))
+    while (changed && rounds < 50) {
+      val keep = degrees(edges).where(col("dg") >= k).select(col("nd"))
+      val next = edges
+        .join(broadcast(keep), col("u") === col("nd"), "left_semi")
+        .join(broadcast(keep), col("v") === col("nd"), "left_semi")
+        .localCheckpoint(true)
+      val ncnt = next.count()
+      changed = ncnt != cnt
+      cnt = ncnt
+      edges = next
+      rounds += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        "k-core peel did not stabilize in 50 rounds")
+    degrees(edges)
+      .select(col("nd").as("node"), col("dg").as("core_degree"))
+  }
+
   /** Support-thresholded (≥ 2 orders) co-purchase edge frame shared by
     * the iterative graph queries (connected components, k-core): basket
     * formulation — one order-keyed shuffle, in-task pair explode bounded
@@ -1703,20 +1797,14 @@ object Analytics {
         |FROM iv WHERE dt IS NOT NULL
         |GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("event_type", "day")
-        .orderBy(col("tus"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("event_type"),
-          date_trunc("day", col("ts")).as("day"),
-          unix_micros(col("ts")).as("tus"), col("event_id"),
-          col("value").cast("decimal(12,2)").as("v"))
-        .withColumn("dt", lead(col("tus"), 1).over(w) - col("tus"))
-        .where(col("dt").isNotNull)
-        .groupBy("event_type", "day")
-        .agg(count(lit(1)).as("n_intervals"),
-          sum(col("dt")).cast("long").as("span_us"),
-          (sum(col("v") * col("dt")).cast("double") /
-            sum(col("dt"))).cast("double").as("twa"))
+      timeWeightedAvgOf(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            date_trunc("day", col("ts")).as("day"),
+            unix_micros(col("ts")).as("tus"), col("event_id"),
+            col("value").cast("decimal(12,2)").as("v")),
+        keyCols = Seq("event_type", "day"),
+        tsUsCol = "tus", ordCol = "event_id", vCol = "v")
         .orderBy("event_type", "day")
     },
 
@@ -2121,31 +2209,8 @@ object Analytics {
         |  SELECT v FROM core WHERE it = 50)
         |GROUP BY n
         |ORDER BY part_id""".stripMargin) { (s, d) =>
-      val k = 3
-      var edges = thresholdedCopurchaseEdges(s, d, "u", "v")
-      var cnt = edges.count()
-      var changed = cnt > 0
-      var rounds = 0
-      def degrees(e: org.apache.spark.sql.DataFrame) = e
-        .select(col("u").as("nd")).unionAll(e.select(col("v").as("nd")))
-        .groupBy("nd").agg(count(lit(1)).as("dg"))
-      while (changed && rounds < 50) {
-        val keep = degrees(edges).where(col("dg") >= k).select(col("nd"))
-        val next = edges
-          .join(broadcast(keep), col("u") === col("nd"), "left_semi")
-          .join(broadcast(keep), col("v") === col("nd"), "left_semi")
-          .localCheckpoint(true)
-        val ncnt = next.count()
-        changed = ncnt != cnt
-        cnt = ncnt
-        edges = next
-        rounds += 1
-      }
-      if (changed)
-        throw new IllegalStateException(
-          "k-core peel did not stabilize in 50 rounds")
-      degrees(edges)
-        .select(col("nd").as("part_id"), col("dg").as("core_degree"))
+      kCoreOf(thresholdedCopurchaseEdges(s, d, "u", "v"), k = 3)
+        .select(col("node").as("part_id"), col("core_degree"))
         .orderBy("part_id")
     },
 
@@ -2233,24 +2298,9 @@ object Analytics {
         |FROM pairs p JOIN s sa ON p.type_a = sa.event_type
         |             JOIN s sb ON p.type_b = sb.event_type
         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
-      val ut = Tables.events(s, d)
-        .select(col("user_id"), col("event_type")).distinct()
-      val pairs = ut.groupBy("user_id")
-        .agg(collect_set(col("event_type")).as("ts"))
-        .select(col("ts"), explode(col("ts")).as("type_a"))
-        .select(col("type_a"),
-          explode(expr("filter(ts, x -> x > type_a)")).as("type_b"))
-        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
-      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
-      pairs
-        .join(broadcast(sizes.select(col("event_type").as("type_a"),
-          col("n").as("n_a"))), "type_a")
-        .join(broadcast(sizes.select(col("event_type").as("type_b"),
-          col("n").as("n_b"))), "type_b")
-        .select(col("type_a"), col("type_b"), col("n_both"),
-          col("n_a"), col("n_b"),
-          (col("n_both").cast("double") /
-            (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+      setOverlapOf(Tables.events(s, d), "user_id", "event_type")
+        .select(col("item_a").as("type_a"), col("item_b").as("type_b"),
+          col("n_both"), col("n_a"), col("n_b"), col("jaccard"))
         .orderBy("type_a", "type_b")
     },
 

@@ -889,4 +889,44 @@ class ApiSpec extends SparkSuite {
     assert(out(2) == ((2L, 1L, 0L, "tiny tail")),
       s"sub-segment doc unchanged: ${out(2)}")
   }
+
+  test("kCore peels the tail, keeps the clique at degree k") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + a pendant chain 4-5-6: at k=3 the chain peels
+    // (5 and 6 never reach degree 3) and every clique member keeps
+    // exactly its 3 in-core neighbors
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = graft.api.Graft.kCore(edges, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), got.toString)
+  }
+
+  test("setOverlap counts co-membership; pairs never co-present are absent") {
+    import spark.implicits._
+    val m = Seq(("k1", "a"), ("k1", "b"), ("k2", "a"), ("k2", "b"),
+      ("k3", "b"), ("k3", "c"), ("k3", "b")).toDF("k", "item")
+    val got = graft.api.Graft.setOverlap(m, "k", "item")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("a", "b")) == ((2L, 2L, 3L, 2.0 / 3.0)), got.toString)
+    assert(got(("b", "c")) == ((1L, 3L, 1L, 1.0 / 3.0)), got.toString)
+    assert(!got.contains(("a", "c")), "never co-present => absent")
+  }
+
+  test("timeWeightedAvg holds each value to the next sample, drops the last") {
+    import spark.implicits._
+    // v=1 held 10 s, v=3 held 20 s, v=5 drops (no next sample):
+    // twa = (1*10e6 + 3*20e6) / 30e6 = 7/3
+    val df = Seq(("g", 0L, 1L, BigDecimal("1.00")),
+      ("g", 10000000L, 2L, BigDecimal("3.00")),
+      ("g", 30000000L, 3L, BigDecimal("5.00")))
+      .toDF("grp", "tus", "eid", "v")
+      .select(col("grp"), col("tus"), col("eid"),
+        col("v").cast("decimal(12,2)").as("v"))
+    val r = graft.api.Graft.timeWeightedAvg(df, Seq("grp"), "tus", "eid", "v")
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 30000000L, r.toString)
+    assert(math.abs(r.getDouble(3) - 7.0 / 3.0) < 1e-12, r.toString)
+  }
 }

@@ -171,6 +171,30 @@ object Aggregations {
         .orderBy("event_type")
     },
 
+    // LISTAGG (SQL:2023, new in Spark 4) — ordered string aggregation
+    // WITHIN GROUP, the report-friendly "concatenate the group's values"
+    // surface. DISTINCT + an explicit ORDER BY make the result a pure
+    // function of the group's value set (never of partitioning), which
+    // is the only way a string agg can be oracled cross-engine.
+    Q("agg_listagg",
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, '|'
+        |    ORDER BY o_orderpriority) AS priorities,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_listagg")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  listagg(DISTINCT o_orderpriority, '|')
+          |    WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+          |  count(*) AS n
+          |FROM orders_listagg
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // approx_top_k (Spark 4 frequent-items sketch, DataSketches
     // frequent-strings under the hood): ONE pass, fixed memory, mergeable
     // partials (approx_top_k_accumulate/_combine are the cross-segment

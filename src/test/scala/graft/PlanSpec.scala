@@ -367,6 +367,19 @@ class PlanSpec extends SparkSuite {
       read == "ReadSchema: struct<>", read)
   }
 
+  test("winsorize and audience overlap broadcast their tiny frames") {
+    // winsorize: the per-group percentile bounds (5 rows) must come back
+    // as a broadcast, never a shuffle join against the fact scan
+    val w = planString("agg_winsorized_stats")
+    assert(w.contains("BroadcastHashJoin"), w.take(2000))
+    assert(!w.contains("SortMergeJoin"), w.take(2000))
+    // audience overlap: both set-size joins broadcast; the only wide
+    // shuffles are the two combiner aggregations
+    val a = planString("events_audience_overlap")
+    assert(a.contains("BroadcastHashJoin") && !a.contains("SortMergeJoin"),
+      a.take(2000))
+  }
+
   test("profile_columns prunes each union leg to its column; dq anti-joins broadcast") {
     val prof = planString("profile_columns")
     // Catalyst rewrites the shared aggregate into per-leg aggregates with

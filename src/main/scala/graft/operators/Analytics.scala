@@ -644,10 +644,10 @@ object Analytics {
     val m = df.select(col(keyCol).as("sk"), col(itemCol).as("item"))
       .distinct()
     val pairs = m.groupBy("sk")
-      .agg(collect_set(col("item")).as("is"))
-      .select(col("is"), explode(col("is")).as("item_a"))
+      .agg(collect_set(col("item")).as("mset"))
+      .select(col("mset"), explode(col("mset")).as("item_a"))
       .select(col("item_a"),
-        explode(expr("filter(is, x -> x > item_a)")).as("item_b"))
+        explode(expr("filter(mset, x -> x > item_a)")).as("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_both"))
     val sizes = m.groupBy("item").agg(count(lit(1)).as("n"))
     pairs

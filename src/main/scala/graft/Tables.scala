@@ -111,8 +111,8 @@ object Tables {
     * would arrive as a silently-coerced LONG. The Spark-side contract
     * catches that for contracted ts-like columns (LONG ∉ tsLike), but an
     * UNCONTRACTED column would slip through; this footer read closes that
-    * blind spot positively (ADVICE r13). One footer per (sfDir, table),
-    * same cost class as the schema inference itself.
+    * blind spot positively (ADVICE r13). One bounded footer sweep per
+    * (sfDir, table) per JVM, same cost class as the schema inference.
     */
   private def nanosColumns(s: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -120,12 +120,17 @@ object Tables {
     val conf = s.sessionState.newHadoopConf()
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val file =
+    // directory-shaped tables: inspect EVERY part-file (a mixed-writer
+    // dir can carry nanos in one part and µs in another), capped at 64
+    // footers — fixtures are single-digit part counts; a genuinely
+    // file-heavy deployment would hoist this into its catalog checks
+    val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet"))
-      else Some(p)
-    file.toSeq.flatMap { f =>
+          .filter(f => f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).take(64).toSeq
+      else Seq(p)
+    files.flatMap { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
       try {
@@ -139,7 +144,7 @@ object Tables {
             }
           }.map(_.getName).toSeq
       } finally reader.close()
-    }
+    }.distinct
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {

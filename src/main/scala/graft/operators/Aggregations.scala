@@ -53,10 +53,15 @@ object Aggregations {
     * DECIMAL(18,6), so the result is a pure function of the data, not of
     * partitioning or fold order. Returns (group, lo, hi, n, wmean).
     */
-  private[graft] def winsorizedStatsOf(df: org.apache.spark.sql.DataFrame,
+  private[graft] def winsorizedStatsOf(df0: org.apache.spark.sql.DataFrame,
       groupCol: String, valueCol: String,
       loQ: Double = 0.05, hiQ: Double = 0.95)
       : org.apache.spark.sql.DataFrame = {
+    // NULL values are EXCLUDED, not clipped: percentile already ignores
+    // them, and greatest/least skip NULL arguments — without this filter
+    // a NULL row would silently contribute the LOWER BOUND to the sum
+    // and inflate n, disagreeing with the bounds' own population
+    val df = df0.where(col(valueCol).isNotNull)
     val p = df.groupBy(groupCol)
       .agg(round(expr(s"percentile($valueCol, $loQ)"), 6).as("lo"),
         round(expr(s"percentile($valueCol, $hiQ)"), 6).as("hi"))

@@ -617,15 +617,21 @@ object Analytics {
     */
   private[graft] def timeWeightedAvgOf(df: DataFrame, keyCols: Seq[String],
       tsUsCol: String, ordCol: String, vCol: String): DataFrame = {
+    // caller columns projected to internal names first, so a value or
+    // order column that happens to be named like the working interval
+    // column can't be silently overwritten (the same defensive-rename
+    // contract setOverlapOf applies)
+    val in = df.select(keyCols.map(col) ++ Seq(col(tsUsCol).as("twa_ts"),
+      col(ordCol).as("twa_ord"), col(vCol).as("twa_v")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsUsCol), col(ordCol))
-    df.withColumn("dt", lead(col(tsUsCol), 1).over(w) - col(tsUsCol))
-      .where(col("dt").isNotNull)
+      .orderBy(col("twa_ts"), col("twa_ord"))
+    in.withColumn("twa_dt", lead(col("twa_ts"), 1).over(w) - col("twa_ts"))
+      .where(col("twa_dt").isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_intervals"),
-        sum(col("dt")).cast("long").as("span_us"),
-        (sum(col(vCol) * col("dt")).cast("double") /
-          sum(col("dt"))).cast("double").as("twa"))
+        sum(col("twa_dt")).cast("long").as("span_us"),
+        (sum(col("twa_v") * col("twa_dt")).cast("double") /
+          sum(col("twa_dt"))).cast("double").as("twa"))
   }
 
   /** Pairwise set-overlap kernel (re-exported as

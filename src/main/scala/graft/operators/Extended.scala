@@ -474,8 +474,7 @@ object Extended {
       // caches catalog INSTANCES per session after first load, so a fixed
       // name would silently keep serving the first sfDir's Derby database
       // if one session ever ran this against two fixture dirs (ADVICE r13)
-      val cat = "graft_jdbc_" +
-        java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
+      val cat = "graft_jdbc_" + java.lang.Integer.toHexString(d.hashCode)
       s.conf.set(s"spark.sql.catalog.$cat",
         "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.url", url)

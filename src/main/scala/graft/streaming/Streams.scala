@@ -132,18 +132,22 @@ object Streams {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  private def runToTableWith(df: DataFrame, mode: String,
+      statePartitions: Int, trigger: Trigger): DataFrame =
+    withStatePartitions(df.sparkSession, statePartitions) {
+      val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(trigger).start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
+
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the result as a batch DataFrame (AvailableNow trigger).
     */
   def runToTable(df: DataFrame, mode: String, statePartitions: Int = 8)
       : DataFrame =
-    withStatePartitions(df.sparkSession, statePartitions) {
-      val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      df.sparkSession.table(name)
-    }
+    runToTableWith(df, mode, statePartitions, Trigger.AvailableNow())
 
   /** Single-batch variant of [[runToTable]] for stateful queries whose
     * operator reports processing-time work pending FOREVER — a
@@ -157,13 +161,7 @@ object Streams {
   @annotation.nowarn("cat=deprecation")
   def runToTableOnce(df: DataFrame, mode: String, statePartitions: Int = 8)
       : DataFrame =
-    withStatePartitions(df.sparkSession, statePartitions) {
-      val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.Once()).start()
-      q.awaitTermination()
-      df.sparkSession.table(name)
-    }
+    runToTableWith(df, mode, statePartitions, Trigger.Once())
 
   // ---- vector-store layout: flat append dir, upgraded on first
   // compaction to generation directories + an atomic CURRENT pointer ----

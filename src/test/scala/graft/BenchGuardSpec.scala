@@ -200,6 +200,31 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(f.exists(_.contains("stream_x")), f.mkString("; "))
   }
 
+  test("streaming gate never normalizes below 1 on a faster host") {
+    // An un-resampled single streaming draw can legitimately sit up to
+    // 1.35x its committed min (below the sweep's resample trigger); a
+    // sub-1 host ratio must not tighten the 1.5x gate into that region —
+    // streaming wall is init cost, which a faster placement does not
+    // shrink the way compute does. Host 10% faster (ratios 0.9),
+    // stream_x single draw at 1.45x with co-tripping cpu: no flag.
+    val art =
+      """{"metric":"total","value":5.0,"unit":"sec","cpu":10.0,"gc":0.1,""" +
+        """"calib":0.50,"calib_loaded":0.50,"stream_min3":1,""" +
+        """"queries":{"qa":1.000,"qb":1.000,"qc":1.000,"qd":1.000,""" +
+        """"stream_x":1.000},""" +
+        """"queries_cpu":{"qa":2.000,"qb":2.000,"qc":2.000,"qd":2.000,""" +
+        """"stream_x":2.000},""" +
+        """"errors":{},"failed":0,"sf":"/root/testdata/sf0.1"}"""
+    val stable = Seq(("qb", 0.9, 1.8), ("qc", 0.9, 1.8), ("qd", 0.9, 1.8))
+    val f = flagsOf(stable :+ (("qa", 0.9, 1.8)) :+ (("stream_x", 1.45, 6.0)),
+      calib = 0.45, loaded = 0.45, artifact = art)
+    assert(!f.exists(_.contains("stream_x")), f.mkString("; "))
+    // the same draw at 1.55x (beyond any single-draw band) still flags
+    val f2 = flagsOf(stable :+ (("qa", 0.9, 1.8)) :+ (("stream_x", 1.55, 6.0)),
+      calib = 0.45, loaded = 0.45, artifact = art)
+    assert(f2.exists(_.contains("stream_x")), f2.mkString("; "))
+  }
+
   test("committed BENCH_DETAIL is the clean full-inventory gate denominator") {
     // BASELINE.md (round 12): the operative 2x-gate denominator is the
     // git-committed BENCH_DETAIL.json, which must itself honor the

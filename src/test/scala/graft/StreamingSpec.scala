@@ -378,10 +378,11 @@ class StreamingSpec extends SparkSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      // generous TTL: pass 2 must land INSIDE it even though each pass
-      // pays a RocksDB query restart (~1-2 s); the expiry sleep exceeds
-      // it with margin
-      val ttlMs = 6000L
+      // generous TTL: pass 1 AND pass 2 must complete inside it even
+      // though each pass pays a RocksDB query restart (~1-2 s each, more
+      // on a loaded CI host) — 15 s gives several multiples of headroom;
+      // the expiry sleep exceeds the TTL with margin either way
+      val ttlMs = 15000L
       val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
       val evs = ms.toDF().toDF("event_id", "ts", "user_id", "event_type",
           "value")

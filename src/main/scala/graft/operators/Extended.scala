@@ -613,6 +613,35 @@ object Extended {
         Map("st" -> "O", "floor" -> 100000.0, "uplift" -> 1.1))
     },
 
+    // SESSION VARIABLES + EXECUTE IMMEDIATE (Spark 4): DECLARE/SET VAR
+    // persists typed variables on the session, and EXECUTE IMMEDIATE
+    // runs SQL text with USING-bound parameters — together the
+    // dynamic-SQL surface (dashboards, templated jobs) without string
+    // interpolation. The variable feeds the dynamic statement's bind
+    // parameter; the oracle inlines both constants.
+    Q("sql_session_variables",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_sessvar")
+      s.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+      s.sql("SET VAR price_floor = 150000.0")
+      s.sql(
+        """EXECUTE IMMEDIATE
+          |  'SELECT o_orderpriority, count(*) AS n,
+          |     CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          |       AS sum_price
+          |   FROM orders_sessvar
+          |   WHERE o_totalprice >= ? AND o_orderstatus = ''F''
+          |   GROUP BY o_orderpriority
+          |   ORDER BY o_orderpriority'
+          |  USING price_floor""".stripMargin)
+    },
+
     // SQL scripting (Spark 4 procedural surface): DECLARE'd script-local
     // variables, a WHILE loop, and SET arithmetic inside one BEGIN…END
     // block whose final SELECT is the result — the migration target for

@@ -725,7 +725,15 @@ object Graft {
   def kCore(edges: DataFrame, k: Int,
       uCol: String = "u", vCol: String = "v"): DataFrame =
     graft.operators.Analytics.kCoreOf(
-      edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      // canonicalize like the cluster-collapse kernel: symmetric or
+      // duplicate representations of one undirected edge must count
+      // ONCE toward degree, and self-loops never do — without this a
+      // caller's {(a,b),(b,a)} doubling inflates every degree and
+      // fabricates cores
+      edges.select(greatest(col(uCol), col(vCol)).as("u"),
+          least(col(uCol), col(vCol)).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint(true), k)
 
   /** Pairwise overlap of the member sets keyed by `keyCol`: for every

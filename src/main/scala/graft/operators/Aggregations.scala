@@ -162,14 +162,16 @@ object Aggregations {
     // cast to DECIMAL(18,6) so the sum is order-independent; the final
     // mean division is one double op on identical operands.
     Q("agg_winsorized_stats",
-      """WITH p AS (
+      """WITH ev AS (SELECT event_type, value FROM events
+        |            WHERE value IS NOT NULL),
+        |p AS (
         |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
         |         round(quantile_cont(value, 0.95), 6) AS hi
-        |  FROM events GROUP BY event_type)
+        |  FROM ev GROUP BY event_type)
         |SELECT e.event_type, p.lo, p.hi, count(*) AS n,
         |  CAST(sum(CAST(LEAST(GREATEST(e.value, p.lo), p.hi)
         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS wmean
-        |FROM events e JOIN p ON e.event_type = p.event_type
+        |FROM ev e JOIN p ON e.event_type = p.event_type
         |GROUP BY e.event_type, p.lo, p.hi
         |ORDER BY e.event_type""".stripMargin) { (s, d) =>
       winsorizedStatsOf(Tables.events(s, d), "event_type", "value")
@@ -224,8 +226,10 @@ object Aggregations {
     // accumulate → combine → estimate, the incremental-MV pattern that
     // computes a global top-k from per-segment sketch states WITHOUT
     // rescanning raw rows (the frequency analog of hll_sketch_merge).
-    // Exactness argument as above: the language domain is far below the
-    // tracked-item budget, so the merged estimate equals the true counts.
+    // Exactness argument as above, and the estimate's cutoff (100) also
+    // sits far above the language domain, so BOTH truncation points are
+    // clear of any realistic fixture drift — the merged estimate equals
+    // the true counts, all of them.
     Q("agg_topk_sketch_merge",
       """SELECT lang AS item, count(*) AS cnt
         |FROM documents GROUP BY lang
@@ -234,7 +238,7 @@ object Aggregations {
       s.sql(
         """SELECT t.item AS item, t.count AS cnt FROM (
           |  SELECT explode(approx_top_k_estimate(
-          |    approx_top_k_combine(sk), 10)) AS t
+          |    approx_top_k_combine(sk), 100)) AS t
           |  FROM (SELECT approx_top_k_accumulate(lang) AS sk
           |        FROM docs_topk_merge GROUP BY source))
           |ORDER BY cnt DESC, item""".stripMargin)

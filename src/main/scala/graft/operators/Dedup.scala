@@ -353,6 +353,12 @@ object Dedup {
     // parallelism — this is the same size-to-data rule the streaming
     // state stores apply, applied to an iterative batch kernel. The
     // count is a cheap scan of the just-checkpointed in-memory blocks.
+    // CONTRACT: the scoping is a session-conf save/restore, so the
+    // kernel is not safe for CONCURRENT callers of one SparkSession
+    // (racing restores could strand the session at the reduced count),
+    // and unrelated queries planned on the session DURING the rounds
+    // plan at the kernel's partition count — same single-caller
+    // assumption as the bench/driver's strictly sequential execution.
     val sess = pairs.sparkSession
     val sessionParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
     val kernelParts = math.max(8, math.min(sessionParts,

@@ -473,8 +473,11 @@ object Extended {
       // catalog name is a function of the sfDir: Spark's CatalogManager
       // caches catalog INSTANCES per session after first load, so a fixed
       // name would silently keep serving the first sfDir's Derby database
-      // if one session ever ran this against two fixture dirs (ADVICE r13)
-      val cat = "graft_jdbc_" + java.lang.Integer.toHexString(d.hashCode)
+      // if one session ever ran this against two fixture dirs (ADVICE
+      // r13). The SANITIZED FULL PATH, not a hash — 32-bit hashCode
+      // collisions would recreate the exact stale-catalog bug this
+      // guards against, and catalog names have no length problem here.
+      val cat = "graft_jdbc_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat",
         "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.url", url)

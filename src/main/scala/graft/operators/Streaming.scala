@@ -700,7 +700,8 @@ object Streaming {
       """WITH e AS (SELECT * FROM events WHERE user_id < 50),
         |ranked AS (
         |  SELECT user_id, event_id, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM e),
         |l AS (SELECT user_id,
         |    string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS last3

@@ -890,13 +890,18 @@ class ApiSpec extends SparkSuite {
       s"sub-segment doc unchanged: ${out(2)}")
   }
 
-  test("kCore peels the tail, keeps the clique at degree k") {
+  test("kCore peels the tail, keeps the clique; input is canonicalized") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + a pendant chain 4-5-6: at k=3 the chain peels
     // (5 and 6 never reach degree 3) and every clique member keeps
-    // exactly its 3 in-core neighbors
-    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
-      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    // exactly its 3 in-core neighbors. The edge list is deliberately
+    // DIRTY — symmetric duplicates (2,1), an exact duplicate (3,4), and
+    // a self-loop (5,5) — none of which may inflate a degree: an
+    // uncanonicalized count would keep the chain alive or double the
+    // clique degrees
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 4L), (4L, 5L), (5L, 5L), (5L, 6L))
+      .toDF("u", "v")
     val got = graft.api.Graft.kCore(edges, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), got.toString)

@@ -934,4 +934,23 @@ class ApiSpec extends SparkSuite {
     assert(r.getLong(1) == 2L && r.getLong(2) == 30000000L, r.toString)
     assert(math.abs(r.getDouble(3) - 7.0 / 3.0) < 1e-12, r.toString)
   }
+
+  test("winsorizedStats excludes NULLs; mean stays inside the clip band") {
+    import spark.implicits._
+    // one group, values 1..10 plus two NULLs: NULL rows must appear in
+    // neither n nor the sum (an unfiltered greatest/least would clip
+    // them to the LOWER bound and bias wmean down)
+    val df = ((1 to 10).map(i => ("g", Some(i.toDouble))) ++
+      Seq(("g", Option.empty[Double]), ("g", Option.empty[Double])))
+      .toDF("grp", "v")
+    val r = graft.api.Graft.winsorizedStats(df, "grp", "v",
+      loQ = 0.1, hiQ = 0.9).collect().head
+    val (lo, hi, n, wm) =
+      (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+    assert(n == 10L, s"NULLs must not count: n=$n")
+    assert(lo <= wm && wm <= hi, s"lo=$lo wm=$wm hi=$hi")
+    // interpolated p10/p90 of 1..10 are 1.9 and 9.1; clipped mean is
+    // (1.9 + 2..9 + 9.1) / 10 = 5.5
+    assert(math.abs(wm - 5.5) < 1e-9, s"wm=$wm")
+  }
 }

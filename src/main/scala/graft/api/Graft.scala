@@ -312,6 +312,19 @@ object Graft {
   def qualityRules(docs: DataFrame): DataFrame =
     graft.operators.Corpus.qualityRulesOf(docs)
 
+  /** Sentence-boundary chunking over (doc_id, text) — the chunking real
+    * RAG ingest uses, next to the fixed-width `graft.functions.chunks`
+    * baseline: split on `splitPattern` (a sentence-terminator regex),
+    * pack WHOLE sentences into ~`target`-char chunks by cumulative
+    * offset, carry a one-sentence overlap from the previous chunk.
+    * Returns (doc_id, chunk_idx, chunk, n_sentences, n_chars). ONE
+    * doc-keyed shuffle; packing is a closed-form division over the
+    * per-doc running character sum, never a sequential loop.
+    */
+  def sentenceChunks(docs: DataFrame, splitPattern: String = "\\. ",
+      target: Int = 512): DataFrame =
+    graft.operators.Text.sentenceChunksOf(docs, splitPattern, target)
+
   /** Downsample every `groupCol` group of `df` to the smallest group's
     * row count with a deterministic md5 coin on `idCol` (stable across
     * runs and engines); the group's (docs, rate) ride along. Row-local
@@ -319,6 +332,21 @@ object Graft {
     */
   def rebalanceMix(df: DataFrame, groupCol: String, idCol: String): DataFrame =
     graft.operators.Corpus.rebalanceBy(df, groupCol, idCol)
+
+  /** Temperature-based mixture resampling — the LLM data-recipe
+    * counterpart to [[rebalanceMix]]'s uniform equalization: group l
+    * with n_l rows keeps rows at rate (n_min/n_l)^(1-1/T), so the
+    * smallest group keeps everything, larger groups are tempered rather
+    * than truncated. T=1 keeps the natural mix; T→∞ approaches
+    * [[rebalanceMix]]. Requires T ≥ 1 (T < 1 would mean upsampling).
+    * Keep decisions are the deterministic row-local md5 coin on `idCol`
+    * — stable under resampling, no corpus shuffle (scan → broadcast
+    * rate join → filter).
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      temperature: Double): DataFrame =
+    graft.operators.Corpus.temperatureMixOf(df, groupCol, idCol,
+      temperature)
 
   /** MERGE INTO / upsert without a table format: same-schema `target`
     * and `source`; matched `key` rows take the source's values, unmatched
@@ -485,6 +513,22 @@ object Graft {
       convType: String, lookbackMicros: Long): DataFrame =
     graft.operators.Analytics.lastTouchOf(events, userCol, typeCol,
       tsMicrosCol, idCol, touchTypes, convType, lookbackMicros)
+
+  /** Linear (multi-touch) attribution: each `convType` event splits one
+    * unit of credit EQUALLY across all its strictly-prior `touchTypes`
+    * events by the same `userCol` within `lookbackMicros`; conversions
+    * with no qualifying touch credit 'none' in full. Returns one wide
+    * row of per-type credits (`<type>_credit`), `none_credit`, and
+    * `n_conversions`. Same ONE user-keyed shuffle as [[lastTouch]]
+    * (RANGE-frame window counts, never the conversion×touch self-join);
+    * credit shares are exact scaled-integer arithmetic, one double
+    * division per output cell.
+    */
+  def linearTouch(events: DataFrame, userCol: String, typeCol: String,
+      tsMicrosCol: String, touchTypes: Seq[String],
+      convType: String, lookbackMicros: Long): DataFrame =
+    graft.operators.Analytics.linearTouchOf(events, userCol, typeCol,
+      tsMicrosCol, touchTypes, convType, lookbackMicros)
 
   /** Exact sliding median of `valueCol` over the last `preceding`+1 rows
     * per `partCol`, ordered by `ordCols` (include a unique tie-break).
@@ -730,11 +774,40 @@ object Graft {
       // ONCE toward degree, and self-loops never do — without this a
       // caller's {(a,b),(b,a)} doubling inflates every degree and
       // fabricates cores
-      edges.select(greatest(col(uCol), col(vCol)).as("u"),
-          least(col(uCol), col(vCol)).as("v"))
-        .where(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(true), k)
+      canonicalEdges(edges, uCol, vCol), k)
+
+  private def canonicalEdges(edges: DataFrame, uCol: String,
+      vCol: String): DataFrame =
+    edges.select(greatest(col(uCol), col(vCol)).as("u"),
+        least(col(uCol), col(vCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+  /** Single-source BFS hop counts over an undirected edge frame:
+    * (node, hops) for every node reachable from `source` within
+    * `maxHops` edges; unreachable nodes are absent. Frontier-expansion
+    * rounds — per-round work O(frontier edges), O(E) total, frontier
+    * and visited sets broadcast-gated. Edges are canonicalized like
+    * [[kCore]] (symmetric duplicates collapse, self-loops drop).
+    */
+  def shortestHops(edges: DataFrame, source: Long, maxHops: Int = 30,
+      uCol: String = "u", vCol: String = "v"): DataFrame =
+    graft.operators.Analytics.shortestHopsOf(
+      canonicalEdges(edges, uCol, vCol), source, maxHops)
+
+  /** Synchronous label-propagation communities over an undirected edge
+    * frame: exactly `iters` lockstep rounds, each re-labeling every
+    * node with its neighbors' most frequent label (ties → smallest
+    * label), starting from label = own id — fully deterministic.
+    * Returns (node, community). Edges are canonicalized like
+    * [[kCore]]; per-round cost is one edge⋈label join + a combiner
+    * count, labels node-sized and broadcast-gated.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+      uCol: String = "u", vCol: String = "v"): DataFrame =
+    graft.operators.Analytics.labelPropagationOf(
+      canonicalEdges(edges, uCol, vCol), iters)
 
   /** Pairwise overlap of the member sets keyed by `keyCol`: for every
     * unordered pair of `itemCol` values, the number of keys containing

@@ -359,6 +359,54 @@ object Analytics {
       .drop("touch_type")
   }
 
+  /** Frame-parametric LINEAR (multi-touch) attribution (re-exported as
+    * `graft.api.Graft.linearTouch`): each `convType` event splits one
+    * unit of credit equally across ALL its qualifying `touchTypes`
+    * events — same `userCol`, timestamp STRICTLY earlier, within
+    * `lookbackMicros` — the industry-default fractional model next to
+    * [[lastTouchOf]]'s winner-take-all. Conversions with no qualifying
+    * touch credit 'none' in full.
+    *
+    * Linear like lastTouch: ONE user-keyed shuffle; per-type qualifying
+    * counts come from RANGE-frame window counts over the same ordered
+    * frame (frame contents depend only on the timestamp values, so ties
+    * in `tsMicrosCol` don't make the result order-sensitive) — never the
+    * quadratic conversion×touch self-join. Credit arithmetic is EXACT
+    * and order-independent: each conversion's per-type share is an
+    * integer `(cnt_type * 1e12) div n` (both engines truncate positive
+    * integer division identically), shares sum as DECIMAL(38,0), and
+    * only the final per-column readout divides by 1e12 — one double
+    * division per output cell, bit-identical cross-engine.
+    *
+    * Returns ONE wide row: per-touch-type scaled credit readouts
+    * (`<type>_credit`), `none_credit`, and `n_conversions`.
+    */
+  private[graft] def linearTouchOf(events: DataFrame, userCol: String,
+      typeCol: String, tsMicrosCol: String, touchTypes: Seq[String],
+      convType: String, lookbackMicros: Long): DataFrame = {
+    val SC = 1000000000000L // credit scale: 1 conversion = 1e12 units
+    val w = Window.partitionBy(userCol).orderBy(col(tsMicrosCol))
+      .rangeBetween(-lookbackMicros, -1)
+    val counted = touchTypes.foldLeft(events) { (df, t) =>
+      df.withColumn(s"__n_$t",
+        count(when(col(typeCol) === t, lit(1))).over(w))
+    }
+    val n = touchTypes.map(t => col(s"__n_$t")).reduce(_ + _)
+    val conv = counted.where(col(typeCol) === convType)
+      .withColumn("__n", n)
+    val creditCols = touchTypes.map { t =>
+      sum(when(col("__n") > 0,
+          expr(s"(__n_$t * ${SC}L) div __n").cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("double").divide(lit(1.0e12)).as(s"${t}_credit")
+    } ++ Seq(
+      sum(when(col("__n") === 0, lit(1).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("double").as("none_credit"),
+      count(lit(1)).as("n_conversions"))
+    conv.agg(creditCols.head, creditCols.tail: _*)
+  }
+
   /** Frame-parametric ANY-qualifying-sequence funnel (re-exported as
     * `graft.api.Graft.funnelAny`) — MATCH_RECOGNIZE semantics, the
     * deliberate counterpart to [[funnelOf]]'s earliest-anchor
@@ -678,6 +726,26 @@ object Analytics {
     * broadcast range drop the hint and the planner shuffles on the node
     * key instead.
     */
+  /** Round cap shared by the iterative graph kernels AND their DuckDB
+    * oracles' fixed recursion depth: the Spark side throws past it, so
+    * whenever a query returns at all, the oracle's level-`MaxRounds`
+    * emission IS the fixpoint (a pathological graph needing more rounds
+    * fails loudly here instead of silently diverging from the oracle).
+    */
+  private[graft] val GraphMaxRounds = 50
+
+  /** Survivor/frontier/label frames in the iterative kernels are
+    * node-sized ≪ edges, so they broadcast into the per-round joins —
+    * but only while a row-count proxy stays within driver/broadcast
+    * range (`cap`); past it the hint is DROPPED and the planner
+    * shuffles the join on the node key instead. The proxy is whatever
+    * count the round already computed (edge count for k-core, frontier
+    * count for BFS, node count for label propagation) — the gate is
+    * free, no extra job.
+    */
+  private def bcastUpTo(df: DataFrame, n: Long, cap: Long): DataFrame =
+    if (n <= cap) broadcast(df) else df
+
   private[graft] def kCoreOf(edges0: DataFrame, k: Int): DataFrame = {
     var edges = edges0
     var cnt = edges.count()
@@ -686,11 +754,15 @@ object Analytics {
     def degrees(e: DataFrame) = e
       .select(col("u").as("nd")).unionAll(e.select(col("v").as("nd")))
       .groupBy("nd").agg(count(lit(1)).as("dg"))
-    while (changed && rounds < 50) {
-      val keep = degrees(edges).where(col("dg") >= k).select(col("nd"))
+    while (changed && rounds < GraphMaxRounds) {
+      // keep is ≤ 2·cnt nodes, so gating on the edge count already in
+      // hand bounds the broadcast without an extra keep.count() job
+      val keep = bcastUpTo(
+        degrees(edges).where(col("dg") >= k).select(col("nd")),
+        cnt, 2000000L)
       val next = edges
-        .join(broadcast(keep), col("u") === col("nd"), "left_semi")
-        .join(broadcast(keep), col("v") === col("nd"), "left_semi")
+        .join(keep, col("u") === col("nd"), "left_semi")
+        .join(keep, col("v") === col("nd"), "left_semi")
         .localCheckpoint(true)
       val ncnt = next.count()
       changed = ncnt != cnt
@@ -700,9 +772,98 @@ object Analytics {
     }
     if (changed)
       throw new IllegalStateException(
-        "k-core peel did not stabilize in 50 rounds")
+        s"k-core peel did not stabilize in $GraphMaxRounds rounds")
     degrees(edges)
       .select(col("nd").as("node"), col("dg").as("core_degree"))
+  }
+
+  /** Single-source BFS hop counts (re-exported as
+    * `graft.api.Graft.shortestHops`): `edges0` is an undirected (u, v)
+    * pair frame, ALREADY eager/pinned (the kCoreOf caller contract);
+    * returns (node, hops) for every node reachable from `source` within
+    * `maxHops`, hops = exact shortest-path edge count. Unreachable
+    * nodes are absent — the caller decides what infinity means.
+    *
+    * Frontier expansion, the scale shape for BFS on Spark: round h
+    * joins the (node-sized, broadcast-gated) frontier into the
+    * symmetric edge frame, dedups the neighbor set, anti-joins the
+    * visited set, and localCheckpoints — per-round work is O(frontier
+    * edges), total O(E) across all rounds, plans stay shallow, and
+    * integer-only arithmetic keeps the oracle comparison exact. The
+    * per-round driver sync (count) is inherent to BFS — the frontier
+    * IS the loop condition — and rounds are bounded by the graph's
+    * diameter, ≤ `maxHops`.
+    */
+  private[graft] def shortestHopsOf(edges0: DataFrame, source: Long,
+      maxHops: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val e = edges0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    var visited = Seq((source, 0L)).toDF("node", "hops")
+      .localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    var fcnt = 1L
+    var vcnt = 1L
+    var h = 0L
+    while (fcnt > 0 && h < maxHops) {
+      h += 1
+      val nxt = e
+        .join(bcastUpTo(frontier, fcnt, 4000000L),
+          col("src") === col("node"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(bcastUpTo(visited, vcnt, 4000000L),
+          Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      fcnt = nxt.count()
+      if (fcnt > 0) {
+        visited = visited.unionAll(nxt).localCheckpoint(true)
+        vcnt += fcnt
+        frontier = nxt.select(col("node"))
+      }
+    }
+    visited
+  }
+
+  /** Synchronous label propagation communities (re-exported as
+    * `graft.api.Graft.labelPropagation`): `edges0` is an undirected
+    * (u, v) pair frame, ALREADY eager/pinned. Every node starts with
+    * its own id as label; each of exactly `iters` synchronous rounds
+    * re-labels every node with the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — fully
+    * deterministic, no async sweep order in play, so a DuckDB
+    * recursive CTE replays it bit-for-bit. Returns (node, community).
+    *
+    * Per round: ONE edge⋈label join (labels are node-sized and
+    * broadcast-gated), a (node, label) combiner count, and a per-node
+    * row_number pick over that node's label counts (frames are
+    * neighbor-label-sized, never graph-sized). Fixed iteration count —
+    * the standard LPA stopping rule at scale, since oscillation makes
+    * convergence detection a trap — so round count, not convergence,
+    * bounds the work: O(iters · E) total.
+    */
+  private[graft] def labelPropagationOf(edges0: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    val nNodes = labels.count()
+    val w = Window.partitionBy("src").orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to iters) {
+      labels = e
+        .join(bcastUpTo(labels, nNodes, 4000000L),
+          col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
   }
 
   /** Support-thresholded (≥ 2 orders) co-purchase edge frame shared by
@@ -1562,6 +1723,48 @@ object Analytics {
         .orderBy("touch")
     },
 
+    // LINEAR (multi-touch) attribution — the fractional counterpart to
+    // attribution_last_touch: every purchase splits one unit of credit
+    // equally across ALL its strictly-prior view/click touches inside
+    // the 24 h lookback (none → 'none' gets the full unit). Same ONE
+    // user-keyed shuffle; the per-type qualifying counts are RANGE-frame
+    // window counts (frame membership depends only on timestamp values,
+    // so the result is tie-order-insensitive), and the credit arithmetic
+    // is exact scaled-integer: share = (cnt*1e12) div n (positive
+    // integer division truncates identically in both engines), shares
+    // sum as DECIMAL(38,0) — order-independent — and each output cell
+    // pays exactly ONE double division by the 1e12 literal.
+    Q("attribution_linear",
+      """WITH en AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      OVER w AS nv,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER w AS nc
+        |  FROM (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |        FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT nv, nc, nv + nc AS n FROM en
+        |      WHERE event_type = 'purchase')
+        |SELECT
+        |  CAST(sum(CAST(CASE WHEN n > 0
+        |      THEN (nv * 1000000000000) // n ELSE 0 END
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS view_credit,
+        |  CAST(sum(CAST(CASE WHEN n > 0
+        |      THEN (nc * 1000000000000) // n ELSE 0 END
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS click_credit,
+        |  CAST(sum(CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END
+        |    AS DECIMAL(38,0))) AS DOUBLE) AS none_credit,
+        |  count(*) AS n_conversions
+        |FROM p""".stripMargin) { (s, d) =>
+      linearTouchOf(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus")),
+        "user_id", "event_type", "tus",
+        Seq("view", "click"), "purchase", 86400000000L)
+    },
+
     // Co-purchase pair mining: part pairs appearing in the same order,
     // top-100 by order count. The pair space explodes per-order (k lines
     // → k² pairs), but order size is bounded by the data model (≤7 lines
@@ -2179,9 +2382,12 @@ object Analytics {
     // frames, and shuffles run at the session setting (the edge frame
     // shrinks every round, so AQE coalesces the tails). The oracle
     // replays the identical peel as a DuckDB recursive CTE run to a
-    // fixed 50 iterations — past convergence every iteration re-emits
-    // the stable core, so level 50 IS the fixpoint, and an early-emptied
-    // core leaves level 50 empty in both engines.
+    // fixed 50 (= GraphMaxRounds) iterations — past convergence every
+    // iteration re-emits the stable core, so level 50 IS the fixpoint
+    // WHENEVER the Spark side answered at all (kCoreOf throws past the
+    // same shared bound, so a >50-round pathology fails loudly instead
+    // of silently comparing against a non-fixpoint oracle level); an
+    // early-emptied core leaves level 50 empty in both engines.
     Q("graph_kcore_decompose",
       """WITH RECURSIVE
         |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -2217,6 +2423,86 @@ object Analytics {
         |ORDER BY part_id""".stripMargin) { (s, d) =>
       kCoreOf(thresholdedCopurchaseEdges(s, d, "u", "v"), k = 3)
         .select(col("node").as("part_id"), col("core_degree"))
+        .orderBy("part_id")
+    },
+
+    // Single-source SHORTEST HOPS (BFS) from the smallest part in the
+    // thresholded co-purchase graph — the classic reachability kernel
+    // next to CC/k-core: how many co-purchase steps from the anchor
+    // part to every reachable part. Frontier expansion: each round
+    // joins the (broadcast-gated, node-sized) frontier into the
+    // symmetric edge frame, dedups, anti-joins visited, checkpoints —
+    // O(E) total across rounds, integer-only. The oracle replays BFS
+    // as a recursive CTE: UNION-dedup on (node, h) pairs bounds the
+    // recursion, min(h) per node IS the BFS distance, and both sides
+    // share the 30-hop radius cap so a pathological diameter truncates
+    // identically rather than diverging.
+    Q("graph_shortest_hops",
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM p
+        |      UNION ALL SELECT pb, pa FROM p),
+        |reach AS (
+        |  SELECT (SELECT min(src) FROM e) AS node, 0 AS h
+        |  UNION
+        |  SELECT e.src, reach.h + 1 FROM e JOIN reach ON e.dst = reach.node
+        |  WHERE reach.h < 30)
+        |SELECT node AS part_id, CAST(min(h) AS BIGINT) AS hops
+        |FROM reach GROUP BY node
+        |ORDER BY part_id""".stripMargin) { (s, d) =>
+      val edges = thresholdedCopurchaseEdges(s, d, "u", "v")
+      // u < v on every thresholded edge, so min(u) is the global min
+      // node; one bounded scalar read picks the deterministic anchor
+      val srcRow = edges.agg(min(col("u"))).head
+      val src = if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0)
+      shortestHopsOf(edges, src, maxHops = 30)
+        .select(col("node").as("part_id"), col("hops"))
+        .orderBy("part_id")
+    },
+
+    // LABEL-PROPAGATION communities (5 synchronous rounds, min-label
+    // tie-break) over the thresholded co-purchase graph — the community
+    // side of the graph family next to the structural kernels. Every
+    // node starts as its own label; each round re-labels to the most
+    // frequent neighbor label (ties → smallest), all nodes in lockstep,
+    // so the fixed-round evolution is fully deterministic and the
+    // oracle replays it exactly: per iteration, neighbor-label counts
+    // GROUP BY (node, label), row_number over (count DESC, label)
+    // picks the winner. Fixed iteration count is the standard LPA
+    // stopping rule at scale (oscillation makes convergence detection
+    // a trap) — O(iters · E) total, label frames node-sized.
+    Q("graph_label_propagation",
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM p
+        |      UNION ALL SELECT pb, pa FROM p),
+        |lp AS (
+        |  SELECT 0 AS it, src AS node, src AS lbl FROM e GROUP BY src
+        |  UNION ALL
+        |  SELECT it, node, lbl FROM (
+        |    SELECT nv.it + 1 AS it, e.src AS node, nv.lbl AS lbl,
+        |      row_number() OVER (PARTITION BY e.src
+        |        ORDER BY count(*) DESC, nv.lbl) AS rn
+        |    FROM e JOIN (SELECT * FROM lp
+        |                 WHERE it = (SELECT max(it) FROM lp) AND it < 5) nv
+        |      ON e.dst = nv.node
+        |    GROUP BY nv.it, e.src, nv.lbl)
+        |  WHERE rn = 1)
+        |SELECT node AS part_id, CAST(lbl AS BIGINT) AS community_id
+        |FROM lp WHERE it = 5
+        |ORDER BY part_id""".stripMargin) { (s, d) =>
+      labelPropagationOf(thresholdedCopurchaseEdges(s, d, "u", "v"),
+          iters = 5)
+        .select(col("node").as("part_id"),
+          col("community").as("community_id"))
         .orderBy("part_id")
     },
 

@@ -115,10 +115,50 @@ object Corpus {
     // group > 65536x the smallest (the dominant group would vanish); 8
     // hex digits push that cliff past 4e9x skew, far beyond real corpora.
     df.join(broadcast(rates), groupCol)
-      .where(col("rate") >= 1.0 ||
-        substring(md5(col(idCol).cast("string")), 1, 8) <
-          lpad(lower(hex(floor(col("rate") * 4294967296L).cast("long"))),
-            8, "0"))
+      .where(md5KeepCoin(idCol))
+  }
+
+  /** The deterministic md5 keep-coin shared by the mixture operators:
+    * keep a row iff the first 8 hex digits of md5(id) fall below the
+    * row's `rate`-derived threshold (rate scaled to 32 bits). Row-local,
+    * identical in Spark and DuckDB; `rate >= 1.0` short-circuits so the
+    * full-keep group never exercises the (9-hex-digit) threshold edge.
+    */
+  private def md5KeepCoin(idCol: String): org.apache.spark.sql.Column =
+    col("rate") >= 1.0 ||
+      substring(md5(col(idCol).cast("string")), 1, 8) <
+        lpad(lower(hex(floor(col("rate") * 4294967296L).cast("long"))),
+          8, "0")
+
+  /** Frame-parametric TEMPERATURE mixture resampling (re-exported as
+    * `graft.api.Graft.temperatureMix`) — the actual LLM data-recipe
+    * operator next to [[rebalanceBy]]'s uniform equalization: group l
+    * with n_l docs keeps docs at rate ∝ n_l^(1/T - 1), normalized so the
+    * SMALLEST group keeps everything — i.e. rate_l = (n_min/n_l)^(1-1/T).
+    * T=1 keeps the natural mix, T→∞ approaches uniform equalization.
+    *
+    * T=2 (the oracled inventory setting) makes the rate
+    * sqrt(n_min/n_l): one exact-rational double division + one
+    * correctly-rounded IEEE sqrt — bit-identical cross-engine with no
+    * libm pow in sight (pow is NOT correctly rounded and may differ in
+    * the last ulp between engines; the kernel special-cases exponent
+    * 0.5 to sqrt for exactly this reason). Keep decision is the same
+    * row-local md5 coin as [[rebalanceBy]]: the corpus never shuffles —
+    * scan → broadcast join → filter, linear to 100 TB, stable under
+    * resampling.
+    */
+  private[graft] def temperatureMixOf(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String,
+      temperature: Double): org.apache.spark.sql.DataFrame = {
+    require(temperature >= 1.0, "temperatureMix: T < 1 would upsample")
+    val e = 1.0 - 1.0 / temperature
+    val ratio = min(col("docs")).over(Window.partitionBy())
+      .cast("double") / col("docs")
+    val rates = df.groupBy(groupCol).agg(count(lit(1)).as("docs"))
+      .withColumn("rate",
+        if (e == 0.5) sqrt(ratio) else pow(ratio, lit(e)))
+    df.join(broadcast(rates), groupCol)
+      .where(md5KeepCoin(idCol))
   }
 
   /** Frame-parametric linearized TF-IDF top terms (re-exported as
@@ -314,6 +354,36 @@ object Corpus {
         |GROUP BY r.lang, r.docs, r.rate
         |ORDER BY lang""".stripMargin) { (s, d) =>
       rebalanceBy(Tables.documents(s, d), "lang", "doc_id")
+        .groupBy(col("lang"), col("docs"), col("rate"))
+        .agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    },
+
+    // Temperature-based mixture resampling at T=2 — the LLM data-recipe
+    // move (multilingual pretraining mixes are temperature-sampled, not
+    // equalized): every language keeps docs at rate sqrt(n_min/n_l), so
+    // big languages are tempered, not truncated to the smallest. The
+    // rate is one exact-rational division + one correctly-rounded IEEE
+    // sqrt (bit-identical cross-engine — deliberately NOT libm pow);
+    // the keep decision is the same row-local md5 coin as
+    // corpus_mix_rebalance, so the corpus-side plan is still scan →
+    // broadcast join → filter with no corpus shuffle.
+    Q("corpus_mix_temperature",
+      """WITH rates AS (
+        |  SELECT lang, count(*) AS docs,
+        |    sqrt(CAST(min(count(*)) OVER () AS DOUBLE) / count(*)) AS rate
+        |  FROM documents GROUP BY lang)
+        |SELECT r.lang AS lang, r.docs, r.rate AS rate,
+        |  count(*) AS kept
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE r.rate >= 1.0
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296) AS BIGINT))),
+        |             8, '0')
+        |GROUP BY r.lang, r.docs, r.rate
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      temperatureMixOf(Tables.documents(s, d), "lang", "doc_id",
+          temperature = 2.0)
         .groupBy(col("lang"), col("docs"), col("rate"))
         .agg(count(lit(1)).as("kept"))
         .orderBy("lang")

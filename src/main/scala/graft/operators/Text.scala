@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.{chunks, winnow_fingerprint, word_ngrams}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus (north-star
@@ -139,6 +140,51 @@ object Text {
       |    LIMIT 1) best
       |  WHERE b.it = (SELECT max(it) FROM bpe) AND b.it < 20)""".stripMargin
 
+  /** Frame-parametric SENTENCE-BOUNDARY chunking (re-exported as
+    * `graft.api.Graft.sentenceChunks`) — the chunking real RAG ingest
+    * uses, next to the fixed-width `chunks` baseline: split each doc's
+    * `text` into sentences on `splitPattern` (a terminator regex), then
+    * pack whole sentences greedily into ~`target`-char chunks by
+    * cumulative character offset, with a one-sentence overlap carried
+    * from the previous chunk (the standard retrieval-context trick so a
+    * sentence's antecedent survives the chunk boundary).
+    *
+    * Packing is chunk_idx = (chars before this sentence) div target —
+    * a closed form over the per-doc running sum, so the whole operator
+    * is scan → ONE doc-keyed window shuffle → per-chunk aggregate →
+    * per-doc lag window (same Exchange reused), never a sequential
+    * driver loop. Assembly order inside a chunk is pinned by the
+    * sentence index (array_sort on (i, s) structs); the overlap
+    * sentence is max_by(s, i) — all deterministic, no collation in
+    * play. Returns (doc_id, chunk_idx, chunk, n_sentences, n_chars).
+    */
+  private[graft] def sentenceChunksOf(docs: DataFrame, splitPattern: String,
+      target: Int): DataFrame = {
+    val sent = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), splitPattern)).as(Seq("p", "s")))
+      .where(col("s") =!= "")
+      .select(col("doc_id"), (col("p") + lit(1)).as("i"), col("s"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pos = sent
+      .withColumn("cum",
+        coalesce(sum(length(col("s")) + 1).over(w), lit(0L)))
+      .withColumn("chunk_idx", expr(s"cum div $target"))
+    val ch = pos.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sentences"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("s")))),
+            x => x.getField("s")), " ").as("body"),
+        max_by(col("s"), col("i")).as("last_s"))
+    val w2 = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    ch.withColumn("chunk",
+        concat(coalesce(concat(lag(col("last_s"), 1).over(w2), lit(" ")),
+          lit("")), col("body")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        col("n_sentences"), length(col("chunk")).as("n_chars"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     Q("text_tokenize_stats",
@@ -156,6 +202,8 @@ object Text {
 
     // Chunking: 100-char windows, 20-char overlap (stride 80). The oracle
     // reproduces the window arithmetic with generate_series + substr.
+    // (text_chunk_sentences below is the sentence-boundary upgrade real
+    // RAG ingest uses; this fixed-width variant stays as the baseline.)
     Q("text_chunk",
       """SELECT doc_id, i AS chunk_idx, substr(text, i * 80 + 1, 100) AS chunk
         |FROM (
@@ -168,6 +216,50 @@ object Text {
       Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(chunks(col("text"), 100, 20)).as(Seq("chunk_idx", "chunk")))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // SENTENCE-BOUNDARY chunking into ~120-char chunks with a
+    // one-sentence overlap. The synthetic corpus has no punctuation, so
+    // the query first derives a punctuated twin deterministically —
+    // every 'row' token gets a '.' suffix via the SAME regexp_replace on
+    // both engines (RE2 and Java agree on \b and non-overlapping global
+    // replace) — then chunks at '. ' boundaries. The packing arithmetic,
+    // in-chunk assembly order, and lag-carried overlap are replayed
+    // verbatim in the oracle; every derived value is integer or plain
+    // string concat, so the hash-compare is exact.
+    Q("text_chunk_sentences",
+      """WITH pt AS (
+        |  SELECT doc_id, regexp_replace(text, '\brow\b', 'row.', 'g') AS t
+        |  FROM documents),
+        |sent AS (
+        |  SELECT doc_id, i, x.parts[i] AS s
+        |  FROM (SELECT doc_id, string_split(t, '. ') AS parts FROM pt) x,
+        |       unnest(generate_series(1, len(x.parts))) AS g(i)
+        |  WHERE x.parts[i] <> ''),
+        |pos AS (
+        |  SELECT doc_id, i, s,
+        |    CAST(COALESCE(sum(length(s) + 1) OVER (PARTITION BY doc_id
+        |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) // 120 AS chunk_idx
+        |  FROM sent),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx, count(*) AS n_sentences,
+        |    string_agg(s, ' ' ORDER BY i) AS body,
+        |    arg_max(s, i) AS last_s
+        |  FROM pos GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT doc_id, chunk_idx, n_sentences,
+        |    COALESCE(lag(last_s) OVER (PARTITION BY doc_id
+        |      ORDER BY chunk_idx) || ' ', '') || body AS chunk
+        |  FROM ch)
+        |SELECT doc_id, chunk_idx, chunk, n_sentences,
+        |  length(chunk) AS n_chars
+        |FROM fin ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      sentenceChunksOf(
+        Tables.documents(s, d).select(col("doc_id"),
+          regexp_replace(col("text"), "\\brow\\b", "row.").as("text")),
+        "\\. ", target = 120)
         .orderBy("doc_id", "chunk_idx")
     },
 

@@ -222,6 +222,45 @@ class AnalyticsSpec extends SparkSuite {
     assert(got == joined, s"window=$got join=$joined")
   }
 
+  test("linear attribution == brute-force per-purchase share recount") {
+    // the query counts qualifying touches with RANGE-frame windows and
+    // sums exact scaled-integer shares; re-derive from first principles
+    // on collected events with the purchase-local counting loop
+    val SC = 1000000000000L
+    val LB = 86400000000L
+    val ev = Tables.events(SparkSpec.spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var vSum, cSum = BigInt(0)
+    var none = 0L
+    var nConv = 0L
+    byUser.values.foreach { es =>
+      es.filter(_._2 == "purchase").foreach { case (_, _, pt) =>
+        nConv += 1
+        val q = es.filter(e => e._3 >= pt - LB && e._3 <= pt - 1)
+        val nv = q.count(_._2 == "view").toLong
+        val nc = q.count(_._2 == "click").toLong
+        val n = nv + nc
+        if (n == 0) none += 1
+        else {
+          vSum += nv * SC / n
+          cSum += nc * SC / n
+        }
+      }
+    }
+    val r = SparkEntry.queries("attribution_linear")(spark, sf).collect()(0)
+    assert(r.getDouble(0) == BigDecimal(vSum).toDouble / 1.0e12, "view")
+    assert(r.getDouble(1) == BigDecimal(cSum).toDouble / 1.0e12, "click")
+    assert(r.getDouble(2) == none.toDouble, "none")
+    assert(r.getLong(3) == nConv, "n_conversions")
+    // shares are a conserved quantity: truncation loses < 2 ulp-scaled
+    // units per crediting conversion, nothing more
+    val total = r.getDouble(0) + r.getDouble(1) + r.getDouble(2)
+    assert(total <= nConv + 1e-9 &&
+      total >= nConv - 2.0e-12 * nConv - 1e-9, s"credit total $total")
+  }
+
   test("sliding median == brute force over every 7-row frame") {
     val rows = SparkEntry.queries("win_sliding_median")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -580,6 +580,70 @@ class ApiSpec extends SparkSuite {
     assert(top == Map("g1" -> "apple", "g2" -> "common"), top.toString)
   }
 
+  test("shortestHops frontier walk + labelPropagation planted communities") {
+    import spark.implicits._
+    // path 1-2-3-4 with branch 2-5; component {9,10} unreachable
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (9L, 10L))
+      .toDF("u", "v")
+    val hops = Graft.shortestHops(e, source = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 2L),
+      hops.toString)
+    // radius cap truncates the walk, never relabels it
+    val capped = Graft.shortestHops(e, source = 1L, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L), capped.toString)
+
+    // two planted triangles bridged by 3-5: sync LPA with min-label
+    // tie-break settles each triangle on its own community (traced by
+    // hand: {1,2,3} -> 1 by round 2; {5,6,7} -> 3 by round 4)
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (3L, 5L)).toDF("u", "v")
+    val comm = Graft.labelPropagation(tri, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 3L, 6L -> 3L, 7L -> 3L), comm.toString)
+  }
+
+  test("sentenceChunks/linearTouch/temperatureMix on caller frames") {
+    import spark.implicits._
+    // 4 sentences of 4 chars; cum offsets 0,5,10,15; target 10 packs
+    // two per chunk; chunk 1 carries "bbbb" as the overlap sentence
+    val docs = Seq((1L, "aaaa. bbbb. cccc. dddd")).toDF("doc_id", "text")
+    val ch = Graft.sentenceChunks(docs, "\\. ", target = 10)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4)))
+    assert(ch.toSeq == Seq((0L, "aaaa bbbb", 2L, 9),
+      (1L, "bbbb cccc dddd", 2L, 14)), ch.toSeq.toString)
+
+    // u1: purchase with 1 view + 1 click -> half credit each; u2:
+    // purchase with nothing in lookback -> none; u3: 2 views only
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 150L), (1L, "purchase", 200L),
+      (2L, "purchase", 1000L), (2L, "view", 1000L), // tie ts: not prior
+      (3L, "view", 10L), (3L, "view", 20L), (3L, "purchase", 30L)
+    ).toDF("u", "t", "tus")
+    val att = Graft.linearTouch(ev, "u", "t", "tus",
+      Seq("view", "click"), "purchase", lookbackMicros = 500L).collect()(0)
+    assert(att.getDouble(0) == 1.5, "view: 0.5 + 1.0")
+    assert(att.getDouble(1) == 0.5, "click")
+    assert(att.getDouble(2) == 1.0, "none")
+    assert(att.getLong(3) == 3L, "n_conversions")
+
+    // T=2 on an 8:2 mix: big group's rate is sqrt(2/8) = 0.5 exactly
+    val mix = Seq.tabulate(8)(i => ("big", i.toLong)) ++
+      Seq(("small", 100L), ("small", 101L))
+    val rates = Graft.temperatureMix(mix.toDF("lang", "doc_id"),
+        "lang", "doc_id", temperature = 2.0)
+      .select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") == 1.0, rates.toString)
+    assert(rates.get("big").forall(_ == 0.5), rates.toString)
+    intercept[IllegalArgumentException] {
+      Graft.temperatureMix(mix.toDF("lang", "doc_id"), "lang", "doc_id", 0.5)
+    }
+  }
+
   test("funnelAny: later-anchor chains convert; gaps and order still bind") {
     import spark.implicits._
     val H = 3600000000L

@@ -194,6 +194,25 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("corpus_mix_temperature: T=2 rates are sqrt(min/n), tempered not truncated") {
+    val rows = SparkEntry.queries("corpus_mix_temperature")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val nLangs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(rows.length == nLangs)
+    val minDocs = rows.map(_._2).min
+    rows.foreach { case (lang, docs, rate, kept) =>
+      // bit-exact closed form: one division + one IEEE sqrt
+      assert(rate == math.sqrt(minDocs.toDouble / docs), s"$lang rate")
+      // temperature keeps MORE than equalization: sqrt(r) >= r for r in [0,1]
+      assert(rate >= minDocs.toDouble / docs, s"$lang tempered below uniform")
+      assert(kept <= docs, s"$lang kept > docs")
+      if (docs == minDocs) assert(kept == docs, s"min lang $lang must keep all")
+      val expect = docs * rate
+      val tol = 4 * math.sqrt(expect max 1.0) + 1
+      assert(math.abs(kept - expect) <= tol, s"$lang kept=$kept expect=$expect")
+    }
+  }
+
   test("tfidf top terms == brute-force recomputation per source") {
     val docs = Tables.documents(SparkSpec.spark, sf)
       .select(col("doc_id"), col("source"), col("text"))

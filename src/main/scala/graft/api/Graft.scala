@@ -674,16 +674,19 @@ object Graft {
     * approx=false: `ntile(5)` over three global orderings (exact equal-
     * width quintiles; three single-partition sorts over O(users) rows).
     * approx=true: the 100×-user route — quintile boundaries from one
-    * mergeable `approx_percentile` sketch per metric, scored map-side
-    * against the broadcast boundaries; no global sort, with ties landing
-    * in one bucket instead of being force-split (scores can differ from
-    * ntile by ±1 at bucket boundaries).
+    * mergeable aggregate per metric, scored map-side against the
+    * broadcast boundaries; no global sort, with ties landing in one
+    * bucket instead of being force-split (scores can differ from
+    * ntile by ±1 at bucket boundaries). The boundary estimator is the
+    * `approx_percentile` sketch (fixed memory, unbounded cardinality)
+    * or, with disc=true, EXACT `percentile_disc` boundaries — fully
+    * deterministic, memory O(distinct metric values).
     */
   def rfmScores(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, valueCol: String,
-      approx: Boolean = false): DataFrame =
+      approx: Boolean = false, disc: Boolean = false): DataFrame =
     graft.operators.Analytics.rfmScoresOf(
-      events, userCol, tsCol, typeCol, valueCol, exact = !approx)
+      events, userCol, tsCol, typeCol, valueCol, exact = !approx, disc)
 
   /** Recall@k audit of ANY candidate search result against the exact
     * scan: `candidates` carries (probe_id, id) rows from whatever index

@@ -604,15 +604,20 @@ object Analytics {
     * exact=true: `ntile(5)` over three GLOBAL orderings — three
     * single-partition sorts over O(users) rows (fine at a bounded user
     * domain, the scale watch-item at 100×). exact=false: quintile
-    * boundaries from one mergeable `approx_percentile` sketch per metric,
-    * scored map-side against the broadcast boundaries — no global sort
-    * anywhere; ties land in one bucket instead of being force-split, so
-    * scores can differ from ntile by ±1 around boundaries.
+    * boundaries scored map-side against one broadcast boundary row —
+    * no global sort anywhere; ties land in one bucket instead of being
+    * force-split, so scores can differ from ntile by ±1 around
+    * boundaries. The boundary estimator is `approx_percentile` (fixed-
+    * size mergeable sketch, the unbounded-cardinality route) or, with
+    * disc=true, `percentile_disc` — EXACT standard-SQL quantile
+    * boundaries from a mergeable counts-map aggregate (memory O(distinct
+    * metric values), bounded here by the user-level domain), which makes
+    * the whole no-global-sort path deterministic and oracle-able.
     * Returns (user, r_score, f_score, m_score).
     */
   private[graft] def rfmScoresOf(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, valueCol: String,
-      exact: Boolean): DataFrame = {
+      exact: Boolean, disc: Boolean = false): DataFrame = {
     val pu = events.where(col(typeCol) === "purchase")
       .groupBy(col(userCol).as("user"))
       .agg(max(unix_micros(col(tsCol))).as("last_tus"),
@@ -634,13 +639,18 @@ object Analytics {
       // all three ntiles order ASC (small gap = recent = r_score 1), so
       // every score is 1 + the number of quintile boundaries below the
       // metric value
-      val bs = m.agg(
-        expr("approx_percentile(recency_gap, array(0.2,0.4,0.6,0.8), 10000)")
-          .as("__rb"),
-        expr("approx_percentile(freq, array(0.2,0.4,0.6,0.8), 10000)")
-          .as("__fb"),
-        expr("approx_percentile(monetary, array(0.2,0.4,0.6,0.8), 10000)")
-          .as("__mb"))
+      def discB(c: String) = array((1 to 4).map(i =>
+        expr(s"percentile_disc(0.${2 * i}) WITHIN GROUP (ORDER BY $c)")): _*)
+      val bs =
+        if (disc) m.agg(discB("recency_gap").as("__rb"),
+          discB("freq").as("__fb"), discB("monetary").as("__mb"))
+        else m.agg(
+          expr("approx_percentile(recency_gap, array(0.2,0.4,0.6,0.8), 10000)")
+            .as("__rb"),
+          expr("approx_percentile(freq, array(0.2,0.4,0.6,0.8), 10000)")
+            .as("__fb"),
+          expr("approx_percentile(monetary, array(0.2,0.4,0.6,0.8), 10000)")
+            .as("__mb"))
       m.crossJoin(broadcast(bs)).select(col("user"),
         expr("1 + aggregate(__rb, 0, (a, b) -> a + IF(recency_gap > b, 1, 0))")
           .as("r_score"),
@@ -2250,6 +2260,65 @@ object Analytics {
         ntile(5).over(Window.orderBy(col("monetary"), col("user_id")))
           .as("m_score"))
       scored.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+
+    // The 100×-SAFE RFM route, correctness-gated: same per-user metrics
+    // as events_rfm_segments, but scored against EXACT percentile_disc
+    // quintile boundaries broadcast from one mergeable counts-map
+    // aggregate — NO global ntile sort anywhere in the plan (PlanSpec
+    // asserts no Window operator). percentile_disc = smallest value
+    // with cume_dist >= p in both engines, each boundary an actual
+    // element of the metric domain, so the comparison chain is
+    // bit-exact; score = 1 + #boundaries strictly below the metric,
+    // which differs from ntile only in tie handling (ties share a
+    // bucket instead of being force-split). At unbounded metric
+    // cardinality the same plan swaps percentile_disc for the
+    // approx_percentile sketch (rfmScoresOf disc=false).
+    Q("events_rfm_approx",
+      """WITH pu AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_tus,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT max(last_tus) AS mt FROM pu),
+        |m AS (SELECT user_id, mt - last_tus AS recency_gap, freq, monetary
+        |      FROM pu, mx),
+        |bs AS (SELECT
+        |  quantile_disc(recency_gap, 0.2) AS r1,
+        |  quantile_disc(recency_gap, 0.4) AS r2,
+        |  quantile_disc(recency_gap, 0.6) AS r3,
+        |  quantile_disc(recency_gap, 0.8) AS r4,
+        |  quantile_disc(freq, 0.2) AS f1, quantile_disc(freq, 0.4) AS f2,
+        |  quantile_disc(freq, 0.6) AS f3, quantile_disc(freq, 0.8) AS f4,
+        |  quantile_disc(monetary, 0.2) AS m1,
+        |  quantile_disc(monetary, 0.4) AS m2,
+        |  quantile_disc(monetary, 0.6) AS m3,
+        |  quantile_disc(monetary, 0.8) AS m4
+        |  FROM m),
+        |scored AS (
+        |  SELECT user_id,
+        |    1 + CASE WHEN recency_gap > r1 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency_gap > r2 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency_gap > r3 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency_gap > r4 THEN 1 ELSE 0 END AS r_score,
+        |    1 + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > f3 THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > f4 THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > m3 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > m4 THEN 1 ELSE 0 END AS m_score
+        |  FROM m, bs)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM scored GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, d) =>
+      rfmScoresOf(Tables.events(s, d), "user_id", "ts", "event_type",
+          "value", exact = false, disc = true)
+        .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("r_score", "f_score", "m_score")
     },

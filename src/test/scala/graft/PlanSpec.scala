@@ -254,6 +254,12 @@ class PlanSpec extends SparkSuite {
     assert(!rp.contains("Window"), rp.take(2500))
     assert(rp.contains("BroadcastNestedLoopJoin") || rp.contains("Broadcast"),
       rp.take(2500))
+    // the ORACLED disc-boundary inventory query keeps the same shape:
+    // no global ntile sort, boundaries broadcast
+    val dp = planString("events_rfm_approx")
+    assert(!dp.contains("Window"), dp.take(2500))
+    assert(dp.contains("BroadcastNestedLoopJoin") || dp.contains("Broadcast"),
+      dp.take(2500))
   }
 
   test("dedup_keep_best reuses ONE md5 shuffle for both window functions") {

@@ -102,7 +102,8 @@ object Tables {
       name: String, schema: StructType, path: String): Unit =
     assertContract(name, schema, path)
 
-  /** Top-level columns the parquet FOOTER declares TIMESTAMP(NANOS).
+  /** Columns (at ANY nesting depth, dotted paths) the parquet FOOTER
+    * declares TIMESTAMP(NANOS), swept across the whole file tree.
     *
     * The `nanosAsLong` legacy conf is necessarily session-wide (no
     * per-read parquet option exists) and must stay on for events-query
@@ -121,30 +122,52 @@ object Tables {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     // directory-shaped tables: inspect EVERY part-file (a mixed-writer
-    // dir can carry nanos in one part and µs in another), capped at 64
-    // footers — fixtures are single-digit part counts; a genuinely
-    // file-heavy deployment would hoist this into its catalog checks
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter(f => f.getName.endsWith(".parquet"))
-          .sortBy(_.getName).take(64).toSeq
-      else Seq(p)
+    // dir can carry nanos in one part and µs in another), RECURSING into
+    // subdirectories so a drift to a partitioned (key=value subdir)
+    // layout is still swept, capped at 64 footers — fixtures are
+    // single-digit part counts; a genuinely file-heavy deployment would
+    // hoist this into its catalog checks
+    def collect(p0: HPath): Seq[HPath] = {
+      if (fs.getFileStatus(p0).isDirectory)
+        fs.listStatus(p0).sortBy(_.getPath.getName).toSeq.flatMap { c =>
+          if (c.isDirectory) collect(c.getPath)
+          else if (c.getPath.getName.endsWith(".parquet")) Seq(c.getPath)
+          else Nil
+        }
+      else Seq(p0)
+    }
+    val files = collect(p).take(64)
+    import scala.jdk.CollectionConverters._
     files.flatMap { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-      try {
-        import scala.jdk.CollectionConverters._
-        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-          .filter { fld =>
-            Option(fld.getLogicalTypeAnnotation).exists {
-              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-              case _ => false
-            }
-          }.map(_.getName).toSeq
-      } finally reader.close()
+      try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .toSeq.flatMap(fld => nanosFields(fld, ""))
+      finally reader.close()
     }.distinct
+  }
+
+  /** Dotted paths of every TIMESTAMP(NANOS) primitive under `t`,
+    * descending into group types: a nanos field nested inside a
+    * struct/list/map rides the same session-wide coercion as a
+    * top-level one, so it must trip the same wire (the dotted path
+    * makes the drift error point at the exact field).
+    */
+  private[graft] def nanosFields(t: org.apache.parquet.schema.Type,
+      prefix: String): Seq[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val name = if (prefix.isEmpty) t.getName else s"$prefix.${t.getName}"
+    if (t.isPrimitive) {
+      val isNanos = Option(t.getLogicalTypeAnnotation).exists {
+        case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          a.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      }
+      if (isNanos) Seq(name) else Nil
+    } else
+      t.asGroupType().getFields.asScala.toSeq
+        .flatMap(f => nanosFields(f, name))
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -348,42 +348,49 @@ object Dedup {
     // smaller than the corpus (sf0.1 co-purchase: 3.6k edges), and an
     // O(log n)-round kernel at the session's partition count pays
     // (rounds × partitions) near-empty tasks of pure fixed overhead.
-    // ~50k edges per partition, floored at 8 for spread, capped at the
-    // session setting so a genuinely large graph keeps its configured
-    // parallelism — this is the same size-to-data rule the streaming
+    // ~50k edges per partition (no floor: a residual graph that fits one
+    // partition runs one task per stage, which is exactly what AQE's
+    // coalescing produced under the old session-conf scoping), capped at
+    // the session setting so a genuinely large graph keeps its
+    // configured parallelism — the same size-to-data rule the streaming
     // state stores apply, applied to an iterative batch kernel. The
     // count is a cheap scan of the just-checkpointed in-memory blocks.
-    // CONTRACT: the scoping is a session-conf save/restore, so the
-    // kernel is not safe for CONCURRENT callers of one SparkSession
-    // (racing restores could strand the session at the reduced count),
-    // and unrelated queries planned on the session DURING the rounds
-    // plan at the kernel's partition count — same single-caller
-    // assumption as the bench/driver's strictly sequential execution.
+    // Scoping is PER-PLAN: each round frame carries an explicit
+    // repartition(kernelParts, keys) whose Exchange the downstream
+    // aggregate/join reuses (hash(keys, n) satisfies their clustered
+    // distributions) — the sizing rides the kernel's own shuffles and
+    // nothing leaks into the session: concurrent callers and unrelated
+    // queries plan untouched (ADVICE r14).
     val sess = pairs.sparkSession
     val sessionParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
-    val kernelParts = math.max(8, math.min(sessionParts,
-      (edges.count() / 50000L + 1L).toInt))
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    if (kernelParts < sessionParts)
-      sess.conf.set("spark.sql.shuffle.partitions", kernelParts.toString)
-    try {
+    val kernelParts = math.min(sessionParts,
+      (edges.count() / 50000L + 1L).toInt)
     var converged = false
     var it = 0
+    // dev hook: GRAFT_DEBUG_ROUNDS=1 prints per-round star/check walls
+    val dbg = sys.env.contains("GRAFT_DEBUG_ROUNDS")
     while (!converged && it < maxRounds) {
+      val tDbgR = if (dbg) System.nanoTime() else 0L
       // large-star: for each node u over its full neighborhood (both
       // orientations), attach strictly-larger neighbors to min(nbr, u)
       val nbrs = edges
         .union(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(kernelParts, col("u"))
       val mins = nbrs.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
       // NOT checkpointed: its two consumers below land in ONE job, where
       // the trailing distinct's Exchange is reused (ReusedExchange), so
       // pinning it here would only add a materialization job per round
+      // NOT deduped mid-round (one Exchange fewer per round): duplicate
+      // (u, m) rows — two neighbors of u sharing a min — are harmless,
+      // since min() below is duplicate-insensitive and the trailing
+      // small.distinct() re-canonicalizes the round's output; row count
+      // stays ≤ |E| either way (one row per swapped-orientation nbr)
       val large = nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
+        .repartition(kernelParts, col("u"))
       // small-star: orient high->low, attach smaller-or-equal neighbors
       // (and u itself) to the minimum of the closed neighborhood
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
@@ -394,6 +401,7 @@ object Dedup {
             struct(col("u").as("u"), col("m").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .where(col("u") =!= col("v"))
+        .repartition(kernelParts, col("u"), col("v"))
         .distinct()
         .localCheckpoint(true)
       // fixed point (BOTH required — see scaladoc): one target per
@@ -405,27 +413,25 @@ object Dedup {
       // round-overhead-dominated sizes the job shape per round IS the
       // cost, not the rows.
       edges = small
+      val tDbg0 = if (dbg) System.nanoTime() else 0L
       val roles = edges.select(col("u").as("n"), lit(1L).as("s"),
           lit(0L).as("t"))
         .unionAll(edges.select(col("v").as("n"), lit(0L).as("s"),
           lit(1L).as("t")))
+        .repartition(kernelParts, col("n"))
       val violations = roles.groupBy("n")
         .agg(sum(col("s")).as("s"), sum(col("t")).as("t"))
         .where(col("s") > 1 || (col("s") >= 1 && col("t") >= 1))
       converged = violations.isEmpty
       it += 1
+      if (dbg)
+        System.err.println(f"[collapse] round $it stars=${(tDbg0 - tDbgR) / 1e9}%.3f viol=${(System.nanoTime() - tDbg0) / 1e9}%.3f")
     }
     if (!converged)
       throw new IllegalStateException(
         s"collapseClustersLogN did not stabilize in $maxRounds rounds " +
           "(expected O(log n)); the pair graph is adversarial or maxRounds " +
           "is set too low.")
-    } finally {
-      // restore BEFORE the (lazy) final label join plans: only the
-      // eager per-round jobs above run at the kernel's partition count
-      if (kernelParts < sessionParts)
-        sess.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
     // depth-1 stars: u -> component min; roots label themselves
     nodes.join(edges.select(col("u").as("doc_id"), col("v").as("cid")),
         Seq("doc_id"), "left")

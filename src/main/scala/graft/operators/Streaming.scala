@@ -53,7 +53,7 @@ object Streaming {
     */
   case class EvRef(tsUs: Long, event_id: Long)
   case class RecencyOut(user_id: Long, n_seen: Long, last3: String,
-      type_counts: String)
+      type_counts: String, snap_ms: Long)
 
   /** Per-user recency profile on transformWithState, exercising the state
     * variables the other processors don't (VERDICT r13): a `ListState`
@@ -64,8 +64,13 @@ object Streaming {
     * per row), and BOTH carry a processing-time TTL: a user silent for
     * `ttl` drops out of the store entirely, which is how a 100 TB
     * deployment bounds state for ever-growing key domains. Emits the
-    * running (n_seen, last-K, counts) snapshot per batch; n_seen is
-    * strictly increasing, so the final snapshot per user is the max_by.
+    * running (n_seen, last-K, counts) snapshot per batch, stamped with
+    * the batch's processing time (`snap_ms`): that stamp, not n_seen,
+    * is the final-snapshot pick key — n_seen (the sum of SURVIVING map
+    * counts) can decrease across batches under partial TTL expiry
+    * (ListState TTL re-arms on every put of the whole list, MapState
+    * TTL per map key, so the two expire independently), while the
+    * batch timestamp is monotonic regardless of what expired.
     */
   class RecencyProcessor(k: Int, ttl: java.time.Duration)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -100,7 +105,8 @@ object Streaming {
       val snap = counts.iterator().toSeq.sortBy(_._1)
       Iterator(RecencyOut(key, snap.map(_._2).sum,
         top.map(_.event_id).mkString(","),
-        snap.map { case (t, n) => s"$t:$n" }.mkString(",")))
+        snap.map { case (t, n) => s"$t:$n" }.mkString(","),
+        timerValues.getCurrentProcessingTimeInMs()))
     }
   }
 
@@ -729,16 +735,18 @@ object Streaming {
             new RecencyProcessor(3, java.time.Duration.ofHours(1)),
             org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
             OutputMode.Update())
-          .toDF("user_id", "n_seen", "last3", "type_counts")
+          .toDF("user_id", "n_seen", "last3", "type_counts", "snap_ms")
         // Trigger.Once, not AvailableNow: processing-time TTL keeps
         // shouldRunAnotherBatch true forever (see runToTableOnce)
         val out = Streams.runToTableOnce(updates, "update",
           statePartitions = 2)
-        // n_seen strictly increases per user, so max_by picks the final
-        // snapshot even if a source ever split the pass into batches
-        out.groupBy("user_id").agg(max("n_seen").as("n_seen"),
-            max_by(col("last3"), col("n_seen")).as("last3"),
-            max_by(col("type_counts"), col("n_seen")).as("type_counts"))
+        // the batch-timestamp stamp, not n_seen, picks the final
+        // snapshot: it increases across batches even under partial TTL
+        // expiry, where n_seen (surviving-count sum) can decrease
+        out.groupBy("user_id")
+          .agg(max_by(col("n_seen"), col("snap_ms")).as("n_seen"),
+            max_by(col("last3"), col("snap_ms")).as("last3"),
+            max_by(col("type_counts"), col("snap_ms")).as("type_counts"))
           .orderBy("user_id")
       } finally prevProvider match {
         case Some(p) =>

@@ -63,4 +63,29 @@ class FixtureSchemaSpec extends SparkSuite {
     assert(ex.getMessage.contains("'r_name'"))
     assert(ex.getMessage.contains("missing"))
   }
+
+  test("nanos footer sweep descends into nested group types") {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.Type.Repetition
+    def ts(name: String, unit: LogicalTypeAnnotation.TimeUnit): PrimitiveType =
+      Types.primitive(PrimitiveTypeName.INT64, Repetition.OPTIONAL)
+        .as(LogicalTypeAnnotation.timestampType(true, unit))
+        .named(name)
+    val msg = Types.buildMessage()
+      .addField(ts("top_us", LogicalTypeAnnotation.TimeUnit.MICROS))
+      .addField(ts("top_ns", LogicalTypeAnnotation.TimeUnit.NANOS))
+      .addField(Types.optionalGroup()
+        .addField(ts("inner_us", LogicalTypeAnnotation.TimeUnit.MICROS))
+        .addField(Types.optionalGroup()
+          .addField(ts("deep_ns", LogicalTypeAnnotation.TimeUnit.NANOS))
+          .named("lvl2"))
+        .named("meta"))
+      .named("root")
+    import scala.jdk.CollectionConverters._
+    val hits = msg.getFields.asScala.toSeq
+      .flatMap(f => Tables.nanosFields(f, ""))
+    // the nested hit surfaces with its full dotted path; µs fields don't
+    assert(hits == Seq("top_ns", "meta.lvl2.deep_ns"), hits.toString)
+  }
 }

@@ -530,6 +530,21 @@ object Graft {
     graft.operators.Analytics.linearTouchOf(events, userCol, typeCol,
       tsMicrosCol, touchTypes, convType, lookbackMicros)
 
+  /** Position-based (U-shaped) attribution: per `convType` event, the
+    * first and last qualifying touches in the lookback get 40% of one
+    * credit unit each and the middle touches split the remaining 20%
+    * equally (one touch → 100%, two → 50/50, none → 'none' in full).
+    * Same output shape, shuffle discipline, and exact scaled-integer
+    * credit arithmetic as [[linearTouch]]. `tsMicrosCol` must be
+    * non-negative; microsecond ties at the first/last position resolve
+    * by touch-type name (documented model choice).
+    */
+  def positionTouch(events: DataFrame, userCol: String, typeCol: String,
+      tsMicrosCol: String, touchTypes: Seq[String],
+      convType: String, lookbackMicros: Long): DataFrame =
+    graft.operators.Analytics.positionTouchOf(events, userCol, typeCol,
+      tsMicrosCol, touchTypes, convType, lookbackMicros)
+
   /** Exact sliding median of `valueCol` over the last `preceding`+1 rows
     * per `partCol`, ordered by `ordCols` (include a unique tie-break).
     * Adds column `med`; even counts interpolate as (lo+hi)·0.5. State is
@@ -798,6 +813,26 @@ object Graft {
       uCol: String = "u", vCol: String = "v"): DataFrame =
     graft.operators.Analytics.shortestHopsOf(
       canonicalEdges(edges, uCol, vCol), source, maxHops)
+
+  /** K-hop-bounded weighted shortest cost over an undirected weighted
+    * edge frame: (node, cost) of the cheapest ≤`rounds`-edge path from
+    * `source` (exactly `rounds` synchronous Bellman-Ford relaxations —
+    * pick `rounds` from the expected diameter for full SSSP); nodes
+    * not reached within the budget are absent. Costs must be
+    * non-negative; duplicate/symmetric representations of one edge
+    * collapse to their MINIMUM cost, self-loops drop. Per round: one
+    * dist⋈edges join (dist node-sized, broadcast-gated) + a
+    * min-combine — O(rounds · E), integer-exact when costs are.
+    */
+  def shortestCost(edges: DataFrame, source: Long, rounds: Int = 10,
+      uCol: String = "u", vCol: String = "v",
+      costCol: String = "cost"): DataFrame =
+    graft.operators.Analytics.shortestCostOf(
+      edges.select(greatest(col(uCol), col(vCol)).as("u"),
+          least(col(uCol), col(vCol)).as("v"), col(costCol).as("cost"))
+        .where(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true), source, rounds)
 
   /** Synchronous label-propagation communities over an undirected edge
     * frame: exactly `iters` lockstep rounds, each re-labeling every

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.word_ngrams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -398,6 +398,71 @@ object Analytics {
       sum(when(col("__n") > 0,
           expr(s"(__n_$t * ${SC}L) div __n").cast("decimal(38,0)"))
         .otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("double").divide(lit(1.0e12)).as(s"${t}_credit")
+    } ++ Seq(
+      sum(when(col("__n") === 0, lit(1).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("double").as("none_credit"),
+      count(lit(1)).as("n_conversions"))
+    conv.agg(creditCols.head, creditCols.tail: _*)
+  }
+
+  /** Frame-parametric POSITION-BASED (U-shaped) attribution (re-exported
+    * as `graft.api.Graft.positionTouch`) — the third industry-standard
+    * model beside [[lastTouchOf]] and [[linearTouchOf]]: with n
+    * qualifying touches, the FIRST and LAST get 40% each and the middle
+    * n-2 split the remaining 20% equally (n=1 → 100%, n=2 → 50/50,
+    * none → 'none' in full).
+    *
+    * Same ONE user-keyed shuffle, same RANGE-frame counting as linear.
+    * First/last touch are picked deterministically even under timestamp
+    * ties: the frame min/max of the STRING `lpad(ts, 20, '0') || type`
+    * (aggregate min/max ignore the NULLs of non-touch rows, digits and
+    * ASCII type names compare bytewise identically in both engines, and
+    * ties at one microsecond resolve by type name — a documented model
+    * choice, not an engine accident). Requires a non-negative
+    * `tsMicrosCol` (the zero-pad keeps numeric and lexicographic order
+    * aligned). Credit arithmetic is the exact scaled-integer scheme of
+    * [[linearTouchOf]]: 40% = 4e11 units exactly, the middle pool is
+    * `2e11 div (n-2)` per middle touch (positive integer division, the
+    * sub-n·1e-12 remainder stays unallocated — both engines truncate
+    * identically), sums are DECIMAL(38,0), one double division per
+    * output cell.
+    */
+  private[graft] def positionTouchOf(events: DataFrame, userCol: String,
+      typeCol: String, tsMicrosCol: String, touchTypes: Seq[String],
+      convType: String, lookbackMicros: Long): DataFrame = {
+    val SC = 1000000000000L
+    val w = Window.partitionBy(userCol).orderBy(col(tsMicrosCol))
+      .rangeBetween(-lookbackMicros, -1)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val key = concat(lpad(col(tsMicrosCol).cast("string"), 20, "0"),
+      col(typeCol))
+    val counted = touchTypes.foldLeft(events) { (df, t) =>
+      df.withColumn(s"__n_$t",
+        count(when(col(typeCol) === t, lit(1))).over(w))
+    }
+      .withColumn("__ft", min(when(isTouch, key)).over(w))
+      .withColumn("__lt", max(when(isTouch, key)).over(w))
+    val n = touchTypes.map(t => col(s"__n_$t")).reduce(_ + _)
+    val conv = counted.where(col(typeCol) === convType)
+      .withColumn("__n", n)
+      .withColumn("__ftt", substring(col("__ft"), 21, 64))
+      .withColumn("__ltt", substring(col("__lt"), 21, 64))
+    def hit(c: Column, t: String): Column = when(c === t, 1L).otherwise(0L)
+    val creditCols = touchTypes.map { t =>
+      val perConv =
+        when(col("__n") === 1, hit(col("__ftt"), t) * lit(SC))
+          .when(col("__n") === 2,
+            (hit(col("__ftt"), t) + hit(col("__ltt"), t)) * lit(SC / 2))
+          .when(col("__n") >= 3,
+            hit(col("__ftt"), t) * lit(SC * 2 / 5)
+              + hit(col("__ltt"), t) * lit(SC * 2 / 5)
+              + (col(s"__n_$t") - hit(col("__ftt"), t)
+                  - hit(col("__ltt"), t))
+                * expr(s"(${SC / 5}L) div (__n - 2)"))
+          .otherwise(lit(0L))
+      sum(perConv.cast("decimal(38,0)"))
         .cast("double").divide(lit(1.0e12)).as(s"${t}_credit")
     } ++ Seq(
       sum(when(col("__n") === 0, lit(1).cast("decimal(38,0)"))
@@ -811,6 +876,8 @@ object Analytics {
     val e = edges0.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true)
+    val sessParts =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
     var visited = Seq((source, 0L)).toDF("node", "hops")
       .localCheckpoint(true)
     var frontier = visited.select(col("node"))
@@ -819,22 +886,87 @@ object Analytics {
     var h = 0L
     while (fcnt > 0 && h < maxHops) {
       h += 1
+      // ONE exchange per round: the explicit frontier-sized repartition
+      // is the round's only shuffle (the dedup aggregate reuses its
+      // partitioning, both set joins are broadcast-gated). The frame is
+      // localCheckpoint'd — plan TRUNCATION matters here, not just
+      // caching: the next round references this frame twice (frontier
+      // and inside visited), so an untruncated plan would nest
+      // exponentially across rounds. visited stays a LAZY union of the
+      // checkpointed per-round frames — unioning pinned blocks is
+      // free, so re-checkpointing it every round would only add a job.
+      val parts = math.max(1, math.min(sessParts,
+        (fcnt / 50000L + 1L).toInt))
       val nxt = e
         .join(bcastUpTo(frontier, fcnt, 4000000L),
           col("src") === col("node"), "left_semi")
-        .select(col("dst").as("node")).distinct()
+        .select(col("dst").as("node"))
+        .repartition(parts, col("node"))
+        .distinct()
         .join(bcastUpTo(visited, vcnt, 4000000L),
           Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint(true)
       fcnt = nxt.count()
       if (fcnt > 0) {
-        visited = visited.unionAll(nxt).localCheckpoint(true)
+        visited = visited.unionAll(nxt)
         vcnt += fcnt
         frontier = nxt.select(col("node"))
       }
     }
     visited
+  }
+
+  /** K-hop-bounded weighted shortest cost (re-exported as
+    * `graft.api.Graft.shortestCost`): `edges0` is an undirected
+    * weighted (u, v, cost) frame, ALREADY eager/pinned, with
+    * non-negative integer costs. Returns (node, cost): the cheapest
+    * total cost over paths of at most `rounds` edges from `source` —
+    * exactly `rounds` synchronous Bellman-Ford relaxations, the
+    * distributed SSSP shape. Like [[labelPropagationOf]], the FIXED
+    * round count makes the evolution deterministic (a recursive-CTE
+    * oracle replays it bit-for-bit); full shortest paths need
+    * diameter-many rounds, so pick `rounds` from the expected diameter.
+    * Nodes not reached within the budget are absent.
+    *
+    * Per round: ONE dist⋈edges relaxation join (dist is node-sized and
+    * broadcast-gated) + a min-combine over candidates ∪ current —
+    * O(E) per round, integer-only arithmetic.
+    */
+  private[graft] def shortestCostOf(edges0: DataFrame, source: Long,
+      rounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val e = edges0.select(col("u").as("src"), col("v").as("dst"),
+        col("cost"))
+      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst"),
+        col("cost")))
+      .localCheckpoint(true)
+    val sessParts =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var dist = Seq((source, 0L)).toDF("node", "cost")
+      .localCheckpoint(true)
+    var dcnt = 1L
+    for (_ <- 1 to rounds) {
+      // same round discipline as shortestHopsOf: one dist-sized
+      // repartition is the round's only exchange (the min-combine
+      // reuses it, the relaxation join is broadcast-gated); the round
+      // frame is localCheckpoint'd because the next round references
+      // it TWICE (join side and carry side) — without plan truncation
+      // the logical tree would double every round
+      val parts = math.max(1, math.min(sessParts,
+        (dcnt / 50000L + 1L).toInt))
+      val dd = dist.select(col("node").as("dn"), col("cost").as("d"))
+      dist = e
+        .join(bcastUpTo(dd, dcnt, 4000000L), col("src") === col("dn"))
+        .select(col("dst").as("node"), (col("d") + col("cost")).as("cost"))
+        .unionAll(dist)
+        .repartition(parts, col("node"))
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      dcnt = dist.count()
+    }
+    dist
   }
 
   /** Synchronous label propagation communities (re-exported as
@@ -862,14 +994,26 @@ object Analytics {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(true)
     val nNodes = labels.count()
-    val w = Window.partitionBy("src").orderBy(col("c").desc, col("lbl"))
+    val parts = math.max(1, math.min(
+      edges0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      (nNodes / 50000L + 1L).toInt))
     for (_ <- 1 to iters) {
+      // ONE exchange per round: the node-sized repartition after the
+      // broadcast join satisfies BOTH aggregates' clustering (hash(src)
+      // co-locates every (src, lbl) group and every src group), so the
+      // neighbor-label count and the argmax pick run exchange-free on
+      // top of it; max_by over (count, -label) structs replaces the
+      // former row_number window (no per-partition sort). Ties are
+      // impossible in the struct (labels are distinct per group), so
+      // the pick is exactly "max count, then smallest label".
       labels = e
         .join(bcastUpTo(labels, nNodes, 4000000L),
           col("dst") === col("node"))
+        .repartition(parts, col("src"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+        .groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+          .as("lbl"))
         .select(col("src").as("node"), col("lbl"))
         .localCheckpoint(true)
     }
@@ -885,8 +1029,9 @@ object Analytics {
     * contract the minhash callers honor for `collapseClustersLogN`).
     */
   private def thresholdedCopurchaseEdges(s: SparkSession, d: String,
-      aName: String, bName: String): DataFrame =
-    Tables.lineitem(s, d)
+      aName: String, bName: String,
+      supportName: Option[String] = None): DataFrame = {
+    val counted = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(col("ps"), explode(col("ps")).as("pa"))
@@ -894,8 +1039,11 @@ object Analytics {
         explode(expr("filter(ps, x -> x > pa)")).as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2)
-      .select(col("pa").as(aName), col("pb").as(bName))
+    counted
+      .select(col("pa").as(aName) +: col("pb").as(bName) +:
+        supportName.map(col("n").as(_)).toSeq: _*)
       .localCheckpoint(true)
+  }
 
   val defs: Seq[Q] = Seq(
 
@@ -1775,6 +1923,80 @@ object Analytics {
         Seq("view", "click"), "purchase", 86400000000L)
     },
 
+    // POSITION-BASED (U-shaped) attribution — the third standard model
+    // completing the family (last-touch winner-take-all, linear equal
+    // split, U-shaped 40/20/40): first and last qualifying touches get
+    // 40% each, the middle n-2 split 20% (n=1 → all, n=2 → 50/50).
+    // First/last are the frame min/max of lpad(tus,20,'0')||type — the
+    // NULL-skipping aggregate trick that stays deterministic under
+    // microsecond ties (byte-order on ASCII digits+names, identical in
+    // both engines; a tie resolves by type name as a documented model
+    // choice). Credits are the same exact scaled-integer scheme as
+    // attribution_linear: 4e11/5e11/1e12 exact units, middle pool
+    // 2e11 div (n-2) truncating identically, DECIMAL(38,0) sums, one
+    // double division per output cell.
+    Q("attribution_position",
+      """WITH en AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      OVER w AS nv,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER w AS nc,
+        |    min(CASE WHEN event_type IN ('view', 'click')
+        |        THEN lpad(CAST(tus AS VARCHAR), 20, '0') || event_type END)
+        |      OVER w AS ft,
+        |    max(CASE WHEN event_type IN ('view', 'click')
+        |        THEN lpad(CAST(tus AS VARCHAR), 20, '0') || event_type END)
+        |      OVER w AS lt
+        |  FROM (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |        FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT nv, nc, nv + nc AS n,
+        |        substr(ft, 21) AS ftt, substr(lt, 21) AS ltt
+        |      FROM en WHERE event_type = 'purchase'),
+        |cr AS (SELECT n,
+        |  CASE WHEN n = 1 THEN
+        |         CASE WHEN ftt = 'view' THEN 1000000000000 ELSE 0 END
+        |       WHEN n = 2 THEN
+        |         (CASE WHEN ftt = 'view' THEN 500000000000 ELSE 0 END)
+        |       + (CASE WHEN ltt = 'view' THEN 500000000000 ELSE 0 END)
+        |       WHEN n >= 3 THEN
+        |         (CASE WHEN ftt = 'view' THEN 400000000000 ELSE 0 END)
+        |       + (CASE WHEN ltt = 'view' THEN 400000000000 ELSE 0 END)
+        |       + (nv - (CASE WHEN ftt = 'view' THEN 1 ELSE 0 END)
+        |             - (CASE WHEN ltt = 'view' THEN 1 ELSE 0 END))
+        |         * (200000000000 // (n - 2))
+        |       ELSE 0 END AS vc,
+        |  CASE WHEN n = 1 THEN
+        |         CASE WHEN ftt = 'click' THEN 1000000000000 ELSE 0 END
+        |       WHEN n = 2 THEN
+        |         (CASE WHEN ftt = 'click' THEN 500000000000 ELSE 0 END)
+        |       + (CASE WHEN ltt = 'click' THEN 500000000000 ELSE 0 END)
+        |       WHEN n >= 3 THEN
+        |         (CASE WHEN ftt = 'click' THEN 400000000000 ELSE 0 END)
+        |       + (CASE WHEN ltt = 'click' THEN 400000000000 ELSE 0 END)
+        |       + (nc - (CASE WHEN ftt = 'click' THEN 1 ELSE 0 END)
+        |             - (CASE WHEN ltt = 'click' THEN 1 ELSE 0 END))
+        |         * (200000000000 // (n - 2))
+        |       ELSE 0 END AS cc
+        |  FROM p)
+        |SELECT
+        |  CAST(sum(CAST(vc AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        |    AS view_credit,
+        |  CAST(sum(CAST(cc AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        |    AS click_credit,
+        |  CAST(sum(CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END
+        |    AS DECIMAL(38,0))) AS DOUBLE) AS none_credit,
+        |  count(*) AS n_conversions
+        |FROM cr""".stripMargin) { (s, d) =>
+      positionTouchOf(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus")),
+        "user_id", "event_type", "tus",
+        Seq("view", "click"), "purchase", 86400000000L)
+    },
+
     // Co-purchase pair mining: part pairs appearing in the same order,
     // top-100 by order count. The pair space explodes per-order (k lines
     // → k² pairs), but order size is bounded by the data model (≤7 lines
@@ -2530,6 +2752,50 @@ object Analytics {
       val src = if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0)
       shortestHopsOf(edges, src, maxHops = 30)
         .select(col("node").as("part_id"), col("hops"))
+        .orderBy("part_id")
+    },
+
+    // WEIGHTED shortest cost (10-hop-bounded Bellman-Ford) from the
+    // same anchor part: edge cost = 1000000 div support, so strongly
+    // co-purchased pairs are cheap hops — the weighted companion to
+    // graph_shortest_hops' BFS. Exactly 10 synchronous relaxation
+    // rounds (fixed count = deterministic evolution, same rule as
+    // label propagation; full SSSP needs diameter rounds and the
+    // co-purchase diameter is ≤ 10 at fixture scales), all-integer
+    // arithmetic, the oracle replaying each round as relax ∪ carry →
+    // min per node.
+    Q("graph_shortest_cost",
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |        count(*) AS n
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst, 1000000 // n AS cost FROM p
+        |      UNION ALL SELECT pb, pa, 1000000 // n FROM p),
+        |bf AS (
+        |  SELECT 0 AS it, (SELECT min(src) FROM e) AS node,
+        |    CAST(0 AS BIGINT) AS d
+        |  UNION ALL
+        |  SELECT it, node, min(d) AS d FROM (
+        |    SELECT cur.it + 1 AS it, e.dst AS node, cur.d + e.cost AS d
+        |    FROM e JOIN (SELECT * FROM bf
+        |                 WHERE it = (SELECT max(it) FROM bf)
+        |                   AND it < 10) cur
+        |      ON e.src = cur.node
+        |    UNION ALL
+        |    SELECT it + 1, node, d FROM bf
+        |    WHERE it = (SELECT max(it) FROM bf) AND it < 10)
+        |  GROUP BY it, node)
+        |SELECT node AS part_id, d AS cost FROM bf WHERE it = 10
+        |ORDER BY part_id""".stripMargin) { (s, d) =>
+      val edges = thresholdedCopurchaseEdges(s, d, "u", "v", Some("n"))
+        .withColumn("cost", expr("1000000L div n"))
+      val srcRow = edges.agg(min(col("u"))).head
+      val src = if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0)
+      shortestCostOf(edges, src, rounds = 10)
+        .select(col("node").as("part_id"), col("cost"))
         .orderBy("part_id")
     },
 

@@ -330,6 +330,65 @@ object Corpus {
       qualityRulesOf(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // Quality-threshold PRUNE CURVE — the tuning report behind every
+    // quality filter: for each candidate threshold t (score deciles),
+    // how many docs and tokens survive "keep quality >= t", as counts
+    // and fractions. One scan scores docs row-locally (the same
+    // text_quality_score formula — an identical double operand chain in
+    // both engines, so decile bucketing agrees bit-for-bit), one
+    // combiner shuffle reduces to <= 10 decile rows, and the cumulative
+    // kept-counts window runs over those 10 rows, never the corpus.
+    // Fractions are single double divisions of exact BIGINTs.
+    Q("corpus_quality_prune_curve",
+      """WITH q AS (
+        |  SELECT len(string_split(text, ' ')) AS toks,
+        |    least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |               AS DOUBLE) / length(text)) AS quality
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS bucket,
+        |    count(*) AS docs, CAST(sum(toks) AS BIGINT) AS toks
+        |  FROM q GROUP BY 1),
+        |c AS (
+        |  SELECT bucket,
+        |    CAST(sum(docs) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS docs_kept,
+        |    CAST(sum(toks) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tokens_kept
+        |  FROM b),
+        |t AS (SELECT CAST(sum(docs) AS BIGINT) AS td,
+        |             CAST(sum(toks) AS BIGINT) AS tt FROM b)
+        |SELECT bucket / 10.0 AS threshold, docs_kept, tokens_kept,
+        |  CAST(docs_kept AS DOUBLE) / td AS doc_frac,
+        |  CAST(tokens_kept AS DOUBLE) / tt AS token_frac
+        |FROM c, t ORDER BY threshold""".stripMargin) { (s, d) =>
+      val q = Tables.documents(s, d).select(
+        size(split(col("text"), " ")).as("toks"),
+        (least(lit(1.0), size(split(col("text"), " ")) / 100.0)
+          * (lit(1.0) - length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+              .cast("double") / length(col("text")))).as("quality"))
+      val b = q
+        .select(least(floor(col("quality") * 10).cast("long"), lit(9L))
+          .as("bucket"), col("toks"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("toks"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = b.agg(sum(col("docs")).as("td"), sum(col("toks")).as("tt"))
+      b.select(col("bucket"),
+          sum(col("docs")).over(w).as("docs_kept"),
+          sum(col("toks")).over(w).as("tokens_kept"))
+        .crossJoin(broadcast(t))
+        .select((col("bucket") / 10.0).as("threshold"),
+          col("docs_kept"), col("tokens_kept"),
+          (col("docs_kept").cast("double") / col("td")).as("doc_frac"),
+          (col("tokens_kept").cast("double") / col("tt")).as("token_frac"))
+        .orderBy("threshold")
+    },
+
     // Language-mixture rebalance: downsample every language to the
     // smallest language's doc count via a deterministic md5 coin — the
     // "uniform mix" step of a pretraining data recipe. Per-lang rates come

@@ -594,6 +594,17 @@ class ApiSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped == Map(1L -> 0L, 2L -> 1L), capped.toString)
 
+    // weighted: direct 1-3 costs 5, the two-hop detour 1-2-3 costs 2 —
+    // one relaxation round sees only the direct edge, two find the detour
+    val we = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L))
+      .toDF("u", "v", "cost")
+    val one = Graft.shortestCost(we, source = 1L, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 5L), one.toString)
+    val two = Graft.shortestCost(we, source = 1L, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), two.toString)
+
     // two planted triangles bridged by 3-5: sync LPA with min-label
     // tie-break settles each triangle on its own community (traced by
     // hand: {1,2,3} -> 1 by round 2; {5,6,7} -> 3 by round 4)
@@ -629,6 +640,24 @@ class ApiSpec extends SparkSuite {
     assert(att.getDouble(1) == 0.5, "click")
     assert(att.getDouble(2) == 1.0, "none")
     assert(att.getLong(3) == 3L, "n_conversions")
+
+    // U-shaped: u1 has view(100) click(150) view(180) before purchase —
+    // first/last are views (0.4+0.4), click is the lone middle (0.2);
+    // u2 one view -> 1.0; u3 ties click/view at tus 10, first resolves
+    // to 'click' by type-name byte order -> 0.5 each; u4 none
+    val pev = Seq(
+      (1L, "view", 100L), (1L, "click", 150L), (1L, "view", 180L),
+      (1L, "purchase", 200L),
+      (2L, "view", 600L), (2L, "purchase", 1000L),
+      (3L, "click", 10L), (3L, "view", 10L), (3L, "purchase", 20L),
+      (4L, "purchase", 50L)
+    ).toDF("u", "t", "tus")
+    val pos = Graft.positionTouch(pev, "u", "t", "tus",
+      Seq("view", "click"), "purchase", lookbackMicros = 500L).collect()(0)
+    assert(pos.getDouble(0) == 2.3, s"view ${pos.getDouble(0)}")
+    assert(pos.getDouble(1) == 0.7, s"click ${pos.getDouble(1)}")
+    assert(pos.getDouble(2) == 1.0, "none")
+    assert(pos.getLong(3) == 4L, "n_conversions")
 
     // T=2 on an 8:2 mix: big group's rate is sqrt(2/8) = 0.5 exactly
     val mix = Seq.tabulate(8)(i => ("big", i.toLong)) ++

@@ -545,6 +545,21 @@ object Graft {
     graft.operators.Analytics.positionTouchOf(events, userCol, typeCol,
       tsMicrosCol, touchTypes, convType, lookbackMicros)
 
+  /** Time-decay attribution: per `convType` event, one credit unit
+    * splits across qualifying touches in proportion to recency weights
+    * that halve per `halflifeMicros` of age, discretized into `buckets`
+    * half-life-wide bands (band 0 freshest, weight 2^(buckets-1);
+    * lookback = buckets·halflife) so the whole split stays in exact
+    * integer arithmetic — see [[graft.operators.Analytics.timeDecayTouchOf]]
+    * for the single-shuffle plan and the power-of-two discretization
+    * rationale. Same output shape as [[linearTouch]].
+    */
+  def timeDecayTouch(events: DataFrame, userCol: String, typeCol: String,
+      tsMicrosCol: String, touchTypes: Seq[String], convType: String,
+      halflifeMicros: Long, buckets: Int = 4): DataFrame =
+    graft.operators.Analytics.timeDecayTouchOf(events, userCol, typeCol,
+      tsMicrosCol, touchTypes, convType, halflifeMicros, buckets)
+
   /** Exact sliding median of `valueCol` over the last `preceding`+1 rows
     * per `partCol`, ordered by `ordCols` (include a unique tie-break).
     * Adds column `med`; even counts interpolate as (lo+hi)·0.5. State is
@@ -800,7 +815,9 @@ object Graft {
         least(col(uCol), col(vCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy: plan truncation up front, materialization on the
+      // kernel's first round job (see Analytics.shortestCostOf)
+      .localCheckpoint(false)
 
   /** Single-source BFS hop counts over an undirected edge frame:
     * (node, hops) for every node reachable from `source` within
@@ -832,7 +849,25 @@ object Graft {
           least(col(uCol), col(vCol)).as("v"), col(costCol).as("cost"))
         .where(col("u") =!= col("v"))
         .groupBy("u", "v").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true), source, rounds)
+        .localCheckpoint(false), source, rounds)
+
+  /** Common-neighbor link prediction over an undirected edge frame:
+    * the top `topN` NON-adjacent pairs sharing >= 1 neighbor, as
+    * (part_a, part_b, common, jaccard) with part_a < part_b, ordered by
+    * (common DESC, part_a, part_b). Duplicate/symmetric edge
+    * representations collapse, self-loops drop. Wedge-enumeration plan
+    * — see [[graft.operators.Analytics.commonNeighborsOf]] for the
+    * shape and the power-law orientation note; pass a degree-bounded
+    * subgraph on skewed graphs.
+    */
+  def commonNeighbors(edges: DataFrame, topN: Int = 100,
+      uCol: String = "u", vCol: String = "v"): DataFrame =
+    graft.operators.Analytics.commonNeighborsOf(
+      edges.select(least(col(uCol), col(vCol)).as("u"),
+          greatest(col(uCol), col(vCol)).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(false), topN)
 
   /** Synchronous label-propagation communities over an undirected edge
     * frame: exactly `iters` lockstep rounds, each re-labeling every

@@ -472,6 +472,61 @@ object Analytics {
     conv.agg(creditCols.head, creditCols.tail: _*)
   }
 
+  /** Frame-parametric TIME-DECAY attribution (re-exported as
+    * `graft.api.Graft.timeDecayTouch`) — the fourth standard model
+    * completing the family (last-touch, linear, U-shaped, decay):
+    * each qualifying touch is weighted by recency, halving per
+    * `halflifeMicros` of age before the conversion, and each
+    * conversion's one credit unit splits in proportion to the weights.
+    *
+    * Ages are DISCRETIZED into `buckets` half-life-wide bands (band 0 =
+    * the freshest half-life, weight 2^(buckets-1); the oldest band has
+    * weight 1; lookback = buckets·halflife) so every weight is an exact
+    * power of two and the whole credit computation stays in integer
+    * arithmetic — a continuous 2^(-Δt/hl) weight needs transcendental
+    * `pow`, whose last-ulp differs across engines. Per type and band
+    * the qualifying count is one RANGE-frame window (band k's frame is
+    * RANGE [(k+1)·hl PRECEDING, k·hl+1 PRECEDING]; all bands share the
+    * partition/order, so they stack on ONE user-keyed Exchange + sort —
+    * the same single-shuffle discipline as [[linearTouchOf]]).
+    * credit_t = (w_t·1e12) div W truncates identically both engines,
+    * sums are DECIMAL(38,0), one double division per output cell.
+    */
+  private[graft] def timeDecayTouchOf(events: DataFrame, userCol: String,
+      typeCol: String, tsMicrosCol: String, touchTypes: Seq[String],
+      convType: String, halflifeMicros: Long, buckets: Int): DataFrame = {
+    val SC = 1000000000000L
+    require(buckets >= 1 && buckets <= 20, "buckets in [1, 20]")
+    val counted = touchTypes.foldLeft(events) { (df, t) =>
+      (0 until buckets).foldLeft(df) { (df2, k) =>
+        val w = Window.partitionBy(userCol).orderBy(col(tsMicrosCol))
+          .rangeBetween(-((k + 1L) * halflifeMicros),
+            -(k * halflifeMicros + 1L))
+        df2.withColumn(s"__n_${t}_$k",
+          count(when(col(typeCol) === t, lit(1))).over(w))
+      }
+    }
+    def wOf(t: String): Column = (0 until buckets)
+      .map(k => col(s"__n_${t}_$k") * lit(1L << (buckets - 1 - k)))
+      .reduce(_ + _)
+    val conv = touchTypes.foldLeft(
+        counted.where(col(typeCol) === convType)) { (df, t) =>
+        df.withColumn(s"__w_$t", wOf(t))
+      }
+      .withColumn("__W", touchTypes.map(t => col(s"__w_$t")).reduce(_ + _))
+    val creditCols = touchTypes.map { t =>
+      sum(when(col("__W") > 0,
+          expr(s"(__w_$t * ${SC}L) div __W").cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("double").divide(lit(1.0e12)).as(s"${t}_credit")
+    } ++ Seq(
+      sum(when(col("__W") === 0, lit(1).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("double").as("none_credit"),
+      count(lit(1)).as("n_conversions"))
+    conv.agg(creditCols.head, creditCols.tail: _*)
+  }
+
   /** Frame-parametric ANY-qualifying-sequence funnel (re-exported as
     * `graft.api.Graft.funnelAny`) — MATCH_RECOGNIZE semantics, the
     * deliberate counterpart to [[funnelOf]]'s earliest-anchor
@@ -791,7 +846,7 @@ object Analytics {
   }
 
   /** k-CORE peel kernel (re-exported as `graft.api.Graft.kCore`):
-    * `edges` is an undirected (u, v) pair frame, ALREADY eager/pinned
+    * `edges` is an undirected (u, v) pair frame, ALREADY checkpoint-pinned
     * (same caller contract as `collapseClustersLogN` — every round and
     * the convergence count re-read it). Iteratively removes nodes whose
     * degree in the surviving subgraph is < k until stable (monotone, so
@@ -835,10 +890,13 @@ object Analytics {
       val keep = bcastUpTo(
         degrees(edges).where(col("dg") >= k).select(col("nd")),
         cnt, 2000000L)
+      // LAZY checkpoint: the count below materializes the blocks in
+      // the same job (plan truncation identical to the eager form,
+      // one round job instead of two)
       val next = edges
         .join(keep, col("u") === col("nd"), "left_semi")
         .join(keep, col("v") === col("nd"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val ncnt = next.count()
       changed = ncnt != cnt
       cnt = ncnt
@@ -852,9 +910,50 @@ object Analytics {
       .select(col("nd").as("node"), col("dg").as("core_degree"))
   }
 
+  /** Common-neighbor link prediction (re-exported as
+    * `graft.api.Graft.commonNeighbors`): `edges` is a canonical
+    * undirected (u < v) pair frame, ALREADY checkpoint-pinned (the kCoreOf
+    * caller contract). Scores every NON-adjacent pair sharing >= 1
+    * neighbor by common-neighbor count and Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, returning the top `topN` by
+    * (common DESC, part key) — the classic "who should be connected
+    * next" primitive behind recommendation and graph-completion.
+    *
+    * Wedge enumeration, the same shape as the triangle census: the
+    * symmetric edge frame self-joins on the shared middle node (a—x—b,
+    * a < b), one combiner count per pair, then an anti-join drops the
+    * already-adjacent pairs and node-sized degree counts broadcast in
+    * for the Jaccard denominator (one double division of exact
+    * BIGINTs). At power-law scale orient the wedge join low-degree →
+    * high-degree so fan-out is bounded by arboricity — here the caller
+    * passes the support-thresholded subgraph, the same bounding the
+    * triangle census documents.
+    */
+  private[graft] def commonNeighborsOf(edges: DataFrame,
+      topN: Int): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("x"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("dg"))
+    val cn = sym.as("l")
+      .join(sym.as("r"), col("l.x") === col("r.x") && col("l.a") < col("r.a"))
+      .select(col("l.a").as("part_a"), col("r.a").as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("common"))
+    cn.join(edges.select(col("u").as("part_a"), col("v").as("part_b")),
+        Seq("part_a", "part_b"), "left_anti")
+      .join(broadcast(deg.select(col("a").as("part_a"), col("dg").as("da"))),
+        "part_a")
+      .join(broadcast(deg.select(col("a").as("part_b"), col("dg").as("db"))),
+        "part_b")
+      .select(col("part_a"), col("part_b"), col("common"),
+        (col("common").cast("double")
+          / (col("da") + col("db") - col("common"))).as("jaccard"))
+      .orderBy(col("common").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
   /** Single-source BFS hop counts (re-exported as
     * `graft.api.Graft.shortestHops`): `edges0` is an undirected (u, v)
-    * pair frame, ALREADY eager/pinned (the kCoreOf caller contract);
+    * pair frame, ALREADY checkpoint-pinned (the kCoreOf caller contract);
     * returns (node, hops) for every node reachable from `source` within
     * `maxHops`, hops = exact shortest-path edge count. Unreachable
     * nodes are absent — the caller decides what infinity means.
@@ -873,13 +972,15 @@ object Analytics {
       maxHops: Int): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
+    // LAZY checkpoints (see shortestCostOf): the first round's count
+    // materializes both init frames along with the round itself
     val e = edges0.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sessParts =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
     var visited = Seq((source, 0L)).toDF("node", "hops")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = visited.select(col("node"))
     var fcnt = 1L
     var vcnt = 1L
@@ -906,7 +1007,9 @@ object Analytics {
         .join(bcastUpTo(visited, vcnt, 4000000L),
           Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
-        .localCheckpoint(true)
+        // LAZY: the loop-condition count materializes the round's
+        // blocks in its own job — one job per round, not two
+        .localCheckpoint(false)
       fcnt = nxt.count()
       if (fcnt > 0) {
         visited = visited.unionAll(nxt)
@@ -919,7 +1022,7 @@ object Analytics {
 
   /** K-hop-bounded weighted shortest cost (re-exported as
     * `graft.api.Graft.shortestCost`): `edges0` is an undirected
-    * weighted (u, v, cost) frame, ALREADY eager/pinned, with
+    * weighted (u, v, cost) frame, ALREADY checkpoint-pinned, with
     * non-negative integer costs. Returns (node, cost): the cheapest
     * total cost over paths of at most `rounds` edges from `source` —
     * exactly `rounds` synchronous Bellman-Ford relaxations, the
@@ -937,41 +1040,47 @@ object Analytics {
       rounds: Int): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
+    // ZERO per-round driver syncs: unlike BFS (where the frontier count
+    // IS the loop condition), Bellman-Ford runs a FIXED round count, so
+    // nothing in the loop needs a per-round action. Every round frame
+    // is a LAZY localCheckpoint — the plan still truncates (the next
+    // round references dist TWICE, join side and carry side, so without
+    // truncation the logical tree would double every round) but the
+    // whole relaxation chain materializes in ONE cascade at the
+    // caller's first action, each intermediate cached as its checkpoint
+    // blocks on first computation. Broadcast/partition gates use the
+    // symmetric edge count (computed once; dist is node-sized and
+    // nodes ≤ edge rows) instead of a per-round dist count.
     val e = edges0.select(col("u").as("src"), col("v").as("dst"),
         col("cost"))
       .unionAll(edges0.select(col("v").as("src"), col("u").as("dst"),
         col("cost")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    val ecnt = e.count()
     val sessParts =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1, math.min(sessParts,
+      (ecnt / 50000L + 1L).toInt))
     var dist = Seq((source, 0L)).toDF("node", "cost")
-      .localCheckpoint(true)
-    var dcnt = 1L
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
-      // same round discipline as shortestHopsOf: one dist-sized
-      // repartition is the round's only exchange (the min-combine
-      // reuses it, the relaxation join is broadcast-gated); the round
-      // frame is localCheckpoint'd because the next round references
-      // it TWICE (join side and carry side) — without plan truncation
-      // the logical tree would double every round
-      val parts = math.max(1, math.min(sessParts,
-        (dcnt / 50000L + 1L).toInt))
+      // one dist-sized repartition is the round's only exchange (the
+      // min-combine reuses it, the relaxation join is broadcast-gated)
       val dd = dist.select(col("node").as("dn"), col("cost").as("d"))
       dist = e
-        .join(bcastUpTo(dd, dcnt, 4000000L), col("src") === col("dn"))
+        .join(bcastUpTo(dd, ecnt, 4000000L), col("src") === col("dn"))
         .select(col("dst").as("node"), (col("d") + col("cost")).as("cost"))
         .unionAll(dist)
         .repartition(parts, col("node"))
         .groupBy("node").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
-      dcnt = dist.count()
+        .localCheckpoint(false)
     }
     dist
   }
 
   /** Synchronous label propagation communities (re-exported as
     * `graft.api.Graft.labelPropagation`): `edges0` is an undirected
-    * (u, v) pair frame, ALREADY eager/pinned. Every node starts with
+    * (u, v) pair frame, ALREADY checkpoint-pinned. Every node starts with
     * its own id as label; each of exactly `iters` synchronous rounds
     * re-labels every node with the most frequent label among its
     * neighbors, ties broken by the SMALLEST label — fully
@@ -988,11 +1097,15 @@ object Analytics {
     */
   private[graft] def labelPropagationOf(edges0: DataFrame,
       iters: Int): DataFrame = {
+    // LAZY checkpoints throughout (see shortestCostOf): fixed-round
+    // kernel, so the only driver sync is the node count the gates need
+    // — every round's plan truncates but materializes in one cascade
+    // at the caller's first action.
     val e = edges0.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+      .withColumn("lbl", col("node")).localCheckpoint(false)
     val nNodes = labels.count()
     val parts = math.max(1, math.min(
       edges0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
@@ -1015,7 +1128,7 @@ object Analytics {
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
           .as("lbl"))
         .select(col("src").as("node"), col("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
@@ -1023,8 +1136,8 @@ object Analytics {
   /** Support-thresholded (≥ 2 orders) co-purchase edge frame shared by
     * the iterative graph queries (connected components, k-core): basket
     * formulation — one order-keyed shuffle, in-task pair explode bounded
-    * by basket size, combiner count — and EAGER (`localCheckpoint`):
-    * the iterative kernels derive nodes and per-round frames from it, so
+    * by basket size, combiner count — and checkpoint-PINNED: the
+    * iterative kernels derive nodes and per-round frames from it, so
     * unpinned the lineitem explode would replay per consumer (same
     * contract the minhash callers honor for `collapseClustersLogN`).
     */
@@ -1042,7 +1155,11 @@ object Analytics {
     counted
       .select(col("pa").as(aName) +: col("pb").as(bName) +:
         supportName.map(col("n").as(_)).toSeq: _*)
-      .localCheckpoint(true)
+      // LAZY checkpoint: the plan is truncated here (so every kernel
+      // consumer shares ONE pinned frame instead of replaying the
+      // lineitem explode), but materialization rides the first
+      // consumer's job instead of paying its own
+      .localCheckpoint(false)
   }
 
   val defs: Seq[Q] = Seq(
@@ -1997,6 +2114,60 @@ object Analytics {
         Seq("view", "click"), "purchase", 86400000000L)
     },
 
+    // TIME-DECAY attribution — the fourth standard model completing the
+    // family: touch weight halves per 6 h of age before the conversion,
+    // discretized into four half-life bands (weights 8/4/2/1 over the
+    // same 24 h lookback) so every weight is an exact power of two and
+    // the credit split stays in integer arithmetic — continuous
+    // 2^(-Δt/hl) needs transcendental pow, nondeterministic in the last
+    // ulp across engines. Eight RANGE-frame counts (2 types × 4 bands)
+    // stack on ONE user-keyed Exchange + sort; credit_t = (w_t·1e12)
+    // div W truncates identically both engines, DECIMAL(38,0) sums,
+    // one double division per output cell.
+    Q("attribution_time_decay",
+      """WITH en AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w0 AS v0,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w1 AS v1,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w2 AS v2,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w3 AS v3,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w0 AS c0,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w1 AS c1,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w2 AS c2,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w3 AS c3
+        |  FROM (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |        FROM events)
+        |  WINDOW
+        |    w0 AS (PARTITION BY user_id ORDER BY tus
+        |      RANGE BETWEEN 21600000000 PRECEDING AND 1 PRECEDING),
+        |    w1 AS (PARTITION BY user_id ORDER BY tus
+        |      RANGE BETWEEN 43200000000 PRECEDING AND 21600000001 PRECEDING),
+        |    w2 AS (PARTITION BY user_id ORDER BY tus
+        |      RANGE BETWEEN 64800000000 PRECEDING AND 43200000001 PRECEDING),
+        |    w3 AS (PARTITION BY user_id ORDER BY tus
+        |      RANGE BETWEEN 86400000000 PRECEDING AND 64800000001 PRECEDING)),
+        |p AS (SELECT v0 * 8 + v1 * 4 + v2 * 2 + v3 AS wv,
+        |             c0 * 8 + c1 * 4 + c2 * 2 + c3 AS wc
+        |      FROM en WHERE event_type = 'purchase')
+        |SELECT
+        |  CAST(sum(CAST(CASE WHEN wv + wc > 0
+        |      THEN (wv * 1000000000000) // (wv + wc) ELSE 0 END
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS view_credit,
+        |  CAST(sum(CAST(CASE WHEN wv + wc > 0
+        |      THEN (wc * 1000000000000) // (wv + wc) ELSE 0 END
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS click_credit,
+        |  CAST(sum(CAST(CASE WHEN wv + wc = 0 THEN 1 ELSE 0 END
+        |    AS DECIMAL(38,0))) AS DOUBLE) AS none_credit,
+        |  count(*) AS n_conversions
+        |FROM p""".stripMargin) { (s, d) =>
+      timeDecayTouchOf(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus")),
+        "user_id", "event_type", "tus",
+        Seq("view", "click"), "purchase",
+        halflifeMicros = 21600000000L, buckets = 4)
+    },
+
     // Co-purchase pair mining: part pairs appearing in the same order,
     // top-100 by order count. The pair space explodes per-order (k lines
     // → k² pairs), but order size is bounded by the data model (≤7 lines
@@ -2029,6 +2200,65 @@ object Analytics {
           explode(expr("filter(ps, x -> x > part_a)")).as("part_b"))
         .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    },
+
+    // Association rules over the co-purchase baskets: support /
+    // confidence / lift for part pairs sharing >= 2 orders — the market-
+    // basket analytics that sits ON TOP of pair mining (lift > 1 =
+    // bought together more than chance). ONE persisted basket build
+    // (order-keyed shuffle + collect_set = the oracle's DISTINCT) feeds
+    // all three subtrees — pair counts, per-part basket counts, and the
+    // basket total — so lineitem is scanned once; part counts are
+    // part-sized and BROADCAST onto the pair frame (at 100× drop the
+    // hint and the planner shuffles on the part key), the total is a
+    // one-row broadcast. Every ratio is a single double division of
+    // exact BIGINTs (numerator/denominator products exact in int64 at
+    // any plausible basket count) — bit-identical cross-engine; ordering
+    // is total (lift ties resolve by the unique pair key).
+    Q("orders_basket_lift",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM li),
+        |pc AS (SELECT l_partkey, count(*) AS np FROM li GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         count(*) AS n_ab
+        |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_ab,
+        |  CAST(n_ab AS DOUBLE) / nb AS support,
+        |  CAST(n_ab AS DOUBLE) / pa.np AS confidence,
+        |  CAST(n_ab * nb AS DOUBLE) / CAST(pa.np * pb.np AS DOUBLE)
+        |    AS lift
+        |FROM pr JOIN pc pa ON pr.part_a = pa.l_partkey
+        |        JOIN pc pb ON pr.part_b = pb.l_partkey, n
+        |ORDER BY lift DESC, part_a, part_b
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val baskets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .persist()
+      val pairs = baskets
+        .select(col("ps"), explode(col("ps")).as("part_a"))
+        .select(col("part_a"),
+          explode(expr("filter(ps, x -> x > part_a)")).as("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 2)
+      val pc = baskets.select(explode(col("ps")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("np"))
+      val total = baskets.agg(count(lit(1)).as("nb"))
+      pairs
+        .join(broadcast(pc.select(col("pk").as("part_a"),
+          col("np").as("na"))), "part_a")
+        .join(broadcast(pc.select(col("pk").as("part_b"),
+          col("np").as("nbp"))), "part_b")
+        .crossJoin(broadcast(total))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          (col("n_ab").cast("double") / col("nb")).as("support"),
+          (col("n_ab").cast("double") / col("na")).as("confidence"),
+          ((col("n_ab") * col("nb")).cast("double")
+            / (col("na") * col("nbp")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
         .limit(100)
     },
 
@@ -2867,6 +3097,36 @@ object Analytics {
             && col("l_partkey") < col("pk2"))
         .select(col("l_partkey").as("u"), col("pk2").as("v"))
       triangleStatsOf(e)
+    },
+
+    // Common-neighbor LINK PREDICTION on the thresholded co-purchase
+    // graph — the "recommended next edge" primitive: every NON-adjacent
+    // part pair sharing a neighbor, scored by common-neighbor count and
+    // Jaccard (see commonNeighborsOf for the wedge-enumeration shape
+    // and the power-law orientation note). Jaccard is one double
+    // division of exact BIGINTs; top-100 under a total order.
+    Q("graph_common_neighbors",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS u, pb AS v FROM p UNION ALL SELECT pb, pa FROM p),
+        |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY 1),
+        |cn AS (SELECT a.u AS part_a, b.u AS part_b, count(*) AS common
+        |       FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+        |       GROUP BY 1, 2),
+        |nonadj AS (SELECT part_a, part_b, common FROM cn
+        |           WHERE NOT EXISTS (SELECT 1 FROM p
+        |             WHERE p.pa = cn.part_a AND p.pb = cn.part_b))
+        |SELECT part_a, part_b, common,
+        |  CAST(common AS DOUBLE) / (da.dg + db.dg - common) AS jaccard
+        |FROM nonadj JOIN deg da ON part_a = da.u
+        |            JOIN deg db ON part_b = db.u
+        |ORDER BY common DESC, part_a, part_b
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      commonNeighborsOf(thresholdedCopurchaseEdges(s, d, "u", "v"),
+        topN = 100)
     },
 
     // Degree distribution of the co-purchase graph (parts < 5000 block):

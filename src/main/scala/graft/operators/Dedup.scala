@@ -240,9 +240,9 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // node count is fixed across rounds (labels keeps one row per node);
-    // counting the materialized checkpoint is a metadata-cheap job
+    // the count materializes the lazy checkpoint in the same job
     val smallGraph = labels.count() <= broadcastNodeLimit
     val hinted: DataFrame => DataFrame =
       if (smallGraph) broadcast(_) else identity
@@ -255,15 +255,18 @@ object Dedup {
       val nbrMin = edges.join(hinted(labels), edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min("cluster_id").as("nbr_min"))
-      // one materialization per round carries BOTH the new labels and the
-      // convergence diff (a second labels-vs-next join per round doubled
-      // the per-iteration job count)
+      // one round job carries BOTH the new labels and the convergence
+      // diff: the checkpoint is LAZY, so the isEmpty probe materializes
+      // the blocks on its way (an early-exit probe that skips
+      // partitions is completed by Spark's local-checkpoint finalizer,
+      // which caches any missed partitions at job end — work the next
+      // round needs anyway)
       val joined = labels.join(hinted(nbrMin),
           labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"), col("cluster_id").as("old_cid"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       converged = joined.where(col("cluster_id") =!= col("old_cid")).isEmpty
       labels = joined.select(col("doc_id"), col("cluster_id"))
       it += 1
@@ -337,12 +340,17 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
     // canonical undirected edges, self-loops dropped, deduped
+    // LAZY checkpoint + count: plan truncation is identical to the
+    // eager form, but the materialization rides the count's job instead
+    // of paying its own — the round-overhead fusion applied throughout
+    // the iterative kernels (at these graph sizes the per-round JOB
+    // COUNT is the cost, not the rows).
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Size the per-round shuffles to the MATERIALIZED edge set: the
     // near-dup / co-purchase residual graph is orders of magnitude
     // smaller than the corpus (sf0.1 co-purchase: 3.6k edges), and an
@@ -403,7 +411,12 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .repartition(kernelParts, col("u"), col("v"))
         .distinct()
-        .localCheckpoint(true)
+        // LAZY: the violations scan below is the round's ONLY job — it
+        // materializes these blocks on the way (the aggregate consumes
+        // every partition before emitting, so nothing is left
+        // half-computed), where the eager form paid a separate
+        // materialization job per round
+        .localCheckpoint(false)
       // fixed point (BOTH required — see scaladoc): one target per
       // source, and no target has an outgoing edge. ONE role-tagged
       // aggregation checks both — a node violates iff it sources two

@@ -208,5 +208,73 @@ object Multimodal {
         round(min(norm), 4).as("min_norm"),
         round(max(norm), 4).as("max_norm"))
     },
+
+    // Scalar INT8 quantization audit — the 4× memory compression every
+    // vector store applies before ANN serving, as a per-vector
+    // reconstruction report: per-DIMENSION corpus min/max define an
+    // affine uint8 grid (q = floor((v-mn)·255/(mx-mn) + 0.5), exact —
+    // v ∈ [mn, mx] by construction so no clamp branch), and the MSE of
+    // the dequantized vector tells which vectors the codec hurts. The
+    // dim profile is ONE combiner shuffle to <= dim rows (posexplode
+    // partials combine map-side), broadcast back as two aligned arrays;
+    // scoring is scan-side, a sequential in-order fold per vector (both
+    // engines fold the list left-to-right, so double accumulation order
+    // is identical) with the dequantization chain written VERBATIM in
+    // both engines; MSE is rounded to 6 (the profile_embeddings round
+    // parity). At 100 TB nothing changes: the profile is dim-sized.
+    Q("embeddings_quantize_int8",
+      """WITH d AS (
+        |  SELECT pos, CAST(min(x) AS DOUBLE) AS mn,
+        |              CAST(max(x) AS DOUBLE) AS mx
+        |  FROM (SELECT unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)
+        |  GROUP BY pos),
+        |prof AS (SELECT list(mn ORDER BY pos) AS mns,
+        |                list(mx ORDER BY pos) AS mxs FROM d)
+        |SELECT vec_id, round(list_sum(list_transform(
+        |    generate_series(1, len(embedding)), i ->
+        |      CASE WHEN mxs[i] > mns[i] THEN
+        |        (CAST(embedding[i] AS DOUBLE)
+        |          - (mns[i] + floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |                * 255 / (mxs[i] - mns[i]) + 0.5)
+        |              * (mxs[i] - mns[i]) / 255))
+        |        * (CAST(embedding[i] AS DOUBLE)
+        |          - (mns[i] + floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |                * 255 / (mxs[i] - mns[i]) + 0.5)
+        |              * (mxs[i] - mns[i]) / 255))
+        |      ELSE 0.0 END)) / len(embedding), 6) AS mse
+        |FROM embeddings, prof
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val dims = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min(col("x")).cast("double").as("mn"),
+          max(col("x")).cast("double").as("mx"))
+      val prof = dims
+        .agg(collect_list(struct(col("pos"), col("mn"), col("mx"))).as("p"))
+        .select(expr("transform(array_sort(p), s -> s.mn)").as("mns"),
+          expr("transform(array_sort(p), s -> s.mx)").as("mxs"))
+      Tables.embeddings(s, d).crossJoin(broadcast(prof))
+        .select(col("vec_id"), round(expr(
+          """aggregate(sequence(1, size(embedding)), 0D, (acc, i) ->
+            |  acc + (CASE WHEN element_at(mxs, i) > element_at(mns, i) THEN
+            |    (cast(element_at(embedding, i) as double)
+            |      - (element_at(mns, i)
+            |          + floor((cast(element_at(embedding, i) as double)
+            |                - element_at(mns, i))
+            |              * 255 / (element_at(mxs, i) - element_at(mns, i))
+            |              + 0.5)
+            |            * (element_at(mxs, i) - element_at(mns, i)) / 255))
+            |    * (cast(element_at(embedding, i) as double)
+            |      - (element_at(mns, i)
+            |          + floor((cast(element_at(embedding, i) as double)
+            |                - element_at(mns, i))
+            |              * 255 / (element_at(mxs, i) - element_at(mns, i))
+            |              + 0.5)
+            |            * (element_at(mxs, i) - element_at(mns, i)) / 255))
+            |  ELSE 0D END)) / size(embedding)""".stripMargin), 6)
+          .as("mse"))
+        .orderBy("vec_id")
+    },
   )
 }

@@ -659,6 +659,38 @@ class ApiSpec extends SparkSuite {
     assert(pos.getDouble(2) == 1.0, "none")
     assert(pos.getLong(3) == 4L, "n_conversions")
 
+    // time-decay, hl=100 buckets=2 (lookback 200): u1 view age 50
+    // (band 0, w=2) + click age 180 (band 1, w=1) -> 2/3 vs 1/3 split
+    // via truncating scaled-integer division; u2 nothing in lookback ->
+    // none; u3 view at EXACTLY age 200 (the lookback edge) stays in
+    // band 1 -> full credit
+    val dev = Seq(
+      (1L, "click", 820L), (1L, "view", 950L), (1L, "purchase", 1000L),
+      (2L, "view", 100L), (2L, "purchase", 500L),
+      (3L, "view", 800L), (3L, "purchase", 1000L)
+    ).toDF("u", "t", "tus")
+    val dec = Graft.timeDecayTouch(dev, "u", "t", "tus",
+      Seq("view", "click"), "purchase",
+      halflifeMicros = 100L, buckets = 2).collect()(0)
+    // view sum = 666666666666 (u1) + 1000000000000 (u3) scaled units,
+    // ONE double division at readout
+    assert(dec.getDouble(0) == 1666666666666L.toDouble / 1e12,
+      s"view ${dec.getDouble(0)}")
+    assert(dec.getDouble(1) == (1000000000000L / 3).toDouble / 1e12,
+      s"click ${dec.getDouble(1)}")
+    assert(dec.getDouble(2) == 1.0, "none")
+    assert(dec.getLong(3) == 3L, "n_conversions")
+
+    // common neighbors on triangle {1,2,3} + pendant 3-4: the adjacent
+    // pairs are excluded; (1,4) and (2,4) share only node 3 ->
+    // common=1, jaccard = 1/(2+1-1) = 0.5
+    val lpEdges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("u", "v")
+    val cnb = Graft.commonNeighbors(lpEdges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cnb.toSeq == Seq((1L, 4L, 1L, 0.5), (2L, 4L, 1L, 0.5)),
+      cnb.toSeq.toString)
+
     // T=2 on an 8:2 mix: big group's rate is sqrt(2/8) = 0.5 exactly
     val mix = Seq.tabulate(8)(i => ("big", i.toLong)) ++
       Seq(("small", 100L), ("small", 101L))

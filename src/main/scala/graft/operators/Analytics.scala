@@ -2552,6 +2552,50 @@ object Analytics {
         .orderBy("month")
     },
 
+    // Duplicate-payment detector: orders by the SAME customer in the
+    // SAME amount band within 30 days of the previous one — the
+    // double-charge candidate screen every billing pipeline runs (a
+    // review queue, so banded loose on purpose). Amounts band to
+    // floor(total/10000) (exact on doubles, and the tolerance a real
+    // detector needs anyway — fee/FX jitter breaks bit-equality). The
+    // naive formulation is a per-customer self-join (quadratic on heavy
+    // accounts); the linear shape is ONE (custkey, band)-keyed shuffle
+    // + a lag window with a unique tie-break, exactly the attribution
+    // discipline. The day gap is integer.
+    Q("orders_duplicate_payments",
+      """WITH seq AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    lag(CAST(o_orderdate AS DATE)) OVER w AS prev_d,
+        |    lag(o_orderkey) OVER w AS prev_orderkey
+        |  FROM orders
+        |  WINDOW w AS (
+        |    PARTITION BY o_custkey,
+        |      CAST(floor(o_totalprice / 10000) AS BIGINT)
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey))
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(d AS TIMESTAMP) AS order_date, prev_orderkey,
+        |  date_diff('day', prev_d, d) AS gap_days
+        |FROM seq
+        |WHERE prev_d IS NOT NULL AND date_diff('day', prev_d, d) <= 30
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"),
+          floor(col("o_totalprice") / 10000).cast("long"))
+        .orderBy(col("d"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("d"))
+        .withColumn("prev_d", lag(col("d"), 1).over(w))
+        .withColumn("prev_orderkey", lag(col("o_orderkey"), 1).over(w))
+        .where(col("prev_d").isNotNull
+          && datediff(col("d"), col("prev_d")) <= 30)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("d").cast("timestamp").as("order_date"),
+          col("prev_orderkey"),
+          datediff(col("d"), col("prev_d")).cast("long").as("gap_days"))
+        .orderBy("o_orderkey")
+    },
+
     // Trigram-accelerated substring search (the pg_trgm pattern): a
     // '%late%' scan-wide LIKE becomes (1) explode names into character
     // trigrams, (2) keep only rows holding EVERY pattern trigram, (3)

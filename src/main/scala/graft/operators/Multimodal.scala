@@ -209,6 +209,44 @@ object Multimodal {
         round(max(norm), 4).as("max_norm"))
     },
 
+    // Audio chunking plumbing: window a (stubbed) PCM stream into fixed
+    // 1 s chunks with 25% overlap — the segmentation every
+    // speech/audio-embedding pipeline runs before the model. The decode
+    // is the documented stub (sample count derived deterministically
+    // from the byte length; a real decoder is a mapInPandas batch UDF —
+    // this query oracles the WINDOW ARITHMETIC and schema, which is the
+    // Spark-side contract): chunk=16000 samples @16 kHz, hop=12000,
+    // n_chunks = (n−chunk) div hop + 1, final-chunk zero-padding
+    // reported. Row-local integers, zero shuffle; at scale the
+    // per-chunk explode is `sequence(0, n_chunks-1)` + explode feeding
+    // the batch UDF, exactly the frame_sample shape.
+    Q("multimodal_audio_chunks",
+      """SELECT doc_id, n_samples,
+        |  (n_samples - 16000) // 12000 + 1 AS n_chunks,
+        |  ((n_samples - 16000) // 12000) * 12000 AS last_offset,
+        |  CASE WHEN ((n_samples - 16000) // 12000) * 12000 + 16000
+        |            - n_samples > 0
+        |       THEN ((n_samples - 16000) // 12000) * 12000 + 16000
+        |            - n_samples
+        |       ELSE 0 END AS padded_tail
+        |FROM (SELECT doc_id,
+        |        (octet_length(encode(text)) * 997) % 480000 + 16000
+        |          AS n_samples
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (octet_length(encode(col("text"), "utf-8")) * 997 % 480000
+            + 16000).cast("long").as("n_samples"))
+        .select(col("doc_id"), col("n_samples"),
+          expr("(n_samples - 16000) div 12000 + 1").as("n_chunks"),
+          expr("((n_samples - 16000) div 12000) * 12000").as("last_offset"),
+          greatest(
+            expr("((n_samples - 16000) div 12000) * 12000 + 16000"
+              + " - n_samples"), lit(0L)).as("padded_tail"))
+        .orderBy("doc_id")
+    },
+
     // Scalar INT8 quantization audit — the 4× memory compression every
     // vector store applies before ANN serving, as a per-vector
     // reconstruction report: per-DIMENSION corpus min/max define an

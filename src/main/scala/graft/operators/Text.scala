@@ -336,6 +336,61 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // RAKE keyword extraction (Rose et al. 2010) at word granularity:
+    // phrases are maximal stopword-free token runs, a word's degree is
+    // the summed length of every phrase it appears in, and its score is
+    // degree/frequency — words that ride long multi-word phrases
+    // outrank equally-frequent words that stand alone. Corpus-level
+    // top-20 keyword table, the unsupervised topic-vocabulary pass of a
+    // corpus audit. Plan: phrase ids are a running stopword-boundary
+    // count over ONE doc-keyed window; the phrase-length count is a
+    // second window over (doc_id, phrase) that REUSES the same Exchange
+    // (hash(doc_id) satisfies the (doc_id, ph) clustering — only a
+    // local re-sort), so everything before the word-keyed combiner
+    // aggregate rides a single shuffle. Score is one double division of
+    // exact BIGINTs; top-20 under a total order.
+    Q("corpus_rake_keywords",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, w, pos,
+         |    (w IN ($stopList) OR w = '') AS is_stop,
+         |    sum(CASE WHEN w IN ($stopList) OR w = ''
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS ph
+         |  FROM toks),
+         |c AS (SELECT doc_id, w, ph FROM m WHERE NOT is_stop),
+         |cp AS (SELECT doc_id, w, ph,
+         |         count(*) OVER (PARTITION BY doc_id, ph) AS plen
+         |       FROM c)
+         |SELECT w AS word, CAST(sum(plen) AS BIGINT) AS degree,
+         |  count(*) AS freq,
+         |  CAST(sum(plen) AS DOUBLE) / count(*) AS score
+         |FROM cp GROUP BY w
+         |ORDER BY score DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val isStop = col("w").isInCollection(Stopwords) || col("w") === ""
+      val wRun = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val content = toks
+        .withColumn("ph", sum(when(isStop, 1L).otherwise(0L)).over(wRun))
+        .where(!isStop)
+        .withColumn("plen",
+          count(lit(1)).over(Window.partitionBy("doc_id", "ph")))
+      content.groupBy("w")
+        .agg(sum(col("plen")).as("degree"), count(lit(1)).as("freq"))
+        .select(col("w").as("word"), col("degree"), col("freq"),
+          (col("degree").cast("double") / col("freq")).as("score"))
+        .orderBy(col("score").desc, col("word"))
+        .limit(20)
+    },
+
     // Content-defined fingerprint of the canonicalized text (exact-dup
     // detection robust to case/punctuation/whitespace noise).
     Q("text_fingerprint",

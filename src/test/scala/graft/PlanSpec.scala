@@ -592,4 +592,45 @@ class PlanSpec extends SparkSuite {
       assert(r >= liRows / 2, s"listener undercounted: $r < $liRows/2")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("basket lift scans lineitem once: persisted baskets feed all subtrees") {
+    // orders_basket_lift derives pair counts, per-part counts, AND the
+    // basket total from one persisted basket frame — without the persist
+    // each of the three subtrees would replay the order-keyed build and
+    // re-scan lineitem. Same job-group-scoped counter as the pagerank
+    // probe above.
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val groupId = "plan-spec-basketlift"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (e.properties != null &&
+            groupId == e.properties.getProperty("spark.jobGroup.id"))
+          e.stageIds.foreach(id => stages.add(id))
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null && stages.contains(e.stageId))
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    val liRows = Tables.lineitem(spark, sf).count()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(groupId, "basket lift scan-count probe")
+      try SparkEntry.queries("orders_basket_lift")(spark, sf).collect()
+      finally spark.sparkContext.clearJobGroup()
+      var last = -1L; var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(100); spins += 1
+      }
+      val r = read.get()
+      assert(r < (1.5 * liRows).toLong,
+        s"basket lift read $r input records for $liRows lineitem rows — " +
+          "the basket persist is not being reused")
+      assert(r >= liRows / 2, s"listener undercounted: $r < $liRows/2")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -2596,6 +2596,137 @@ object Analytics {
         .orderBy("o_orderkey")
     },
 
+    // Rolling active users: DAU, trailing-7-day WAU, and the DAU/WAU
+    // stickiness ratio per day — the product-analytics counters behind
+    // every engagement dashboard. A sliding COUNT DISTINCT cannot be
+    // summed from daily distincts; the exact distributed shape is
+    // coverage EXPLODE: each (user, active-day) row covers the 7 WAU
+    // windows it belongs to (a bounded ×7 fan-out of the already
+    // user-day-deduped frame — the same bounded-blowup argument as the
+    // dedup band joins; a 30-day MAU costs ×30, past which the
+    // HLL-sketch route takes over). Everything integer until the one
+    // stickiness division per day; the DAU and WAU aggregates join
+    // co-partitioned on day.
+    Q("events_active_users_rolling",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS a
+        |            FROM events),
+        |mx AS (SELECT max(a) AS mxa FROM ud),
+        |dau AS (SELECT a AS day, count(*) AS dau FROM ud GROUP BY 1),
+        |cov AS (SELECT DISTINCT user_id, a + CAST(i AS INTEGER) AS day
+        |        FROM ud, range(7) t(i)),
+        |wau AS (SELECT day, count(*) AS wau FROM cov, mx
+        |        WHERE day <= mxa GROUP BY 1)
+        |SELECT CAST(dau.day AS TIMESTAMP) AS day, dau, wau,
+        |  CAST(dau AS DOUBLE) / wau AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("a"))
+        .distinct()
+      val mx = ud.agg(max(col("a")).as("mxa"))
+      val dau = ud.groupBy(col("a").as("day"))
+        .agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), col("a"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(col("user_id"), expr("date_add(a, i)").as("day"))
+        .distinct()
+        .crossJoin(broadcast(mx))
+        .where(col("day") <= col("mxa"))
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day").cast("timestamp").as("day"), col("dau"),
+          col("wau"),
+          (col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
+    },
+
+    // Seasonal-naive forecast backtest per hourly series: forecast(h) =
+    // value(h − 24 h), scored by MAE and signed bias — the sanity
+    // baseline every forecasting pipeline reports before anything
+    // fancier (EMA/Holt above must beat it to matter). Hourly sums are
+    // DECIMAL-exact, the error terms stay DECIMAL through abs/sum
+    // (order-independent), and each metric pays ONE double division.
+    // The lag is TIME-based (equi-join on h − 24 h), not row-based —
+    // hour gaps must not slide the season.
+    Q("ts_snaive_backtest",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type AS event_type, a.v AS v, b.v AS f
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type
+        |    AND b.h = a.h - INTERVAL 24 HOURS)
+        |SELECT event_type, count(*) AS n_eval,
+        |  CAST(sum(abs(v - f)) AS DOUBLE) / count(*) AS mae,
+        |  CAST(sum(v - f) AS DOUBLE) / count(*) AS bias
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+      val a = hourly.select(col("event_type"), col("h"), col("v"))
+      val b = hourly.select(col("event_type").as("et2"),
+        col("h").as("h2"), col("v").as("f"))
+      a.join(b, col("event_type") === col("et2")
+          && col("h2") === col("h") - expr("INTERVAL 24 HOURS"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          (sum(abs(col("v") - col("f"))).cast("double")
+            / count(lit(1))).as("mae"),
+          (sum(col("v") - col("f")).cast("double")
+            / count(lit(1))).as("bias"))
+        .orderBy("event_type")
+    },
+
+    // Discount elasticity per brand: OLS slope/intercept of line
+    // quantity on discount — "does discounting move volume" — via the
+    // ts_linear_trend normal-equations discipline: Σx/Σy/Σxy/Σx² are
+    // EXACT DECIMAL sums (x = discount cast DECIMAL(3,2), y = quantity
+    // DECIMAL(12,2); their products are exact decimals), each cast to
+    // double ONCE, slope/intercept as fixed-order double expressions
+    // with the slope chain repeated VERBATIM inside the intercept —
+    // bit-identical cross-engine, no rounding. The part dim broadcasts
+    // onto the fact scan; one brand-keyed combiner aggregate.
+    Q("parts_discount_elasticity",
+      """WITH x AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(l_discount AS DECIMAL(3,2)) AS x,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (
+        |  SELECT brand, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT brand, n,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    AS intercept
+        |FROM s ORDER BY brand""".stripMargin) { (s, d) =>
+      val x = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          col("l_discount").cast("decimal(3,2)").as("x"),
+          col("l_quantity").cast("decimal(12,2)").as("y"))
+      x.groupBy("brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+        .select(col("brand"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+            * col("sx")) / col("n")).as("intercept"))
+        .orderBy("brand")
+    },
+
     // Trigram-accelerated substring search (the pg_trgm pattern): a
     // '%late%' scan-wide LIKE becomes (1) explode names into character
     // trigrams, (2) keep only rows holding EVERY pattern trigram, (3)

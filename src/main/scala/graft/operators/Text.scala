@@ -391,6 +391,51 @@ object Text {
         .limit(20)
     },
 
+    // Corpus NOVELTY curve: per doc, the fraction of its distinct word
+    // 3-grams that appear in NO earlier doc (doc_id order = ingest
+    // order) — the dataset-curation signal that a crawl has gone stale
+    // (novelty decays as later shards re-cover earlier content). First
+    // occurrence = min(doc_id) per gram; everything integer until the
+    // one final division per doc. Plan: ONE gram-keyed Exchange carries
+    // BOTH windows (the per-(gram, doc) dedup row_number clusters on
+    // (gram, doc_id), which hash(gram) satisfies — only a local sort),
+    // then one doc-keyed combiner aggregate.
+    Q("text_ngram_novelty",
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(${oracleGram(3)}) AS gram
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |w AS (
+         |  SELECT doc_id, gram,
+         |    min(doc_id) OVER (PARTITION BY gram) AS first_doc,
+         |    row_number() OVER (PARTITION BY gram, doc_id
+         |                       ORDER BY doc_id) AS rn
+         |  FROM g)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS novelty
+         |FROM w WHERE rn = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          explode(word_ngrams(col("text"), 3)).as("gram"))
+      val wG = Window.partitionBy("gram")
+      val wGD = Window.partitionBy("gram", "doc_id").orderBy("doc_id")
+      g.withColumn("first_doc", min(col("doc_id")).over(wG))
+        .withColumn("rn", row_number().over(wGD))
+        .where(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // Content-defined fingerprint of the canonicalized text (exact-dup
     // detection robust to case/punctuation/whitespace noise).
     Q("text_fingerprint",

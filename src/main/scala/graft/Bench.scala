@@ -174,7 +174,19 @@ object Bench {
                   c - pc > 0.3
               case _ => true
             }
-            if (wallRegress && cpuRegress)
+            // SEVERE gate (r15 miss): a wall past 2x even after
+            // normalizing by the WIDEST credible contention estimate
+            // (host probes, fleet median, fleet p90) flags with NO cpu
+            // veto — q22 slipped through at 3.36x because its cpu
+            // barely moved (a scheduling-delay signature the cpu gate
+            // absolves by design, but 2x host-normalized is past what
+            // placement alone explains on a quiet host). Flags are
+            // adjudication inputs, not verdicts — the clean-sweep
+            // protocol decides placement vs code.
+            val severeRegress =
+              t > 2.0 * math.max(wallHostRatio, fleetP90) * p &&
+                t - p > 0.3
+            if (severeRegress || (wallRegress && cpuRegress))
               Some(s"[bench-regress] $name: ${sec(p)} -> ${sec(t)} s " +
                 f"(host ratio $hostRatio%.2f applied)")
             else None

@@ -501,6 +501,19 @@ object Graft {
       salts: Int = 16): DataFrame =
     graft.operators.Analytics.pageRankOf(edges, iters, saltDegree, salts)
 
+  /** PERSONALIZED PageRank (random walk with restart) from `seed`: the
+    * recommendation primitive — ALL teleport mass returns to the seed,
+    * so ranks measure walk proximity to it rather than global
+    * centrality. Same integer-scaled recurrence, adjacency layouts
+    * (including the salted hub split), and caller contract as
+    * [[pageRank]]; the rank frame stays SPARSE (only nodes the walk has
+    * reached carry rows — `iters` rounds touch the seed's `iters`-hop
+    * ball, never the full node set). Returns (u, pr) for reached nodes.
+    */
+  def personalizedPageRank(edges: DataFrame, seed: Long, iters: Int = 3,
+      saltDegree: Long = 0L, salts: Int = 16): DataFrame =
+    graft.operators.Analytics.pprOf(edges, seed, iters, saltDegree, salts)
+
   /** Last-touch attribution: one row per `convType` event with the
     * latest strictly-prior `touchTypes` event by the same `userCol`
     * within `lookbackMicros` (column `touch`; 'none' when no touch

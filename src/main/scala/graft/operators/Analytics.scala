@@ -268,6 +268,45 @@ object Analytics {
     ranked.select(col("pu").as("u"), col("pr"))
   }
 
+  /** PERSONALIZED PageRank (random walk with restart, re-exported as
+    * `graft.api.Graft.personalizedPageRank`) — the recommendation
+    * primitive the global [[pageRankOf]] can't express: all teleport
+    * mass returns to the SEED node instead of spreading uniformly, so
+    * ranks measure proximity to the seed (what "customers also bought"
+    * actually scores). Same integer discipline as pageRankOf — ranks
+    * scaled to 1e9, `pr div d` truncating integer division per node,
+    * order-independent under summation, bit-identical cross-engine —
+    * and the same [[pageRankAdjacency]] layouts (salted hub splitting
+    * included). p0 = 1e9 at the seed only; each of exactly `iters`
+    * rounds is one adjacency⋈rank join + in-task explode + ONE
+    * node-keyed shuffle, and the rank frame stays SPARSE (only nodes
+    * the walk has reached carry rows — at 100 TB a 3-round PPR touches
+    * the seed's 3-hop ball, never the full node set). The seed's
+    * teleport row rides a one-row union so restart mass survives even
+    * when no walk mass returns to the seed.
+    */
+  private[graft] def pprOf(edges: DataFrame, seed: Long, iters: Int,
+      saltDegree: Long = 0L, salts: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = pageRankAdjacency(edges, saltDegree, salts).persist()
+    val base = 150000000L // 0.15 · 1e9: the restart mass, seed-only
+    val p0 = Seq((seed, 1000000000L)).toDF("pu", "pr")
+    val ranked = (1 to iters).foldLeft(p0) { (p, i) =>
+      val contrib = adj.join(p, col("u") === col("pu"))
+        .select(col("vs"), expr("pr div d").as("c"))
+        .select(explode(col("vs")).as("pu"), col("c"))
+        .unionAll(Seq((seed, 0L)).toDF("pu", "c"))
+      val next = contrib.groupBy(col("pu"))
+        .agg((when(col("pu") === seed, lit(base)).otherwise(lit(0L))
+          + expr("(85L * sum(c)) div 100")).as("pr"))
+      // same lineage rule as pageRankOf: depth grows linearly, cut
+      // every third round so short walks plan zero checkpoint jobs
+      if (i < iters && i % 3 == 0) next.localCheckpoint() else next
+    }
+    ranked.select(col("pu").as("u"), col("pr"))
+  }
+
   /** Shared body of the two co-purchase PageRank queries: basket edge
     * build (same shape as graph_copurchase_pairs — one order-keyed
     * shuffle collects each order's part set, both edge directions explode
@@ -276,16 +315,25 @@ object Analytics {
     */
   private def pageRankCopurchase(s: SparkSession, d: String,
       saltDegree: Long): DataFrame = {
-    val edges = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(col("ps"), explode(col("ps")).as("u"))
-      .select(col("u"), explode(expr("filter(ps, x -> x != u)")).as("v"))
+    val edges = copurchaseEdgeFanout(s, d)
     pageRankOf(edges, 2, saltDegree = saltDegree, salts = 8)
       .select(col("u").as("part"), col("pr").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("part"))
       .limit(20)
   }
+
+  /** Duplicate-free directed co-purchase edge fan-out (both directions)
+    * shared by the PageRank/PPR queries: one order-keyed shuffle
+    * collects each order's part set, both edge directions explode
+    * IN-TASK — no self-join, no pair-level Exchange before the
+    * adjacency build (which dedups pairs itself).
+    */
+  private def copurchaseEdgeFanout(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(col("ps"), explode(col("ps")).as("u"))
+      .select(col("u"), explode(expr("filter(ps, x -> x != u)")).as("v"))
 
   /** The (u, vs, d) adjacency frame [[pageRankOf]] iterates over — rows
     * carry the node's TOTAL deduped degree `d` so `pr div d` is a per-row
@@ -385,6 +433,10 @@ object Analytics {
       typeCol: String, tsMicrosCol: String, touchTypes: Seq[String],
       convType: String, lookbackMicros: Long): DataFrame = {
     val SC = 1000000000000L // credit scale: 1 conversion = 1e12 units
+    // (cnt·SC) must fit int64: Spark wraps silently on overflow while
+    // DuckDB errors, so past this bound fail LOUDLY on both engines
+    // instead of breaking the bit-identical cross-engine contract.
+    val MAXN = Long.MaxValue / SC // 9,223,372 qualifying touches
     val w = Window.partitionBy(userCol).orderBy(col(tsMicrosCol))
       .rangeBetween(-lookbackMicros, -1)
     val counted = touchTypes.foldLeft(events) { (df, t) =>
@@ -395,7 +447,10 @@ object Analytics {
     val conv = counted.where(col(typeCol) === convType)
       .withColumn("__n", n)
     val creditCols = touchTypes.map { t =>
-      sum(when(col("__n") > 0,
+      sum(when(col("__n") > MAXN, raise_error(lit(
+          s"linearTouchOf: >$MAXN touches in one lookback; " +
+            "scaled credit overflows int64")).cast("decimal(38,0)"))
+        .when(col("__n") > 0,
           expr(s"(__n_$t * ${SC}L) div __n").cast("decimal(38,0)"))
         .otherwise(lit(0).cast("decimal(38,0)")))
         .cast("double").divide(lit(1.0e12)).as(s"${t}_credit")
@@ -447,12 +502,17 @@ object Analytics {
     val n = touchTypes.map(t => col(s"__n_$t")).reduce(_ + _)
     val conv = counted.where(col(typeCol) === convType)
       .withColumn("__n", n)
-      .withColumn("__ftt", substring(col("__ft"), 21, 64))
-      .withColumn("__ltt", substring(col("__lt"), 21, 64))
+      // no length cap: a touch-type name longer than a cap would never
+      // equal any t in hit() and its 40% credit would silently vanish
+      .withColumn("__ftt", expr("substring(__ft, 21)"))
+      .withColumn("__ltt", expr("substring(__lt, 21)"))
     def hit(c: Column, t: String): Column = when(c === t, 1L).otherwise(0L)
     val creditCols = touchTypes.map { t =>
       val perConv =
-        when(col("__n") === 1, hit(col("__ftt"), t) * lit(SC))
+        when(col("__n") > Long.MaxValue / SC, raise_error(lit(
+            "positionTouchOf: touch count overflows scaled credit"))
+          .cast("long"))
+          .when(col("__n") === 1, hit(col("__ftt"), t) * lit(SC))
           .when(col("__n") === 2,
             (hit(col("__ftt"), t) + hit(col("__ltt"), t)) * lit(SC / 2))
           .when(col("__n") >= 3,
@@ -515,7 +575,11 @@ object Analytics {
       }
       .withColumn("__W", touchTypes.map(t => col(s"__w_$t")).reduce(_ + _))
     val creditCols = touchTypes.map { t =>
-      sum(when(col("__W") > 0,
+      // w_t ≤ W, so bounding W bounds every (w_t·SC) product
+      sum(when(col("__W") > Long.MaxValue / SC, raise_error(lit(
+          "timeDecayTouchOf: decay weight total overflows scaled " +
+            "credit")).cast("decimal(38,0)"))
+        .when(col("__W") > 0,
           expr(s"(__w_$t * ${SC}L) div __W").cast("decimal(38,0)"))
         .otherwise(lit(0).cast("decimal(38,0)")))
         .cast("double").divide(lit(1.0e12)).as(s"${t}_credit")
@@ -2384,6 +2448,64 @@ object Analytics {
       pageRankCopurchase(s, d, saltDegree = 32L)
     },
 
+    // PERSONALIZED PageRank (random walk with restart) from the
+    // smallest co-purchase part — the "customers who bought this also
+    // value..." recommendation primitive: ALL teleport mass returns to
+    // the seed, so ranks measure walk proximity to it, not global
+    // centrality. 3 fixed rounds of the same integer recurrence as
+    // graph_pagerank (1e9 scale, truncating div — order-independent,
+    // bit-identical cross-engine), salted adjacency (saltDegree 32
+    // triggers on the co-purchase hubs), SPARSE rank frame (only the
+    // seed's 3-hop ball ever carries rows). The oracle unrolls the
+    // identical recurrence; the one-row UNION keeps the seed's restart
+    // mass alive in rounds where no walk mass returns to it.
+    Q("graph_ppr_seeded",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM li a JOIN li b
+        |       ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u, count(*) AS d FROM pe GROUP BY 1),
+        |sd AS (SELECT min(u) AS s FROM pe),
+        |p0 AS (SELECT s AS u, CAST(1000000000 AS BIGINT) AS pr FROM sd
+        |       WHERE s IS NOT NULL),
+        |p1 AS (SELECT t.u,
+        |         CAST(CASE WHEN t.u = sd.s THEN 150000000 ELSE 0 END
+        |           + (85 * sum(t.c)) // 100 AS BIGINT) AS pr
+        |       FROM (SELECT e.v AS u, p0.pr // deg.d AS c
+        |             FROM pe e JOIN p0 ON e.u = p0.u
+        |               JOIN deg ON e.u = deg.u
+        |             UNION ALL SELECT u, 0 AS c FROM p0) t, sd
+        |       GROUP BY t.u, sd.s),
+        |p2 AS (SELECT t.u,
+        |         CAST(CASE WHEN t.u = sd.s THEN 150000000 ELSE 0 END
+        |           + (85 * sum(t.c)) // 100 AS BIGINT) AS pr
+        |       FROM (SELECT e.v AS u, p1.pr // deg.d AS c
+        |             FROM pe e JOIN p1 ON e.u = p1.u
+        |               JOIN deg ON e.u = deg.u
+        |             UNION ALL SELECT u, 0 AS c FROM p0) t, sd
+        |       GROUP BY t.u, sd.s),
+        |p3 AS (SELECT t.u,
+        |         CAST(CASE WHEN t.u = sd.s THEN 150000000 ELSE 0 END
+        |           + (85 * sum(t.c)) // 100 AS BIGINT) AS pr
+        |       FROM (SELECT e.v AS u, p2.pr // deg.d AS c
+        |             FROM pe e JOIN p2 ON e.u = p2.u
+        |               JOIN deg ON e.u = deg.u
+        |             UNION ALL SELECT u, 0 AS c FROM p0) t, sd
+        |       GROUP BY t.u, sd.s)
+        |SELECT u AS part, pr AS ppr_scaled FROM p3
+        |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
+      val edges = copurchaseEdgeFanout(s, d)
+      val seedRow = edges.agg(min(col("u"))).head
+      val ppr =
+        pprOf(edges, if (seedRow.isNullAt(0)) 0L else seedRow.getLong(0),
+          iters = 3, saltDegree = 32L, salts = 8)
+      (if (seedRow.isNullAt(0)) ppr.where(lit(false)) else ppr)
+        .select(col("u").as("part"), col("pr").as("ppr_scaled"))
+        .orderBy(col("ppr_scaled").desc, col("part"))
+        .limit(20)
+    },
+
     // Directional n-gram containment |A∩B| / |A| — catches doc-IN-doc
     // duplication that symmetric Jaccard dilutes (a page embedded in a
     // larger page scores ~1.0 here but ~|A|/|B| there). Same bounded
@@ -2604,7 +2726,8 @@ object Analytics {
     // windows it belongs to (a bounded ×7 fan-out of the already
     // user-day-deduped frame — the same bounded-blowup argument as the
     // dedup band joins; a 30-day MAU costs ×30, past which the
-    // HLL-sketch route takes over). Everything integer until the one
+    // HLL-sketch route below — events_active_users_sketch — takes
+    // over). Everything integer until the one
     // stickiness division per day; the DAU and WAU aggregates join
     // co-partitioned on day.
     Q("events_active_users_rolling",
@@ -2638,6 +2761,47 @@ object Analytics {
         .select(col("day").cast("timestamp").as("day"), col("dau"),
           col("wau"),
           (col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
+    },
+
+    // The sketch route the exact query above promises: sliding distinct
+    // counts as MERGEABLE HLL materialized views — per-day
+    // hll_sketch_agg partials (ONE user-day-keyed shuffle with map-side
+    // partial merge, the only pass over the events fact), then every
+    // trailing window (7-day WAU, 30-day MAU) is a hll_union_agg over
+    // the DAY-SIZED partial table: the ×N coverage fan-out lands on
+    // O(days) sketch rows instead of O(user-days), which is what makes
+    // a 30/90/365-day distinct window affordable at 100 TB (this is
+    // exactly the daily-rollup + union pattern of a production metrics
+    // store). lgConfigK 12 → ~1.6% standard error; sketch-defined → no
+    // SQL oracle; AnalyticsSpec gates every estimate against the exact
+    // coverage-explode twin within ±5%.
+    Q.noOracle("events_active_users_sketch") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        // day-sized frame read by three aggregates below: pin it so the
+        // events scan + sketch shuffle run once (lazy — materializes
+        // inside the first consumer's job)
+        .localCheckpoint(false)
+      val mx = daily.agg(max(col("day")).as("mxa"))
+      def trailing(n: Int, alias: String): DataFrame =
+        daily
+          .select(explode(expr(s"sequence(day, date_add(day, ${n - 1}))"))
+            .as("day"), col("sk"))
+          .groupBy("day")
+          .agg(hll_union_agg(col("sk")).as("u"))
+          .select(col("day"),
+            hll_sketch_estimate(col("u")).as(alias))
+      val dau = daily.select(col("day"),
+        hll_sketch_estimate(col("sk")).as("dau_est"))
+      dau.join(trailing(7, "wau_est"), "day")
+        .join(trailing(30, "mau_est"), "day")
+        .crossJoin(broadcast(mx))
+        .where(col("day") <= col("mxa"))
+        .select(col("day").cast("timestamp").as("day"), col("dau_est"),
+          col("wau_est"), col("mau_est"))
         .orderBy("day")
     },
 
@@ -3143,7 +3307,8 @@ object Analytics {
         |e AS (SELECT pa AS src, pb AS dst FROM p
         |      UNION ALL SELECT pb, pa FROM p),
         |reach AS (
-        |  SELECT (SELECT min(src) FROM e) AS node, 0 AS h
+        |  SELECT * FROM (SELECT (SELECT min(src) FROM e) AS node, 0 AS h)
+        |  WHERE node IS NOT NULL
         |  UNION
         |  SELECT e.src, reach.h + 1 FROM e JOIN reach ON e.dst = reach.node
         |  WHERE reach.h < 30)
@@ -3152,10 +3317,13 @@ object Analytics {
         |ORDER BY part_id""".stripMargin) { (s, d) =>
       val edges = thresholdedCopurchaseEdges(s, d, "u", "v")
       // u < v on every thresholded edge, so min(u) is the global min
-      // node; one bounded scalar read picks the deterministic anchor
+      // node; one bounded scalar read picks the deterministic anchor.
+      // Empty thresholded graph → EMPTY result (the oracle seed drops
+      // its NULL anchor the same way), never a fabricated (0, 0) row.
       val srcRow = edges.agg(min(col("u"))).head
-      val src = if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0)
-      shortestHopsOf(edges, src, maxHops = 30)
+      val hops = shortestHopsOf(edges,
+        if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0), maxHops = 30)
+      (if (srcRow.isNullAt(0)) hops.where(lit(false)) else hops)
         .select(col("node").as("part_id"), col("hops"))
         .orderBy("part_id")
     },
@@ -3180,8 +3348,9 @@ object Analytics {
         |e AS (SELECT pa AS src, pb AS dst, 1000000 // n AS cost FROM p
         |      UNION ALL SELECT pb, pa, 1000000 // n FROM p),
         |bf AS (
-        |  SELECT 0 AS it, (SELECT min(src) FROM e) AS node,
-        |    CAST(0 AS BIGINT) AS d
+        |  SELECT * FROM (SELECT 0 AS it, (SELECT min(src) FROM e) AS node,
+        |    CAST(0 AS BIGINT) AS d)
+        |  WHERE node IS NOT NULL
         |  UNION ALL
         |  SELECT it, node, min(d) AS d FROM (
         |    SELECT cur.it + 1 AS it, e.dst AS node, cur.d + e.cost AS d
@@ -3198,8 +3367,11 @@ object Analytics {
       val edges = thresholdedCopurchaseEdges(s, d, "u", "v", Some("n"))
         .withColumn("cost", expr("1000000L div n"))
       val srcRow = edges.agg(min(col("u"))).head
-      val src = if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0)
-      shortestCostOf(edges, src, rounds = 10)
+      // empty graph → empty result, matching the oracle's NULL-dropping
+      // seed (see graph_shortest_hops)
+      val cost = shortestCostOf(edges,
+        if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0), rounds = 10)
+      (if (srcRow.isNullAt(0)) cost.where(lit(false)) else cost)
         .select(col("node").as("part_id"), col("cost"))
         .orderBy("part_id")
     },

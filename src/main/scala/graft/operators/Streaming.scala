@@ -53,7 +53,7 @@ object Streaming {
     */
   case class EvRef(tsUs: Long, event_id: Long)
   case class RecencyOut(user_id: Long, n_seen: Long, last3: String,
-      type_counts: String, snap_ms: Long)
+      type_counts: String, snap_ms: Long, snap_seq: Long)
 
   /** Per-user recency profile on transformWithState, exercising the state
     * variables the other processors don't (VERDICT r13): a `ListState`
@@ -65,8 +65,10 @@ object Streaming {
     * `ttl` drops out of the store entirely, which is how a 100 TB
     * deployment bounds state for ever-growing key domains. Emits the
     * running (n_seen, last-K, counts) snapshot per batch, stamped with
-    * the batch's processing time (`snap_ms`): that stamp, not n_seen,
-    * is the final-snapshot pick key — n_seen (the sum of SURVIVING map
+    * the batch's processing time (`snap_ms`) plus a per-key batch
+    * counter (`snap_seq`, no TTL, breaking same-millisecond batch
+    * ties): that stamp pair, not n_seen, is the final-snapshot pick
+    * key — n_seen (the sum of SURVIVING map
     * counts) can decrease across batches under partial TTL expiry
     * (ListState TTL re-arms on every put of the whole list, MapState
     * TTL per map key, so the two expire independently), while the
@@ -79,6 +81,8 @@ object Streaming {
       org.apache.spark.sql.streaming.ListState[EvRef] = _
     @transient private var counts:
       org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var seq:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       val ttlConf = org.apache.spark.sql.streaming.TTLConfig(ttl)
@@ -87,6 +91,14 @@ object Streaming {
       counts = getHandle.getMapState[String, Long]("counts",
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+      // snap_seq tie-break state: snap_ms alone is ms-granularity, so
+      // two micro-batches finishing within the same millisecond would
+      // tie the final-snapshot max_by pick; a per-key batch counter
+      // (no TTL — it must outlive the profile state to stay monotonic)
+      // makes (snap_ms, snap_seq) a strict order across batches.
+      seq = getHandle.getValueState[Long]("seq",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
     private def tsUs(t: java.sql.Timestamp): Long =
       math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
@@ -103,10 +115,12 @@ object Streaming {
         .sortBy(r => (-r.tsUs, -r.event_id)).take(k)
       recent.put(top.toArray)
       val snap = counts.iterator().toSeq.sortBy(_._1)
+      val sq = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(sq)
       Iterator(RecencyOut(key, snap.map(_._2).sum,
         top.map(_.event_id).mkString(","),
         snap.map { case (t, n) => s"$t:$n" }.mkString(","),
-        timerValues.getCurrentProcessingTimeInMs()))
+        timerValues.getCurrentProcessingTimeInMs(), sq))
     }
   }
 
@@ -735,18 +749,21 @@ object Streaming {
             new RecencyProcessor(3, java.time.Duration.ofHours(1)),
             org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
             OutputMode.Update())
-          .toDF("user_id", "n_seen", "last3", "type_counts", "snap_ms")
+          .toDF("user_id", "n_seen", "last3", "type_counts", "snap_ms",
+            "snap_seq")
         // Trigger.Once, not AvailableNow: processing-time TTL keeps
         // shouldRunAnotherBatch true forever (see runToTableOnce)
         val out = Streams.runToTableOnce(updates, "update",
           statePartitions = 2)
-        // the batch-timestamp stamp, not n_seen, picks the final
-        // snapshot: it increases across batches even under partial TTL
-        // expiry, where n_seen (surviving-count sum) can decrease
+        // the (batch timestamp, per-key batch counter) stamp — not
+        // n_seen — picks the final snapshot: snap_ms increases across
+        // batches even under partial TTL expiry (where n_seen can
+        // decrease) and snap_seq breaks same-millisecond batch ties
+        val pick = struct(col("snap_ms"), col("snap_seq"))
         out.groupBy("user_id")
-          .agg(max_by(col("n_seen"), col("snap_ms")).as("n_seen"),
-            max_by(col("last3"), col("snap_ms")).as("last3"),
-            max_by(col("type_counts"), col("snap_ms")).as("type_counts"))
+          .agg(max_by(col("n_seen"), pick).as("n_seen"),
+            max_by(col("last3"), pick).as("last3"),
+            max_by(col("type_counts"), pick).as("type_counts"))
           .orderBy("user_id")
       } finally prevProvider match {
         case Some(p) =>

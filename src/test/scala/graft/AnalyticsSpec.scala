@@ -497,4 +497,65 @@ class AnalyticsSpec extends SparkSuite {
       assert(a < b && nBoth <= math.min(nA, nB) && j > 0.0 && j <= 1.0,
         s"($a,$b): both=$nBoth a=$nA b=$nB j=$j") }
   }
+
+  test("personalized PageRank: restart mass stays at the seed, near " +
+      "neighbors outrank the planted far hub, salted == unsalted") {
+    import spark.implicits._
+    // planted fixture: seed 1 has two neighbors {2, 3}; node 9 is a hub
+    // (degree 5, globally dominant for PLAIN PageRank) but sits THREE
+    // hops from the seed — PPR must rank the seed's 1-hop ball above it
+    val und = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 9L), (9L, 5L),
+      (9L, 6L), (9L, 7L), (9L, 8L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = operators.Analytics.pprOf(edges, seed = 1L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the seed keeps its teleport floor every round (the one-row union)
+    assert(got(1L) >= 150000000L, s"seed rank ${got.get(1L)}")
+    // 1-hop neighbors outrank the 3-hop hub; global PageRank would not
+    assert(got(2L) > got(9L) && got(3L) > got(9L), got.toString)
+    // sparse frame: nodes 5-8 are 4 hops out, unreached in 3 rounds
+    assert(!got.contains(5L) && !got.contains(8L), got.keySet.toString)
+    // salted layout (threshold 2 triggers on the planted hub) is
+    // bit-identical — the pageRank salting contract holds for PPR too
+    val salted = operators.Analytics
+      .pprOf(edges, seed = 1L, iters = 3, saltDegree = 2L, salts = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == got, s"salted $salted != unsalted $got")
+  }
+
+  test("HLL active-users sketch matches the exact coverage-explode twin " +
+      "within 5% (DAU, WAU, and the 30-day MAU the exact route can't afford)") {
+    val est = SparkEntry.queries("events_active_users_sketch")(spark, sf)
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // exact DAU/WAU from the oracled exact query
+    val exact = SparkEntry.queries("events_active_users_rolling")(spark, sf)
+      .collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact 30-day MAU recomputed here (the ×30 explode the production
+    // path avoids is fine at spec scale)
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date").as("a")).distinct()
+    val mxa = ud.agg(max(col("a"))).head.getDate(0)
+    val mau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(a, date_add(a, 29))")).as("day"))
+      .where(col("day") <= lit(mxa))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+      .collect()
+      .map(r => java.sql.Timestamp.valueOf(
+        r.getDate(0).toLocalDate.atStartOfDay()) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet,
+      s"day sets differ: ${est.keySet.size} vs ${exact.keySet.size}")
+    def within5(e: Long, x: Long): Boolean =
+      math.abs(e.toDouble - x) <= 0.05 * x
+    est.foreach { case (day, (dauE, wauE, mauE)) =>
+      val (dau, wau) = exact(day)
+      assert(within5(dauE, dau), s"$day dau: est $dauE exact $dau")
+      assert(within5(wauE, wau), s"$day wau: est $wauE exact $wau")
+      assert(within5(mauE, mau(day)), s"$day mau: est $mauE exact ${mau(day)}")
+    }
+  }
 }

@@ -105,6 +105,43 @@ class BenchGuardSpec extends AnyFunSuite {
       now, 0.45, 0.50, sf)._1.isEmpty)
   }
 
+  test("severe wall blow-up flags even when cpu stays flat (no cpu veto)") {
+    // the r15 miss: q22_quiet_customers ran 3.36x its committed wall on
+    // a quiet host but its cpu barely moved (scheduling-delay
+    // signature), so the cpu gate absolved it and no flag fired. Any
+    // >=2x HOST-NORMALIZED wall ratio must flag regardless of cpu —
+    // flags are adjudication inputs, not verdicts. Here qc runs 3.36x
+    // wall (0.5 -> 1.68 s) with cpu 1.0 -> 1.2 (under the 0.3 s cpu
+    // delta floor) on a clean host: old gate silent, severe gate flags.
+    val now = Seq(("qa", 1.0, 2.0), ("qb", 2.0, 4.0), ("qc", 1.68, 1.2))
+    val flags = flagsOf(now, calib = 0.45, loaded = 0.50)
+    assert(flags.size == 1 && flags.head.contains("qc"), flags.toString)
+    // below 2x host-normalized (1.8x) with the same flat cpu: the cpu
+    // veto still holds — the severe gate is for outliers only
+    val mild = Seq(("qa", 1.0, 2.0), ("qb", 2.0, 4.0), ("qc", 0.9, 1.2))
+    assert(flagsOf(mild, calib = 0.45, loaded = 0.50).isEmpty)
+  }
+
+  test("severe gate normalizes by the fleet p90 contention envelope") {
+    // the r9 bimodal-steal pathology must STAY unflagged: a minority of
+    // untouched queries 3x-inflated while the fleet p90 cpu ratio
+    // documents contention wide enough to explain them — the severe
+    // gate's host normalization includes that envelope, so placement
+    // bimodality doesn't resurface as false severe flags
+    val prior6 =
+      """{"metric":"total","value":6.0,"unit":"sec","cpu":12.0,"gc":0.1,""" +
+        """"calib":0.45,"calib_loaded":0.50,""" +
+        """"queries":{"qa":1.000,"qb":1.000,"qc":1.000,"qd":1.000,""" +
+        """"qe":1.000,"qf":1.000},""" +
+        """"queries_cpu":{"qa":2.000,"qb":2.000,"qc":2.000,"qd":2.000,""" +
+        """"qe":2.000,"qf":2.000},""" +
+        """"errors":{},"failed":0,"sf":"/root/testdata/sf0.1"}"""
+    val now = Seq(("qa", 1.0, 2.0), ("qb", 1.0, 2.0), ("qc", 1.0, 2.0),
+      ("qd", 1.0, 2.0), ("qe", 3.0, 6.0), ("qf", 3.0, 6.0))
+    assert(flagsOf(now, calib = 0.63, loaded = 0.70,
+      artifact = prior6).isEmpty)
+  }
+
   test("sub-threshold absolute deltas never flag (scheduler noise floor)") {
     // qc doubles but only by 0.5 -> 1.1 s wall... wait, that's >0.3 —
     // use a genuinely tiny query: +0.2 s absolute stays under the floor

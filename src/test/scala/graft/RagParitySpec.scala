@@ -80,6 +80,55 @@ class RagParitySpec extends SparkSuite {
     }
   }
 
+  test("a second knowledge micro-batch CHANGES the answer to the same " +
+      "question (the reference's incremental-freshness claim)") {
+    // README.md:24-31 freshness contract: answers reflect knowledge
+    // ingested AFTER the question was first answerable — not a frozen
+    // index. Ask the same question before and after a second knowledge
+    // micro-batch lands in the store; the answer must flip to the new
+    // fact, deterministically both times.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    withTmp("graft_fresh_") { tmp =>
+      val store = s"$tmp/store"
+      val out1 = s"$tmp/answers1"; val out2 = s"$tmp/answers2"
+
+      // batch 1: distractors only — the store cannot answer the question
+      val k1 = MemoryStream[String]
+      k1.addData(
+        "Spark plans queries with the Catalyst optimizer.",
+        "Flink processes unbounded streams with low latency.")
+      streaming.Streams.ingest(k1.toDF().toDF("line"), store)
+
+      val q1 = MemoryStream[String]
+      q1.addData("What is the capital of France?")
+      streaming.Streams.answer(q1.toDF().toDF("line"), store, out1, k = 2)
+      val a1 = spark.read.parquet(out1).collect()
+      assert(a1.length == 1)
+      val before = a1.head.getAs[String]("answer")
+      assert(!before.contains("Paris"), s"premature: $before")
+
+      // batch 2: the fact arrives as a LATER micro-batch into the SAME
+      // store (ingest appends; the store is the accumulated generations)
+      val k2 = MemoryStream[String]
+      k2.addData("The capital of France is Paris.")
+      streaming.Streams.ingest(k2.toDF().toDF("line"), store)
+      assert(spark.read.parquet(store).count() == 3)
+
+      val q2 = MemoryStream[String]
+      q2.addData("What is the capital of France?")
+      streaming.Streams.answer(q2.toDF().toDF("line"), store, out2, k = 2)
+      val a2 = spark.read.parquet(out2).collect()
+      assert(a2.length == 1)
+      val after = a2.head.getAs[String]("answer")
+      assert(after.contains("Paris"), s"stale after ingest: $after")
+      assert(after != before, "second batch did not change the answer")
+      // the new fact also entered the prompt context the LLM would see
+      assert(a2.head.getAs[String]("prompt")
+        .contains("The capital of France is Paris."))
+    }
+  }
+
   test("TextSegment metadata round-trips: ingest -> store -> retrieved matches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, map, lit}

@@ -393,7 +393,8 @@ class StreamingSpec extends SparkSuite {
             java.time.Duration.ofMillis(ttlMs)),
           org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-        .toDF("user_id", "n_seen", "last3", "type_counts", "snap_ms")
+        .toDF("user_id", "n_seen", "last3", "type_counts", "snap_ms",
+          "snap_seq")
       // processing-time TTL keeps shouldRunAnotherBatch true forever
       // (processAllAvailable never latches, AvailableNow never reaches
       // its termination condition — measured), so each phase is a

@@ -427,15 +427,26 @@ object Dedup {
       // cost, not the rows.
       edges = small
       val tDbg0 = if (dbg) System.nanoTime() else 0L
-      val roles = edges.select(col("u").as("n"), lit(1L).as("s"),
-          lit(0L).as("t"))
-        .unionAll(edges.select(col("v").as("n"), lit(0L).as("s"),
-          lit(1L).as("t")))
-        .repartition(kernelParts, col("n"))
-      val violations = roles.groupBy("n")
-        .agg(sum(col("s")).as("s"), sum(col("t")).as("t"))
-        .where(col("s") > 1 || (col("s") >= 1 && col("t") >= 1))
-      converged = violations.isEmpty
+      // The ROUND-1 probe is skipped: star contraction converges in one
+      // round only on an input that is already a min-labeled depth-1
+      // star, and at the fixpoint both stars are IDEMPOTENT (they
+      // re-derive the same edge set), so the cost of not noticing is
+      // one cheap extra round on tiny pre-collapsed graphs — while
+      // every real invocation saves a whole probe job + its per-round
+      // plan/codegen (round 2's probe materializes both rounds' lazy
+      // checkpoints as ONE cascade, the same fusion the fixed-round
+      // kernels use).
+      if (it >= 1) {
+        val roles = edges.select(col("u").as("n"), lit(1L).as("s"),
+            lit(0L).as("t"))
+          .unionAll(edges.select(col("v").as("n"), lit(0L).as("s"),
+            lit(1L).as("t")))
+          .repartition(kernelParts, col("n"))
+        val violations = roles.groupBy("n")
+          .agg(sum(col("s")).as("s"), sum(col("t")).as("t"))
+          .where(col("s") > 1 || (col("s") >= 1 && col("t") >= 1))
+        converged = violations.isEmpty
+      }
       it += 1
       if (dbg)
         System.err.println(f"[collapse] round $it stars=${(tDbg0 - tDbgR) / 1e9}%.3f viol=${(System.nanoTime() - tDbg0) / 1e9}%.3f")

@@ -514,6 +514,17 @@ object Graft {
       saltDegree: Long = 0L, salts: Int = 16): DataFrame =
     graft.operators.Analytics.pprOf(edges, seed, iters, saltDegree, salts)
 
+  /** Per-node LOCAL clustering coefficients over a canonical (u < v)
+    * undirected edge frame: (node, degree, triangles, lcc) for every
+    * node of degree ≥ 2, lcc = 2·T/(d·(d−1)) as one double division of
+    * exact BIGINTs. Triangles enumerate once as a<b<c via two
+    * wedge-closing equi-joins and credit their corners in-task; at
+    * power-law scale pre-orient edges low-degree→high so wedge fan-out
+    * is bounded by arboricity.
+    */
+  def localClustering(edges: DataFrame): DataFrame =
+    graft.operators.Analytics.localClusteringOf(edges)
+
   /** Last-touch attribution: one row per `convType` event with the
     * latest strictly-prior `touchTypes` event by the same `userCol`
     * within `lookbackMicros` (column `touch`; 'none' when no touch

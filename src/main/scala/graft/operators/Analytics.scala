@@ -699,6 +699,39 @@ object Analytics {
           .as("clustering"))
   }
 
+  /** Per-node LOCAL clustering coefficients (re-exported as
+    * `graft.api.Graft.localClustering`) — the node-level companion to
+    * [[triangleStatsOf]]'s global census: for each node of degree ≥ 2,
+    * lcc = 2·T(v) / (d(v)·(d(v)−1)) where T(v) counts triangles through
+    * v. Same oriented (u < v) edge frame and two wedge-closing
+    * equi-joins as the global count — each triangle enumerates once as
+    * a<b<c and then credits its three corners via an IN-TASK explode
+    * (no extra shuffle beyond the per-node count); at power-law scale
+    * the same low-degree→high orientation bounds wedge fan-out by
+    * arboricity. The coefficient is ONE double division of exact
+    * BIGINTs — bit-identical cross-engine.
+    */
+  private[graft] def localClusteringOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct()
+      .persist() // read 4× (ab, bc, ac, degrees)
+    val tri = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b2"), col("v").as("c")),
+        col("b") === col("b2"))
+      .join(e.select(col("u").as("a2"), col("v").as("c2")),
+        col("a") === col("a2") && col("c") === col("c2"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    deg.join(tri, Seq("node"), "left")
+      .where(col("dg") >= 2)
+      .select(col("node"), col("dg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        ((lit(2) * coalesce(col("tri"), lit(0L))).cast("double")
+          / (col("dg") * (col("dg") - 1))).as("lcc"))
+  }
+
   /** Frame-parametric robust median/MAD outlier filter (re-exported as
     * `graft.api.Graft.madOutliers`): rows of `df` whose `valueCol`
     * deviates from its `seriesCol`-group median by more than
@@ -2022,6 +2055,109 @@ object Analytics {
         .select(col("event_type"),
           date_format(col("z.hs"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("z.ls").as("level"), col("z.bs").as("trend"))
+        .orderBy("event_type", "hour")
+    },
+
+    // HOLT-WINTERS additive seasonal smoothing per hourly series — the
+    // forecasting-ladder capstone above snaive/EMA/Holt: level + trend
+    // + a rotating 24-slot hour-of-day seasonal state. All smoothing
+    // constants are exact binary fractions (α=0.5, β=γ=0.25) and the
+    // level expression is repeated VERBATIM inside the trend and
+    // seasonal formulas on BOTH engines, so every arithmetic chain is
+    // bit-identical. Seasonals init to ZERO (the first daily cycle
+    // degenerates to plain Holt and seasonality is learned from cycle
+    // 2 on — the deterministic "learn-from-zero" init; a mean-of-first-
+    // cycle init would be a partial-sum ULP trap). The recurrence is an
+    // in-order array fold with per-series bounded state (l, b, 24
+    // seasonal slots); series = the shuffle key, so a 100 TB fact
+    // shuffles once into per-series folds. Oracle = recursive CTE
+    // carrying the same rotating seasonal list.
+    Q("ts_holt_winters",
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, h, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        |  FROM hourly),
+        |init AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN i = 1 THEN v END) AS v1,
+        |    coalesce(max(CASE WHEN i = 2 THEN v END),
+        |             max(CASE WHEN i = 1 THEN v END)) AS v2
+        |  FROM idx GROUP BY event_type),
+        |hw AS (
+        |  SELECT x.event_type, x.h, x.i, x.v AS l, (n.v2 - n.v1) AS b,
+        |    CAST(0 AS DOUBLE) AS s,
+        |    list_transform(generate_series(1, 24),
+        |      z -> CAST(0 AS DOUBLE)) AS ss
+        |  FROM idx x JOIN init n ON x.event_type = n.event_type
+        |  WHERE x.i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.h, x.i,
+        |    0.5 * (x.v - p.ss[1]) + 0.5 * (p.l + p.b),
+        |    0.25 * ((0.5 * (x.v - p.ss[1]) + 0.5 * (p.l + p.b)) - p.l)
+        |      + 0.75 * p.b,
+        |    0.25 * (x.v - (0.5 * (x.v - p.ss[1]) + 0.5 * (p.l + p.b)))
+        |      + 0.75 * p.ss[1],
+        |    p.ss[2:24] ||
+        |      [0.25 * (x.v - (0.5 * (x.v - p.ss[1]) + 0.5 * (p.l + p.b)))
+        |        + 0.75 * p.ss[1]]
+        |  FROM idx x JOIN hw p
+        |    ON x.event_type = p.event_type AND x.i = p.i + 1)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       l AS level, b AS trend, s AS seasonal
+        |FROM hw ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("sr"))
+        .select(col("event_type"),
+          expr("transform(sr, x -> x.h)").as("hs"),
+          expr("transform(sr, x -> x.v)").as("vs"))
+        .select(col("event_type"), col("hs"),
+          expr("""aggregate(
+                 |  slice(vs, 2, greatest(size(vs) - 1, 0)),
+                 |  named_struct(
+                 |    'ls', array(element_at(vs, 1)),
+                 |    'bs', array(coalesce(
+                 |      try_element_at(vs, 2) - element_at(vs, 1), 0D)),
+                 |    'ks', array(0D),
+                 |    'ss', array_repeat(0D, 24)),
+                 |  (acc, x) -> named_struct(
+                 |    'ls', concat(acc.ls, array(
+                 |      0.5D * (x - element_at(acc.ss, 1))
+                 |        + 0.5D * (element_at(acc.ls, -1)
+                 |            + element_at(acc.bs, -1)))),
+                 |    'bs', concat(acc.bs, array(
+                 |      0.25D * ((0.5D * (x - element_at(acc.ss, 1))
+                 |          + 0.5D * (element_at(acc.ls, -1)
+                 |              + element_at(acc.bs, -1)))
+                 |        - element_at(acc.ls, -1))
+                 |      + 0.75D * element_at(acc.bs, -1))),
+                 |    'ks', concat(acc.ks, array(
+                 |      0.25D * (x - (0.5D * (x - element_at(acc.ss, 1))
+                 |          + 0.5D * (element_at(acc.ls, -1)
+                 |              + element_at(acc.bs, -1))))
+                 |      + 0.75D * element_at(acc.ss, 1))),
+                 |    'ss', concat(slice(acc.ss, 2, 23), array(
+                 |      0.25D * (x - (0.5D * (x - element_at(acc.ss, 1))
+                 |          + 0.5D * (element_at(acc.ls, -1)
+                 |              + element_at(acc.bs, -1))))
+                 |      + 0.75D * element_at(acc.ss, 1)))))"""
+            .stripMargin).as("lb"))
+        .select(col("event_type"), col("hs"),
+          expr("lb.ls").as("ls"), expr("lb.bs").as("bs"),
+          expr("lb.ks").as("ks"))
+        .select(col("event_type"),
+          explode(arrays_zip(col("hs"), col("ls"), col("bs"), col("ks")))
+            .as("z"))
+        .select(col("event_type"),
+          date_format(col("z.hs"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("z.ls").as("level"), col("z.bs").as("trend"),
+          col("z.ks").as("seasonal"))
         .orderBy("event_type", "hour")
     },
 
@@ -3444,6 +3580,46 @@ object Analytics {
             && col("l_partkey") < col("pk2"))
         .select(col("l_partkey").as("u"), col("pk2").as("v"))
       triangleStatsOf(e)
+    },
+
+    // Per-node LOCAL clustering coefficients on the same bounded
+    // co-purchase subgraph — the node-level profile the global census
+    // above summarizes: which parts sit in densely co-purchased
+    // neighborhoods (high lcc = cliquish basket context, low lcc = hub
+    // bridging unrelated baskets). Each a<b<c triangle credits its
+    // three corners via an in-task explode riding the SAME two
+    // wedge-closing equi-joins; lcc = 2·T/(d·(d−1)) is one double
+    // division of exact BIGINTs — bit-identical cross-engine.
+    Q("graph_local_clustering",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |           WHERE l_partkey < 2000),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey),
+        |tn AS (SELECT unnest([ab.u, ab.v, bc.v]) AS node
+        |       FROM e ab JOIN e bc ON ab.v = bc.u
+        |         JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |tri AS (SELECT node, count(*) AS tri FROM tn GROUP BY 1),
+        |deg AS (SELECT x AS node, count(*) AS dg FROM
+        |          (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |        GROUP BY 1)
+        |SELECT deg.node AS part_id, dg AS degree,
+        |  COALESCE(tri, 0) AS triangles,
+        |  CAST(2 * COALESCE(tri, 0) AS DOUBLE) / (dg * (dg - 1)) AS lcc
+        |FROM deg LEFT JOIN tri ON deg.node = tri.node
+        |WHERE dg >= 2
+        |ORDER BY part_id""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).where(col("l_partkey") < 2000)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.join(li.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("pk2")),
+          col("l_orderkey") === col("ok2")
+            && col("l_partkey") < col("pk2"))
+        .select(col("l_partkey").as("u"), col("pk2").as("v"))
+      localClusteringOf(e)
+        .select(col("node").as("part_id"), col("degree"),
+          col("triangles"), col("lcc"))
+        .orderBy("part_id")
     },
 
     // Common-neighbor LINK PREDICTION on the thresholded co-purchase

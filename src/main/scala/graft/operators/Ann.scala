@@ -394,6 +394,75 @@ object Ann {
         .orderBy("probe_id")
     },
 
+    // DIMENSION-TRUNCATION recall audit — the Matryoshka-representation
+    // question every modern embedding deployment asks before cutting
+    // its vector bill 4x: how much top-10 recall survives if search
+    // reads only the FIRST 16 of 64 dimensions? Same integer-counts
+    // discipline as ann_recall_audit (overlap of truncated-cosine
+    // top-10 with full-dim top-10 per probe — nothing to round);
+    // truncation is a pure prefix slice, so both engines score
+    // IDENTICAL prefixes and the ranking arithmetic stays the shared
+    // cosine kernel. At 100 TB the prefix lives as its OWN column (or
+    // the leading bytes of a fixed ARRAY layout), so the truncated scan
+    // is column pruning — reading 1/4 of the vector bytes — and the
+    // full-dim vector is fetched only for the survivors' re-rank.
+    Q("ann_dim_truncation_audit",
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe,
+        |    CAST(embedding[1:16] AS DOUBLE[]) AS pe16
+        |  FROM embeddings WHERE vec_id < 8),
+        |trunc AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT p.probe_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY p.probe_id
+        |        ORDER BY list_cosine_similarity(
+        |                   CAST(e.embedding[1:16] AS DOUBLE[]), p.pe16)
+        |                   DESC,
+        |                 e.vec_id) AS rn
+        |    FROM embeddings e CROSS JOIN probes p
+        |    WHERE e.vec_id <> p.probe_id)
+        |  WHERE rn <= 10),
+        |exact AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT p.probe_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY p.probe_id
+        |        ORDER BY list_cosine_similarity(
+        |                   CAST(e.embedding AS DOUBLE[]), p.pe) DESC,
+        |                 e.vec_id) AS rn
+        |    FROM embeddings e CROSS JOIN probes p
+        |    WHERE e.vec_id <> p.probe_id)
+        |  WHERE rn <= 10)
+        |SELECT x.probe_id, count(a.vec_id) AS hits, count(*) AS n_exact
+        |FROM exact x LEFT JOIN trunc a
+        |  ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+        |GROUP BY x.probe_id
+        |ORDER BY x.probe_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val probes = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          slice(col("embedding"), 1, 16).as("pe16"))
+      def top10(scoreCol: org.apache.spark.sql.Column) =
+        e.crossJoin(broadcast(probes))
+          .where(col("vec_id") =!= col("probe_id"))
+          .withColumn("rn", row_number().over(w.partitionBy("probe_id")
+            .orderBy(scoreCol.desc, col("vec_id"))))
+          .where(col("rn") <= 10)
+          .select("probe_id", "vec_id")
+      val trunc =
+        top10(cosine_sim(slice(col("embedding"), 1, 16), col("pe16")))
+      val exact = top10(cosine_sim(col("embedding"), col("pe")))
+      exact.as("x")
+        .join(trunc.as("a"),
+          col("x.probe_id") === col("a.probe_id") &&
+            col("x.vec_id") === col("a.vec_id"),
+          "left_outer")
+        .groupBy(col("x.probe_id").as("probe_id"))
+        .agg(count(col("a.vec_id")).as("hits"),
+          count(lit(1)).as("n_exact"))
+        .orderBy("probe_id")
+    },
+
     // The persisted-index twin: recall@10 of the REAL seeded IVFPQ (ADC
     // over routed cells' byte codes) and per-cell graph search, vs the
     // exact scan, for probes 0-3 — the operational health check for the

@@ -2941,6 +2941,71 @@ object Analytics {
         .orderBy("day")
     },
 
+    // HOLDOUT UPLIFT readout — the experimentation primitive: users
+    // split DETERMINISTICALLY into treatment/control by a pure id
+    // function (user_id mod 7 < 3, ~43% treatment — in production the
+    // salt-hash bucket of the assignment service; determinism is the
+    // contract, the split function is pluggable), conversion = any
+    // purchase event, and the readout is per-arm exact counts + one
+    // double division per rate + one fixed-order subtraction for the
+    // absolute uplift. ONE user-keyed aggregate over the fact (the same
+    // single-Exchange discipline as the funnel family) then a two-row
+    // arm rollup — at 100 TB the user aggregate is the only shuffle.
+    Q("events_uplift_holdout",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT CASE WHEN user_id % 7 < 3 THEN 'treatment'
+        |              ELSE 'control' END AS arm, conv
+        |  FROM u),
+        |s AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM a GROUP BY 1)
+        |SELECT
+        |  max(CASE WHEN arm = 'treatment' THEN n_users END) AS treat_users,
+        |  max(CASE WHEN arm = 'treatment' THEN n_conv END) AS treat_conv,
+        |  max(CASE WHEN arm = 'control' THEN n_users END) AS control_users,
+        |  max(CASE WHEN arm = 'control' THEN n_conv END) AS control_conv,
+        |  CAST(max(CASE WHEN arm = 'treatment' THEN n_conv END) AS DOUBLE)
+        |    / max(CASE WHEN arm = 'treatment' THEN n_users END)
+        |    AS treat_rate,
+        |  CAST(max(CASE WHEN arm = 'control' THEN n_conv END) AS DOUBLE)
+        |    / max(CASE WHEN arm = 'control' THEN n_users END)
+        |    AS control_rate,
+        |  CAST(max(CASE WHEN arm = 'treatment' THEN n_conv END) AS DOUBLE)
+        |    / max(CASE WHEN arm = 'treatment' THEN n_users END)
+        |  - CAST(max(CASE WHEN arm = 'control' THEN n_conv END) AS DOUBLE)
+        |    / max(CASE WHEN arm = 'control' THEN n_users END)
+        |    AS uplift
+        |FROM s""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", lit(1))
+          .otherwise(lit(0))).as("conv"))
+      val arms = u.select(
+          when(col("user_id") % 7 < 3, lit("treatment"))
+            .otherwise(lit("control")).as("arm"), col("conv"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("conv")).cast("long").as("n_conv"))
+      def pick(a: String, c: String) =
+        max(when(col("arm") === a, col(c)))
+      def rate(a: String) =
+        pick(a, "n_conv").cast("double") / pick(a, "n_users")
+      arms.agg(
+        pick("treatment", "n_users").as("treat_users"),
+        pick("treatment", "n_conv").as("treat_conv"),
+        pick("control", "n_users").as("control_users"),
+        pick("control", "n_conv").as("control_conv"),
+        rate("treatment").as("treat_rate"),
+        rate("control").as("control_rate"),
+        (rate("treatment") - rate("control")).as("uplift"))
+    },
+
     // Seasonal-naive forecast backtest per hourly series: forecast(h) =
     // value(h − 24 h), scored by MAE and signed bias — the sanity
     // baseline every forecasting pipeline reports before anything

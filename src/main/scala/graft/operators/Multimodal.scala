@@ -122,6 +122,67 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // SCENE-CUT detection plumbing — the video-curation step between
+    // frame sampling and per-scene embedding: consecutive-frame
+    // "luminance" deltas above a threshold mark scene boundaries, and
+    // a 100 TB pipeline samples ONE representative frame per scene
+    // instead of every k-th frame (the frame_sample query's fixed
+    // stride wastes embedding budget inside long static scenes). The
+    // decode is the documented deterministic stub (per-frame luminance
+    // = the codepoint of a deterministic text offset — integer,
+    // engine-identical); what's REAL and oracled is the detection
+    // kernel: per-doc frame-lum arrays via HOFs, consecutive deltas,
+    // threshold census — all row-local, ZERO shuffle, pixels never
+    // leave the task (the mapInPandas batch UDF slots into the lum
+    // extraction at deployment, same contract as multimodal_decode).
+    Q("multimodal_scene_cuts",
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    octet_length(encode(text)) % 24 + 1 AS n_frames
+        |  FROM documents WHERE length(text) >= 1),
+        |f AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(generate_series(0, n_frames - 1),
+        |      i -> ascii(substr(text, (i * 17) % length(text) + 1, 1)))
+        |      AS lums
+        |  FROM m),
+        |c AS (
+        |  SELECT doc_id, n_frames,
+        |    list_filter(list_transform(generate_series(1, n_frames - 1),
+        |      i -> CASE WHEN abs(lums[i + 1] - lums[i]) > 64
+        |                THEN i ELSE -1 END), x -> x >= 0) AS cuts
+        |  FROM f)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(len(cuts) AS BIGINT) AS n_cuts,
+        |  CAST(cuts[1] AS BIGINT) AS first_cut,
+        |  CAST(len(cuts) + 1 AS BIGINT) AS n_scenes
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(length(col("text")) >= 1)
+        .withColumn("n_frames",
+          octet_length(encode(col("text"), "utf-8")) % 24 + 1)
+        .withColumn("lums",
+          expr("""transform(sequence(0, n_frames - 1),
+                 |  i -> ascii(substring(text,
+                 |    (i * 17) % length(text) + 1, 1)))""".stripMargin))
+        .withColumn("cuts",
+          // slice-from-2 instead of sequence(1, n-1): Spark's sequence
+          // DESCENDS when start > stop, so a single-frame doc would get
+          // [1, 0] (and element_at(lums, 0) throws) where DuckDB's
+          // generate_series is empty — the slice is empty both engines
+          expr("""filter(transform(slice(sequence(0, n_frames - 1),
+                 |    2, greatest(n_frames - 1, 0)),
+                 |  i -> IF(abs(element_at(lums, i + 1)
+                 |            - element_at(lums, i)) > 64, i, -1)),
+                 |  x -> x >= 0)""".stripMargin))
+        .select(col("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          size(col("cuts")).cast("long").as("n_cuts"),
+          expr("try_element_at(cuts, 1)").cast("long").as("first_cut"),
+          (size(col("cuts")) + 1).cast("long").as("n_scenes"))
+        .orderBy("doc_id")
+    },
+
     // RESIZE + inference-batch shaping — the preprocessing stage between
     // decode and the model: letterbox each image into a 224×224 budget
     // preserving aspect ratio (pure integer geometry on the stub's

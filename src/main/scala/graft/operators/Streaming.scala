@@ -316,6 +316,28 @@ object Streaming {
       Streams.runToTable(agg, "complete").orderBy("event_type", "win_start")
     },
 
+    // Streaming DAILY ACTIVE USERS as an HLL sketch MV — the streaming
+    // twin of events_active_users_sketch and the shape a production
+    // metrics store actually runs: per-day hll_sketch_agg over the
+    // event stream, micro-batch partials merging INTO STATE (HLL
+    // register state is a per-bucket max — order-independent, so the
+    // incremental estimate equals the batch recompute's exactly), the
+    // day's estimate re-emitted as the watermark advances. Downstream
+    // WAU/MAU are sketch UNIONS over this MV's day rows (the batch
+    // query demonstrates the merge); sketch-defined → no SQL oracle,
+    // StreamingSpec gates each day against the exact batch distinct
+    // within the HLL error bound and cross-checks the batch sketch
+    // estimate exactly.
+    Q.noOracle("stream_active_users_hll") { (s, d) =>
+      val agg = Streams.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .select(col("window.start").as("day"),
+          hll_sketch_estimate(col("sk")).as("dau_est"))
+      Streams.runToTable(agg, "complete").orderBy("day")
+    },
+
     // Sliding 1-hour / 15-minute windows.
     Q("stream_sliding_agg",
       """SELECT win_start, event_type, count(*) AS n FROM (

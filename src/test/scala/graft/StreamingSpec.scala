@@ -748,6 +748,33 @@ class StreamingSpec extends SparkSuite {
     } catch { case _: Exception => () }
   }
 
+  test("streaming HLL DAU sketch: incremental estimate == batch sketch " +
+      "exactly, within the HLL bound of exact distinct") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("stream_active_users_hll")(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // HLL register state is a per-bucket max — order-independent — so
+    // the micro-batch-merged streaming estimate must equal the batch
+    // recompute's estimate EXACTLY, not just approximately
+    val batchSk = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .select(col("window.start").as("day"), col("e"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est == batchSk, s"streaming $est != batch sketch $batchSk")
+    // and each day's estimate sits within 5% of the exact distinct
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => java.sql.Timestamp.valueOf(
+        r.getDate(0).toLocalDate.atStartOfDay()) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (day, e) =>
+      val x = exact(day)
+      assert(math.abs(e.toDouble - x) <= 0.05 * x, s"$day: est $e exact $x")
+    }
+  }
+
   test("kafka-shaped source builds the value-only string plan (A1 parity)") {
     // This environment ships no spark-sql-kafka connector; the builder must
     // request the REAL kafka data source (proven by the lookup error).

@@ -1737,6 +1737,122 @@ object Analytics {
         .orderBy("cohort_week", "week_n")
     },
 
+    // COHORT LTV CURVES — the revenue companion to cohort_retention's
+    // counts: customers cohorted by first-purchase month, each cohort's
+    // cumulative revenue per month-of-age divided by its FIXED cohort
+    // size = the LTV-per-user curve every subscription/commerce model
+    // is calibrated against. Ages are integer month arithmetic
+    // (year·12+month differences — months_between() returns fractional
+    // doubles), revenue stays DECIMAL-exact through the running
+    // cumulative (windowed sum of exact decimals in a deterministic
+    // (cohort, age) order), ONE double division per output cell. The
+    // orders fact shuffles once into the (cohort, age) aggregate; the
+    // running window ranks cohort×age rows only; cohort sizes broadcast.
+    Q("orders_cohort_ltv",
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    min(date_trunc('month', CAST(o_orderdate AS DATE))) AS cm
+        |  FROM orders GROUP BY 1),
+        |sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS cohort_users
+        |       FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT c.cm,
+        |    (year(date_trunc('month', CAST(o.o_orderdate AS DATE))) * 12
+        |      + month(date_trunc('month', CAST(o.o_orderdate AS DATE))))
+        |    - (year(c.cm) * 12 + month(c.cm)) AS age_months,
+        |    sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cm, age_months, rev,
+        |    sum(rev) OVER (PARTITION BY cm ORDER BY age_months) AS cum_rev
+        |  FROM r)
+        |SELECT CAST(w.cm AS TIMESTAMP) AS cohort_month,
+        |  CAST(age_months AS BIGINT) AS age_months,
+        |  cohort_users,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(cum_rev AS DOUBLE) / cohort_users AS ltv_per_user
+        |FROM w JOIN sz ON w.cm = sz.cm
+        |ORDER BY cohort_month, age_months""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate").cast("date")).as("om"),
+          col("o_totalprice"))
+        .localCheckpoint(true)
+      val c = o.groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("om")).as("cm"))
+      val sz = c.groupBy("cm")
+        .agg(count(lit(1)).cast("long").as("cohort_users"))
+      val r = o.join(c, col("o_custkey") === col("ck"))
+        .groupBy(col("cm"),
+          ((year(col("om")) * 12 + month(col("om")))
+            - (year(col("cm")) * 12 + month(col("cm"))))
+            .cast("long").as("age_months"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+      val w = Window.partitionBy(col("cm")).orderBy(col("age_months"))
+      r.withColumn("cum_rev", sum(col("rev")).over(w))
+        .join(broadcast(sz), "cm")
+        .select(col("cm").cast("timestamp").as("cohort_month"),
+          col("age_months"), col("cohort_users"),
+          col("rev").cast("double").as("revenue"),
+          (col("cum_rev").cast("double") / col("cohort_users"))
+            .as("ltv_per_user"))
+        .orderBy("cohort_month", "age_months")
+    },
+
+    // ROLLUP RECONCILIATION — the ops report run whenever two pipelines
+    // derive "the same" number: monthly revenue recomputed from the
+    // LINE-LEVEL fact (Σ extprice·(1−disc)·(1+tax), all DECIMAL-exact
+    // products) side by side with the ORDER-level o_totalprice rollup;
+    // diff stays DECIMAL (exact subtraction — a reconciliation that
+    // rounds before differencing hides exactly the drift it exists to
+    // catch), one double division for the ratio. One scan of each fact,
+    // the order dim broadcast onto lineitem for the month key.
+    Q("dq_rollup_reconcile",
+      """WITH lr AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(3,2)))
+        |        * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS fact_rev,
+        |    count(DISTINCT l_orderkey) AS n_orders
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |orr AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS order_rev
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(lr.m AS TIMESTAMP) AS month,
+        |  CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(fact_rev AS DOUBLE) AS fact_revenue,
+        |  CAST(order_rev AS DOUBLE) AS order_revenue,
+        |  CAST(fact_rev - order_rev AS DOUBLE) AS diff,
+        |  CAST(fact_rev AS DOUBLE) / CAST(order_rev AS DOUBLE) AS ratio
+        |FROM lr JOIN orr ON lr.m = orr.m
+        |ORDER BY month""".stripMargin) { (s, d) =>
+      val om = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate").cast("date")).as("m"),
+          col("o_totalprice"))
+      val lr = Tables.lineitem(s, d)
+        .join(om, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("m"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount").cast("decimal(3,2)"))
+            * (lit(1) + col("l_tax").cast("decimal(3,2)"))).as("fact_rev"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      val orr = om.groupBy(col("m").as("m2"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("order_rev"))
+      lr.join(orr, col("m") === col("m2"))
+        .select(col("m").cast("timestamp").as("month"),
+          col("n_orders").cast("long").as("n_orders"),
+          col("fact_rev").cast("double").as("fact_revenue"),
+          col("order_rev").cast("double").as("order_revenue"),
+          (col("fact_rev") - col("order_rev")).cast("double").as("diff"),
+          (col("fact_rev").cast("double")
+            / col("order_rev").cast("double")).as("ratio"))
+        .orderBy("month")
+    },
+
     // Hour-of-day seasonal decomposition — the third member of the TS
     // diagnostics trio (trend / anomaly / seasonality): the seasonal
     // component is each (series, hour-of-day)'s mean over the whole
@@ -1864,6 +1980,62 @@ object Analytics {
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("v").cast("double").as("v"), z.as("z"))
         .where(abs(col("z")) >= 2.5)
+        .orderBy("event_type", "hour")
+    },
+
+    // SEASONALITY-AWARE anomaly flags — the detector ts_seasonal_decompose
+    // says anomaly detection should consume when a series has a daily
+    // cycle: the SAME exact-sums z-score discipline as ts_anomaly_zscore
+    // but grouped by (series, HOUR-OF-DAY), so a midnight lull is judged
+    // against midnights and a noon peak against noons — the raw z-score
+    // flags every peak hour of a cyclic series as "anomalous" while
+    // missing a genuinely quiet noon. Per-group mean/σ from DECIMAL-exact
+    // (n, Σv, Σv²) with one division + one correctly-rounded sqrt per
+    // group; groups are O(series×24) and broadcast back onto the hourly
+    // frame. Threshold 2.0 within-group (tighter than the global 2.5 —
+    // deseasonalized residuals are tighter by construction).
+    Q("ts_anomaly_seasonal",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(hour(ts) AS BIGINT) AS hod,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT event_type AS et, hod AS shod,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         sum(v) AS sv, sum(v * v) AS svv
+        |  FROM hourly GROUP BY 1, 2),
+        |z AS (
+        |  SELECT h.event_type, h.h, h.hod, CAST(h.v AS DOUBLE) AS v,
+        |    (CAST(h.v AS DOUBLE) - CAST(s.sv AS DOUBLE) / s.n)
+        |      / sqrt(CAST(s.n * s.svv - s.sv * s.sv AS DOUBLE)
+        |             / (CAST(s.n AS DOUBLE) * s.n)) AS z
+        |  FROM hourly h JOIN st s
+        |    ON h.event_type = s.et AND h.hod = s.shod
+        |  WHERE s.n >= 2)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       hod, v, z
+        |FROM z WHERE abs(z) >= 2.0
+        |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+        .localCheckpoint(true)
+      val st = hourly.groupBy(col("event_type").as("et"),
+          col("hod").as("shod"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+        .where(col("n") >= 2)
+      val z = (col("v").cast("double") - col("sv").cast("double") / col("n")) /
+        sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double")
+          / (col("n").cast("double") * col("n")))
+      hourly.join(broadcast(st),
+          col("event_type") === col("et") && col("hod") === col("shod"))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("hod"), col("v").cast("double").as("v"), z.as("z"))
+        .where(abs(col("z")) >= 2.0)
         .orderBy("event_type", "hour")
     },
 

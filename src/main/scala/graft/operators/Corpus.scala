@@ -218,6 +218,54 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // DEDUP IMPACT report — the governance readout a curation pipeline
+    // publishes with every dedup pass: per source, how many docs and
+    // TOKENS does keep-first exact dedup remove (a source that is 40%
+    // duplicates tells a different story than one at 2%, and token
+    // counts — not doc counts — are what the training-budget planner
+    // consumes). Keep = min(doc_id) per md5(text) group via ONE
+    // content-keyed window (no join-back — the dedup_exact discipline),
+    // then one source-keyed combiner aggregate; everything integer
+    // until the two per-source ratio divisions.
+    Q("corpus_dedup_impact",
+      """WITH k AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS tokens,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN doc_id = keep THEN tokens ELSE 0 END)
+        |    AS BIGINT) AS tokens_kept,
+        |  CAST(count(*) - sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) AS doc_drop_rate,
+        |  CAST(sum(tokens) - sum(CASE WHEN doc_id = keep THEN tokens
+        |      ELSE 0 END) AS DOUBLE) / sum(tokens) AS token_drop_rate
+        |FROM k GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val keepW = Window.partitionBy(md5(col("text")))
+      val k = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("tokens"),
+          min(col("doc_id")).over(keepW).as("keep"))
+      val kept = when(col("doc_id") === col("keep"), lit(1)).otherwise(lit(0))
+      val keptTok =
+        when(col("doc_id") === col("keep"), col("tokens")).otherwise(lit(0))
+      k.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(kept).cast("long").as("n_kept"),
+          sum(col("tokens")).cast("long").as("tokens_total"),
+          sum(keptTok).cast("long").as("tokens_kept"),
+          ((count(lit(1)) - sum(kept)).cast("double") / count(lit(1)))
+            .as("doc_drop_rate"),
+          ((sum(col("tokens")) - sum(keptTok)).cast("double")
+            / sum(col("tokens"))).as("token_drop_rate"))
+        .orderBy("source")
+    },
+
     // Token-budget shard packing: greedy contiguous fill of 4096-token
     // shards per source (whitespace tokens; the doc that straddles a
     // boundary starts the next shard's count but stays whole). Running

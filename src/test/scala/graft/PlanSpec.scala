@@ -132,6 +132,28 @@ class PlanSpec extends SparkSuite {
     assert(shuffles == 2, s"expected one shuffle per snapshot agg, got $shuffles:\n${p.take(4000)}")
   }
 
+  test("events_uplift_holdout: one fact scan feeds two hash shuffles") {
+    // the experimentation readout must stay a single pass over the
+    // events fact: one user-keyed Exchange (conversion rollup), one
+    // arm-keyed Exchange, then the single-row readout — a second fact
+    // scan or a per-arm self-join would double the 100 TB bill
+    val p = planString("events_uplift_holdout")
+    val scans = "Scan parquet|FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, got $scans")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2,
+      s"expected user + arm shuffles only, got $shuffles:\n${p.take(3000)}")
+  }
+
+  test("corpus_dedup_impact: keep flag from ONE content-keyed window, " +
+      "no join-back") {
+    val p = planString("corpus_dedup_impact")
+    val scans = "Scan parquet|FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected one documents scan, got $scans")
+    assert(!p.contains("Join"), "keep-first must not join back:\n" +
+      p.take(3000))
+  }
+
   test("join_bloom_runtime injects might_contain into the fact side") {
     operators.ScaleOps.withBloomConfs(spark) {
       val df = operators.ScaleOps.bloomJoinShape(

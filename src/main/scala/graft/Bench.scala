@@ -183,10 +183,18 @@ object Bench {
             // placement alone explains on a quiet host). Flags are
             // adjudication inputs, not verdicts — the clean-sweep
             // protocol decides placement vs code.
-            val severeRegress =
-              t > 2.0 * math.max(wallHostRatio, fleetP90) * p &&
-                t - p > 0.3
-            if (severeRegress || (wallRegress && cpuRegress))
+            val sevNorm = math.max(wallHostRatio, fleetP90)
+            val severeRegress = t > 2.0 * sevNorm * p && t - p > 0.3
+            // the flag names the normalization that actually admitted
+            // it: a severe-only flag normalized by the p90 envelope must
+            // not read as an ordinary host-ratio flag, or the clean-
+            // sweep adjudication starts from an understated contention
+            // estimate
+            if (severeRegress && !(wallRegress && cpuRegress))
+              Some(s"[bench-regress] $name: ${sec(p)} -> ${sec(t)} s " +
+                f"(SEVERE: >2x after max(host $wallHostRatio%.2f, " +
+                f"fleet-p90 $fleetP90%.2f) normalization; no cpu veto)")
+            else if (wallRegress && cpuRegress)
               Some(s"[bench-regress] $name: ${sec(p)} -> ${sec(t)} s " +
                 f"(host ratio $hostRatio%.2f applied)")
             else None

@@ -447,8 +447,12 @@ object Analytics {
     val conv = counted.where(col(typeCol) === convType)
       .withColumn("__n", n)
     val creditCols = touchTypes.map { t =>
-      sum(when(col("__n") > MAXN, raise_error(lit(
-          s"linearTouchOf: >$MAXN touches in one lookback; " +
+      // guard the PER-TYPE count — the operand actually multiplied by
+      // SC — not the cross-type total: a total-based guard fires in a
+      // band where DuckDB's exact arithmetic still succeeds, inverting
+      // the fail-identically contract
+      sum(when(col(s"__n_$t") > MAXN, raise_error(lit(
+          s"linearTouchOf: >$MAXN '$t' touches in one lookback; " +
             "scaled credit overflows int64")).cast("decimal(38,0)"))
         .when(col("__n") > 0,
           expr(s"(__n_$t * ${SC}L) div __n").cast("decimal(38,0)"))
@@ -506,13 +510,14 @@ object Analytics {
       // equal any t in hit() and its 40% credit would silently vanish
       .withColumn("__ftt", expr("substring(__ft, 21)"))
       .withColumn("__ltt", expr("substring(__lt, 21)"))
+    // no overflow guard here (unlike linear/time-decay): the largest
+    // per-conversion credit is 4e11 + 4e11 + (n_t−2)·(2e11 div (n−2))
+    // ≤ ~1e12 for ANY n — no count·SC product exists in this model and
+    // the sums are DECIMAL(38,0), so int64 never overflows
     def hit(c: Column, t: String): Column = when(c === t, 1L).otherwise(0L)
     val creditCols = touchTypes.map { t =>
       val perConv =
-        when(col("__n") > Long.MaxValue / SC, raise_error(lit(
-            "positionTouchOf: touch count overflows scaled credit"))
-          .cast("long"))
-          .when(col("__n") === 1, hit(col("__ftt"), t) * lit(SC))
+        when(col("__n") === 1, hit(col("__ftt"), t) * lit(SC))
           .when(col("__n") === 2,
             (hit(col("__ftt"), t) + hit(col("__ltt"), t)) * lit(SC / 2))
           .when(col("__n") >= 3,
@@ -575,9 +580,11 @@ object Analytics {
       }
       .withColumn("__W", touchTypes.map(t => col(s"__w_$t")).reduce(_ + _))
     val creditCols = touchTypes.map { t =>
-      // w_t ≤ W, so bounding W bounds every (w_t·SC) product
-      sum(when(col("__W") > Long.MaxValue / SC, raise_error(lit(
-          "timeDecayTouchOf: decay weight total overflows scaled " +
+      // guard the PER-TYPE weight — the operand multiplied by SC; the
+      // cross-type total W can exceed the bound while every w_t·SC
+      // product (and DuckDB's exact arithmetic) is still fine
+      sum(when(col(s"__w_$t") > Long.MaxValue / SC, raise_error(lit(
+          s"timeDecayTouchOf: '$t' decay weight overflows scaled " +
             "credit")).cast("decimal(38,0)"))
         .when(col("__W") > 0,
           expr(s"(__w_$t * ${SC}L) div __W").cast("decimal(38,0)"))
@@ -675,15 +682,24 @@ object Analytics {
     * arboricity, not max degree. The clustering coefficient is ONE
     * double division of two exact longs.
     */
-  private[graft] def triangleStatsOf(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v")).distinct()
-      .persist() // read 4× (ab, bc, ac, degrees)
-    val tri = e.select(col("u").as("a"), col("v").as("b"))
+  /** Every triangle of a canonical (u < v) DISTINCT edge frame, exactly
+    * once as (a, b, c) with a<b<c — the wedge-close triple join shared
+    * by the global census and the per-node coefficients (a fix to the
+    * enumeration, e.g. the power-law low-degree→high orientation, lands
+    * in ONE place). `e` must already be deduped and persisted (read 3×).
+    */
+  private def trianglesOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("a"), col("v").as("b"))
       .join(e.select(col("u").as("b2"), col("v").as("c")),
         col("b") === col("b2"))
       .join(e.select(col("u").as("a2"), col("v").as("c2")),
         col("a") === col("a2") && col("c") === col("c2"))
-      .agg(count(lit(1)).as("t"))
+      .select(col("a"), col("b"), col("c"))
+
+  private[graft] def triangleStatsOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct()
+      .persist() // read 4× (ab, bc, ac, degrees)
+    val tri = trianglesOf(e).agg(count(lit(1)).as("t"))
     val w = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg"))
@@ -714,11 +730,7 @@ object Analytics {
   private[graft] def localClusteringOf(edges: DataFrame): DataFrame = {
     val e = edges.select(col("u"), col("v")).distinct()
       .persist() // read 4× (ab, bc, ac, degrees)
-    val tri = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b2"), col("v").as("c")),
-        col("b") === col("b2"))
-      .join(e.select(col("u").as("a2"), col("v").as("c2")),
-        col("a") === col("a2") && col("c") === col("c2"))
+    val tri = trianglesOf(e)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
     val deg = e.select(col("u").as("node"))
@@ -2803,7 +2815,10 @@ object Analytics {
         |       GROUP BY t.u, sd.s)
         |SELECT u AS part, pr AS ppr_scaled FROM p3
         |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
-      val edges = copurchaseEdgeFanout(s, d)
+      // lazy checkpoint: the seed read below materializes the fan-out
+      // ONCE and pprOf's adjacency build reads the pinned blocks —
+      // unpinned, the lineitem scan + basket shuffle would run twice
+      val edges = copurchaseEdgeFanout(s, d).localCheckpoint(false)
       val seedRow = edges.agg(min(col("u"))).head
       val ppr =
         pprOf(edges, if (seedRow.isNullAt(0)) 0L else seedRow.getLong(0),
@@ -3094,10 +3109,17 @@ object Analytics {
         // inside the first consumer's job)
         .localCheckpoint(false)
       val mx = daily.agg(max(col("day")).as("mxa"))
+      // the horizon filter sits INSIDE trailing(), BEFORE the union
+      // aggregate: a day's coverage fan-out reaches up to n−1 days past
+      // the data, and pruning those phantom target days here skips
+      // their sketch unions entirely (after the dau join they'd be
+      // discarded anyway — a post-join filter would be dead code)
       def trailing(n: Int, alias: String): DataFrame =
         daily
           .select(explode(expr(s"sequence(day, date_add(day, ${n - 1}))"))
             .as("day"), col("sk"))
+          .crossJoin(broadcast(mx))
+          .where(col("day") <= col("mxa"))
           .groupBy("day")
           .agg(hll_union_agg(col("sk")).as("u"))
           .select(col("day"),
@@ -3106,8 +3128,6 @@ object Analytics {
         hll_sketch_estimate(col("sk")).as("dau_est"))
       dau.join(trailing(7, "wau_est"), "day")
         .join(trailing(30, "mau_est"), "day")
-        .crossJoin(broadcast(mx))
-        .where(col("day") <= col("mxa"))
         .select(col("day").cast("timestamp").as("day"), col("dau_est"),
           col("wau_est"), col("mau_est"))
         .orderBy("day")

@@ -94,11 +94,16 @@ object Streaming {
       // snap_seq tie-break state: snap_ms alone is ms-granularity, so
       // two micro-batches finishing within the same millisecond would
       // tie the final-snapshot max_by pick; a per-key batch counter
-      // (no TTL — it must outlive the profile state to stay monotonic)
-      // makes (snap_ms, snap_seq) a strict order across batches.
+      // makes (snap_ms, snap_seq) a strict order across batches. Same
+      // TTL as the profile state (unbounded key domains must expire
+      // WHOLLY — a no-TTL counter would grow forever): seq re-arms on
+      // every batch the key appears in, so it can only expire after
+      // the key is idle ≥ ttl, and the next snapshot's snap_ms is then
+      // ≥ ttl (≥ 1 ms) beyond every pre-expiry snapshot — a same-
+      // millisecond tie across an expiry gap is impossible, so the
+      // post-reset counter never has to beat a pre-expiry one.
       seq = getHandle.getValueState[Long]("seq",
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttlConf)
     }
     private def tsUs(t: java.sql.Timestamp): Long =
       math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L

@@ -1060,6 +1060,36 @@ object Analytics {
       .limit(topN)
   }
 
+  /** Resource-allocation link-prediction index (Zhou–Lü–Zhang) over an
+    * undirected (u, v) edge frame: for each NON-adjacent pair, Σ over
+    * common neighbors w of 1/deg(w) — like Adamic–Adar but with the
+    * plain reciprocal, which keeps the whole computation in EXACT
+    * integer arithmetic (Σ of 10¹² div deg as BIGINT; a cross-engine
+    * ln() could differ in the last ulp under the bit-exact hash
+    * compare). Same join shape as [[commonNeighborsOf]], keeping the
+    * common neighbor w alive through the pair join so its degree can be
+    * charged; the node-sized degree frame broadcasts.
+    */
+  private[graft] def resourceAllocationOf(edges: DataFrame,
+      topN: Int): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("x"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
+    val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
+    val cn = sym.as("l")
+      .join(sym.as("r"), col("l.x") === col("r.x") && col("l.a") < col("r.a"))
+      .select(col("l.a").as("part_a"), col("r.a").as("part_b"),
+        col("l.x").as("w"))
+    val sc = cn.join(broadcast(deg), col("w") === col("dn"))
+      .groupBy("part_a", "part_b")
+      .agg(sum(expr("CAST(1000000000000 AS BIGINT) div dg")).as("ra_scaled"))
+    sc.join(edges.select(col("u").as("part_a"), col("v").as("part_b")),
+        Seq("part_a", "part_b"), "left_anti")
+      .select(col("part_a"), col("part_b"), col("ra_scaled"),
+        (col("ra_scaled").cast("double") / 1000000000000.0).as("ra_score"))
+      .orderBy(col("ra_scaled").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
   /** Single-source BFS hop counts (re-exported as
     * `graft.api.Graft.shortestHops`): `edges0` is an undirected (u, v)
     * pair frame, ALREADY checkpoint-pinned (the kCoreOf caller contract);
@@ -3906,6 +3936,37 @@ object Analytics {
         |ORDER BY common DESC, part_a, part_b
         |LIMIT 100""".stripMargin) { (s, d) =>
       commonNeighborsOf(thresholdedCopurchaseEdges(s, d, "u", "v"),
+        topN = 100)
+    },
+
+    // Resource-allocation link prediction (see resourceAllocationOf):
+    // the degree-weighted upgrade of graph_common_neighbors — a shared
+    // neighbor that co-occurs with everything contributes 1/deg(w) ≈ 0,
+    // a rare one contributes strongly. Exact integer scoring (10¹² div
+    // deg) keeps the oracle hash-comparable; the pair space is the same
+    // thresholded-edge CN join, never all-pairs.
+    Q("graph_resource_allocation",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS u, pb AS v FROM p UNION ALL SELECT pb, pa FROM p),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+        |cn AS (SELECT a.u AS part_a, b.u AS part_b, a.v AS w
+        |       FROM e a JOIN e b ON a.v = b.v AND a.u < b.u),
+        |sc AS (SELECT part_a, part_b,
+        |         CAST(sum(1000000000000 // dg) AS BIGINT) AS ra_scaled
+        |       FROM cn JOIN deg ON cn.w = deg.u GROUP BY 1, 2),
+        |nonadj AS (SELECT part_a, part_b, ra_scaled FROM sc
+        |           WHERE NOT EXISTS (SELECT 1 FROM p
+        |             WHERE p.pa = sc.part_a AND p.pb = sc.part_b))
+        |SELECT part_a, part_b, ra_scaled,
+        |  CAST(ra_scaled AS DOUBLE) / 1000000000000.0 AS ra_score
+        |FROM nonadj
+        |ORDER BY ra_scaled DESC, part_a, part_b
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      resourceAllocationOf(thresholdedCopurchaseEdges(s, d, "u", "v"),
         topN = 100)
     },
 

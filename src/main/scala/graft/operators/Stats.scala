@@ -1,0 +1,355 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-test / distribution-diagnostic operators: the checks a
+  * pipeline runs to DECIDE (is this A/B delta real? did the corpus
+  * distribution drift? is this ledger column fabricated?) rather than to
+  * report. Welch's t, the two-sample Kolmogorov–Smirnov statistic, a
+  * Benford first-digit screen, per-segment Gini concentration, and a
+  * Zipf rank–frequency fit over the token distribution.
+  *
+  * No reference equivalent (zonbloop/flink-rag has no analytics surface);
+  * these extend the SURVEY §2.2 [EXT] quality/diagnostics story.
+  *
+  * Oracle-parity discipline (see [[graft.Q]] scaladoc): every statistic
+  * is computed from EXACT accumulators — BIGINT counts, DECIMAL sums,
+  * integer-scaled logs — with one final double expression written with
+  * identical association on both engines, so the driver's bit-exact hash
+  * compare holds without any round() (whose half-boundary semantics
+  * differ across engines).
+  *
+  * Scale shapes:
+  *  - welch/benford/ks: full-scan map-side partial aggregates collapsing
+  *    to |groups| ≤ 11 rows; the tiny frames then pivot/window locally.
+  *  - gini: the rank window is PER SEGMENT over the customer-level
+  *    aggregate (|customers| rows, not the fact table) — the fact scan
+  *    collapses first.
+  *  - zipf: one combiner shuffle for token counts, TakeOrdered top-100,
+  *    then a 100-row window — the regression never sees the corpus.
+  */
+object Stats {
+  // Staged rollout: `defs` joins SparkEntry.all together with the round's
+  // full-coverage baseline recommit — the BenchGuardSpec ≥95%-coverage
+  // gate ties inventory growth to a freshly committed clean denominator,
+  // and the current window is steal-contended (BASELINE.md discipline).
+  // The kernels below are StatsSpec-exercised either way.
+
+  /** Welch's unequal-variance t statistic between two groups.
+    *
+    * Input: (grp: String, x: Decimal(12,2)). Accumulates n/Σx/Σx² exactly
+    * (the x² products in DECIMAL(28,4)), then evaluates mean, standard
+    * error, t and the Welch–Satterthwaite df in ONE double expression per
+    * output column — bit-identical cross-engine given identical sums.
+    */
+  private[graft] def welchT(g: DataFrame, g1: String, g2: String): DataFrame = {
+    val st = g.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("s"),
+      sum((col("x") * col("x")).cast("decimal(28,4)")).cast("double").as("ss"))
+    def pick(grp: String, c: String, as: String) =
+      max(when(col("grp") === grp, col(c))).as(as)
+    val w = st.agg(
+      pick(g1, "n", "n1"), pick(g2, "n", "n2"),
+      pick(g1, "s", "s1"), pick(g2, "s", "s2"),
+      pick(g1, "ss", "ss1"), pick(g2, "ss", "ss2"))
+    val m1 = col("s1") / col("n1")
+    val m2 = col("s2") / col("n2")
+    // per-group squared standard error: ((Σx² − Σx·mean) / (n−1)) / n
+    val se1 = ((col("ss1") - col("s1") * (col("s1") / col("n1")))
+      / (col("n1") - 1)) / col("n1")
+    val se2 = ((col("ss2") - col("s2") * (col("s2") / col("n2")))
+      / (col("n2") - 1)) / col("n2")
+    w.select(col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
+      ((m1 - m2) / sqrt(se1 + se2)).as("t_stat"),
+      (((se1 + se2) * (se1 + se2))
+        / (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
+        .as("welch_df"))
+  }
+
+  /** Two-sample KS: per distinct value, both ECDFs and their gap, plus
+    * the sweep-wide max gap (the KS statistic) on every row.
+    *
+    * Input: (grp: String, x: any orderable). The global ECDF window runs
+    * AFTER the value-level aggregate — |distinct x| rows (11 for the
+    * discount domain), never the fact table; the two scalar totals and
+    * the max gap broadcast back as one-row frames.
+    */
+  private[graft] def ksStatistic(df: DataFrame, g1: String, g2: String)
+      : DataFrame = {
+    val c = df.where(col("grp").isin(g1, g2))
+      .groupBy("x")
+      .agg(sum(when(col("grp") === g1, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === g2, 1L).otherwise(0L)).as("cb"))
+    val tot = c.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = c.crossJoin(broadcast(tot))
+      .select(col("x"),
+        (sum(col("ca")).over(w).cast("double") / col("ta")).as("fa"),
+        (sum(col("cb")).over(w).cast("double") / col("tb")).as("fb"))
+      .withColumn("gap", abs(col("fa") - col("fb")))
+    val ks = e.agg(max(col("gap")).as("ks_stat"))
+    e.crossJoin(broadcast(ks))
+      .select(col("x").as("at_value"), col("fa").as("cdf_a"),
+        col("fb").as("cdf_b"), col("gap"), col("ks_stat"))
+      .orderBy("at_value")
+  }
+
+  /** Benford first-significant-digit screen over a positive money column:
+    * observed digit shares vs the Benford expectation (hard-coded 17-sig-
+    * digit literals — both engines parse the same decimal string to the
+    * same double, where a cross-engine log10() call could differ in the
+    * last ulp). Digit extraction goes through the DECIMAL(12,2) string
+    * rendering, identical on both engines for values ≥ 1.
+    */
+  private[graft] def benfordDigits(df: DataFrame, valueCol: String)
+      : DataFrame = {
+    val digit = substring(
+      col(valueCol).cast("decimal(12,2)").cast("string"), 1, 1).cast("int")
+    val c = df.where(col(valueCol) >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum("n").as("total"))
+    val d = col("digit")
+    val expected =
+      when(d === 1, 0.3010299956639812)
+        .when(d === 2, 0.17609125905568124)
+        .when(d === 3, 0.12493873660829992)
+        .when(d === 4, 0.09691001300805642)
+        .when(d === 5, 0.07918124604762482)
+        .when(d === 6, 0.06694678963061322)
+        .when(d === 7, 0.05799194697768673)
+        .when(d === 8, 0.05115252244738129)
+        .when(d === 9, 0.04575749056067514)
+    c.crossJoin(broadcast(t))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total")).as("observed"),
+        expected.as("expected"))
+      .withColumn("deviation", col("observed") - col("expected"))
+      .orderBy("digit")
+  }
+
+  /** Per-segment Gini concentration over an entity-level DECIMAL(18,2)
+    * amount: G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ ascending, rank
+    * ties broken by the entity key. The rank window partitions BY
+    * SEGMENT over the already-aggregated entity frame; Σi·xᵢ stays exact
+    * in DECIMAL until the single final double expression.
+    */
+  private[graft] def giniBySegment(cr: DataFrame): DataFrame = {
+    val w = Window.partitionBy("seg").orderBy(col("rev"), col("ck"))
+    val r = cr.select(col("seg"), col("rev"),
+      row_number().over(w).cast("long").as("i"))
+    val a = r.groupBy("seg").agg(count(lit(1)).as("n"),
+      sum(col("rev")).as("sr"),
+      sum(col("i").cast("decimal(10,0)") * col("rev")).as("sir"))
+    a.select(col("seg"), col("n").as("n_entities"),
+      col("sr").cast("double").as("total_amount"),
+      ((lit(2.0) * col("sir").cast("double")
+        - (col("n") + 1) * col("sr").cast("double"))
+        / (col("n") * col("sr").cast("double"))).as("gini"))
+      .orderBy("seg")
+  }
+
+  /** Zipf rank–frequency fit over the top-`topN` tokens: OLS slope of
+    * ln(freq) on ln(rank) — ≈ −1 for natural text. The logs are
+    * quantized to integer micro-units (floor(ln·10⁶) as BIGINT) so every
+    * regression accumulator is an exact integer sum; slope survives the
+    * common scale unchanged, the intercept divides it back out. Bounds:
+    * ln ≤ ln(2⁶³)·10⁶ ≈ 4.4e7, so Σxy ≤ topN·2e15 and n·Σxy stay far
+    * inside int64 for topN ≤ 1000.
+    */
+  private[graft] def zipfSlope(tokens: DataFrame, topN: Int): DataFrame = {
+    val f = tokens.where(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("t"))
+    val rk = f.select(
+      floor(log(row_number().over(w).cast("double")) * 1000000)
+        .cast("long").as("x"),
+      floor(log(col("cnt").cast("double")) * 1000000).cast("long").as("y"))
+    val st = rk.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    st.select(col("n").as("n_tokens"), slope.as("zipf_slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n") / 1000000.0).as("intercept_ln"))
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Welch's t between URGENT and LOW order totals — the "is the A/B
+    // delta real" primitive. Two exact pass-collapsing aggregates, one
+    // pivoted row; the fact table is read once.
+    Q("stats_welch_ttest",
+      """WITH g AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+        |              ELSE 'low' END AS grp,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS x
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |st AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS s,
+        |         CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS ss
+        |  FROM g GROUP BY 1),
+        |w AS (
+        |  SELECT max(CASE WHEN grp = 'urgent' THEN n END) AS n1,
+        |         max(CASE WHEN grp = 'low' THEN n END) AS n2,
+        |         max(CASE WHEN grp = 'urgent' THEN s END) AS s1,
+        |         max(CASE WHEN grp = 'low' THEN s END) AS s2,
+        |         max(CASE WHEN grp = 'urgent' THEN ss END) AS ss1,
+        |         max(CASE WHEN grp = 'low' THEN ss END) AS ss2
+        |  FROM st),
+        |v AS (
+        |  SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+        |    ((ss1 - s1 * (s1 / n1)) / (n1 - 1)) / n1 AS se1,
+        |    ((ss2 - s2 * (s2 / n2)) / (n2 - 1)) / n2 AS se2
+        |  FROM w)
+        |SELECT n1, n2, m1 AS mean1, m2 AS mean2,
+        |  (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+        |  ((se1 + se2) * (se1 + se2))
+        |    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)) AS welch_df
+        |FROM v""".stripMargin) { (s, d) =>
+      welchT(
+        Tables.orders(s, d)
+          .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(
+            when(col("o_orderpriority") === "1-URGENT", "urgent")
+              .otherwise("low").as("grp"),
+            col("o_totalprice").cast("decimal(12,2)").as("x")),
+        "urgent", "low")
+    },
+
+    // Two-sample KS over the discount distribution of returned (R) vs
+    // accepted (A) lines — the distribution-drift test behind
+    // dq_profile_drift's summary deltas. The ECDF window touches 11 rows.
+    Q("stats_ks_discount",
+      """WITH c AS (
+        |  SELECT l_discount AS x,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |             CAST(sum(cb) AS BIGINT) AS tb FROM c),
+        |e AS (
+        |  SELECT x,
+        |    CAST(sum(ca) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / ta AS fa,
+        |    CAST(sum(cb) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / tb AS fb
+        |  FROM c, t),
+        |g AS (SELECT x, fa, fb, abs(fa - fb) AS gap FROM e)
+        |SELECT x AS at_value, fa AS cdf_a, fb AS cdf_b, gap,
+        |  (SELECT max(gap) FROM g) AS ks_stat
+        |FROM g ORDER BY at_value""".stripMargin) { (s, d) =>
+      ksStatistic(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("grp"), col("l_discount").as("x")),
+        "A", "R")
+    },
+
+    // Benford first-digit screen on order totals — the fraud/fabrication
+    // smoke test for any ledger column. One combiner shuffle to 9 rows.
+    Q("dq_benford_totalprice",
+      """WITH c AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |                             AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |o AS (
+        |  SELECT digit, n, CAST(n AS DOUBLE) / total AS observed,
+        |    CASE digit
+        |      WHEN 1 THEN 0.3010299956639812
+        |      WHEN 2 THEN 0.17609125905568124
+        |      WHEN 3 THEN 0.12493873660829992
+        |      WHEN 4 THEN 0.09691001300805642
+        |      WHEN 5 THEN 0.07918124604762482
+        |      WHEN 6 THEN 0.06694678963061322
+        |      WHEN 7 THEN 0.05799194697768673
+        |      WHEN 8 THEN 0.05115252244738129
+        |      WHEN 9 THEN 0.04575749056067514
+        |    END AS expected
+        |  FROM c, t)
+        |SELECT digit, n, observed, expected,
+        |  observed - expected AS deviation
+        |FROM o ORDER BY digit""".stripMargin) { (s, d) =>
+      benfordDigits(Tables.orders(s, d), "o_totalprice")
+    },
+
+    // Gini concentration of customer revenue per market segment — "do 20%
+    // of customers carry 80% of the segment" as one number per segment.
+    Q("orders_gini_segment",
+      """WITH cr AS (
+        |  SELECT c.c_mktsegment AS seg, c.c_custkey AS ck,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+        |         AS DECIMAL(18,2)) AS rev
+        |  FROM orders o, customer c WHERE o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg, rev,
+        |    CAST(row_number() OVER (PARTITION BY seg ORDER BY rev, ck)
+        |         AS BIGINT) AS i
+        |  FROM cr),
+        |a AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n, sum(rev) AS sr,
+        |         sum(CAST(i AS DECIMAL(10,0)) * rev) AS sir
+        |  FROM r GROUP BY 1)
+        |SELECT seg, n AS n_entities, CAST(sr AS DOUBLE) AS total_amount,
+        |  (2.0 * CAST(sir AS DOUBLE) - (n + 1) * CAST(sr AS DOUBLE))
+        |    / (n * CAST(sr AS DOUBLE)) AS gini
+        |FROM a ORDER BY seg""".stripMargin) { (s, d) =>
+      giniBySegment(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("c_custkey").as("ck"))
+          .agg(sum(col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)").as("rev")))
+    },
+
+    // Zipf rank–frequency slope over the corpus token distribution —
+    // natural text sits near −1; a flat slope flags synthetic/boilerplate
+    // corpora before they enter a training mix.
+    Q("text_zipf_slope",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |f AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        |  WHERE t <> '' GROUP BY 1
+        |  ORDER BY cnt DESC, t LIMIT 100),
+        |rk AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, t)
+        |                       AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM f),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |         sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM rk),
+        |sl AS (
+        |  SELECT n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM st)
+        |SELECT n AS n_tokens, slope AS zipf_slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / n / 1000000.0 AS intercept_ln
+        |FROM sl""".stripMargin) { (s, d) =>
+      zipfSlope(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("t")),
+        topN = 100)
+    },
+  )
+}

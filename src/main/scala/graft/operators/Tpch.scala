@@ -397,5 +397,65 @@ object Tpch {
             .as("totacctbal"))
         .orderBy("c_mktsegment")
     },
+
+    // TPC-H Q2 (minimum-cost supplier), partsupp adapted to the lineitem
+    // link: supply cost of (part, supplier) = the cheapest extended
+    // price that supplier ever shipped the part at (exact DECIMAL min).
+    // The correlated per-part min over EUROPE suppliers decorrelates
+    // into a part-keyed aggregate joined back on (part, cost) equality —
+    // safe on DECIMAL. The Spark plan pushes BOTH dim filters below the
+    // cost aggregate (part semi-join + supplier semi-join on the fact
+    // scan), which the SQL form leaves to the optimizer: the per-part
+    // min over a filtered part set equals the unfiltered min for those
+    // parts, so the early prune is semantics-preserving.
+    Q("q2_min_cost_supplier",
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS sc
+        |  FROM lineitem l, supplier s, nation n, region r
+        |  WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        |    AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |  GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS bp, min(sc) AS mc FROM cost GROUP BY 1)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+        |  c.l_suppkey AS s_suppkey, CAST(c.sc AS DOUBLE) AS supply_cost
+        |FROM cost c, best b, part p, supplier s, nation n
+        |WHERE c.l_partkey = b.bp AND c.sc = b.mc
+        |  AND p.p_partkey = c.l_partkey AND s.s_suppkey = c.l_suppkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND p.p_size IN (5, 15, 25, 35, 45) AND p.p_type = 'STANDARD'
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val euNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+            .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val suppEu = Tables.supplier(s, d)
+        .join(broadcast(euNations),
+          col("s_nationkey") === col("n_nationkey"))
+      val partsSel = Tables.part(s, d)
+        .where(col("p_size").isin(5, 15, 25, 35, 45)
+          && col("p_type") === "STANDARD")
+      val cost = Tables.lineitem(s, d)
+        .join(broadcast(partsSel.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(suppEu.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice").cast("decimal(12,2)")).as("sc"))
+      val best = cost.groupBy(col("l_partkey").as("bp"))
+        .agg(min(col("sc")).as("mc"))
+      cost
+        .join(best, col("l_partkey") === col("bp") && col("sc") === col("mc"))
+        .join(broadcast(partsSel), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppEu), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"),
+          col("l_suppkey").as("s_suppkey"),
+          col("sc").cast("double").as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    },
   )
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Closed-form fixtures for the Stats family kernels (Welch t, KS,
+  * Benford digits, Gini, Zipf slope) and the resource-allocation link
+  * predictor — each statistic checked against a hand/NumPy-computed
+  * value on a fixture small enough to verify on paper.
+  */
+class StatsSpec extends SparkSuite {
+
+  import operators.{Analytics, Stats}
+
+  private def decs(xs: Seq[Double], grp: String) = {
+    import spark.implicits._
+    xs.map(x => (grp, BigDecimal(x).setScale(2))).toDF("grp", "x")
+      .select(col("grp"), col("x").cast("decimal(12,2)").as("x"))
+  }
+
+  test("welch t matches the closed form on a two-sample fixture") {
+    val g = decs(Seq(10.00, 12.00, 9.50, 11.25, 10.75), "a")
+      .unionAll(decs(Seq(20.00, 19.00, 21.50, 18.25), "b"))
+    val r = Stats.welchT(g, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n1") == 5 && r.getAs[Long]("n2") == 4)
+    assert(math.abs(r.getAs[Double]("mean1") - 10.7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_stat") - -10.821720881180333) < 1e-9,
+      s"t=${r.getAs[Double]("t_stat")}")
+    assert(math.abs(r.getAs[Double]("welch_df") - 5.2390980609584) < 1e-9,
+      s"df=${r.getAs[Double]("welch_df")}")
+  }
+
+  test("KS statistic: 0 on identical samples, 1 on disjoint supports") {
+    import spark.implicits._
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("grp", "x")
+    val ks0 = Stats.ksStatistic(same, "a", "b")
+      .select("ks_stat").distinct().collect()(0).getDouble(0)
+    assert(ks0 == 0.0, s"identical samples gave ks=$ks0")
+    val disj = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("grp", "x")
+    val ks1 = Stats.ksStatistic(disj, "a", "b")
+      .select("ks_stat").distinct().collect()(0).getDouble(0)
+    assert(ks1 == 1.0, s"disjoint supports gave ks=$ks1")
+  }
+
+  test("benford digits: extraction, shares, and Benford expectation") {
+    import spark.implicits._
+    // digits: 123.45→1, 1.00→1, 9876.50→9, 20.10→2; 0.99 filtered (<1)
+    val df = Seq(123.45, 1.00, 9876.50, 20.10, 0.99).toDF("v")
+    val rows = Stats.benfordDigits(df, "v").collect()
+    val byDigit = rows.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getAs[Double]("observed"),
+        r.getAs[Double]("expected"))).toMap
+    assert(byDigit.keySet == Set(1, 2, 9))
+    assert(byDigit(1)._1 == 2 && byDigit(2)._1 == 1 && byDigit(9)._1 == 1)
+    assert(byDigit(1)._2 == 0.5)
+    assert(byDigit(1)._3 == 0.3010299956639812)
+    assert(byDigit(9)._3 == 0.04575749056067514)
+  }
+
+  test("gini: 0 for equal shares, (n-1)/n for single-owner concentration") {
+    import spark.implicits._
+    val cr = (Seq(("eq", 1L, 25.0), ("eq", 2L, 25.0), ("eq", 3L, 25.0),
+        ("eq", 4L, 25.0)) ++
+      Seq(("one", 1L, 0.0), ("one", 2L, 0.0), ("one", 3L, 0.0),
+        ("one", 4L, 10.0)))
+      .toDF("seg", "ck", "rev0")
+      .select(col("seg"), col("ck"),
+        col("rev0").cast("decimal(18,2)").as("rev"))
+    val got = Stats.giniBySegment(cr).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(got("eq") == 0.0, s"equal shares gave ${got("eq")}")
+    assert(got("one") == 0.75, s"single owner gave ${got("one")}")
+  }
+
+  test("zipf slope ≈ -1 on a synthetic 1000/rank frequency table") {
+    import spark.implicits._
+    // token k appears round(1000/k) times, k = 1..50: exact Zipf up to
+    // rounding, so the fitted log-log slope sits within a few percent
+    // of -1 (quantization + rounding noise, deterministic).
+    val toks = (1 to 50).flatMap(k =>
+      Seq.fill(math.round(1000.0 / k).toInt)(f"tok$k%03d"))
+    val slope = Stats.zipfSlope(toks.toDF("t"), topN = 50)
+      .collect()(0).getAs[Double]("zipf_slope")
+    assert(math.abs(slope - -1.0) < 0.05, s"slope=$slope")
+  }
+
+  test("resource allocation: exact 1/deg(w) integer scoring, adjacency excluded") {
+    import spark.implicits._
+    // path-ish graph: edges (1,2),(2,3),(2,4),(3,4); degrees 1:1 2:3
+    // 3:2 4:2. Non-adjacent pairs with common neighbors: (1,3) via {2},
+    // (1,4) via {2} → both score 1/3 exactly (floor(1e12/3)); adjacent
+    // (3,4) shares {2} too but must be excluded.
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Analytics.resourceAllocationOf(edges, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == Set((1L, 3L, 333333333333L), (1L, 4L, 333333333333L)),
+      got.mkString(", "))
+  }
+}

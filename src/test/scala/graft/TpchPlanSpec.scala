@@ -44,6 +44,16 @@ class TpchPlanSpec extends SparkSuite {
       "suppkey inequality must ride as a residual on the orderkey equi join")
   }
 
+  test("q2: dim filters prune the fact scan as semi-joins below the cost agg") {
+    val p = planString("q2_min_cost_supplier")
+    // both the part selection and the EUROPE supplier set must reach the
+    // lineitem side BEFORE the (part, supp) cost aggregate — as broadcast
+    // left-semi joins — so the aggregate only sees qualifying lines
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(p).size >= 2,
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q17: the correlated threshold decorrelates to a broadcast per-part agg") {
     val p = planString("q17_small_qty_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))

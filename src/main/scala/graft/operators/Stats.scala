@@ -181,6 +181,82 @@ object Stats {
         / col("n") / 1000000.0).as("intercept_ln"))
   }
 
+  /** Pearson chi-square independence test over a two-way contingency
+    * table. Input: (a, b) category pair per observation row. Observed
+    * counts, row/column totals and N are exact BIGINTs; each cell's
+    * (O−E)²/E term is ONE identically-associated double expression,
+    * then quantized to integer nano-units (floor(contrib·10⁹)) so the
+    * cross-cell total is an exact BIGINT sum — a raw double SUM would be
+    * accumulation-order nondeterministic across engines. Cramér's V
+    * normalizes by N·min(r−1, c−1).
+    */
+  private[graft] def chiSquare(obs: DataFrame): DataFrame = {
+    val cells = obs.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("a").agg(sum("o").as("rt"))
+    val ct = cells.groupBy("b").agg(sum("o").as("ct"))
+    val nt = cells.agg(sum("o").as("n_total"),
+      countDistinct("a").as("r_cats"), countDistinct("b").as("c_cats"))
+    val e = (col("rt") * col("ct")).cast("double") / col("n_total")
+    val withE = cells
+      .join(broadcast(rt), "a").join(broadcast(ct), "b")
+      .crossJoin(broadcast(nt))
+      .withColumn("e", e)
+    val contrib = (col("o").cast("double") - col("e")) *
+      (col("o").cast("double") - col("e")) / col("e")
+    val scored = withE.withColumn("contrib", contrib)
+      .withColumn("contrib_scaled",
+        floor(col("contrib") * 1000000000).cast("long"))
+    val tot = scored.agg(
+      (sum(col("contrib_scaled")).cast("double") / 1000000000.0)
+        .as("chi_square"),
+      max(col("n_total")).as("nt2"),
+      max(least(col("r_cats") - 1, col("c_cats") - 1)).as("dof_min"))
+      .select(col("chi_square"),
+        sqrt(col("chi_square") / (col("nt2") * col("dof_min"))
+          .cast("double")).as("cramers_v"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("o"), col("e"), col("contrib"),
+        col("chi_square"), col("cramers_v"))
+      .orderBy("a", "b")
+  }
+
+  /** Mann–Whitney U over a BOUNDED value domain (the rank-sum test that
+    * needs no normality assumption). Ranks come from the value-level
+    * count frame — cumulative counts give each tie group's average rank,
+    * kept exact by the ×2 scaling (2·avgrank = 2·cumBefore + t + 1 is
+    * always an integer). U, the tie-corrected variance and z are then
+    * one double expression each from exact BIGINT accumulators. The
+    * ECDF-style window touches |distinct values| rows, never the fact.
+    */
+  private[graft] def mannWhitney(df: DataFrame, g1: String, g2: String)
+      : DataFrame = {
+    val c = df.where(col("grp").isin(g1, g2))
+      .groupBy("x")
+      .agg(sum(when(col("grp") === g1, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === g2, 1L).otherwise(0L)).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+    val ranked = c.withColumn("cb",
+      coalesce(sum(col("t")).over(
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cb") + col("t") + 1L)
+    val st = ranked.agg(
+      sum(col("na")).as("n1"), sum(col("nb")).as("n2"),
+      sum(col("na") * col("rank2")).as("r1x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1)
+    val bigN = col("n1") + col("n2")
+    val sigma2 = (col("n1").cast("double") * col("n2") / 12.0) *
+      ((bigN + 1) - col("ties").cast("double")
+        / (bigN.cast("double") * (bigN - 1)))
+    st.select(col("n1"), col("n2"),
+      (u1x2.cast("double") / 2.0).as("u1"),
+      (col("n1").cast("double") * col("n2")
+        - u1x2.cast("double") / 2.0).as("u2"),
+      ((u1x2.cast("double") / 2.0 - col("n1").cast("double") * col("n2") / 2.0)
+        / sqrt(sigma2)).as("z_stat"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Welch's t between URGENT and LOW order totals — the "is the A/B
@@ -350,6 +426,124 @@ object Stats {
         Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("t")),
         topN = 100)
+    },
+
+    // Chi-square independence of market segment × order priority — "does
+    // segment drive priority mix". Cell contributions quantized to nano-
+    // units so the total is an exact BIGINT sum (see chiSquare scaladoc).
+    Q("stats_chi_square",
+      """WITH obs AS (
+        |  SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+        |  FROM orders o, customer c WHERE o.o_custkey = c.c_custkey),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |          FROM obs GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n_total,
+        |              CAST(count(DISTINCT a) AS BIGINT) AS r_cats,
+        |              CAST(count(DISTINCT b) AS BIGINT) AS c_cats
+        |       FROM cells),
+        |sc AS (
+        |  SELECT a, b, o, CAST(rt * ct AS DOUBLE) / n_total AS e,
+        |    n_total, r_cats, c_cats
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt),
+        |sc2 AS (
+        |  SELECT a, b, o, e,
+        |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |      AS contrib,
+        |    CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |               / e * 1000000000) AS BIGINT) AS contrib_scaled,
+        |    n_total, r_cats, c_cats
+        |  FROM sc),
+        |tot AS (
+        |  SELECT CAST(sum(contrib_scaled) AS DOUBLE) / 1000000000.0
+        |           AS chi_square,
+        |         max(n_total) AS nt2,
+        |         max(least(r_cats - 1, c_cats - 1)) AS dof_min
+        |  FROM sc2),
+        |tv AS (SELECT chi_square,
+        |         sqrt(chi_square / CAST(nt2 * dof_min AS DOUBLE))
+        |           AS cramers_v
+        |       FROM tot)
+        |SELECT a, b, o, e, contrib, chi_square, cramers_v
+        |FROM sc2 CROSS JOIN tv
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      chiSquare(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("a"),
+            col("o_orderpriority").as("b")))
+    },
+
+    // Mann–Whitney U over line quantities of returned (R) vs accepted
+    // (A) lines — the rank-sum "did the distribution shift" test that
+    // needs no normality assumption; quantity's bounded integer domain
+    // keeps the rank frame at ≤50 rows.
+    Q("stats_mann_whitney",
+      """WITH c AS (
+        |  SELECT l_quantity AS x,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS nb
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        |r AS (
+        |  SELECT x, na, nb, na + nb AS t,
+        |    coalesce(CAST(sum(na + nb) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cb
+        |  FROM c),
+        |st AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |         CAST(sum(nb) AS BIGINT) AS n2,
+        |         CAST(sum(na * (2 * cb + t + 1)) AS BIGINT) AS r1x2,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r)
+        |SELECT n1, n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |  CAST(n1 AS DOUBLE) * n2
+        |    - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
+        |  (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+        |     - CAST(n1 AS DOUBLE) * n2 / 2.0)
+        |    / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+        |           * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+        |              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+        |    AS z_stat
+        |FROM st""".stripMargin) { (s, d) =>
+      mannWhitney(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("grp"), col("l_quantity").as("x")),
+        "A", "R")
+    },
+
+    // Poisson overdispersion of daily event arrivals per type: the
+    // variance-to-mean ratio of daily counts — ≈1 for a Poisson process,
+    // ≫1 = bursty (bot traffic, incident spikes). dispersion =
+    // (nΣc²−(Σc)²)/(n·Σc) is ONE double division of exact BIGINTs.
+    Q("events_poisson_dispersion",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, s AS total_events,
+        |  CAST(n_days * ss - s * s AS DOUBLE)
+        |    / CAST(n_days * s AS DOUBLE) AS dispersion
+        |FROM st ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+      st.select(col("event_type"), col("n_days"), col("s").as("total_events"),
+          ((col("n_days") * col("ss") - col("s") * col("s")).cast("double")
+            / (col("n_days") * col("s")).cast("double")).as("dispersion"))
+        .orderBy("event_type")
     },
   )
 }

@@ -85,6 +85,38 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(slope - -1.0) < 0.05, s"slope=$slope")
   }
 
+  test("chi-square matches the closed form on a 2x2 contingency fixture") {
+    import spark.implicits._
+    // table [[10,20],[30,40]] → χ² = 0.79365079…, V = sqrt(χ²/(100·1));
+    // the nano-unit quantization bounds the total's error by 4e-9
+    val obs = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val rows = Stats.chiSquare(obs.toDF("a", "b")).collect()
+    assert(rows.length == 4)
+    val chi = rows.head.getAs[Double]("chi_square")
+    assert(math.abs(chi - 0.7936507936507936) < 1e-6, s"chi2=$chi")
+    val v = rows.head.getAs[Double]("cramers_v")
+    assert(math.abs(v - math.sqrt(chi / 100.0)) < 1e-12, s"v=$v")
+    // the o=10 cell: E = 30*40/100 = 12, contrib = 4/12
+    val c11 = rows.find(r => r.getAs[String]("a") == "r1"
+      && r.getAs[String]("b") == "c1").get
+    assert(c11.getAs[Long]("o") == 10 && c11.getAs[Double]("e") == 12.0)
+  }
+
+  test("mann-whitney: tie-averaged ranks give the textbook U on a fixture") {
+    import spark.implicits._
+    // a = [1,2,2,3], b = [2,4,5]: R1 = 12 (avg rank of the 2-tie = 3),
+    // U1 = R1 − n1(n1+1)/2 = 2, U2 = n1·n2 − U1 = 10
+    val df = (Seq(1.0, 2.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(2.0, 4.0, 5.0).map(("R", _))).toDF("grp", "x")
+    val r = Stats.mannWhitney(df, "A", "R").collect()(0)
+    assert(r.getAs[Long]("n1") == 4 && r.getAs[Long]("n2") == 3)
+    assert(r.getAs[Double]("u1") == 2.0, s"u1=${r.getAs[Double]("u1")}")
+    assert(r.getAs[Double]("u2") == 10.0, s"u2=${r.getAs[Double]("u2")}")
+    val z = r.getAs[Double]("z_stat")
+    assert(z < 0 && !z.isNaN && !z.isInfinite, s"z=$z")
+  }
+
   test("resource allocation: exact 1/deg(w) integer scoring, adjacency excluded") {
     import spark.implicits._
     // path-ish graph: edges (1,2),(2,3),(2,4),(3,4); degrees 1:1 2:3

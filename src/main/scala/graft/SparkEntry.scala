@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Extended.defs ++
     operators.ScaleOps.defs ++
     operators.Tpch.defs ++
+    operators.Stats.defs ++
     operators.Functions.defs ++
     operators.Text.defs ++
     operators.Retrieval.defs ++

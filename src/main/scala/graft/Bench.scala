@@ -442,7 +442,15 @@ object Bench {
     // (unit-tested in BenchGuardSpec): wall AND cpu must both regress
     // beyond the idle-calib / loaded-calib / fleet-median-cpu host
     // normalization before a query flags.
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    // An unadjudicable run (>10% of wall lost to steal/iowait — the same
+    // threshold guardFlags refuses per-query adjudication at) must never
+    // become the guard's committed input: r16's driver sweep lost 59% of
+    // wall to steal, overwrote the working-tree BENCH_DETAIL.json, and
+    // was one `git add` away from poisoning every later round's
+    // denominator. Dirty runs persist to a sidecar the guard never reads.
+    val dirtyRun = busy.exists { case (i, s) => s + i > 0.1 * total }
+    val detailPath = java.nio.file.Paths.get(
+      if (dirtyRun) "BENCH_DETAIL.dirty.json" else "BENCH_DETAIL.json")
     try {
       val baseline = committedDetail().orElse {
         if (java.nio.file.Files.isRegularFile(detailPath))

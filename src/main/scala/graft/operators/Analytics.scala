@@ -183,15 +183,54 @@ object Analytics {
     */
   private[graft] def zonemapPrunedFilesOf(s: SparkSession, dir: String,
       valueCol: String, lo: Double, hi: Double): (Array[String], Long) = {
-    val zones = s.read.parquet(dir)
+    val zones = zonemapZones(s, dir, valueCol)
+    val total = zones.count()
+    val keep = zoneKeepSet(zones, lo, hi)
+      .collect().map(_.getString(0))
+    (keep, total)
+  }
+
+  /** The per-file [min, max] zone table of `valueCol` over `dir`'s
+    * parquet files — the DataFrame the pruning decisions derive from. At
+    * 100 TB this is the catalog's file-statistics table (Delta/Iceberg
+    * footer stats); here it is recomputed from the data, but it stays a
+    * DATAFRAME so consumers can join against it instead of materializing
+    * a driver-side file array.
+    */
+  private[graft] def zonemapZones(s: SparkSession, dir: String,
+      valueCol: String): DataFrame =
+    s.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(valueCol).cast("double")).as("lo"),
         max(col(valueCol).cast("double")).as("hi"))
-      .collect()
-    val keep = zones.filter(r =>
-      r.isNullAt(1) || (r.getDouble(1) <= hi && r.getDouble(2) >= lo))
-      .map(_.getString(0))
-    (keep, zones.length.toLong)
+
+  /** Files whose zone intersects [lo, hi], as a one-column frame.
+    * All-NULL-column files have NULL zone bounds and are conservatively
+    * KEPT (their rows can't match a range probe, but skipping decisions
+    * must never depend on absent statistics).
+    */
+  private def zoneKeepSet(zones: DataFrame, lo: Double, hi: Double)
+      : DataFrame =
+    zones.where(col("lo").isNull || (col("lo") <= hi && col("hi") >= lo))
+      .select("f")
+
+  /** Zonemap-pruned scan WITHOUT driver materialization: the keep-set
+    * stays a DataFrame and reaches the scan as a broadcast LEFT-SEMI
+    * join on `input_file_name()` — at 100 TB with ~10⁶ files the
+    * driver-array variant above is a multi-hundred-MB collect, while
+    * this keeps the zone table distributed end-to-end (the keep-set is
+    * O(files) metadata rows, broadcast-small by construction). Row-level
+    * I/O skipping still comes from the pushed [lo, hi] predicate the
+    * caller applies (parquet row-group stats); the semi-join contributes
+    * the file-level decision exactly as the collected variant did.
+    */
+  private[graft] def zonemapScan(s: SparkSession, dir: String,
+      valueCol: String, lo: Double, hi: Double): DataFrame = {
+    val keep = zoneKeepSet(zonemapZones(s, dir, valueCol), lo, hi)
+    s.read.parquet(dir)
+      .withColumn("__file", input_file_name())
+      .join(broadcast(keep), col("__file") === col("f"), "left_semi")
+      .drop("__file")
   }
 
   /** Frame-parametric integer PageRank (re-exported as
@@ -1678,11 +1717,14 @@ object Analytics {
 
     // Zonemap (file-stats) pruning: the storage-side data-skipping every
     // lakehouse table format does. The layout is range-clustered by
-    // `value` (see zonemapLayout), the per-file min/max table is bounded
-    // metadata, and the [240, 250] probe reads ONLY the intersecting
-    // files — AnalyticsSpec asserts the pruned list is a strict subset.
-    // The answer is oracled against the plain full scan: skipping must
-    // not change results.
+    // `value` (see zonemapLayout) and the per-file min/max table stays a
+    // DATAFRAME whose keep-set semi-joins the scan (zonemapScan) — no
+    // driver-side file array; physical I/O skipping rides the pushed
+    // BETWEEN predicate (row-group stats), the semi-join carries the
+    // file-level zone decision. AnalyticsSpec asserts the metadata
+    // facade's pruned list is a strict subset; PlanSpec pins the
+    // broadcast-semi shape. The answer is oracled against the plain full
+    // scan: skipping must not change results.
     Q("scan_zonemap_prune",
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
@@ -1691,14 +1733,12 @@ object Analytics {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, d) =>
       val dir = zonemapLayout(s, d)
-      val (files, _) = zonemapPrunedFiles(s, dir, 240.0, 250.0)
-      // empty keep-list guard: a probe range intersecting NO file zone is
-      // a legitimate outcome (e.g. out-of-range probe) — zero-path
-      // spark.read.parquet() throws (no schema), so read the dir's schema
-      // and emit the empty frame the full scan would produce
-      val src =
-        if (files.isEmpty) s.read.parquet(dir).where(lit(false))
-        else s.read.parquet(files.toIndexedSeq: _*)
+      // collect-free pruning (ADVICE r16): the keep-set rides the plan as
+      // a broadcast semi-join on input_file_name() instead of a driver
+      // Array[String] — an empty keep-set is just an empty broadcast side
+      // (no zero-path read to special-case), and AnalyticsSpec still
+      // pins the strict-subset property via the metadata facade
+      val src = zonemapScan(s, dir, "value", 240.0, 250.0)
       src
         .where(col("value").between(240, 250))
         .groupBy("event_type")

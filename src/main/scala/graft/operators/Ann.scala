@@ -463,6 +463,66 @@ object Ann {
         .orderBy("probe_id")
     },
 
+    // The recall-vs-nprobe TUNING CURVE over the persisted IVF index —
+    // the table every 100 TB ANN deployment needs before picking its
+    // scan fraction: recall@10 at nprobe ∈ {1,2,3,4} against the exact
+    // scan, in ONE pass. Every probe ranks ALL k centroids once
+    // (k × probes broadcast rows), each candidate row fans out to the
+    // nprobe levels that include its cell (sequence(cell_rank, k) — a
+    // ≤k-way in-task explode, never a per-level rescan), and one
+    // window per (probe, level) takes the top-10. Monotonicity is
+    // structural (level n's candidate set ⊆ level n+1's) and AnnSpec
+    // gates it plus the nprobe=k endpoint (full scan → recall 1.0).
+    // No SQL oracle: cells are seeded-k-means-defined.
+    Q.noOracle("ann_recall_nprobe_curve") { (s, d) =>
+      val dir = ivfIndex(s, d)
+      val e = Tables.embeddings(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+      val probes = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      // rank all k=4 cells per probe by centroid cosine — the routing
+      // table stays a DATAFRAME (no driver collect: the curve reads all
+      // cells anyway, so static partition pruning buys nothing here)
+      val ranked = s.read.parquet(s"$dir/centroids")
+        .crossJoin(broadcast(probes))
+        .withColumn("cell_rank", row_number().over(
+          w.partitionBy("probe_id")
+            .orderBy(cosine_sim(col("cent"), col("pe")).desc, col("cell"))))
+        .select("probe_id", "cell", "cell_rank", "pe")
+      val topk = s.read.parquet(s"$dir/cells")
+        .join(broadcast(ranked), "cell")
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("cell_rank"),
+          cosine_sim(col("embedding"), col("pe")).as("score"))
+        .withColumn("nprobe",
+          explode(sequence(col("cell_rank"), lit(4))))
+        .withColumn("rn", row_number().over(
+          w.partitionBy("probe_id", "nprobe")
+            .orderBy(col("score").desc, col("vec_id"))))
+        .where(col("rn") <= 10)
+        .select("probe_id", "nprobe", "vec_id")
+      val exact = e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(w.partitionBy("probe_id")
+          .orderBy(cosine_sim(col("embedding"), col("pe")).desc,
+            col("vec_id"))))
+        .where(col("rn") <= 10)
+        .select("probe_id", "vec_id")
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      val hits = exact.join(topk, Seq("probe_id", "vec_id"))
+        .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+      // left-join from the literal level frame so a level with ZERO
+      // hits (legal at nprobe=1 on a hostile routing) still emits a row
+      s.range(1, 5).select(col("id").cast("int").as("nprobe"))
+        .join(hits, Seq("nprobe"), "left")
+        .crossJoin(broadcast(nEx))
+        .select(col("nprobe"),
+          coalesce(col("hits"), lit(0L)).as("hits"), col("n_exact"),
+          (coalesce(col("hits"), lit(0L)).cast("double")
+            / col("n_exact")).as("recall_at_10"))
+        .orderBy("nprobe")
+    },
+
     // The persisted-index twin: recall@10 of the REAL seeded IVFPQ (ADC
     // over routed cells' byte codes) and per-cell graph search, vs the
     // exact scan, for probes 0-3 — the operational health check for the

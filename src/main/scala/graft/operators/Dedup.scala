@@ -330,6 +330,15 @@ object Dedup {
     */
   private[graft] def collapseClustersLogN(pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
+    // The round-1 convergence probe is skipped (see the loop comment), so
+    // `converged` can never become true before a 1-round budget exits the
+    // loop — maxRounds=1 would throw even on inputs that converge in one
+    // round. The parameter is an O(log n) safety net, not a tuning knob;
+    // 2 is the smallest budget the probe-skip supports.
+    require(maxRounds >= 2,
+      s"collapseClustersLogN: maxRounds=$maxRounds — the round-1 " +
+        "convergence probe is elided, so budgets below 2 always throw; " +
+        "use maxRounds >= 2")
     // every node ever seen — from the RAW pairs, BEFORE self-loops drop:
     // a doc whose only pair is (x, x) must still be labeled, and star
     // reduction can drop isolated-after-merge nodes from the edge list.

@@ -158,10 +158,20 @@ object Stats {
     * quantized to integer micro-units (floor(ln·10⁶) as BIGINT) so every
     * regression accumulator is an exact integer sum; slope survives the
     * common scale unchanged, the intercept divides it back out. Bounds:
-    * ln ≤ ln(2⁶³)·10⁶ ≈ 4.4e7, so Σxy ≤ topN·2e15 and n·Σxy stay far
-    * inside int64 for topN ≤ 1000.
+    * y ≤ ln(2⁶³)·10⁶ ≈ 4.4e7 and x ≤ ln(topN)·10⁶, so the largest
+    * accumulator n·Σxy ≤ n²·ln(n)·10⁶·4.4e7 crosses int64 near
+    * n ≈ 200 (n = 1000 reaches ~3e20); topN ≤ 150 keeps n·Σxy, n·Σxx
+    * and Σx·Σy all under ~5e18 with margin. Spark's non-ANSI long
+    * arithmetic would wrap SILENTLY past that while DuckDB errors —
+    * the require makes an out-of-contract topN fail loudly on both
+    * engines instead of diverging.
     */
   private[graft] def zipfSlope(tokens: DataFrame, topN: Int): DataFrame = {
+    require(topN <= 150,
+      s"zipfSlope: topN=$topN exceeds the int64-exact regression bound " +
+        "(150) — the n*sum(x*y) accumulator would overflow for " +
+        "worst-case token counts; widen the accumulators to DECIMAL " +
+        "before raising it")
     val f = tokens.where(col("t") =!= "")
       .groupBy("t").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("t")).limit(topN)
@@ -185,10 +195,11 @@ object Stats {
     * table. Input: (a, b) category pair per observation row. Observed
     * counts, row/column totals and N are exact BIGINTs; each cell's
     * (O−E)²/E term is ONE identically-associated double expression,
-    * then quantized to integer nano-units (floor(contrib·10⁹)) so the
-    * cross-cell total is an exact BIGINT sum — a raw double SUM would be
-    * accumulation-order nondeterministic across engines. Cramér's V
-    * normalizes by N·min(r−1, c−1).
+    * then quantized to integer nano-units (floor(contrib·10⁹), fenced
+    * by a raise_error past the int64 bound) and summed exactly in
+    * DECIMAL(38,0) — DuckDB's HUGEINT sum(BIGINT) twin; a raw double
+    * SUM would be accumulation-order nondeterministic across engines.
+    * Cramér's V normalizes by N·min(r−1, c−1).
     */
   private[graft] def chiSquare(obs: DataFrame): DataFrame = {
     val cells = obs.groupBy("a", "b").agg(count(lit(1)).as("o"))
@@ -203,12 +214,26 @@ object Stats {
       .withColumn("e", e)
     val contrib = (col("o").cast("double") - col("e")) *
       (col("o").cast("double") - col("e")) / col("e")
+    // Per-cell overflow fence (the linearTouchOf MAXN pattern): past
+    // ~9.2e9 a cell's nano-scaled contribution no longer fits int64 —
+    // DuckDB's CAST errors there while Spark's non-ANSI double→long
+    // cast saturates SILENTLY, so without this guard the two engines
+    // diverge instead of failing identically. Plausible at 100 TB
+    // (O=1e9 observations against E=1e3 expected is contrib ~1e15);
+    // raise_error keeps the fail-identically contract. The cross-cell
+    // total then accumulates in DECIMAL(38,0) — exact for any cell
+    // count, matching DuckDB's HUGEINT sum(BIGINT).
+    val maxContrib = Long.MaxValue / 1e9
     val scored = withE.withColumn("contrib", contrib)
       .withColumn("contrib_scaled",
-        floor(col("contrib") * 1000000000).cast("long"))
+        when(col("contrib") > maxContrib, raise_error(lit(
+          "chiSquare: a cell's (O-E)^2/E contribution exceeds the " +
+            "int64 nano-unit bound (~9.2e9) — the exact-sum contract " +
+            "cannot hold; rescale or fall back to a double total")))
+          .otherwise(floor(col("contrib") * 1000000000).cast("long")))
     val tot = scored.agg(
-      (sum(col("contrib_scaled")).cast("double") / 1000000000.0)
-        .as("chi_square"),
+      (sum(col("contrib_scaled").cast("decimal(38,0)")).cast("double")
+        / 1000000000.0).as("chi_square"),
       max(col("n_total")).as("nt2"),
       max(least(col("r_cats") - 1, col("c_cats") - 1)).as("dof_min"))
       .select(col("chi_square"),

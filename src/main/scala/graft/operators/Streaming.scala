@@ -905,6 +905,53 @@ object Streaming {
         .orderBy(col("eid_a").asc_nulls_first, col("eid_b").asc_nulls_first)
     },
 
+    // State-store TELEMETRY for the state-heaviest shape in the
+    // inventory (the watermarked stream-stream full outer join above):
+    // per-operator state rows and bytes from StateOperatorProgress —
+    // the operability signal a 100 TB streaming deployment watches for
+    // unbounded state growth (watermark stuck, key-space explosion)
+    // long before an executor OOMs. Output: one row per stateful
+    // operator with end-of-run state rows, cumulative updates/removals,
+    // and whether the store reported non-zero memory — the row/removal
+    // counts are fixture-deterministic (watermark expiry on a fixed
+    // event set), memory bytes are runtime-dependent and surfaced only
+    // as a boolean. No SQL oracle (progress telemetry has no batch
+    // twin); StreamingSpec gates non-zero metrics for this exact job.
+    Q.noOracle("stream_state_metrics") { (s, d) =>
+      import s.implicits._
+      val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+      def side(eid: String, uid: String, ts: String) =
+        Streams.eventsStream(s, d).where(col("user_id") < 100)
+          .withWatermark("ts", "10 minutes")
+          .where(col("ts") <= lit(maxTs) - expr("INTERVAL 20 MINUTES"))
+          .select(col("event_id").as(eid), col("user_id").as(uid),
+            col("ts").as(ts))
+      val j = side("eid_a", "uid_a", "ts_a").join(
+        side("eid_b", "uid_b", "ts_b"),
+        col("uid_a") === col("uid_b") && col("eid_a") =!= col("eid_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"),
+        "full_outer")
+        .select("eid_a", "eid_b")
+      val (_, progress) =
+        Streams.runToTableWithProgress(j, "append", statePartitions = 4)
+      val withState = progress.filter(_.stateOperators.nonEmpty)
+      val last = withState.lastOption.map(_.stateOperators.toSeq)
+        .getOrElse(Seq.empty)
+      val updates = withState.flatMap(_.stateOperators.toSeq)
+        .groupBy(_.operatorName)
+        .view.mapValues(ops =>
+          (ops.map(_.numRowsUpdated).sum, ops.map(_.numRowsRemoved).sum))
+        .toMap
+      last.map { op =>
+        val (upd, rem) = updates.getOrElse(op.operatorName, (0L, 0L))
+        (op.operatorName, op.numRowsTotal, upd, rem,
+          op.memoryUsedBytes > 0L)
+      }.toDF("operator", "state_rows", "rows_updated", "rows_removed",
+          "memory_nonzero")
+        .orderBy("operator")
+    },
+
     // LEFT SEMI completes the watermarked stream-stream join family
     // (inner/left-outer/full-outer above): a left row emits AT MOST ONCE,
     // and only when a band-matching right row exists — the "did this

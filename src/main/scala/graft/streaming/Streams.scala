@@ -149,6 +149,25 @@ object Streams {
       : DataFrame =
     runToTableWith(df, mode, statePartitions, Trigger.AvailableNow())
 
+  /** [[runToTable]] that ALSO returns the run's progress telemetry —
+    * the `StateOperatorProgress` rows (state rows/bytes per stateful
+    * operator) are the 100 TB operability signal for stream-stream
+    * joins and windowed aggregations: unbounded state growth shows up
+    * here long before an executor OOMs. The query handle's
+    * `recentProgress` is harvested BEFORE the handle goes out of scope;
+    * the memory-sink table is returned alongside.
+    */
+  def runToTableWithProgress(df: DataFrame, mode: String,
+      statePartitions: Int = 8)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    withStatePartitions(df.sparkSession, statePartitions) {
+      val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (df.sparkSession.table(name), q.recentProgress.toSeq)
+    }
+
   /** Single-batch variant of [[runToTable]] for stateful queries whose
     * operator reports processing-time work pending FOREVER — a
     * `transformWithState` in `TimeMode.ProcessingTime` with state TTL

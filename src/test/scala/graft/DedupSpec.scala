@@ -157,6 +157,28 @@ class DedupSpec extends SparkSuite {
       s"quantized recall ${exact.intersect(quant).size}/10")
   }
 
+  test("ann_recall_nprobe_curve: recall monotone in nprobe, full-probe " +
+      "endpoint exact") {
+    val rows = SparkEntry.queries("ann_recall_nprobe_curve")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4), rows.mkString(", "))
+    // 4 probes × top-10 each
+    assert(rows.forall(_._3 == 40L), rows.mkString(", "))
+    // level n's candidate set is a subset of level n+1's → recall can
+    // never decrease; the curve is the nprobe tuning table
+    val rec = rows.map(_._4)
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone: ${rec.mkString(", ")}")
+    // nprobe = k = 4 scans every cell — the exact scan, recall 1.0
+    assert(rec.last == 1.0, s"full-probe endpoint ${rec.last} != 1.0")
+    // and a strictly sub-full nprobe must already be useful: the shipped
+    // nprobe=3 queries gate probe 0 at 0.9, but this curve AVERAGES
+    // probes 0-3 on the near-random fixture (Ann.scala documents the
+    // recall cap) — measured 0.875, gated at 0.8
+    assert(rows(2)._4 >= 0.8, s"nprobe=3 recall ${rows(2)._4}")
+  }
+
   test("ann_ivfpq_topk scores only ids from the probe's routed cells") {
     import org.apache.spark.sql.functions.col
     val got = SparkEntry.queries("ann_ivfpq_topk")(spark, sf)

@@ -80,6 +80,61 @@ class RagParitySpec extends SparkSuite {
     }
   }
 
+  test("replayed ingest batch: store is at-least-once (duplicates kept, " +
+      "no silent dedup), answers unchanged") {
+    // The reference sink is at-least-once PER RECORD (AiJob.java:32,
+    // StreamingStoreKnowledge.java:68-71: a non-transactional per-record
+    // store call replayed after a crash re-adds the segment under a fresh
+    // random id — duplicates survive). Our foreachBatch parquet append has
+    // exactly the same contract: a batch replayed after a crash between
+    // the append and the checkpoint commit appends AGAIN. This pins that
+    // parity: the store must NOT dedup on replay (that would be a
+    // stronger guarantee than documented, silently masking double-writes
+    // the exactly-once fence — upsertGeneration's _COMMIT_BATCHID, pinned
+    // in StreamingSpec — exists to catch), duplicates are VISIBLE to
+    // retrieval, and the extractive answer is replay-invariant.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    withTmp("graft_replay_") { tmp =>
+      val store = s"$tmp/store"
+      val facts = Seq(
+        "The capital of France is Paris.",
+        "Spark plans queries with the Catalyst optimizer.")
+      val first = MemoryStream[String]
+      first.addData(facts: _*)
+      streaming.Streams.ingest(first.toDF().toDF("line"), store)
+      val before = streaming.Streams.answerBatch(
+        Seq("What is the capital of France?").toDF("line"), store, k = 2)
+        .select("answer").head().getString(0)
+      // the replay: a fresh checkpoint re-delivers the SAME lines — the
+      // sink-side effect is identical to a crash-replayed epoch
+      val replay = MemoryStream[String]
+      replay.addData(facts: _*)
+      streaming.Streams.ingest(replay.toDF().toDF("line"), store)
+      val stored = spark.read.parquet(streaming.Streams.storeDataDir(store))
+      assert(stored.count() == 4, "at-least-once append must keep replays")
+      // every (vec_id, text) appears exactly twice — duplicated, not mixed
+      val dupCounts = stored.groupBy("vec_id", "text").count().collect()
+      assert(dupCounts.length == 2 && dupCounts.forall(_.getLong(2) == 2L),
+        dupCounts.mkString(", "))
+      // retrieval SEES the duplicates (ranks 1 and 2 share the best text):
+      // at-least-once is an honest, visible contract, not a hidden dedup
+      val hits = streaming.Streams.retrieveBatch(
+        Seq("What is the capital of France?").toDF("line"), store, k = 2)
+        .orderBy("rank").collect()
+      assert(hits.length == 2 &&
+        hits(0).getAs[String]("text") == hits(1).getAs[String]("text"),
+        hits.mkString(" | "))
+      // and the answer is replay-invariant — duplicate context rows never
+      // change the best match (same text, same score)
+      val after = streaming.Streams.answerBatch(
+        Seq("What is the capital of France?").toDF("line"), store, k = 2)
+        .select("answer").head().getString(0)
+      assert(after == before, s"replay changed the answer: $before -> $after")
+      assert(after.contains("Paris"), after)
+    }
+  }
+
   test("a second knowledge micro-batch CHANGES the answer to the same " +
       "question (the reference's incremental-freshness claim)") {
     // README.md:24-31 freshness contract: answers reflect knowledge

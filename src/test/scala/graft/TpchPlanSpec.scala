@@ -54,6 +54,32 @@ class TpchPlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q2: BOTH dim semi-joins sit BELOW the cost aggregate (tree-checked)") {
+    // the string assertion above counts semi-joins anywhere; this pins
+    // their POSITION — the comment at Tpch.scala's q2 claims the early
+    // prune is what keeps the (part, supp) aggregate from grouping the
+    // whole fact table, so the min(l_extendedprice) Aggregate's own
+    // subtree must contain both LeftSemi joins. Checked on the optimized
+    // logical plan (AQE re-plans the physical tree lazily).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val lp = SparkEntry.queries("q2_min_cost_supplier")(spark, sf)
+      .queryExecution.optimizedPlan
+    val costAggs = lp.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(
+            _.toString.contains("l_extendedprice")) => a
+    }
+    assert(costAggs.nonEmpty, "no cost aggregate over l_extendedprice:\n" +
+      lp.toString.take(3000))
+    val semisBelow = costAggs.head.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    assert(semisBelow.size >= 2,
+      s"expected 2 LeftSemi joins below the cost aggregate, found " +
+        s"${semisBelow.size}:\n" + costAggs.head.toString.take(3000))
+  }
+
   test("q17: the correlated threshold decorrelates to a broadcast per-part agg") {
     val p = planString("q17_small_qty_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))

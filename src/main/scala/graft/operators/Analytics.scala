@@ -4043,6 +4043,61 @@ object Analytics {
         .orderBy("bucket")
     },
 
+    // Pareto / Lorenz concentration of event traffic: users ranked by
+    // activity, cut into deciles, cumulative share of all events per
+    // decile — "what % of users generate 80% of the load", the capacity-
+    // planning and abuse-screening view of the fact table. The ranking
+    // window runs over the USER-LEVEL rollup (corpus-sublinear — the
+    // fact scan collapses first); the decile cut is explicit integer
+    // arithmetic ((rk−1)·10 div n_users), not ntile, so both engines
+    // bucket identically. Counts exact BIGINT end-to-end; the share is
+    // one double division. At 100 TB the user rollup still fits a
+    // range-partitioned sort, and the decile boundaries can come from
+    // approx percentiles of cnt instead of a global row_number.
+    Q("events_power_users_pareto",
+      """WITH uc AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(cnt) AS BIGINT) AS tot FROM uc),
+        |r AS (SELECT cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+        |             AS BIGINT) AS rk
+        |      FROM uc),
+        |dcl AS (SELECT ((rk - 1) * 10) // n_users + 1 AS decile, cnt, tot
+        |        FROM r CROSS JOIN t),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(sum(cnt) AS BIGINT) AS n_events, max(tot) AS tot
+        |      FROM dcl GROUP BY 1)
+        |SELECT decile, n_users, n_events,
+        |  CAST(sum(n_events) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_events,
+        |  CAST(sum(n_events) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM g ORDER BY decile""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val uc = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = uc.agg(count(lit(1)).as("n_users"), sum("cnt").as("tot"))
+      val cum = w.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      uc.withColumn("rk", row_number().over(
+          w.orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(expr("((rk - 1) * 10) div n_users + 1").as("decile"),
+          col("cnt"), col("tot"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("cnt").as("n_events"),
+          max("tot").as("tot"))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          sum(col("n_events")).over(cum).as("cum_events"),
+          (sum(col("n_events")).over(cum).cast("double")
+            / col("tot").cast("double")).as("cum_share"))
+        .orderBy("decile")
+    },
+
     // Pairwise AUDIENCE OVERLAP between event types: |users(a)∩users(b)|
     // and Jaccard for every type pair — the segment-overlap report behind
     // campaign targeting and behavioral-cohort design. Basket

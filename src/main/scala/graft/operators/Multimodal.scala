@@ -226,6 +226,50 @@ object Multimodal {
         .orderBy("batch_id")
     },
 
+    // ViT PATCH-GRID token budgeting — the step after resize that decides
+    // what a vision-language training batch actually costs: each image's
+    // patch grid at patch size 16 (ceil division on the stub's decoded
+    // dims), patch count + CLS token, whether it fits a 256-patch
+    // context budget, and the packed (truncated) token count the batch
+    // planner allocates from. Pure scan-side integer geometry — the same
+    // zero-shuffle class as multimodal_scene_cuts; at 100 TB this is a
+    // projection riding the decode scan, and the budget census below it
+    // is one tiny combiner aggregate away (not taken here: the per-doc
+    // table IS the planner's input).
+    Q("multimodal_patch_grid",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    greatest(octet_length(encode(text)) % 640, 1) AS w,
+        |    greatest((octet_length(encode(text)) * 7) % 480, 1) AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, h,
+        |    (w + 15) // 16 AS grid_w, (h + 15) // 16 AS grid_h
+        |  FROM m)
+        |SELECT doc_id, w, h, grid_w, grid_h,
+        |  grid_w * grid_h AS n_patches,
+        |  grid_w * grid_h + 1 AS n_tokens,
+        |  grid_w * grid_h <= 256 AS fits_budget,
+        |  least(grid_w * grid_h, 256) + 1 AS packed_tokens
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bl", octet_length(encode(col("text"), "utf-8")))
+        .select(col("doc_id"),
+          greatest(col("bl") % 640, lit(1)).as("w"),
+          greatest(col("bl") * 7 % 480, lit(1)).as("h"))
+        .select(col("doc_id"), col("w"), col("h"),
+          expr("(w + 15) div 16").as("grid_w"),
+          expr("(h + 15) div 16").as("grid_h"))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("grid_w"), col("grid_h"),
+          (col("grid_w") * col("grid_h")).as("n_patches"),
+          (col("grid_w") * col("grid_h") + 1).as("n_tokens"),
+          (col("grid_w") * col("grid_h") <= 256).as("fits_budget"),
+          (least(col("grid_w") * col("grid_h"), lit(256)) + 1)
+            .as("packed_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Typed mapPartitions decode pipeline (per-partition codec init).
     // Algorithm-defined sig → no SQL oracle; MultimodalSpec pins values.
     Q.noOracle("multimodal_decode_typed") { (s, d) =>

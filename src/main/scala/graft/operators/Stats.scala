@@ -282,6 +282,47 @@ object Stats {
         / sqrt(sigma2)).as("z_stat"))
   }
 
+  /** Spearman rank correlation over a BOUNDED joint value domain: rho =
+    * Pearson on tie-averaged ranks, with the ranks derived from the
+    * (x, y) cell-count frame — the same ECDF trick as [[mannWhitney]].
+    * Doubled average ranks (2·avgrank = 2·cumBefore + t + 1) stay exact
+    * integers; Pearson is invariant to the common ×2 scale. Every
+    * moment accumulates in DECIMAL(38,0) — cnt·rx·ry reaches ~4n³,
+    * far past int64 at 100 TB row counts, and DuckDB's HUGEINT sum is
+    * the exact twin — then rho is ONE double expression from the six
+    * exact accumulators, identically associated on both engines. The
+    * rank windows touch |distinct x| + |distinct y| rows, never the
+    * fact table.
+    */
+  private[graft] def spearman(df: DataFrame, xc: String, yc: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xc).as("x"), col(yc).as("y"))
+      .agg(count(lit(1)).as("c"))
+    def rank2Of(key: String) = {
+      val m = cells.groupBy(col(key)).agg(sum("c").as("t"))
+      m.withColumn("cb",
+        coalesce(sum(col("t")).over(Window.orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(key), (lit(2L) * col("cb") + col("t") + 1L)
+          .as(s"r2_$key"))
+    }
+    val j = cells.join(broadcast(rank2Of("x")), "x")
+      .join(broadcast(rank2Of("y")), "y")
+    val cDec = col("c").cast("decimal(38,0)")
+    val st = j.agg(sum(col("c")).as("n"),
+      sum(cDec * col("r2_x")).as("sx"),
+      sum(cDec * col("r2_y")).as("sy"),
+      sum(cDec * col("r2_x") * col("r2_y")).as("sxy"),
+      sum(cDec * col("r2_x") * col("r2_x")).as("sxx"),
+      sum(cDec * col("r2_y") * col("r2_y")).as("syy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    st.select(col("n").as("n_rows"),
+      ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+        / sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+          * (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+        .as("spearman_rho"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Welch's t between URGENT and LOW order totals — the "is the A/B
@@ -545,6 +586,48 @@ object Stats {
     // variance-to-mean ratio of daily counts — ≈1 for a Poisson process,
     // ≫1 = bursty (bot traffic, incident spikes). dispersion =
     // (nΣc²−(Σc)²)/(n·Σc) is ONE double division of exact BIGINTs.
+    // Spearman rank correlation of quantity × discount — "does discount
+    // depth track order size" asked rank-wise (robust to the skewed
+    // price scales Pearson chokes on). Both columns are bounded domains
+    // (50 × 11 values → ≤550 joint cells), so ranks come from the
+    // cell-count frame and the fact table is touched ONCE.
+    Q("stats_spearman_rho",
+      """WITH cells AS (
+        |  SELECT l_quantity AS x, l_discount AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT x, 2 * COALESCE(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS r2_x
+        |  FROM (SELECT x, sum(c) AS t FROM cells GROUP BY 1)),
+        |ry AS (
+        |  SELECT y, 2 * COALESCE(SUM(t) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS r2_y
+        |  FROM (SELECT y, sum(c) AS t FROM cells GROUP BY 1)),
+        |st AS (
+        |  SELECT sum(c) AS n,
+        |    sum(CAST(c AS HUGEINT) * r2_x) AS sx,
+        |    sum(CAST(c AS HUGEINT) * r2_y) AS sy,
+        |    sum(CAST(c AS HUGEINT) * r2_x * r2_y) AS sxy,
+        |    sum(CAST(c AS HUGEINT) * r2_x * r2_x) AS sxx,
+        |    sum(CAST(c AS HUGEINT) * r2_y * r2_y) AS syy
+        |  FROM cells JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS spearman_rho
+        |FROM st""".stripMargin) { (s, d) =>
+      spearman(Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_discount")),
+        "l_quantity", "l_discount")
+    },
+
     Q("events_poisson_dispersion",
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -400,6 +400,44 @@ object Text {
     // BOTH windows (the per-(gram, doc) dedup row_number clusters on
     // (gram, doc_id), which hash(gram) satisfies — only a local sort),
     // then one doc-keyed combiner aggregate.
+    // Hapax-legomena ratio per document: the fraction of a doc's tokens
+    // that occur exactly ONCE in the whole corpus — high ratio flags
+    // OCR noise / codepage garbage / synthetic vocab (next to
+    // text_quality_score and text_entropy_score in the filter stack),
+    // while natural text sits near the Zipf-predicted tail mass. One
+    // combiner-friendly term-count shuffle, then a term-keyed join back
+    // to the token stream (the tf-idf shape — at 100 TB the count side
+    // prunes to the hapax set before the join, a semi-join-sized right
+    // side); exact BIGINTs, ratio is one double division. Docs with no
+    // tokens are absent on both engines (derived from the token stream).
+    Q("text_hapax_ratio",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok2 GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS hapax_ratio
+        |FROM tok2 JOIN tc USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+      val tc = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      tok.join(tc, "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
+          (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+            .as("hapax_ratio"))
+        .orderBy("doc_id")
+    },
+
     Q("text_ngram_novelty",
       s"""WITH g AS (
          |  SELECT doc_id, unnest(${oracleGram(3)}) AS gram

@@ -117,6 +117,42 @@ class StatsSpec extends SparkSuite {
     assert(z < 0 && !z.isNaN && !z.isInfinite, s"z=$z")
   }
 
+  test("spearman: 1.0 on monotone data, tie-averaged textbook value on " +
+      "a tied fixture") {
+    import spark.implicits._
+    // strictly monotone (no ties): rho = 1 exactly
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 70.0))
+      .toDF("x", "y")
+    val r1 = Stats.spearman(mono, "x", "y").collect()(0)
+    assert(r1.getAs[Long]("n_rows") == 4)
+    assert(r1.getAs[Double]("spearman_rho") == 1.0,
+      s"rho=${r1.getAs[Double]("spearman_rho")}")
+    // anti-monotone: rho = -1 exactly
+    val anti = Seq((1.0, 9.0), (2.0, 7.0), (3.0, 3.0)).toDF("x", "y")
+    assert(Stats.spearman(anti, "x", "y").collect()(0)
+      .getAs[Double]("spearman_rho") == -1.0)
+    // tied fixture x=[1,2,2,3], y=[1,1,2,3]: avg ranks
+    // rx=[1,2.5,2.5,4], ry=[1.5,1.5,3,4] → Pearson(rx,ry) =
+    // cov/sd·sd = 3.25/sqrt(4.5·4.25) ≈ 0.743294146...; with the ×2
+    // integer ranks both engines compute the same double — pin to the
+    // closed form evaluated the same way
+    val tied = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (3.0, 3.0))
+      .toDF("x", "y")
+    val rho = Stats.spearman(tied, "x", "y").collect()(0)
+      .getAs[Double]("spearman_rho")
+    val expected = {
+      val n = 4.0
+      // doubled ranks: rx2=[2,5,5,8], ry2=[3,3,6,8]
+      val rx = Seq(2.0, 5.0, 5.0, 8.0); val ry = Seq(3.0, 3.0, 6.0, 8.0)
+      val sx = rx.sum; val sy = ry.sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    assert(math.abs(rho - expected) < 1e-12, s"rho=$rho expected=$expected")
+  }
+
   test("resource allocation: exact 1/deg(w) integer scoring, adjacency excluded") {
     import spark.implicits._
     // path-ish graph: edges (1,2),(2,3),(2,4),(3,4); degrees 1:1 2:3

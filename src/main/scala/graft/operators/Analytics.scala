@@ -1129,6 +1129,41 @@ object Analytics {
       .limit(topN)
   }
 
+  /** Adamic–Adar link prediction over an undirected (u, v) edge frame —
+    * [[resourceAllocationOf]]'s log-damped sibling (the classic index:
+    * common neighbors weighted 1/ln(deg), so hubs discount gently
+    * instead of linearly). Same candidate shape: one symmetric-edge
+    * self-join on the shared neighbor, broadcast degree table, adjacency
+    * excluded by anti-join. The transcendental is quantized ONCE per
+    * degree value — L = floor(ln(dg)·10⁶) is an exact BIGINT on both
+    * engines, each term is the exact integer 10¹² div L (≈ 10⁶/ln), and
+    * the pair score is an exact BIGINT sum with ONE final double
+    * division — the zipf/entropy float-parity discipline applied to a
+    * graph score. A common neighbor has deg ≥ 2 by construction, so
+    * L ≥ floor(ln 2·10⁶) = 693147 > 0.
+    */
+  private[graft] def adamicAdarOf(edges: DataFrame, topN: Int): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("x"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
+    val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
+    val cn = sym.as("l")
+      .join(sym.as("r"), col("l.x") === col("r.x") && col("l.a") < col("r.a"))
+      .select(col("l.a").as("part_a"), col("r.a").as("part_b"),
+        col("l.x").as("w"))
+    val sc = cn.join(broadcast(deg), col("w") === col("dn"))
+      .groupBy("part_a", "part_b")
+      .agg(sum(expr(
+        "CAST(1000000000000 AS BIGINT) div " +
+          "CAST(floor(ln(CAST(dg AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .as("aa_scaled"))
+    sc.join(edges.select(col("u").as("part_a"), col("v").as("part_b")),
+        Seq("part_a", "part_b"), "left_anti")
+      .select(col("part_a"), col("part_b"), col("aa_scaled"),
+        (col("aa_scaled").cast("double") / 1000000.0).as("aa_score"))
+      .orderBy(col("aa_scaled").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
   /** Single-source BFS hop counts (re-exported as
     * `graft.api.Graft.shortestHops`): `edges0` is an undirected (u, v)
     * pair frame, ALREADY checkpoint-pinned (the kCoreOf caller contract);
@@ -3023,6 +3058,113 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // Per-user BURSTINESS of event inter-arrivals — Goh–Barabási
+    // B = (σ−μ)/(σ+μ) over each user's gap sequence (−1 = metronome,
+    // 0 = Poisson, →1 = bursty), the behavioral-fingerprint signal bot
+    // screens and engagement models read; ts_interarrival_stats gives
+    // the per-TYPE spread, this gives the per-USER shape, bucketed to a
+    // bounded histogram. Exact discipline: gaps are integer µs
+    // (unix_micros — the documented ns-parquet truncation parity), n/Σg
+    // exact BIGINT, Σg² in DECIMAL(38,0) (gap² ≈ 10²⁶ passes int64;
+    // DuckDB HUGEINT twin), then σ, μ, B are ONE double expression from
+    // the exact accumulators and floor(B·10) buckets identically on
+    // both engines. Users need ≥2 gaps and Σg > 0 (σ=μ=0 would be 0/0).
+    Q("events_interevent_burstiness",
+      """WITH seq AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |gaps AS (
+        |  SELECT user_id,
+        |    tus - lag(tus) OVER (PARTITION BY user_id
+        |                         ORDER BY tus, event_id) AS gap
+        |  FROM seq),
+        |st AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS sg2
+        |  FROM gaps WHERE gap IS NOT NULL
+        |  GROUP BY 1
+        |  HAVING count(*) >= 2 AND CAST(sum(gap) AS BIGINT) > 0),
+        |b AS (
+        |  SELECT user_id,
+        |    (sqrt((CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        |           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (sqrt((CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        |             - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS bness
+        |  FROM st)
+        |SELECT CAST(floor(bness * 10) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  min(bness) AS min_b, max(bness) AS max_b
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("tus"),
+        col("event_id"))
+      val st = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+          sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sg2"))
+        .where(col("n") >= 2 && col("sg") > 0)
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val sigma = sqrt((dd(col("n")) * dd(col("sg2"))
+        - dd(col("sg")) * dd(col("sg"))) / (dd(col("n")) * dd(col("n"))))
+      val mu = dd(col("sg")) / dd(col("n"))
+      st.select(((sigma - mu) / (sigma + mu)).as("bness"))
+        .groupBy(floor(col("bness") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("bness")).as("min_b"), max(col("bness")).as("max_b"))
+        .orderBy("bucket")
+    },
+
+    // Month-of-year SEASONALITY INDEX of order revenue — the demand-
+    // planning ratio (month's average monthly revenue / overall monthly
+    // average; 1.0 = no seasonality) that decides inventory and compute
+    // pre-provisioning. Revenue accumulates in exact DECIMAL, month
+    // occurrence counts exact BIGINT, and the index is ONE double
+    // expression (R_m·Σn)/(n_m·ΣR) from the four exact accumulators —
+    // no intermediate monthly-average double ever summed. One fact pass
+    // to a 12-row frame; the cross join is a broadcast of one row.
+    Q("orders_seasonality_index",
+      """WITH m AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS moy,
+        |    date_trunc('month', CAST(o_orderdate AS DATE)) AS ym,
+        |    CAST(o_totalprice AS DECIMAL(14,2)) AS p
+        |  FROM orders),
+        |g AS (SELECT moy, CAST(sum(p) AS DECIMAL(18,2)) AS rev,
+        |        CAST(count(DISTINCT ym) AS BIGINT) AS n_months
+        |      FROM m GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS DECIMAL(18,2)) AS tot_rev,
+        |        CAST(sum(n_months) AS BIGINT) AS tot_m FROM g)
+        |SELECT moy AS month_of_year, CAST(rev AS DOUBLE) AS revenue,
+        |  n_months,
+        |  (CAST(rev AS DOUBLE) * CAST(tot_m AS DOUBLE))
+        |    / (CAST(n_months AS DOUBLE) * CAST(tot_rev AS DOUBLE))
+        |    AS seasonality_index
+        |FROM g CROSS JOIN t ORDER BY month_of_year""".stripMargin) {
+      (s, d) =>
+      val m = Tables.orders(s, d).select(
+        month(col("o_orderdate").cast("date")).cast("long").as("moy"),
+        date_trunc("month", col("o_orderdate").cast("date")).as("ym"),
+        col("o_totalprice").cast("decimal(14,2)").as("p"))
+      val g = m.groupBy("moy")
+        .agg(sum("p").cast("decimal(18,2)").as("rev"),
+          countDistinct("ym").as("n_months"))
+      val t = g.agg(sum("rev").cast("decimal(18,2)").as("tot_rev"),
+        sum("n_months").as("tot_m"))
+      g.crossJoin(broadcast(t))
+        .select(col("moy").as("month_of_year"),
+          col("rev").cast("double").as("revenue"), col("n_months"),
+          ((col("rev").cast("double") * col("tot_m").cast("double"))
+            / (col("n_months").cast("double")
+              * col("tot_rev").cast("double"))).as("seasonality_index"))
+        .orderBy("month_of_year")
+    },
+
     // Monthly open-order backlog timeline: +1 at order placement, −1 at
     // last-line ship, running-sum the month-bucketed NET — the classic
     // event-ified interval-count that never joins orders×months. Month
@@ -4008,6 +4150,42 @@ object Analytics {
         |LIMIT 100""".stripMargin) { (s, d) =>
       resourceAllocationOf(thresholdedCopurchaseEdges(s, d, "u", "v"),
         topN = 100)
+    },
+
+    // Adamic–Adar link prediction over the thresholded co-purchase
+    // graph — resource-allocation's log-damped sibling (1/ln(deg)
+    // instead of 1/deg: hubs discount gently, the classic index for
+    // "which products will be bought together next"). The ln is
+    // quantized once per DEGREE VALUE (floor(ln·10⁶) BIGINT), each term
+    // is the exact integer 10¹² div L, the pair score an exact BIGINT
+    // sum — so the oracle reproduces the damping bit-for-bit without a
+    // double SUM anywhere. Same scale shape as graph_resource_allocation:
+    // neighbor-keyed candidate join, broadcast degree table, adjacency
+    // anti-join, top-100.
+    Q("graph_adamic_adar",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS u, pb AS v FROM p UNION ALL SELECT pb, pa FROM p),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+        |cn AS (SELECT a.u AS part_a, b.u AS part_b, a.v AS w
+        |       FROM e a JOIN e b ON a.v = b.v AND a.u < b.u),
+        |sc AS (SELECT part_a, part_b,
+        |         CAST(sum(1000000000000 //
+        |           CAST(floor(ln(CAST(dg AS DOUBLE)) * 1000000) AS BIGINT))
+        |           AS BIGINT) AS aa_scaled
+        |       FROM cn JOIN deg ON cn.w = deg.u GROUP BY 1, 2),
+        |nonadj AS (SELECT part_a, part_b, aa_scaled FROM sc
+        |           WHERE NOT EXISTS (SELECT 1 FROM p
+        |             WHERE p.pa = sc.part_a AND p.pb = sc.part_b))
+        |SELECT part_a, part_b, aa_scaled,
+        |  CAST(aa_scaled AS DOUBLE) / 1000000.0 AS aa_score
+        |FROM nonadj
+        |ORDER BY aa_scaled DESC, part_a, part_b
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      adamicAdarOf(thresholdedCopurchaseEdges(s, d, "u", "v"), topN = 100)
     },
 
     // Degree distribution of the co-purchase graph (parts < 5000 block):

@@ -161,6 +161,97 @@ object Dedup {
     } finally { cand.unpersist(false); rawBands.unpersist(false) }
   }
 
+  /** LSH BANDING SWEEP over one shared MinHash(32) signature — the
+    * bands-vs-rows tuning table (the dedup analogue of the ANN
+    * recall-vs-nprobe curve): for each banding (4×8, 8×4, 16×2) report
+    * candidate volume, exact-Jaccard-verified pair count, recall vs the
+    * finest banding, and candidate precision. Monotonicity is
+    * STRUCTURAL: agreement on an r-row band implies agreement on both
+    * its (r/2)-row halves, so each config's candidate set is contained
+    * in the next-finer one — recall rises and precision falls as bands
+    * narrow, and the 8×4 row reproduces the shipped
+    * `dedup_minhash_lsh` config exactly (DedupSpec cross-gates the
+    * counts). ONE signature pass feeds all three configs; each pair is
+    * Jaccard-verified ONCE over the UNION candidate set (= the finest
+    * config's set, by containment); the same per-config hot-bucket cap
+    * melt-proofs the self-join.
+    */
+  private[graft] def bandSweepOf(docs: DataFrame, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val sig = docs
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        minhash_shingles(col("text"), 32, 3).as("sig"))
+      .persist()
+    def bandsFor(r: Int): DataFrame = {
+      val nb = 32 / r
+      val args = (1 to r).map(i => s"element_at(sig, $r * bi + $i)")
+        .mkString(", ")
+      sig.select(lit(r).as("rpb"), col("doc_id"),
+          explode(expr(
+            s"""transform(sequence(0, ${nb - 1}), bi -> named_struct(
+               |  'band', bi, 'bh', xxhash64($args)))""".stripMargin))
+            .as("e"))
+        .select(col("rpb"), col("doc_id"),
+          col("e.band").as("band"), col("e.bh").as("bh"))
+    }
+    val rawBands = bandsFor(8).unionAll(bandsFor(4)).unionAll(bandsFor(2))
+      .persist()
+    val cand = {
+      val hot = rawBands.groupBy("rpb", "band", "bh")
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn") > maxBucket)
+        .select("rpb", "band", "bh")
+      val bands = rawBands.join(broadcast(hot),
+        Seq("rpb", "band", "bh"), "left_anti")
+      bands.as("x").join(bands.as("y"),
+          col("x.rpb") === col("y.rpb") && col("x.band") === col("y.band")
+            && col("x.bh") === col("y.bh")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.rpb").as("rpb"), col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
+        .distinct()
+        .persist()
+    }
+    try {
+      val pairs = cand.select("doc_a", "doc_b").distinct()
+      val candIds = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val candSh = docs
+        .join(broadcast(candIds), "doc_id")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles3.as("sh"))
+      val verified = pairs
+        .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+          "doc_a")
+        .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+          "doc_b")
+        .where(jaccard(col("sha"), col("shb")) >= threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(true)
+      val perCfg = cand.groupBy("rpb").agg(count(lit(1)).as("n_candidates"))
+      val verCfg = cand.join(verified, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy("rpb").agg(count(lit(1)).as("n_verified"))
+      val finest = verCfg.where(col("rpb") === 2)
+        .select(col("n_verified").as("n_finest"))
+      perCfg.join(verCfg, Seq("rpb"), "left")
+        .na.fill(0L, Seq("n_verified"))
+        .crossJoin(broadcast(finest))
+        .select((lit(32) / col("rpb")).cast("long").as("n_bands"),
+          col("rpb").cast("long").as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          (col("n_verified").cast("double") / col("n_finest"))
+            .as("recall_vs_finest"),
+          (col("n_verified").cast("double") / col("n_candidates"))
+            .as("candidate_precision"))
+        .orderBy("n_bands")
+        .localCheckpoint(true)
+    } finally {
+      cand.unpersist(false); rawBands.unpersist(false); sig.unpersist(false)
+    }
+  }
+
   /** SimHash near-dup pairs of `docs` (doc_id, text): 64-bit sketch per
     * doc, 4 bands × 16 bits, Hamming <= `maxHamming` verification within
     * hash-equal band buckets (equi-join — never a cross product). Same
@@ -743,6 +834,19 @@ object Dedup {
     // exact method is property-tested in DedupSpec.
     Q.noOracle("dedup_minhash_lsh") { (s, d) =>
       minhashVerifiedPairs(s, d, 0.5).orderBy("doc_a", "doc_b")
+    },
+
+    // The LSH BANDING SWEEP — the bands×rows tuning table over one
+    // shared MinHash(32) signature (the dedup analogue of
+    // ann_recall_nprobe_curve): candidate volume, verified pairs,
+    // recall vs the finest banding, and candidate precision for
+    // 4×8 / 8×4 / 16×2. Containment is structural (an r-row band
+    // agreement implies both (r/2)-row halves agree), the 8×4 row IS
+    // the shipped dedup_minhash_lsh config, and DedupSpec cross-gates
+    // that count plus the monotone recall/precision ordering.
+    // Hash-permutation-defined → no SQL oracle.
+    Q.noOracle("dedup_band_recall_curve") { (s, d) =>
+      bandSweepOf(Tables.documents(s, d), threshold = 0.5)
     },
 
     // Verbatim shared-window dedup — the EXACT-SUBSTRING family

@@ -157,6 +157,32 @@ class DedupSpec extends SparkSuite {
       s"quantized recall ${exact.intersect(quant).size}/10")
   }
 
+  test("dedup_band_recall_curve: structural containment, monotone " +
+      "recall/precision, 8x4 row equals the shipped LSH config") {
+    val rows = SparkEntry.queries("dedup_band_recall_curve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((4L, 8L), (8L, 4L), (16L, 2L)), rows.mkString(", "))
+    // finer bands can only ADD candidates/verified pairs (containment)
+    val cands = rows.map(_._3); val ver = rows.map(_._4)
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a },
+      s"candidates not monotone: ${cands.mkString(", ")}")
+    assert(ver.zip(ver.tail).forall { case (a, b) => b >= a },
+      s"verified not monotone: ${ver.mkString(", ")}")
+    // recall endpoint: the finest banding is its own reference
+    assert(rows.last._5 == 1.0, rows.mkString(", "))
+    // precision can only fall as the net widens
+    val prec = rows.map(_._6)
+    assert(prec.zip(prec.tail).forall { case (a, b) => b <= a },
+      s"precision not anti-monotone: ${prec.mkString(", ")}")
+    // the 8x4 row reproduces the SHIPPED dedup_minhash_lsh pipeline
+    // exactly — same signature, banding, cap, and threshold
+    val shipped = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(rows(1)._4 == shipped,
+      s"8x4 verified ${rows(1)._4} != shipped LSH pairs $shipped")
+  }
+
   test("ann_recall_nprobe_curve: recall monotone in nprobe, full-probe " +
       "endpoint exact") {
     val rows = SparkEntry.queries("ann_recall_nprobe_curve")(spark, sf)

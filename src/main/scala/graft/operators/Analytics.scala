@@ -1129,6 +1129,42 @@ object Analytics {
       .limit(topN)
   }
 
+  /** Neighbor-set Jaccard link prediction — the third of the classic
+    * index trio next to [[resourceAllocationOf]] and [[adamicAdarOf]]:
+    * jac(u, v) = |Γu∩Γv| / |Γu∪Γv| = cn / (du + dv − cn). Entirely
+    * integer until ONE final double division; the ranking key is the
+    * exact BIGINT cn·10¹² div (du+dv−cn) so ordering and LIMIT ties are
+    * engine-identical (cn ≤ 10⁶ keeps the scaled key inside int64 —
+    * beyond that, drop the scale to 10⁹). Same candidate shape as the
+    * siblings: neighbor-keyed equi-join, broadcast degree table,
+    * adjacency anti-joined out.
+    */
+  private[graft] def jaccardLinksOf(edges: DataFrame, topN: Int)
+      : DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("x"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
+    val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
+    val cn = sym.as("l")
+      .join(sym.as("r"), col("l.x") === col("r.x") && col("l.a") < col("r.a"))
+      .groupBy(col("l.a").as("part_a"), col("r.a").as("part_b"))
+      .agg(count(lit(1)).as("cn"))
+    val sc = cn
+      .join(broadcast(deg.select(col("dn").as("part_a"),
+        col("dg").as("du"))), "part_a")
+      .join(broadcast(deg.select(col("dn").as("part_b"),
+        col("dg").as("dv"))), "part_b")
+      .select(col("part_a"), col("part_b"), col("cn"),
+        (col("du") + col("dv") - col("cn")).as("un"))
+    sc.join(edges.select(col("u").as("part_a"), col("v").as("part_b")),
+        Seq("part_a", "part_b"), "left_anti")
+      .select(col("part_a"), col("part_b"), col("cn"), col("un"),
+        expr("cn * CAST(1000000000000 AS BIGINT) div un").as("jac_scaled"),
+        (col("cn").cast("double") / col("un").cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jac_scaled").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
   /** Adamic–Adar link prediction over an undirected (u, v) edge frame —
     * [[resourceAllocationOf]]'s log-damped sibling (the classic index:
     * common neighbors weighted 1/ln(deg), so hubs discount gently
@@ -3058,6 +3094,40 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // Year-over-year customer revenue-tier MIGRATION matrix — the
+    // retention-economics view (upgrades, downgrades, churn-adjacent
+    // drift) next to cohort_retention's presence view: per customer-year
+    // revenue in exact integer CENTS, explicit width-capped tiers
+    // (cents div 10⁷, capped at 4 — deterministic integer cut, no
+    // quantiles), then a (customer, year)→(year+1) self-join counts the
+    // tier transition matrix. Everything BIGINT; the customer-year
+    // rollup is corpus-sublinear and the self-join is customer-keyed.
+    Q("orders_customer_migration",
+      """WITH cy AS (
+        |  SELECT o_custkey AS c,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT c, y, least(cents // 10000000, 4) AS tier FROM cy)
+        |SELECT a.tier AS tier_from, b.tier AS tier_to,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM t a JOIN t b ON a.c = b.c AND b.y = a.y + 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val cy = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c"),
+          year(col("o_orderdate").cast("date")).cast("long").as("y"))
+        .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+          .cast("long").as("cents"))
+      val t = cy.select(col("c"), col("y"),
+        least(expr("cents div 10000000"), lit(4L)).as("tier"))
+      t.as("a").join(t.as("b"),
+          col("a.c") === col("b.c") && col("b.y") === col("a.y") + 1)
+        .groupBy(col("a.tier").as("tier_from"), col("b.tier").as("tier_to"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("tier_from", "tier_to")
+    },
+
     // Per-user BURSTINESS of event inter-arrivals — Goh–Barabási
     // B = (σ−μ)/(σ+μ) over each user's gap sequence (−1 = metronome,
     // 0 = Poisson, →1 = bursty), the behavioral-fingerprint signal bot
@@ -4186,6 +4256,41 @@ object Analytics {
         |ORDER BY aa_scaled DESC, part_a, part_b
         |LIMIT 100""".stripMargin) { (s, d) =>
       adamicAdarOf(thresholdedCopurchaseEdges(s, d, "u", "v"), topN = 100)
+    },
+
+    // Neighbor-set Jaccard link prediction — completes the classic index
+    // trio (resource-allocation 1/deg, Adamic–Adar 1/ln deg, Jaccard
+    // set overlap) over the same thresholded co-purchase graph, so the
+    // three rankings can be compared side by side. Integer end-to-end:
+    // cn/du/dv exact BIGINTs, the ranking key is cn·10¹² div (du+dv−cn)
+    // (exact — no double ever ordered), jaccard itself ONE double
+    // division carried for readability.
+    Q("graph_jaccard_similarity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS u, pb AS v FROM p UNION ALL SELECT pb, pa FROM p),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+        |cn AS (SELECT a.u AS part_a, b.u AS part_b,
+        |         CAST(count(*) AS BIGINT) AS cn
+        |       FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT part_a, part_b, cn,
+        |         da.dg + db.dg - cn AS un
+        |       FROM cn JOIN deg da ON cn.part_a = da.u
+        |               JOIN deg db ON cn.part_b = db.u),
+        |nonadj AS (SELECT * FROM sc
+        |           WHERE NOT EXISTS (SELECT 1 FROM p
+        |             WHERE p.pa = sc.part_a AND p.pb = sc.part_b))
+        |SELECT part_a, part_b, cn, un,
+        |  cn * 1000000000000 // un AS jac_scaled,
+        |  CAST(cn AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+        |FROM nonadj
+        |ORDER BY jac_scaled DESC, part_a, part_b
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      jaccardLinksOf(thresholdedCopurchaseEdges(s, d, "u", "v"), topN = 100)
     },
 
     // Degree distribution of the co-purchase graph (parts < 5000 block):

@@ -297,6 +297,41 @@ object Corpus {
     // Data-mixture report: the (lang × source) doc/token counts plus each
     // cell's share of total tokens — the artifact a pretraining data
     // recipe is specified against and audited with.
+    // Source-mix DIVERSITY per language — Simpson concentration
+    // λ = Σn_s²/N² and its inverse (effective source count), the number
+    // a pretraining-mix owner actually tracks: 40 sources with an
+    // effective count of 2 is a concentration risk mix_report's share
+    // table shows only implicitly. Squares accumulate in DECIMAL(38,0)
+    // (n² passes int64 at corpus scale; DuckDB HUGEINT twin); λ and
+    // 1/λ are each ONE double expression from exact accumulators. One
+    // (lang, source) combiner shuffle, then a lang-level rollup.
+    Q("corpus_source_diversity",
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |        CAST(sum(n) AS BIGINT) AS n_docs,
+        |        sum(CAST(n AS HUGEINT) * n) AS sq
+        |      FROM g GROUP BY 1)
+        |SELECT lang, n_sources, n_docs,
+        |  CAST(sq AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS simpson,
+        |  (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |    / CAST(sq AS DOUBLE) AS effective_sources
+        |FROM l ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sources"), sum("n").as("n_docs"),
+          sum(col("n").cast("decimal(38,0)") * col("n")).as("sq"))
+        .select(col("lang"), col("n_sources"), col("n_docs"),
+          (col("sq").cast("double")
+            / (col("n_docs").cast("double") * col("n_docs").cast("double")))
+            .as("simpson"),
+          ((col("n_docs").cast("double") * col("n_docs").cast("double"))
+            / col("sq").cast("double")).as("effective_sources"))
+        .orderBy("lang")
+    },
+
     Q("mix_report_sources",
       """SELECT lang, source, docs, tokens,
         |  CAST(tokens AS DOUBLE)

@@ -936,4 +936,67 @@ object Graft {
       ordCol: String, vCol: String): DataFrame =
     graft.operators.Analytics.timeWeightedAvgOf(
       df, keyCols, tsUsCol, ordCol, vCol)
+
+  /** LOW-HIGH canonicalization for the link-prediction kernels: their
+    * adjacency anti-join matches candidate pairs generated with
+    * part_a < part_b, so the edge frame must carry u < v (the
+    * [[commonNeighbors]] orientation — NOT [[canonicalEdges]]', whose
+    * greatest-first layout would silently skip the adjacency
+    * exclusion).
+    */
+  private def lowHighEdges(edges: DataFrame, uCol: String,
+      vCol: String): DataFrame =
+    edges.select(least(col(uCol), col(vCol)).as("u"),
+        greatest(col(uCol), col(vCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+
+  /** Resource-allocation link prediction over an undirected edge frame:
+    * non-adjacent pairs scored Σ 1/deg(w) over common neighbors w,
+    * exact integer-scaled (10¹² div deg) → (part_a, part_b, ra_scaled,
+    * ra_score), top `topN`.
+    */
+  def resourceAllocationLinks(edges: DataFrame, topN: Int = 100,
+      uCol: String = "u", vCol: String = "v"): DataFrame =
+    graft.operators.Analytics.resourceAllocationOf(
+      lowHighEdges(edges, uCol, vCol), topN)
+
+  /** Adamic–Adar link prediction — [[resourceAllocationLinks]]'s
+    * log-damped sibling (Σ 1/ln deg(w), ln quantized to exact integer
+    * micro-units per degree value) → (part_a, part_b, aa_scaled,
+    * aa_score), top `topN`.
+    */
+  def adamicAdarLinks(edges: DataFrame, topN: Int = 100,
+      uCol: String = "u", vCol: String = "v"): DataFrame =
+    graft.operators.Analytics.adamicAdarOf(
+      lowHighEdges(edges, uCol, vCol), topN)
+
+  /** Neighbor-set Jaccard link prediction — the third of the classic
+    * trio: cn/(du+dv−cn) with an exact BIGINT ranking key → (part_a,
+    * part_b, cn, un, jac_scaled, jaccard), top `topN`.
+    */
+  def jaccardLinks(edges: DataFrame, topN: Int = 100,
+      uCol: String = "u", vCol: String = "v"): DataFrame =
+    graft.operators.Analytics.jaccardLinksOf(
+      lowHighEdges(edges, uCol, vCol), topN)
+
+  /** Spearman rank correlation over a BOUNDED joint value domain:
+    * Pearson on tie-averaged ×2-integer ranks derived from the (x, y)
+    * cell-count frame, moments in DECIMAL(38,0) → one row (n_rows,
+    * spearman_rho). `df` needs the two columns; both must have bounded
+    * distinct-value counts (the rank windows touch |distinct| rows).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    graft.operators.Stats.spearman(df, xCol, yCol)
+
+  /** The LSH bands×rows tuning table over one shared MinHash(32)
+    * signature of `docs` (doc_id, text): per banding (4×8, 8×4, 16×2)
+    * the candidate volume, `threshold`-verified pair count, recall vs
+    * the finest banding, and candidate precision — containment is
+    * structural, so recall rises and precision falls as bands narrow.
+    */
+  def minhashBandSweep(docs: DataFrame, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame =
+    graft.operators.Dedup.bandSweepOf(docs, threshold, maxBucket)
 }

@@ -436,6 +436,40 @@ class ApiSpec extends SparkSuite {
     assert(sample() == s1, "selection changed across evaluations")
   }
 
+  test("link-prediction trio: closed-form scores on a triangle+tail, " +
+      "adjacency excluded, reversed-orientation edges canonicalized") {
+    import graft.api.Graft
+    import spark.implicits._
+    // triangle 1-2-3 plus tail 3-4, fed DELIBERATELY as (high, low)
+    // pairs to exercise the low-high canonicalization the kernels'
+    // adjacency anti-join depends on
+    val edges = Seq((2L, 1L), (3L, 1L), (3L, 2L), (4L, 3L)).toDF("u", "v")
+    // degrees: d1=2 d2=2 d3=3 d4=1; non-adjacent common-neighbor pairs:
+    // (1,4) and (2,4), both via w=3
+    val ra = Graft.resourceAllocationLinks(edges).collect()
+    assert(ra.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 4L), (2L, 4L)), ra.mkString(", "))
+    // RA = 1/deg(3) = 1/3, integer-scaled: 10^12 div 3
+    assert(ra.forall(_.getLong(2) == 1000000000000L / 3), ra.mkString(", "))
+    val aa = Graft.adamicAdarLinks(edges).collect()
+    assert(aa.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 4L), (2L, 4L)), aa.mkString(", "))
+    // AA = 1/ln(deg(3)): 10^12 div floor(ln(3)*1e6)
+    val expAa = 1000000000000L / math.floor(math.log(3.0) * 1e6).toLong
+    assert(aa.forall(_.getLong(2) == expAa), aa.mkString(", "))
+    val jc = Graft.jaccardLinks(edges).collect()
+    assert(jc.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 4L), (2L, 4L)), jc.mkString(", "))
+    // J(1,4) = cn/(d1+d4-cn) = 1/2, J(2,4) likewise
+    assert(jc.forall(r => r.getLong(2) == 1L && r.getLong(3) == 2L
+      && r.getDouble(5) == 0.5), jc.mkString(", "))
+    // the adjacent pairs with common neighbors ((1,2),(1,3),(2,3))
+    // never surface — the whole point of link PREDICTION
+    val all = ra ++ aa ++ jc
+    assert(!all.exists(r => Set((1L, 2L), (1L, 3L), (2L, 3L))
+      .contains((r.getLong(0), r.getLong(1)))))
+  }
+
   test("zonemapPrunedFiles prunes on a clustered layout; empty probe keeps nothing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_api_zm_").toString

@@ -447,14 +447,19 @@ object Bench {
     // become the guard's committed input: r16's driver sweep lost 59% of
     // wall to steal, overwrote the working-tree BENCH_DETAIL.json, and
     // was one `git add` away from poisoning every later round's
-    // denominator. Dirty runs persist to a sidecar the guard never reads.
+    // denominator. Dirty runs persist to a sidecar; the comparison
+    // baseline is ALWAYS the clean file (committed, or the working-tree
+    // BENCH_DETAIL.json outside a git checkout) — only the WRITE path
+    // switches to the sidecar, so a dirty run can never adjudicate
+    // against a previous dirty run.
     val dirtyRun = busy.exists { case (i, s) => s + i > 0.1 * total }
     val detailPath = java.nio.file.Paths.get(
       if (dirtyRun) "BENCH_DETAIL.dirty.json" else "BENCH_DETAIL.json")
+    val cleanPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     try {
       val baseline = committedDetail().orElse {
-        if (java.nio.file.Files.isRegularFile(detailPath))
-          Some(new String(java.nio.file.Files.readAllBytes(detailPath),
+        if (java.nio.file.Files.isRegularFile(cleanPath))
+          Some(new String(java.nio.file.Files.readAllBytes(cleanPath),
             java.nio.charset.StandardCharsets.UTF_8))
         else None
       }

@@ -294,9 +294,6 @@ object Corpus {
         .orderBy("source", "doc_id")
     },
 
-    // Data-mixture report: the (lang × source) doc/token counts plus each
-    // cell's share of total tokens — the artifact a pretraining data
-    // recipe is specified against and audited with.
     // Source-mix DIVERSITY per language — Simpson concentration
     // λ = Σn_s²/N² and its inverse (effective source count), the number
     // a pretraining-mix owner actually tracks: 40 sources with an
@@ -332,6 +329,9 @@ object Corpus {
         .orderBy("lang")
     },
 
+    // Data-mixture report: the (lang × source) doc/token counts plus each
+    // cell's share of total tokens — the artifact a pretraining data
+    // recipe is specified against and audited with.
     Q("mix_report_sources",
       """SELECT lang, source, docs, tokens,
         |  CAST(tokens AS DOUBLE)

@@ -173,8 +173,15 @@ object Dedup {
     * `dedup_minhash_lsh` config exactly (DedupSpec cross-gates the
     * counts). ONE signature pass feeds all three configs; each pair is
     * Jaccard-verified ONCE over the UNION candidate set (= the finest
-    * config's set, by containment); the same per-config hot-bucket cap
-    * melt-proofs the self-join.
+    * config's set, by containment). The hot-bucket cap is computed at
+    * the FINEST banding only (rpb=2 — the coarsest hash, so the largest
+    * buckets) and the drop is PROPAGATED to the coarser configs: a band
+    * row at rpb=r is dropped iff any of its covered rpb=2 sub-bands was
+    * dropped for that doc. That keeps containment structural even past
+    * the cap (a per-config cap would let an rpb=4 pair survive whose
+    * rpb=2 bucket was dropped, pushing recall_vs_finest above 1.0), and
+    * still melt-proofs every config: a surviving rpb=4/8 bucket is a
+    * subset of its surviving rpb=2 sub-buckets, hence ≤ maxBucket.
     */
   private[graft] def bandSweepOf(docs: DataFrame, threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
@@ -198,12 +205,28 @@ object Dedup {
     val rawBands = bandsFor(8).unionAll(bandsFor(4)).unionAll(bandsFor(2))
       .persist()
     val cand = {
-      val hot = rawBands.groupBy("rpb", "band", "bh")
+      val hot2 = rawBands.where(col("rpb") === 2)
+        .groupBy("band", "bh")
         .agg(count(lit(1)).as("bn"))
         .where(col("bn") > maxBucket)
-        .select("rpb", "band", "bh")
-      val bands = rawBands.join(broadcast(hot),
-        Seq("rpb", "band", "bh"), "left_anti")
+        .select("band", "bh")
+      // per-doc finest-band indices that fell into a hot bucket
+      val dropped2 = rawBands.where(col("rpb") === 2)
+        .join(broadcast(hot2), Seq("band", "bh"), "left_semi")
+        .select(col("doc_id"), col("band").as("band2"))
+      // a band row at rpb=r covers rpb=2 sub-bands
+      // (band*r) div 2 .. ((band+1)*r) div 2 - 1; drop the row iff ANY
+      // covered sub-band was dropped for that doc (empty in the common
+      // no-hot-bucket case — dropped2 has zero rows and both joins are
+      // no-ops)
+      val dropAny = rawBands
+        .select(col("rpb"), col("doc_id"), col("band"),
+          explode(expr("sequence((band * rpb) div 2, " +
+            "((band + 1) * rpb) div 2 - 1)")).as("band2"))
+        .join(dropped2, Seq("doc_id", "band2"), "left_semi")
+        .select("rpb", "doc_id", "band").distinct()
+      val bands = rawBands.join(dropAny,
+        Seq("rpb", "doc_id", "band"), "left_anti")
       bands.as("x").join(bands.as("y"),
           col("x.rpb") === col("y.rpb") && col("x.band") === col("y.band")
             && col("x.bh") === col("y.bh")
@@ -233,8 +256,11 @@ object Dedup {
       val perCfg = cand.groupBy("rpb").agg(count(lit(1)).as("n_candidates"))
       val verCfg = cand.join(verified, Seq("doc_a", "doc_b"), "left_semi")
         .groupBy("rpb").agg(count(lit(1)).as("n_verified"))
+      // global aggregate → always exactly one row, even when the finest
+      // banding verifies zero pairs (max over empty = NULL → 0), so the
+      // crossJoin below can never annihilate the three config rows
       val finest = verCfg.where(col("rpb") === 2)
-        .select(col("n_verified").as("n_finest"))
+        .agg(coalesce(max(col("n_verified")), lit(0L)).as("n_finest"))
       perCfg.join(verCfg, Seq("rpb"), "left")
         .na.fill(0L, Seq("n_verified"))
         .crossJoin(broadcast(finest))

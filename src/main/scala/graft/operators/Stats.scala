@@ -582,10 +582,6 @@ object Stats {
         "A", "R")
     },
 
-    // Poisson overdispersion of daily event arrivals per type: the
-    // variance-to-mean ratio of daily counts — ≈1 for a Poisson process,
-    // ≫1 = bursty (bot traffic, incident spikes). dispersion =
-    // (nΣc²−(Σc)²)/(n·Σc) is ONE double division of exact BIGINTs.
     // Spearman rank correlation of quantity × discount — "does discount
     // depth track order size" asked rank-wise (robust to the skewed
     // price scales Pearson chokes on). Both columns are bounded domains
@@ -628,6 +624,10 @@ object Stats {
         "l_quantity", "l_discount")
     },
 
+    // Poisson overdispersion of daily event arrivals per type: the
+    // variance-to-mean ratio of daily counts — ≈1 for a Poisson process,
+    // ≫1 = bursty (bot traffic, incident spikes). dispersion =
+    // (nΣc²−(Σc)²)/(n·Σc) is ONE double division of exact BIGINTs.
     Q("events_poisson_dispersion",
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -391,25 +391,18 @@ object Text {
         .limit(20)
     },
 
-    // Corpus NOVELTY curve: per doc, the fraction of its distinct word
-    // 3-grams that appear in NO earlier doc (doc_id order = ingest
-    // order) — the dataset-curation signal that a crawl has gone stale
-    // (novelty decays as later shards re-cover earlier content). First
-    // occurrence = min(doc_id) per gram; everything integer until the
-    // one final division per doc. Plan: ONE gram-keyed Exchange carries
-    // BOTH windows (the per-(gram, doc) dedup row_number clusters on
-    // (gram, doc_id), which hash(gram) satisfies — only a local sort),
-    // then one doc-keyed combiner aggregate.
     // Hapax-legomena ratio per document: the fraction of a doc's tokens
     // that occur exactly ONCE in the whole corpus — high ratio flags
     // OCR noise / codepage garbage / synthetic vocab (next to
     // text_quality_score and text_entropy_score in the filter stack),
     // while natural text sits near the Zipf-predicted tail mass. One
-    // combiner-friendly term-count shuffle, then a term-keyed join back
-    // to the token stream (the tf-idf shape — at 100 TB the count side
-    // prunes to the hapax set before the join, a semi-join-sized right
-    // side); exact BIGINTs, ratio is one double division. Docs with no
-    // tokens are absent on both engines (derived from the token stream).
+    // combiner-friendly term-count shuffle; the count side is then
+    // PRUNED to the hapax set (c=1) BEFORE the join back to the token
+    // stream — at 100 TB the join's build side shrinks from the full
+    // vocabulary to the hapax tail, and the join flips to a left join
+    // with a presence marker (absent term = non-hapax). Exact BIGINTs,
+    // ratio is one double division. Docs with no tokens are absent on
+    // both engines (derived from the token stream).
     Q("text_hapax_ratio",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
@@ -427,17 +420,28 @@ object Text {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .where(col("t") =!= "")
-      val tc = tok.groupBy("t").agg(count(lit(1)).as("c"))
-      tok.join(tc, "t")
+      val hapax = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .where(col("c") === 1)
+        .select(col("t"), lit(1L).as("is_hapax"))
+      tok.join(hapax, Seq("t"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          sum(coalesce(col("is_hapax"), lit(0L))).as("n_hapax"))
         .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
           (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
             .as("hapax_ratio"))
         .orderBy("doc_id")
     },
 
+    // Corpus NOVELTY curve: per doc, the fraction of its distinct word
+    // 3-grams that appear in NO earlier doc (doc_id order = ingest
+    // order) — the dataset-curation signal that a crawl has gone stale
+    // (novelty decays as later shards re-cover earlier content). First
+    // occurrence = min(doc_id) per gram; everything integer until the
+    // one final division per doc. Plan: ONE gram-keyed Exchange carries
+    // BOTH windows (the per-(gram, doc) dedup row_number clusters on
+    // (gram, doc_id), which hash(gram) satisfies — only a local sort),
+    // then one doc-keyed combiner aggregate.
     Q("text_ngram_novelty",
       s"""WITH g AS (
          |  SELECT doc_id, unnest(${oracleGram(3)}) AS gram

@@ -655,4 +655,30 @@ class PlanSpec extends SparkSuite {
       assert(r >= liRows / 2, s"listener undercounted: $r < $liRows/2")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("text_hapax_ratio prunes the count side to c=1 BEFORE the join") {
+    // the join-back side must carry the hapax filter (c = 1) below the
+    // join — at 100 TB that shrinks the build side from the full
+    // vocabulary to the hapax tail — and the join must be a LEFT join
+    // (absent term = non-hapax), not an inner join against the full
+    // term-count table
+    val df = SparkEntry.queries("text_hapax_ratio")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.matches("(?s).*\\(c#\\d+L? = 1\\).*"),
+      "no c=1 filter in the optimized plan:\n" + optimized.take(3000))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty && joins.forall(
+      _.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter),
+      s"expected only LeftOuter joins, got ${joins.map(_.joinType)}")
+    // and the filter sits on the aggregate (count) side of that join,
+    // not on the token stream: the join's right child subtree contains
+    // the Filter
+    val rightHasFilter = joins.exists(_.right.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("= 1") => f
+    }.nonEmpty)
+    assert(rightHasFilter, "c=1 filter is not below the join's build side")
+  }
 }

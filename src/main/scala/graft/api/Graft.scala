@@ -881,17 +881,19 @@ object Graft {
     * (common DESC, part_a, part_b). Duplicate/symmetric edge
     * representations collapse, self-loops drop. Wedge-enumeration plan
     * — see [[graft.operators.Analytics.commonNeighborsOf]] for the
-    * shape and the power-law orientation note; pass a degree-bounded
-    * subgraph on skewed graphs.
+    * shape and the hot-middle cap that bounds hub fan-out: middles with
+    * degree > `maxMiddleDegree` are dropped before the wedge self-join,
+    * keeping candidate rows ≤ E·cap on power-law graphs.
     */
   def commonNeighbors(edges: DataFrame, topN: Int = 100,
-      uCol: String = "u", vCol: String = "v"): DataFrame =
+      uCol: String = "u", vCol: String = "v",
+      maxMiddleDegree: Int = 1000): DataFrame =
     graft.operators.Analytics.commonNeighborsOf(
       edges.select(least(col(uCol), col(vCol)).as("u"),
           greatest(col(uCol), col(vCol)).as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(false), topN)
+        .localCheckpoint(false), topN, maxMiddleDegree)
 
   /** Synchronous label-propagation communities over an undirected edge
     * frame: exactly `iters` lockstep rounds, each re-labeling every
@@ -958,9 +960,10 @@ object Graft {
     * ra_score), top `topN`.
     */
   def resourceAllocationLinks(edges: DataFrame, topN: Int = 100,
-      uCol: String = "u", vCol: String = "v"): DataFrame =
+      uCol: String = "u", vCol: String = "v",
+      maxMiddleDegree: Int = 1000): DataFrame =
     graft.operators.Analytics.resourceAllocationOf(
-      lowHighEdges(edges, uCol, vCol), topN)
+      lowHighEdges(edges, uCol, vCol), topN, maxMiddleDegree)
 
   /** Adamic–Adar link prediction — [[resourceAllocationLinks]]'s
     * log-damped sibling (Σ 1/ln deg(w), ln quantized to exact integer
@@ -968,18 +971,20 @@ object Graft {
     * aa_score), top `topN`.
     */
   def adamicAdarLinks(edges: DataFrame, topN: Int = 100,
-      uCol: String = "u", vCol: String = "v"): DataFrame =
+      uCol: String = "u", vCol: String = "v",
+      maxMiddleDegree: Int = 1000): DataFrame =
     graft.operators.Analytics.adamicAdarOf(
-      lowHighEdges(edges, uCol, vCol), topN)
+      lowHighEdges(edges, uCol, vCol), topN, maxMiddleDegree)
 
   /** Neighbor-set Jaccard link prediction — the third of the classic
     * trio: cn/(du+dv−cn) with an exact BIGINT ranking key → (part_a,
     * part_b, cn, un, jac_scaled, jaccard), top `topN`.
     */
   def jaccardLinks(edges: DataFrame, topN: Int = 100,
-      uCol: String = "u", vCol: String = "v"): DataFrame =
+      uCol: String = "u", vCol: String = "v",
+      maxMiddleDegree: Int = 1000): DataFrame =
     graft.operators.Analytics.jaccardLinksOf(
-      lowHighEdges(edges, uCol, vCol), topN)
+      lowHighEdges(edges, uCol, vCol), topN, maxMiddleDegree)
 
   /** Spearman rank correlation over a BOUNDED joint value domain:
     * Pearson on tie-averaged ×2-integer ranks derived from the (x, y)

@@ -1072,18 +1072,31 @@ object Analytics {
     * a < b), one combiner count per pair, then an anti-join drops the
     * already-adjacent pairs and node-sized degree counts broadcast in
     * for the Jaccard denominator (one double division of exact
-    * BIGINTs). At power-law scale orient the wedge join low-degree →
-    * high-degree so fan-out is bounded by arboricity — here the caller
-    * passes the support-thresholded subgraph, the same bounding the
-    * triangle census documents.
+    * BIGINTs). Power-law safety is the HOT-MIDDLE cap (the dedup
+    * hot-bucket discipline applied to wedges): a middle node of degree
+    * d fans out d(d−1)/2 candidate pairs NO MATTER how the endpoints
+    * are oriented — one degree-n hub is Θ(n²) rows, and on a star the
+    * exact result set itself is Θ(n²) — so middles with degree >
+    * `maxMiddleDegree` are dropped BEFORE the self-join (broadcast
+    * anti-join of the near-empty hot list). That bounds candidate rows
+    * by Σ_x min(deg x, cap)·deg x ≤ E·cap, and the semantic loss is the
+    * principled one: a neighbor shared by >1000 nodes is boilerplate
+    * co-occurrence, not an affinity signal (its RA weight is < 1/cap).
+    * Jaccard denominators still use FULL degrees. The cap is a no-op on
+    * the fixture graphs (max degree 13 at sf0.01) and is pinned by the
+    * AnalyticsSpec star-graph property test.
     */
   private[graft] def commonNeighborsOf(edges: DataFrame,
-      topN: Int): DataFrame = {
+      topN: Int, maxMiddleDegree: Int = 1000): DataFrame = {
     val sym = edges.select(col("u").as("a"), col("v").as("x"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
     val deg = sym.groupBy("a").agg(count(lit(1)).as("dg"))
-    val cn = sym.as("l")
-      .join(sym.as("r"), col("l.x") === col("r.x") && col("l.a") < col("r.a"))
+    val hotMid = deg.where(col("dg") > maxMiddleDegree)
+      .select(col("a").as("x"))
+    val wedgeIn = sym.join(broadcast(hotMid), Seq("x"), "left_anti")
+    val cn = wedgeIn.as("l")
+      .join(wedgeIn.as("r"),
+        col("l.x") === col("r.x") && col("l.a") < col("r.a"))
       .select(col("l.a").as("part_a"), col("r.a").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("common"))
     cn.join(edges.select(col("u").as("part_a"), col("v").as("part_b")),
@@ -1107,15 +1120,21 @@ object Analytics {
     * ln() could differ in the last ulp under the bit-exact hash
     * compare). Same join shape as [[commonNeighborsOf]], keeping the
     * common neighbor w alive through the pair join so its degree can be
-    * charged; the node-sized degree frame broadcasts.
+    * charged; the node-sized degree frame broadcasts. Same hot-middle
+    * cap as [[commonNeighborsOf]] — here the dropped mass is provably
+    * negligible: a middle past the cap contributes < 1/cap per pair.
     */
   private[graft] def resourceAllocationOf(edges: DataFrame,
-      topN: Int): DataFrame = {
+      topN: Int, maxMiddleDegree: Int = 1000): DataFrame = {
     val sym = edges.select(col("u").as("a"), col("v").as("x"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
     val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
-    val cn = sym.as("l")
-      .join(sym.as("r"), col("l.x") === col("r.x") && col("l.a") < col("r.a"))
+    val hotMid = deg.where(col("dg") > maxMiddleDegree)
+      .select(col("dn").as("x"))
+    val wedgeIn = sym.join(broadcast(hotMid), Seq("x"), "left_anti")
+    val cn = wedgeIn.as("l")
+      .join(wedgeIn.as("r"),
+        col("l.x") === col("r.x") && col("l.a") < col("r.a"))
       .select(col("l.a").as("part_a"), col("r.a").as("part_b"),
         col("l.x").as("w"))
     val sc = cn.join(broadcast(deg), col("w") === col("dn"))
@@ -1137,15 +1156,20 @@ object Analytics {
     * engine-identical (cn ≤ 10⁶ keeps the scaled key inside int64 —
     * beyond that, drop the scale to 10⁹). Same candidate shape as the
     * siblings: neighbor-keyed equi-join, broadcast degree table,
-    * adjacency anti-joined out.
+    * adjacency anti-joined out, hot-middle cap before the self-join
+    * (see [[commonNeighborsOf]]); union denominators use FULL degrees.
     */
-  private[graft] def jaccardLinksOf(edges: DataFrame, topN: Int)
-      : DataFrame = {
+  private[graft] def jaccardLinksOf(edges: DataFrame, topN: Int,
+      maxMiddleDegree: Int = 1000): DataFrame = {
     val sym = edges.select(col("u").as("a"), col("v").as("x"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
     val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
-    val cn = sym.as("l")
-      .join(sym.as("r"), col("l.x") === col("r.x") && col("l.a") < col("r.a"))
+    val hotMid = deg.where(col("dg") > maxMiddleDegree)
+      .select(col("dn").as("x"))
+    val wedgeIn = sym.join(broadcast(hotMid), Seq("x"), "left_anti")
+    val cn = wedgeIn.as("l")
+      .join(wedgeIn.as("r"),
+        col("l.x") === col("r.x") && col("l.a") < col("r.a"))
       .groupBy(col("l.a").as("part_a"), col("r.a").as("part_b"))
       .agg(count(lit(1)).as("cn"))
     val sc = cn
@@ -1176,14 +1200,21 @@ object Analytics {
     * the pair score is an exact BIGINT sum with ONE final double
     * division — the zipf/entropy float-parity discipline applied to a
     * graph score. A common neighbor has deg ≥ 2 by construction, so
-    * L ≥ floor(ln 2·10⁶) = 693147 > 0.
+    * L ≥ floor(ln 2·10⁶) = 693147 > 0. Same hot-middle cap as
+    * [[commonNeighborsOf]] (a middle past the cap contributes
+    * < 1/ln(cap) per pair — damped, but the row blowup is what kills).
     */
-  private[graft] def adamicAdarOf(edges: DataFrame, topN: Int): DataFrame = {
+  private[graft] def adamicAdarOf(edges: DataFrame, topN: Int,
+      maxMiddleDegree: Int = 1000): DataFrame = {
     val sym = edges.select(col("u").as("a"), col("v").as("x"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
     val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
-    val cn = sym.as("l")
-      .join(sym.as("r"), col("l.x") === col("r.x") && col("l.a") < col("r.a"))
+    val hotMid = deg.where(col("dg") > maxMiddleDegree)
+      .select(col("dn").as("x"))
+    val wedgeIn = sym.join(broadcast(hotMid), Seq("x"), "left_anti")
+    val cn = wedgeIn.as("l")
+      .join(wedgeIn.as("r"),
+        col("l.x") === col("r.x") && col("l.a") < col("r.a"))
       .select(col("l.a").as("part_a"), col("r.a").as("part_b"),
         col("l.x").as("w"))
     val sc = cn.join(broadcast(deg), col("w") === col("dn"))
@@ -4165,8 +4196,8 @@ object Analytics {
     // graph — the "recommended next edge" primitive: every NON-adjacent
     // part pair sharing a neighbor, scored by common-neighbor count and
     // Jaccard (see commonNeighborsOf for the wedge-enumeration shape
-    // and the power-law orientation note). Jaccard is one double
-    // division of exact BIGINTs; top-100 under a total order.
+    // and the hot-middle cap that bounds hub fan-out). Jaccard is one
+    // double division of exact BIGINTs; top-100 under a total order.
     Q("graph_common_neighbors",
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -4177,6 +4208,7 @@ object Analytics {
         |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY 1),
         |cn AS (SELECT a.u AS part_a, b.u AS part_b, count(*) AS common
         |       FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+        |       JOIN deg dw ON dw.u = a.v AND dw.dg <= 1000
         |       GROUP BY 1, 2),
         |nonadj AS (SELECT part_a, part_b, common FROM cn
         |           WHERE NOT EXISTS (SELECT 1 FROM p
@@ -4209,7 +4241,8 @@ object Analytics {
         |       FROM e a JOIN e b ON a.v = b.v AND a.u < b.u),
         |sc AS (SELECT part_a, part_b,
         |         CAST(sum(1000000000000 // dg) AS BIGINT) AS ra_scaled
-        |       FROM cn JOIN deg ON cn.w = deg.u GROUP BY 1, 2),
+        |       FROM cn JOIN deg ON cn.w = deg.u AND deg.dg <= 1000
+        |       GROUP BY 1, 2),
         |nonadj AS (SELECT part_a, part_b, ra_scaled FROM sc
         |           WHERE NOT EXISTS (SELECT 1 FROM p
         |             WHERE p.pa = sc.part_a AND p.pb = sc.part_b))
@@ -4246,7 +4279,8 @@ object Analytics {
         |         CAST(sum(1000000000000 //
         |           CAST(floor(ln(CAST(dg AS DOUBLE)) * 1000000) AS BIGINT))
         |           AS BIGINT) AS aa_scaled
-        |       FROM cn JOIN deg ON cn.w = deg.u GROUP BY 1, 2),
+        |       FROM cn JOIN deg ON cn.w = deg.u AND deg.dg <= 1000
+        |       GROUP BY 1, 2),
         |nonadj AS (SELECT part_a, part_b, aa_scaled FROM sc
         |           WHERE NOT EXISTS (SELECT 1 FROM p
         |             WHERE p.pa = sc.part_a AND p.pb = sc.part_b))
@@ -4276,6 +4310,7 @@ object Analytics {
         |cn AS (SELECT a.u AS part_a, b.u AS part_b,
         |         CAST(count(*) AS BIGINT) AS cn
         |       FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+        |       JOIN deg dw ON dw.u = a.v AND dw.dg <= 1000
         |       GROUP BY 1, 2),
         |sc AS (SELECT part_a, part_b, cn,
         |         da.dg + db.dg - cn AS un

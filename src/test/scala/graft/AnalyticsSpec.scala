@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Analytics family (round 7): heavy hitters, funnel, interpolation,
@@ -581,5 +582,62 @@ class AnalyticsSpec extends SparkSuite {
       assert(within5(wauE, wau), s"$day wau: est $wauE exact $wau")
       assert(within5(mauE, mau(day)), s"$day mau: est $mauE exact ${mau(day)}")
     }
+  }
+
+  test("link-prediction trio: hot-middle cap bounds hub fan-out to " +
+      "O(E·cap), not O(hub²), on a one-hub power-law fixture") {
+    import spark.implicits._
+    // star K(1,n) with hub degree n ≫ cap, plus one low-degree path
+    // 10001–10002–10003 whose (10001, 10003) prediction must survive.
+    // Every leaf pair's ONLY shared neighbor is the hub: uncapped, the
+    // exact candidate (and result) set is n(n−1)/2 ≈ 4.5M pairs — the
+    // O(hub²) blowup the cap exists to stop.
+    val n = 3000
+    val edges = ((1 to n).map(i => (0L, i.toLong)) ++
+      Seq((10001L, 10002L), (10002L, 10003L))).toDF("u", "v")
+      .repartition(4).localCheckpoint(true)
+    val rec = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit =
+        rec.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows =
+      try {
+        val r = Analytics.commonNeighborsOf(edges, topN = 10000).collect()
+        var last = -1L; var spins = 0
+        while (rec.get() != last && spins < 50) {
+          last = rec.get(); Thread.sleep(100); spins += 1
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // semantic: hub-mediated leaf pairs are dropped (the hub is
+    // boilerplate co-occurrence); the low-degree prediction survives
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10001L, 10003L)), s"got ${rows.length} pairs")
+    // physical: total shuffle records stay O(E·cap) — uncapped, the
+    // wedge-pair aggregate alone would shuffle ≥ n(n−1)/2 ≈ 4.5M rows
+    assert(rec.get() < 100000L,
+      s"shuffled ${rec.get()} records — hub fan-out is not being capped")
+    // the other three kernels share the wedge shape: same semantic gate
+    for ((kern, scoreCol) <- Seq[
+        ((DataFrame, Int) => DataFrame, String)](
+        ((e, k) => Analytics.resourceAllocationOf(e, k), "ra_scaled"),
+        ((e, k) => Analytics.adamicAdarOf(e, k), "aa_scaled"),
+        ((e, k) => Analytics.jaccardLinksOf(e, k), "jac_scaled"))) {
+      val out = kern(edges, 10000).select("part_a", "part_b").collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((10001L, 10003L)), s"$scoreCol kernel leaked hub pairs")
+    }
+    // and the cap is SEMANTIC, not a bug: below the cap the hub pairs
+    // are genuine predictions and must all appear
+    val small = (1 to 50).map(i => (0L, i.toLong)).toDF("u", "v")
+    assert(Analytics.commonNeighborsOf(small, topN = 5000).count() ==
+      50L * 49 / 2)
+    assert(Analytics.commonNeighborsOf(small, topN = 5000,
+      maxMiddleDegree = 10).count() == 0L)
   }
 }

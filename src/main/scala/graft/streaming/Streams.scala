@@ -481,13 +481,13 @@ object Streams {
   }
 
   private def runAnswer(questions: DataFrame, storeDir: String, k: Int,
-      dim: Int, checkpointDir: Option[String])(sink: DataFrame => Unit)
-      : Unit = {
+      dim: Int, checkpointDir: Option[String])
+      (sink: (DataFrame, Long) => Unit): Unit = {
     val writer = questions.writeStream.trigger(Trigger.AvailableNow())
     val q = checkpointDir
       .fold(writer)(c => writer.option("checkpointLocation", c))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(answerBatch(batch, storeDir, k, dim))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(answerBatch(batch, storeDir, k, dim), batchId)
       }
       .start()
     q.awaitTermination()
@@ -499,8 +499,30 @@ object Streams {
     */
   def answer(questions: DataFrame, storeDir: String, outDir: String,
       k: Int = 10, dim: Int = 64): Unit =
-    runAnswer(questions, storeDir, k, dim, None) {
-      _.write.mode("append").parquet(outDir)
+    runAnswer(questions, storeDir, k, dim, None) { (answers, _) =>
+      answers.write.mode("append").parquet(outDir)
+    }
+
+  /** AnswerPipeline with an EFFECTIVELY-EXACTLY-ONCE parquet answers
+    * sink — the documented upgrade over the reference's AT_LEAST_ONCE
+    * answer delivery (`AiJob.java:25-33`: checkpointed offsets + a
+    * non-transactional producer re-SEND a crash-replayed epoch;
+    * RagParitySpec pins the same append-again behavior for [[answer]]).
+    * foreachBatch replays whole EPOCHS, and the epoch id is stable
+    * across a replay, so an idempotent batchId-keyed overwrite (the
+    * `stream_route_split` pattern) makes the replay converge instead of
+    * duplicating: each epoch writes to `outDir/epoch=<batchId>` with
+    * overwrite — a crash between the write and the checkpoint commit
+    * re-runs the SAME epoch into the SAME directory. Readers see one
+    * logical table at `outDir` (hive-style partition discovery; the
+    * `epoch` column rides along as lineage).
+    */
+  def answerExactlyOnce(questions: DataFrame, storeDir: String,
+      outDir: String, checkpointDir: String, k: Int = 10, dim: Int = 64)
+      : Unit =
+    runAnswer(questions, storeDir, k, dim, Some(checkpointDir)) {
+      (answers, batchId) =>
+        answers.write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
     }
 
   /** AnswerPipeline with the reference's Kafka answers sink (A12):
@@ -514,7 +536,8 @@ object Streams {
   def answerToKafka(questions: DataFrame, storeDir: String, servers: String,
       topic: String, checkpointDir: String, k: Int = 10, dim: Int = 64)
       : Unit =
-    runAnswer(questions, storeDir, k, dim, Some(checkpointDir)) { answers =>
+    runAnswer(questions, storeDir, k, dim, Some(checkpointDir)) {
+      (answers, _) =>
       answers.select(col("answer").cast("string").as("value"))
         .write.format("kafka")
         .option("kafka.bootstrap.servers", servers)

@@ -323,4 +323,59 @@ class RagParitySpec extends SparkSuite {
       assert(answer.contains("Paris"), s"answer was: $answer")
     }
   }
+
+  test("replayed answer epoch: the batchId-keyed overwrite sink is " +
+      "effectively exactly-once (no duplicate answers)") {
+    // Complements the ingest-replay case above on the ANSWER path. The
+    // reference's answers sink is AT_LEAST_ONCE (AiJob.java:25-33:
+    // checkpointed offsets + non-transactional producer re-SEND a
+    // crash-replayed epoch), and our plain `answer` parquet append has
+    // the same contract — pinned in the first test ("running the same
+    // question again appends an identical row"). answerExactlyOnce is
+    // the documented upgrade: foreachBatch epoch ids are stable across
+    // a replay, so writing each epoch to outDir/epoch=<batchId> with
+    // OVERWRITE makes the replayed epoch converge to the same bytes
+    // instead of appending a duplicate.
+    import spark.implicits._
+    implicit val sq: SQLContext = spark.sqlContext
+    withTmp("graft_eo_") { tmp =>
+      val store = s"$tmp/store"; val out = s"$tmp/answers"
+      val k = MemoryStream[String]
+      k.addData(
+        "The capital of France is Paris.",
+        "Spark plans queries with the Catalyst optimizer.")
+      streaming.Streams.ingest(k.toDF().toDF("line"), store)
+
+      val q1 = MemoryStream[String]
+      q1.addData("What is the capital of France?")
+      streaming.Streams.answerExactlyOnce(
+        q1.toDF().toDF("line"), store, out, s"$tmp/ckpt1", k = 2)
+      val first = spark.read.parquet(out).collect()
+      assert(first.length == 1)
+      assert(first.head.getAs[String]("answer").contains("Paris"))
+
+      // the replay: a FRESH checkpoint re-delivers the same question as
+      // the same epoch 0 — sink-side this is identical to a crash
+      // between the epoch write and the checkpoint commit
+      val q2 = MemoryStream[String]
+      q2.addData("What is the capital of France?")
+      streaming.Streams.answerExactlyOnce(
+        q2.toDF().toDF("line"), store, out, s"$tmp/ckpt2", k = 2)
+      val after = spark.read.parquet(out).collect()
+      assert(after.length == 1,
+        s"replayed epoch appended instead of overwriting: ${after.length}")
+      assert(after.head.toString == first.head.toString,
+        s"replay changed the row: ${first.head} -> ${after.head}")
+
+      // contrast: the at-least-once sink DOES duplicate under the same
+      // replay (the honest reference-parity contract, not a bug)
+      val alo = s"$tmp/answers_alo"
+      for (_ <- 1 to 2) {
+        val q = MemoryStream[String]
+        q.addData("What is the capital of France?")
+        streaming.Streams.answer(q.toDF().toDF("line"), store, alo, k = 2)
+      }
+      assert(spark.read.parquet(alo).count() == 2)
+    }
+  }
 }

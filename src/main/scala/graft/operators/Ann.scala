@@ -181,6 +181,41 @@ object Ann {
         .limit(10)
     },
 
+    // The DELETE/COMPACTION lifecycle as a query — the vector-store
+    // maintenance operation production filtered-ANN needs (reference
+    // analogue: the OpenSearch index CRUD surface,
+    // OpenSearchConnection.java:21-36). A FRESH scratch index per run
+    // (the lifecycle mutates it; the shared memoized index stays
+    // immutable for the sibling queries): build cells + centroids,
+    // tombstone every 7th vector — each routed to its cell by ONE
+    // semi-join, ZERO data files rewritten at delete time — then
+    // compact. Churn 1/7 ≈ 14% sits under the 20% rebuild threshold,
+    // so only the cell partitions that HAVE tombstones are rewritten
+    // (dynamic partition overwrite) and the census says so per cell.
+    // Deterministic because the k-means seeding is; ApiSpec gates the
+    // post-delete census, both compaction paths, and recall vs exact
+    // on the shrunken store.
+    Q.noOracle("ann_ivf_delete_compact") { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_life_").toString
+      writeIndexLayers(s, dir,
+        kmeansCells(Tables.embeddings(s, d), k = 4, iters = 3),
+        withGraph = false, withPq = false)
+      ivfDelete(s, dir,
+        Tables.embeddings(s, d).where(col("vec_id") % 7 === 0)
+          .select("vec_id"))
+      val census = ivfCompact(s, dir, rebuildChurn = 0.2)
+      // the census rows are checkpoint-pinned inside ivfCompact, so the
+      // scratch generation can be reclaimed immediately
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.iterator().asScala.toSeq).reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Exception => () })
+      census
+    },
+
     // IVFPQ — the webscale layout both compressions compose into (the
     // FAISS index family's workhorse): the persisted index carries
     // cell-partitioned one-byte PQ CODES next to the float cells, a
@@ -824,51 +859,198 @@ object Ann {
     indexDirs.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_")
         .toString
-      // pin the assignment: three consumers (cells write, centroid agg,
-      // graph build) would otherwise each replay the full k-means
-      val assign = kmeansCells(Tables.embeddings(s, d), k = 4, iters = 3)
-        .withColumn("cell", col("cell").cast("string")) // stable partition-column type
-        .persist()
-      try {
-        assign.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$dir/cells")
-        val cents = assign.groupBy("cell")
-          .agg(vector_avg(col("embedding")).as("cent"))
-        cents.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/centroids")
-        // per-cell neighbor graph (degree 12): the graph-ANN search
-        // structure, partition-aligned with the cells (ann_ivf_graph_topk).
-        // The assignment is closure-stitched first (stitchAssignment):
-        // boundary nodes replicate into their runner-up cell so beam
-        // search can escape a mis-routed cell — the graph table alone
-        // carries the replicas; cells/ and pq_codes/ stay pure.
-        buildCellGraphs(stitchAssignment(assign), m = 12)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$dir/graph")
-        // PQ layer (ann_ivfpq_topk): codebooks trained once at index
-        // build, the store encoded to m one-byte codes per vector and
-        // written PARTITION-ALIGNED with the cells — a probe's scoring
-        // scan reads only its routed cells' codes, floats never.
-        // Codes quantize CELL RESIDUALS (vec − centroid(cell)), the
-        // FAISS IVFADC discipline: residuals concentrate near the
-        // origin, so the same byte budget spends its codewords on the
-        // within-cell detail the coarse quantizer already lost —
-        // scoring adds the centroid terms back per routed cell.
-        val res = assign.join(broadcast(cents), "cell")
-          .select(col("vec_id").as("id"), col("cell"),
-            expr("zip_with(embedding, cent, (x, y) -> x - y)").as("res"))
-        val cb = pqCodebooks(res.select(col("id"), col("res")),
-          "id", "res", 8, 16, 3)
-        subVectors(res, "id", "res", 8, carry = Seq("cell"))
-          .select(col("id"), col("cell"), col("sub"),
-            pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$dir/pq_codes")
-        cbFrame(s, cb).coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/pq_codebook")
-      } finally assign.unpersist(false)
+      writeIndexLayers(s, dir,
+        kmeansCells(Tables.embeddings(s, d), k = 4, iters = 3))
       dir
     })
+
+  /** Write one index GENERATION from a (vec_id, embedding, cell)
+    * assignment: the cell-partitioned float cells, the k-row centroid
+    * table, and (optionally) the derived graph and PQ layers. Shared by
+    * [[ivfIndex]] (initial build) and [[ivfCompact]] (threshold
+    * rebuild) so a rebuilt index is layer-for-layer identical in
+    * layout to a fresh one.
+    */
+  private[graft] def writeIndexLayers(s: org.apache.spark.sql.SparkSession,
+      dir: String, assignIn: org.apache.spark.sql.DataFrame,
+      withGraph: Boolean = true, withPq: Boolean = true): Unit = {
+    // pin the assignment: up to three consumers (cells write, centroid
+    // agg, graph build) would otherwise each replay the full k-means —
+    // and a compaction rebuild READS the very files it overwrites, so
+    // the rows must be materialized before the first write
+    val assign = assignIn
+      .withColumn("cell", col("cell").cast("string")) // stable partition-column type
+      .localCheckpoint(true)
+    assign.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells")
+    val cents = assign.groupBy("cell")
+      .agg(vector_avg(col("embedding")).as("cent"))
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    // per-cell neighbor graph (degree 12): the graph-ANN search
+    // structure, partition-aligned with the cells (ann_ivf_graph_topk).
+    // The assignment is closure-stitched first (stitchAssignment):
+    // boundary nodes replicate into their runner-up cell so beam
+    // search can escape a mis-routed cell — the graph table alone
+    // carries the replicas; cells/ and pq_codes/ stay pure.
+    if (withGraph)
+      buildCellGraphs(stitchAssignment(assign), m = 12)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/graph")
+    // PQ layer (ann_ivfpq_topk): codebooks trained once at index
+    // build, the store encoded to m one-byte codes per vector and
+    // written PARTITION-ALIGNED with the cells — a probe's scoring
+    // scan reads only its routed cells' codes, floats never.
+    // Codes quantize CELL RESIDUALS (vec − centroid(cell)), the
+    // FAISS IVFADC discipline: residuals concentrate near the
+    // origin, so the same byte budget spends its codewords on the
+    // within-cell detail the coarse quantizer already lost —
+    // scoring adds the centroid terms back per routed cell.
+    if (withPq) {
+      val res = assign.join(broadcast(cents), "cell")
+        .select(col("vec_id").as("id"), col("cell"),
+          expr("zip_with(embedding, cent, (x, y) -> x - y)").as("res"))
+      val cb = pqCodebooks(res.select(col("id"), col("res")),
+        "id", "res", 8, 16, 3)
+      subVectors(res, "id", "res", 8, carry = Seq("cell"))
+        .select(col("id"), col("cell"), col("sub"),
+          pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/pq_codes")
+      cbFrame(s, cb).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/pq_codebook")
+    }
+  }
+
+  /** Tombstone DELETES routed to their cells — the `stream_ann_ingest`
+    * shape in reverse (reference analogue: document deletion against the
+    * OpenSearch index, `OpenSearchConnection.java:21-36`). Deletes
+    * arrive as a `vec_id` frame; routing is ONE semi-join against the
+    * cell assignment (the cells table IS the id→cell map, and the join
+    * is partition-aligned with it), and the tombstones append as a
+    * cell-partitioned parquet table next to the cells so every reader
+    * anti-joins within its routed partitions — a delete never rewrites
+    * data files (that is [[ivfCompact]]'s job, amortized over churn).
+    */
+  private[graft] def ivfDelete(s: org.apache.spark.sql.SparkSession,
+      dir: String, deleteIds: org.apache.spark.sql.DataFrame): Unit =
+    s.read.parquet(s"$dir/cells")
+      .join(deleteIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/tombstones")
+
+  /** LIVE view of the persisted cells: tombstoned rows anti-joined out,
+    * on (cell, vec_id) so the probe's partition pruning carries to the
+    * tombstone side — a routed cell reads only its own tombstones.
+    */
+  private[graft] def ivfLiveCells(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cells = s.read.parquet(s"$dir/cells")
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, "tombstones"))) cells
+    else cells.join(
+      s.read.parquet(s"$dir/tombstones").select("cell", "vec_id"),
+      Seq("cell", "vec_id"), "left_anti")
+  }
+
+  /** COMPACTION with a churn threshold — the maintenance half of the
+    * delete lifecycle. Returns the per-cell census the decision was made
+    * from: (cell, n_before, n_tombstoned, n_live, action).
+    *
+    * If total churn (tombstoned/total) exceeds `rebuildChurn`, the
+    * k-means coarse quantizer itself is re-run on the surviving vectors
+    * and every layer rewritten ([[writeIndexLayers]]) — high churn
+    * shifts the data distribution under the frozen centroids, degrading
+    * routing recall. Below the threshold only the cell partitions that
+    * HAVE tombstones are rewritten (dynamic partition overwrite — the
+    * untouched cells' files are never opened); derived graph/PQ layers,
+    * when present, are rebuilt from the live assignment (at 100 TB
+    * scope that rebuild to the affected cells the same way — the
+    * boundary-stitch replicas are the only cross-cell dependency).
+    * Tombstones are consumed (deleted) on success; the census is
+    * computed BEFORE any rewrite and is deterministic.
+    */
+  private[graft] def ivfCompact(s: org.apache.spark.sql.SparkSession,
+      dir: String, rebuildChurn: Double = 0.2, iters: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val cells = s.read.parquet(s"$dir/cells")
+    val before = cells.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val tombPath = java.nio.file.Paths.get(dir, "tombstones")
+    if (!java.nio.file.Files.isDirectory(tombPath))
+      return before
+        .select(col("cell"), col("n_before"), lit(0L).as("n_tombstoned"),
+          col("n_before").as("n_live"), lit("kept").as("action"))
+        .orderBy("cell")
+    val tomb = s.read.parquet(s"$dir/tombstones")
+      .select("cell", "vec_id").distinct()
+    val census0 = before
+      .join(tomb.groupBy("cell").agg(count(lit(1)).as("n_tombstoned")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("n_tombstoned"))
+      .select(col("cell"), col("n_before"), col("n_tombstoned"),
+        (col("n_before") - col("n_tombstoned")).as("n_live"))
+      .localCheckpoint(true) // census precedes (and survives) the rewrite
+    val totals = census0
+      .agg(sum("n_before").as("b"), sum("n_tombstoned").as("t")).head()
+    val churn = totals.getLong(1).toDouble / math.max(1L, totals.getLong(0))
+    val withGraph = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "graph"))
+    val withPq = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "pq_codes"))
+    // materialize the survivors BEFORE any overwrite touches the files
+    // they were read from
+    val live = ivfLiveCells(s, dir)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val action =
+      if (churn > rebuildChurn) {
+        val k = s.read.parquet(s"$dir/centroids").count().toInt
+        writeIndexLayers(s, dir, kmeansCells(live, k, iters),
+          withGraph, withPq)
+        lit("rebuilt")
+      } else {
+        // affected partitions only: k-row bounded collect of cell ids
+        // (partition-column type inference may read `cell` back as int,
+        // so collect the raw values)
+        val affected = census0.where(col("n_tombstoned") > 0)
+          .select("cell").collect().map(_.get(0))
+        val liveAssign = ivfLiveCells(s, dir)
+          .select("vec_id", "embedding", "cell").localCheckpoint(true)
+        liveAssign.where(col("cell").isin(affected.toIndexedSeq: _*))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(s"$dir/cells")
+        if (withGraph)
+          buildCellGraphs(stitchAssignment(liveAssign), m = 12)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$dir/graph")
+        if (withPq) {
+          val cents = s.read.parquet(s"$dir/centroids")
+          val res = liveAssign.join(broadcast(cents), "cell")
+            .select(col("vec_id").as("id"), col("cell"),
+              expr("zip_with(embedding, cent, (x, y) -> x - y)").as("res"))
+          val cb = pqCodebooks(res.select(col("id"), col("res")),
+            "id", "res", 8, 16, 3)
+          subVectors(res, "id", "res", 8, carry = Seq("cell"))
+            .select(col("id"), col("cell"), col("sub"),
+              pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$dir/pq_codes")
+          cbFrame(s, cb).coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/pq_codebook")
+        }
+        when(col("n_tombstoned") > 0, lit("rewritten"))
+          .otherwise(lit("kept"))
+      }
+    // tombstones are consumed: the rewrite made them permanent
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(tombPath))(
+      _.iterator().asScala.toSeq).reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    census0.select(col("cell"), col("n_before"), col("n_tombstoned"),
+        col("n_live"), action.as("action"))
+      .orderBy("cell")
+  }
 
   /** nprobe nearest persisted cells for a probe frame exposing a
     * `probe` column: the shared routing step of every persisted-index

@@ -1112,4 +1112,101 @@ class ApiSpec extends SparkSuite {
     // (1.9 + 2..9 + 9.1) / 10 = 5.5
     assert(math.abs(wm - 5.5) < 1e-9, s"wm=$wm")
   }
+
+  test("persisted-IVF delete/compaction: census balances, live view and " +
+      "search exclude deletes, both compaction paths, recall holds on " +
+      "the shrunken store") {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    def freshIndex(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_lifespec_").toString
+      Ann.writeIndexLayers(spark, dir,
+        Ann.kmeansCells(emb, k = 4, iters = 3),
+        withGraph = false, withPq = false)
+      dir
+    }
+
+    // --- low churn (every 7th id ≈ 14% < 20%) → per-cell REWRITE path
+    val dir1 = freshIndex()
+    val dels1 = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+    val nDel1 = dels1.count()
+    Ann.ivfDelete(spark, dir1, dels1)
+    // delete is tombstone-only: the cells table still has every row,
+    // the LIVE view already excludes the deleted ids
+    assert(spark.read.parquet(s"$dir1/cells").count() == n)
+    val live1 = Ann.ivfLiveCells(spark, dir1)
+    assert(live1.count() == n - nDel1)
+    assert(live1.join(dels1, Seq("vec_id"), "left_semi").count() == 0)
+    val census1 = Ann.ivfCompact(spark, dir1, rebuildChurn = 0.2).collect()
+    // census balances: Σ n_before = n, Σ n_tombstoned = deletes,
+    // n_live = n_before − n_tombstoned per cell
+    assert(census1.map(_.getLong(1)).sum == n)
+    assert(census1.map(_.getLong(2)).sum == nDel1)
+    assert(census1.forall(r => r.getLong(3) == r.getLong(1) - r.getLong(2)))
+    assert(census1.forall(r =>
+      r.getString(4) == (if (r.getLong(2) > 0) "rewritten" else "kept")),
+      census1.mkString(", "))
+    // compaction consumed the tombstones and made them permanent
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir1, "tombstones")))
+    assert(spark.read.parquet(s"$dir1/cells").count() == n - nDel1)
+    assert(spark.read.parquet(s"$dir1/cells")
+      .join(dels1, Seq("vec_id"), "left_semi").count() == 0)
+    // centroids NOT retrained on this path
+    assert(spark.read.parquet(s"$dir1/centroids").count() == 4)
+
+    // --- high churn (every 3rd id ≈ 33% > 20%) → k-means REBUILD path
+    val dir2 = freshIndex()
+    val dels2 = emb.where(col("vec_id") % 3 === 0).select("vec_id")
+    val nDel2 = dels2.count()
+    Ann.ivfDelete(spark, dir2, dels2)
+    val census2 = Ann.ivfCompact(spark, dir2, rebuildChurn = 0.2).collect()
+    assert(census2.forall(_.getString(4) == "rebuilt"),
+      census2.mkString(", "))
+    val cells2 = spark.read.parquet(s"$dir2/cells")
+    assert(cells2.count() == n - nDel2)
+    assert(cells2.join(dels2, Seq("vec_id"), "left_semi").count() == 0)
+    assert(spark.read.parquet(s"$dir2/centroids").count() == 4)
+
+    // --- recall vs exact on the shrunken store: route the standard
+    // probe through the rebuilt centroids, search 3 of 4 cells, compare
+    // with the brute-force top-10 over the SURVIVORS
+    import graft.functions.cosine_sim
+    val probe = emb.where(col("vec_id") === 1) // vec 0 is deleted (÷3)
+      .select(col("embedding").as("probe"))
+    val pv = probe.head().getSeq[Float](0)
+    val routed = spark.read.parquet(s"$dir2/centroids")
+      .crossJoin(broadcast(probe))
+      .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
+      .orderBy(col("cs").desc, col("cell"))
+      .limit(3).select("cell").collect().map(_.getString(0))
+    val approx = cells2
+      .where(col("cell").isin(routed.toIndexedSeq: _*))
+      .where(col("vec_id") =!= 1)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("probe"))
+        .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val exact = emb.join(dels2, Seq("vec_id"), "left_anti")
+      .where(col("vec_id") =!= 1)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("probe"))
+        .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    assert(pv.nonEmpty && approx.size == 10 && exact.size == 10)
+    assert(approx.forall(id => id % 3 != 0),
+      "a deleted id surfaced in post-compaction search")
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@10 on the shrunken store: $recall")
+
+    // the shipped query runs the whole lifecycle end-to-end
+    val qr = SparkEntry.queries("ann_ivf_delete_compact")(spark, sf)
+      .collect()
+    assert(qr.map(_.getLong(1)).sum > 0 &&
+      qr.forall(r => r.getLong(3) == r.getLong(1) - r.getLong(2)))
+  }
 }

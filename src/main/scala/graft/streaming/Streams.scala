@@ -65,7 +65,11 @@ object Streams {
       val d = java.nio.file.Files.createTempDirectory("graft_events_")
       java.nio.file.Files.createSymbolicLink(
         d.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+        // toAbsolutePath: a RELATIVE sfDir would otherwise become a
+        // relative symlink TARGET, which resolves against the temp
+        // watch dir (not the cwd) — a broken link the file source
+        // silently reads as an EMPTY stream
+        java.nio.file.Paths.get(s"$sfDir/events.parquet").toAbsolutePath)
       d.toString
     })
     val raw = s.readStream.schema(schema).parquet(dir)
@@ -85,7 +89,11 @@ object Streams {
       val dd = java.nio.file.Files.createTempDirectory("graft_docs_")
       java.nio.file.Files.createSymbolicLink(
         dd.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+        // toAbsolutePath: a RELATIVE sfDir would otherwise become a
+        // relative symlink TARGET, which resolves against the temp
+        // watch dir (not the cwd) — a broken link the file source
+        // silently reads as an EMPTY stream
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet").toAbsolutePath)
       dd.toString
     })
     s.readStream.schema(schema).parquet(dir)
@@ -100,7 +108,11 @@ object Streams {
       val dd = java.nio.file.Files.createTempDirectory("graft_orders_")
       java.nio.file.Files.createSymbolicLink(
         dd.resolve("orders.parquet"),
-        java.nio.file.Paths.get(s"$sfDir/orders.parquet"))
+        // toAbsolutePath: a RELATIVE sfDir would otherwise become a
+        // relative symlink TARGET, which resolves against the temp
+        // watch dir (not the cwd) — a broken link the file source
+        // silently reads as an EMPTY stream
+        java.nio.file.Paths.get(s"$sfDir/orders.parquet").toAbsolutePath)
       dd.toString
     })
     s.readStream.schema(schema).parquet(dir)
@@ -115,7 +127,11 @@ object Streams {
       val dd = java.nio.file.Files.createTempDirectory("graft_embs_")
       java.nio.file.Files.createSymbolicLink(
         dd.resolve("embeddings.parquet"),
-        java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"))
+        // toAbsolutePath: a RELATIVE sfDir would otherwise become a
+        // relative symlink TARGET, which resolves against the temp
+        // watch dir (not the cwd) — a broken link the file source
+        // silently reads as an EMPTY stream
+        java.nio.file.Paths.get(s"$sfDir/embeddings.parquet").toAbsolutePath)
       dd.toString
     })
     s.readStream.schema(schema).parquet(dir)

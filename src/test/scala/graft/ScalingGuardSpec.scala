@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the committed scaling curve (SCALING.json, written by
+  * ScalingBench over sf0.1/sf0.5/sf1.0): every heavy kernel's fitted
+  * growth exponent must stay ≤ the near-linear gate, or be named in the
+  * exception map with its reason. This is the BenchGuard discipline
+  * applied to the scale axis — a plan regression that turns a banded
+  * join into an all-pairs join shows up here as an exponent jump even
+  * when the sf0.1 wall barely moves.
+  */
+class ScalingGuardSpec extends AnyFunSuite {
+
+  /** Kernels allowed past the gate, each with the measured reason.
+    * Empty today: every committed kernel fits ≤ the gate.
+    */
+  private val exceptions: Map[String, String] = Map.empty
+
+  // linear×log over a 10× span fits ≈ 1 + ln(ln10)/ln10 ≈ 1.16 at the
+  // 100 TB-relevant tail; 1.35 leaves room for cache effects between
+  // the fixture sizes without admitting anything quadratic-ish (an
+  // all-pairs regression on 10× data fits ≈ 2)
+  private val maxExponent = 1.35
+
+  private def committed(): String = {
+    val p = new ProcessBuilder("git", "show", "HEAD:SCALING.json")
+      .redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    assert(p.waitFor() == 0,
+      "HEAD has no SCALING.json — run `runMain graft.ScalingBench` and " +
+        "commit the curve")
+    out
+  }
+
+  test("fitExponent recovers known slopes") {
+    val lin = ScalingBench.fitExponent(
+      Seq((1.0, 2.0), (5.0, 10.0), (10.0, 20.0)))
+    assert(math.abs(lin - 1.0) < 1e-9, s"linear fit: $lin")
+    val quad = ScalingBench.fitExponent(
+      Seq((1.0, 3.0), (5.0, 75.0), (10.0, 300.0)))
+    assert(math.abs(quad - 2.0) < 1e-9, s"quadratic fit: $quad")
+    val const = ScalingBench.fitExponent(
+      Seq((1.0, 1.5), (5.0, 1.5), (10.0, 1.5)))
+    assert(math.abs(const) < 1e-9, s"flat fit: $const")
+  }
+
+  test("committed SCALING.json covers the scaling set with complete walls") {
+    val s = committed()
+    for (q <- ScalingBench.scaleQueries) {
+      assert(s.contains("\"" + q + "\":{"), s"$q missing from the curve")
+    }
+    assert(!s.contains(":null"),
+      "a committed scaling wall or exponent is null — a kernel failed " +
+        "at some scale; re-run and re-commit from a clean pass")
+  }
+
+  test("every committed exponent is near-linear or a named exception") {
+    val s = committed()
+    val entry =
+      ("\"([a-z0-9_]+)\":\\{\"walls\":\\{[^}]*\\},\"rows\":\\{[^}]*\\}," +
+        "\"exponent\":(-?[0-9.]+)\\}").r
+    val exps = entry.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(exps.nonEmpty, "no exponents parsed from SCALING.json")
+    val offenders = exps.filter { case (q, e) =>
+      e > maxExponent && !exceptions.contains(q)
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (q, e) => f"$q fits x^$e%.2f" }
+        .mkString("super-linear kernels: ", "; ",
+          s" (gate $maxExponent; add a named exception ONLY with the " +
+            "measured reason)"))
+    // exceptions must still exist in the artifact (no stale absolution)
+    for ((q, why) <- exceptions)
+      assert(exps.contains(q), s"stale exception for $q ($why)")
+  }
+}

@@ -74,7 +74,9 @@ object Bench {
       results: Seq[(String, Double, Double)],
       calib: Double, calibLoaded: Double,
       sfDir: String,
-      currentStealFrac: Double = 0.0): (Seq[String], Seq[String]) = {
+      currentStealFrac: Double = 0.0,
+      stateRows: Map[String, Long] = Map.empty)
+      : (Seq[String], Seq[String]) = {
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val sameSf = prior.contains(s""""sf":"$sfDir"""")
@@ -200,7 +202,26 @@ object Bench {
             else None
           }
         }
-        (flags, notes.result())
+        // STATE-ROWS gate (r17 verdict ask #8): per-operator state totals
+        // for the stateful streaming jobs are fixture-deterministic —
+        // unlike walls they owe NOTHING to placement, so no host
+        // normalization applies. Growth vs the committed baseline means a
+        // retention change (a watermark that stopped clearing, a TTL that
+        // stopped firing), which a wall gate alone can miss entirely: at
+        // fixture scale leaked state is cheap, at 100 TB it is the OOM.
+        // Gate: >1.3x AND +100 rows absolute (micro-batch boundaries can
+        // shift which intermediate total the listener observes; the final
+        // totals themselves are deterministic).
+        val priorState = block("state_rows")
+        val stateFlags = stateRows.toSeq.sortBy(_._1).flatMap {
+          case (name, rows) => priorState.get(name).collect {
+            case p if rows > 1.3 * p && rows - p > 100 =>
+              s"[bench-state] $name: state rows ${p.toLong} -> $rows " +
+                "(state growth is placement-independent — a retention " +
+                "regression, not host noise)"
+          }
+        }
+        (flags ++ stateFlags, notes.result())
       }
     }
   }
@@ -327,6 +348,56 @@ object Bench {
     // via "stream_min3":1). Official sweeps keep the cheap
     // suspicion-triggered re-sampling below.
     val baselineMode = sys.env.get("SPARK_GRAFT_BASELINE").contains("1")
+    // Per-query STATE telemetry (r17 verdict ask #8): a streaming-query
+    // listener accumulates the max total state rows/bytes any progress
+    // event reports while a given bench query is the one running (the
+    // sweep is serial; a short quiescence wait between streaming queries
+    // keeps late async events from crediting the next query). State
+    // totals are fixture-deterministic, so the guard can hold a
+    // placement-independent gate on them — a watermark/TTL retention
+    // regression shows up here before it shows up in any wall.
+    val stateRowsByQuery =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val stateBytesByQuery =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference("")
+    val lastStateEvent = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stateListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          lastStateEvent.set(System.nanoTime())
+          val name = currentQuery.get()
+          val ops = e.progress.stateOperators
+          if (name.nonEmpty && ops != null && ops.nonEmpty) {
+            val rows = ops.map(_.numRowsTotal).sum
+            val bytes = ops.map(_.memoryUsedBytes).sum
+            stateRowsByQuery.merge(name, rows, math.max(_, _))
+            stateBytesByQuery.merge(name, bytes, math.max(_, _))
+          }
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          lastStateEvent.set(System.nanoTime())
+      }
+    spark.streams.addListener(stateListener)
+    // wait until listener events have been quiet for 150 ms (cap 1 s):
+    // called AFTER a streaming query's timed window, so attribution is
+    // exact and the wait never lands in any measurement
+    def quiesceListener(): Unit = {
+      val deadline = System.nanoTime() + 1000000000L
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val le = lastStateEvent.get()
+        done = le == 0L || System.nanoTime() - le > 150000000L
+      }
+    }
     var streamResamples = 0
     // cap = the whole streaming family: the 1.5x gate's min-vs-min
     // premise requires EVERY flaggable draw to have been re-sampled, so
@@ -335,6 +406,7 @@ object Bench {
     // query, ~1 min — cheaper than a false regression verdict)
     val maxStreamResamples = SparkEntry.all.count(q => isStreaming(q.name))
     val results = SparkEntry.all.map { q =>
+      currentQuery.set(q.name)
       def once(): (Double, Double, Double, Option[String]) = {
         val t0 = System.nanoTime()
         val c0 = osBean.getProcessCpuTime
@@ -387,8 +459,12 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // drain async listener events before the next query takes the name
+      if (isStreaming(q.name)) quiesceListener()
       out
     }
+    currentQuery.set("")
+    spark.streams.removeListener(stateListener)
     val failed = results.collect { case (n, _, _, _, Some(e)) => (n, e) }
     // 3-decimal seconds keep the whole line ~3 KB for 100+ queries: the
     // round driver captures only a bounded stdout tail, and a longer line
@@ -428,7 +504,16 @@ object Bench {
     // baseline-mode runs self-describe their min-of-3 streaming sampling
     // so guardFlags knows a committed copy supports the 1.5x gate
     val min3 = if (baselineMode) """"stream_min3":1,""" else ""
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},$calibs,$hostBusy$min3"queries":$qs,"queries_cpu":$qsCpu,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
+    // per-operator state telemetry for the stateful jobs (rows observed /
+    // bytes in the state stores): deterministic at a fixed sf, so the
+    // guard holds a placement-independent growth gate on the rows
+    import scala.jdk.CollectionConverters._
+    val stateRowsMap = stateRowsByQuery.asScala.toMap
+    val stateJson = stateRowsMap.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val stateBytesJson = stateBytesByQuery.asScala.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},$calibs,$hostBusy$min3"queries":$qs,"queries_cpu":$qsCpu,"state_rows":$stateJson,"state_bytes":$stateBytesJson,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir"}"""
     println(detail)
     // Cross-round regression guard + full-detail artifact: the driver's
     // 2000-char stdout tail keeps only ~90 of the per-query timings, so
@@ -472,7 +557,8 @@ object Bench {
           case _ => 0.0
         }
         val (flags, notes) =
-          guardFlags(prior, triples, calib, calibLoaded, sfDir, stealFrac)
+          guardFlags(prior, triples, calib, calibLoaded, sfDir, stealFrac,
+            stateRowsMap)
         (notes ++ flags).foreach(System.err.println)
       }
       java.nio.file.Files.write(detailPath,

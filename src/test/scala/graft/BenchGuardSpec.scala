@@ -262,6 +262,64 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(f2.exists(_.contains("stream_x")), f2.mkString("; "))
   }
 
+  test("state-rows gate: growth flags placement-independently, noise and " +
+      "missing priors don't") {
+    val art = prior.replace(
+      """"queries_cpu":{"qa":2.000,"qb":4.000,"qc":1.000},""",
+      """"queries_cpu":{"qa":2.000,"qb":4.000,"qc":1.000},""" +
+        """"state_rows":{"stream_j":200,"stream_k":500},""")
+    val now = Seq(("qa", 1.0, 2.0), ("qb", 2.0, 4.0), ("qc", 0.5, 1.0))
+    // 200 -> 400 rows: ratio 2.0 > 1.3 and +200 > +100 — flags, even on a
+    // host whose walls would be absolved (state owes nothing to placement)
+    val (f1, _) = Bench.guardFlags(art, now, calib = 0.45, calibLoaded = 0.50,
+      sf, stateRows = Map("stream_j" -> 400L, "stream_k" -> 500L))
+    assert(f1.exists(f => f.contains("[bench-state]") &&
+      f.contains("stream_j")), f1.mkString("; "))
+    assert(!f1.exists(_.contains("stream_k")), f1.mkString("; "))
+    // 200 -> 250 (ratio 1.25) and 200 -> 330 (+130 but would need ratio):
+    // ratio AND absolute must both trip
+    val (f2, _) = Bench.guardFlags(art, now, calib = 0.45, calibLoaded = 0.50,
+      sf, stateRows = Map("stream_j" -> 250L))
+    assert(!f2.exists(_.contains("[bench-state]")), f2.mkString("; "))
+    // tiny-state query tripling from 30 to 90: ratio huge but under the
+    // +100 absolute floor — micro-batch boundary noise, not retention
+    val (f3, _) = Bench.guardFlags(art, now, calib = 0.45, calibLoaded = 0.50,
+      sf, stateRows = Map("stream_j" -> 90L))
+    assert(!f3.exists(_.contains("[bench-state]")), f3.mkString("; "))
+    // a query with no committed state prior never flags
+    val (f4, _) = Bench.guardFlags(art, now, calib = 0.45, calibLoaded = 0.50,
+      sf, stateRows = Map("stream_new" -> 100000L))
+    assert(!f4.exists(_.contains("[bench-state]")), f4.mkString("; "))
+  }
+
+  test("committed BENCH_DETAIL carries state telemetry for the " +
+      "stream-stream join family") {
+    // r17 verdict ask #8 acceptance: state growth regressions for the
+    // stateful join family must be guardable like wall regressions,
+    // which requires the committed denominator to carry their
+    // state_rows priors.
+    val p = new ProcessBuilder("git", "show", "HEAD:BENCH_DETAIL.json")
+      .redirectErrorStream(true).start()
+    val committed = scala.io.Source.fromInputStream(p.getInputStream)
+      .mkString
+    assert(p.waitFor() == 0, "HEAD has no BENCH_DETAIL.json")
+    val i = committed.indexOf("\"state_rows\":{")
+    val end = if (i < 0) -1 else committed.indexOf("}", i)
+    assert(i >= 0 && end > i, "no state_rows block in the committed detail")
+    val block = committed.substring(i, end + 1)
+    val joinFamily = Seq("stream_stream_join", "stream_stream_left_outer",
+      "stream_stream_full_outer", "stream_stream_left_semi")
+    val present = joinFamily.filter(q => block.contains("\"" + q + "\":"))
+    assert(present.size >= 3,
+      s"stream-stream join family state priors missing: only $present " +
+        "carry state_rows — re-commit the denominator from a sweep with " +
+        "the state listener active")
+    // and the priors are non-trivial (a joined row set holds real state)
+    val vals = """"stream_stream_[a-z_]+":([0-9]+)""".r
+      .findAllMatchIn(block).map(_.group(1).toLong).toSeq
+    assert(vals.nonEmpty && vals.max > 0, block.take(500))
+  }
+
   test("committed BENCH_DETAIL is the clean full-inventory gate denominator") {
     // BASELINE.md (round 12): the operative 2x-gate denominator is the
     // git-committed BENCH_DETAIL.json, which must itself honor the

@@ -1932,6 +1932,54 @@ object Analytics {
     // (cohort, age) order), ONE double division per output cell. The
     // orders fact shuffles once into the (cohort, age) aggregate; the
     // running window ranks cohort×age rows only; cohort sizes broadcast.
+    // Weekly RETENTION TRIANGLE over the events stream — the classic
+    // cohort grid every product-analytics deployment maintains: users
+    // grouped by FIRST-ACTIVE week, each cohort's share still active k
+    // weeks later. Both axes derive from one distinct (user, week)
+    // frame: min-week per user = the cohort, week gaps are exact
+    // integer day-diffs div 7 (both engines truncate weeks to Monday,
+    // so the diff is always a multiple of 7 — no float date math).
+    // retention is the single double division. Plan: one user-keyed
+    // shuffle for the distinct+min, one (cohort, offset) combiner
+    // aggregate, cohort sizes broadcast back — at 100 TB the (user,
+    // week) distinct is the only data-sized exchange.
+    Q("events_retention_triangle",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+        |            FROM events),
+        |f AS (SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        |       FROM f GROUP BY 1),
+        |act AS (SELECT cohort_week,
+        |          CAST(date_diff('day', cohort_week, w) // 7 AS BIGINT)
+        |            AS week_offset,
+        |          CAST(count(*) AS BIGINT) AS n_active
+        |        FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT act.cohort_week AS cohort_week, week_offset, n_cohort,
+        |  n_active,
+        |  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+        |FROM act JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+      val sizes = first.groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_cohort"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          expr("CAST(datediff(w, cohort_week) div 7 AS BIGINT)")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_cohort"),
+          col("n_active"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     Q("orders_cohort_ltv",
       """WITH c AS (
         |  SELECT o_custkey,
@@ -2815,6 +2863,65 @@ object Analytics {
           ((col("n_ab") * col("nb")).cast("double")
             / (col("na") * col("nbp")).cast("double")).as("lift"))
         .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    },
+
+    // Frequent 3-ITEMSETS (Apriori level 3) — basket_lift's next level:
+    // part triples co-purchased in >= 2 orders. The scale discipline is
+    // the Apriori prune itself: an item can appear in a frequent triple
+    // only if it appears in a frequent PAIR (support monotonicity), so
+    // baskets are pruned to frequent-pair items BEFORE the cubic
+    // in-task explode — at 100 TB the prune is what keeps the candidate
+    // space polynomial in the frequent frontier instead of cubic in
+    // basket width (the prune cannot change the answer: HAVING >= 2
+    // decides membership either way). Per-order fan-out stays bounded
+    // by (pruned) basket size, same as the pair miner; one combiner
+    // count shuffle; top-100 under a total order.
+    Q("orders_basket_triples",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |t AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |        c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS support
+        |      FROM li a
+        |      JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      JOIN li c ON a.l_orderkey = c.l_orderkey
+        |        AND b.l_partkey < c.l_partkey
+        |      GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, part_c, support
+        |FROM t
+        |ORDER BY support DESC, part_a, part_b, part_c
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val baskets = li.groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+      val pairs = baskets
+        .select(col("ps"), explode(col("ps")).as("pa"))
+        .select(col("pa"),
+          explode(expr("filter(ps, x -> x > pa)")).as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+      // Apriori prune: items outside every frequent pair cannot be in a
+      // frequent triple — node-sized list, broadcast semi-join
+      val freqItems = pairs.select(col("pa").as("pk"))
+        .unionAll(pairs.select(col("pb").as("pk"))).distinct()
+      val pruned = li
+        .join(broadcast(freqItems), col("l_partkey") === col("pk"),
+          "left_semi")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .where(size(col("ps")) >= 3)
+      pruned
+        .select(col("ps"), explode(col("ps")).as("part_a"))
+        .select(col("ps"), col("part_a"),
+          explode(expr("filter(ps, x -> x > part_a)")).as("part_b"))
+        .select(col("part_a"), col("part_b"),
+          explode(expr("filter(ps, x -> x > part_b)")).as("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"),
+          col("part_c"))
         .limit(100)
     },
 

@@ -624,6 +624,103 @@ object Stats {
         "l_quantity", "l_discount")
     },
 
+    // Poisson BOOTSTRAP confidence interval for the mean quantity per
+    // return flag — the resampling machine every metrics pipeline wants
+    // and most engines fake with rand(): 50 replicas, each weighting
+    // every row by a DETERMINISTIC Poisson(1)-distributed integer, so
+    // the whole CI is reproducible and cross-engine bit-exact. One md5
+    // per ROW (32-bit uniform, the Sampling-family idiom), remixed per
+    // replica with an odd-multiplier integer map mod 2^16 — the Poisson
+    // bootstrap discipline at one-hash-per-row scan cost instead of B×
+    // hash cost (exactly the trade a 100 TB pass makes; the remix is an
+    // LCG-style mix, documented as such — adjacent replicas share the
+    // row hash but their weight draws decorrelate under the odd
+    // multipliers). Weights follow the exact Poisson(1) pmf cutoffs
+    // scaled to 65536; replica means are DECIMAL-exact sums with ONE
+    // double division; the CI endpoints are INDEX-SELECTED order
+    // statistics (2nd and 49th of 50 — no percentile interpolation, so
+    // both engines pick the same stored double bit-for-bit).
+    Q("stats_bootstrap_ci",
+      """WITH r AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS q,
+        |    md5(CAST(l_orderkey AS VARCHAR) || ':'
+        |        || CAST(l_linenumber AS VARCHAR)) AS hx
+        |  FROM lineitem),
+        |h AS (SELECT l_returnflag, q,
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS h32
+        |  FROM r),
+        |w AS (SELECT l_returnflag, q, b,
+        |    CASE WHEN hv < 24109 THEN 0 WHEN hv < 48219 THEN 1
+        |         WHEN hv < 60274 THEN 2 WHEN hv < 64292 THEN 3
+        |         WHEN hv < 65296 THEN 4 WHEN hv < 65497 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM (SELECT l_returnflag, q, b,
+        |          (h32 * (2 * b + 1) + 131071 * b) % 65536 AS hv
+        |        FROM h, (SELECT unnest(range(0, 50)) AS b))),
+        |reps AS (SELECT l_returnflag, b,
+        |           CAST(sum(q * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+        |             AS m
+        |         FROM w GROUP BY 1, 2),
+        |rk AS (SELECT l_returnflag, m, b,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY m, b) AS rnk
+        |       FROM reps),
+        |ci AS (SELECT l_returnflag,
+        |         max(CASE WHEN rnk = 2 THEN m END) AS boot_lo,
+        |         max(CASE WHEN rnk = 49 THEN m END) AS boot_hi
+        |       FROM rk GROUP BY 1),
+        |base AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |             / count(*) AS sample_mean
+        |         FROM lineitem GROUP BY 1)
+        |SELECT base.l_returnflag AS l_returnflag, n_rows, sample_mean,
+        |  boot_lo, boot_hi
+        |FROM base JOIN ci USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)").as("q"),
+        conv(substring(md5(concat_ws(":",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("h32"))
+      val weighted = li
+        .select(col("l_returnflag"), col("q"), col("h32"),
+          explode(expr("sequence(0, 49)")).as("b"))
+        .select(col("l_returnflag"), col("q"), col("b"),
+          ((col("h32") * (lit(2) * col("b") + 1) + lit(131071L) * col("b"))
+            % 65536L).as("hv"))
+        .select(col("l_returnflag"), col("q"), col("b"),
+          when(col("hv") < 24109, 0L).when(col("hv") < 48219, 1L)
+            .when(col("hv") < 60274, 2L).when(col("hv") < 64292, 3L)
+            .when(col("hv") < 65296, 4L).when(col("hv") < 65497, 5L)
+            .otherwise(6L).as("w"))
+      val reps = weighted.groupBy("l_returnflag", "b")
+        .agg((sum(col("q") * col("w")).cast("double")
+          / sum(col("w")).cast("double")).as("m"))
+      val wnd = Window.partitionBy("l_returnflag")
+        .orderBy(col("m"), col("b"))
+      val ci = reps
+        .select(col("l_returnflag"), col("m"),
+          row_number().over(wnd).as("rnk"))
+        .groupBy("l_returnflag")
+        .agg(max(when(col("rnk") === 2, col("m"))).as("boot_lo"),
+          max(when(col("rnk") === 49, col("m"))).as("boot_hi"))
+      val base = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("q")).cast("double") / count(lit(1))).as("sample_mean"))
+      base.join(broadcast(ci), "l_returnflag")
+        .select(col("l_returnflag"), col("n_rows"), col("sample_mean"),
+          col("boot_lo"), col("boot_hi"))
+        .orderBy("l_returnflag")
+    },
+
     // Poisson overdispersion of daily event arrivals per type: the
     // variance-to-mean ratio of daily counts — ≈1 for a Poisson process,
     // ≫1 = bursty (bot traffic, incident spikes). dispersion =

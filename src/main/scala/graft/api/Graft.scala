@@ -992,6 +992,37 @@ object Graft {
     * spearman_rho). `df` needs the two columns; both must have bounded
     * distinct-value counts (the rank windows touch |distinct| rows).
     */
+  /** Weekly cohort retention triangle: users cohort by first-active
+    * week, each (cohort_week, week_offset) cell reports still-active
+    * count and share → (cohort_week, week_offset, n_cohort, n_active,
+    * retention). `df` needs a user column and an event-time column.
+    */
+  def retentionTriangle(df: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    graft.operators.Analytics.retentionTriangleOf(df, userCol, tsCol)
+
+  /** Frequent 3-itemsets (Apriori level 3) over (basket, item) rows:
+    * triples co-present in ≥ `minSupport` baskets → (part_a < part_b <
+    * part_c, support), top `topN`. Baskets are pruned to frequent-pair
+    * items before the cubic explode — support monotonicity makes the
+    * prune lossless.
+    */
+  def aprioriTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Int = 2, topN: Int = 100): DataFrame =
+    graft.operators.Analytics.aprioriTriplesOf(
+      df, basketCol, itemCol, minSupport, topN)
+
+  /** Deterministic Poisson-bootstrap CI for the mean of `valueExpr` per
+    * `groupCol` → (grp, n_rows, sample_mean, boot_lo, boot_hi).
+    * `valueExpr` must be exact (decimal/integer); `keyExpr` must be a
+    * row-unique string (the md5 seed). One hash per row, remixed per
+    * replica; endpoints are index-selected order statistics.
+    */
+  def bootstrapCi(df: DataFrame, groupCol: String, valueExpr: Column,
+      keyExpr: Column, replicas: Int = 50): DataFrame =
+    graft.operators.Stats.bootstrapCiOf(
+      df, groupCol, valueExpr, keyExpr, replicas)
+
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame =
     graft.operators.Stats.spearman(df, xCol, yCol)
 

@@ -1086,6 +1086,79 @@ object Analytics {
     * the fixture graphs (max degree 13 at sf0.01) and is pinned by the
     * AnalyticsSpec star-graph property test.
     */
+  /** Weekly cohort RETENTION TRIANGLE (re-exported as
+    * `graft.api.Graft.retentionTriangle`): `df` needs a user column and
+    * an event-time column; users cohort by FIRST-ACTIVE week
+    * (Monday-truncated) and each (cohort_week, week_offset) cell
+    * reports the cohort's still-active count and share. Week gaps are
+    * exact integer day-diffs div 7; retention is ONE double division.
+    * Plan: one (user, week) distinct + user-keyed min shuffle, one
+    * (cohort, offset) combiner aggregate, cohort sizes broadcast — the
+    * distinct is the only data-sized exchange at 100 TB.
+    */
+  private[graft] def retentionTriangleOf(df: DataFrame,
+      userCol: String, tsCol: String): DataFrame = {
+    val uw = df
+      .select(col(userCol).as("user_id"),
+        date_trunc("week", col(tsCol)).as("w"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+    val sizes = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(w, cohort_week) div 7 AS BIGINT)")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_cohort"),
+        col("n_active"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Frequent 3-ITEMSETS via Apriori level-3 pruning (re-exported as
+    * `graft.api.Graft.aprioriTriples`): `df` needs a basket-id column
+    * and an item column; returns (item_a < item_b < item_c, support)
+    * for triples co-present in ≥ `minSupport` baskets, top `topN` under
+    * a total order. The prune is the scale plan: frequent pairs first,
+    * baskets shrunk to frequent-pair items via broadcast semi-join
+    * BEFORE the cubic in-task explode — support monotonicity means the
+    * prune cannot change the answer, only the candidate space.
+    */
+  private[graft] def aprioriTriplesOf(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Int = 2, topN: Int = 100): DataFrame = {
+    val li = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val baskets = li.groupBy("bk").agg(collect_set(col("it")).as("ps"))
+    val pairs = baskets
+      .select(col("ps"), explode(col("ps")).as("pa"))
+      .select(col("pa"),
+        explode(expr("filter(ps, x -> x > pa)")).as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSupport)
+    val freqItems = pairs.select(col("pa").as("pk"))
+      .unionAll(pairs.select(col("pb").as("pk"))).distinct()
+    val pruned = li
+      .join(broadcast(freqItems), col("it") === col("pk"), "left_semi")
+      .groupBy("bk")
+      .agg(sort_array(collect_set(col("it"))).as("ps"))
+      .where(size(col("ps")) >= 3)
+    pruned
+      .select(col("ps"), explode(col("ps")).as("part_a"))
+      .select(col("ps"), col("part_a"),
+        explode(expr("filter(ps, x -> x > part_a)")).as("part_b"))
+      .select(col("part_a"), col("part_b"),
+        explode(expr("filter(ps, x -> x > part_b)")).as("part_c"))
+      .groupBy("part_a", "part_b", "part_c")
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+      .limit(topN)
+  }
+
   private[graft] def commonNeighborsOf(edges: DataFrame,
       topN: Int, maxMiddleDegree: Int = 1000): DataFrame = {
     val sym = edges.select(col("u").as("a"), col("v").as("x"))
@@ -1960,24 +2033,9 @@ object Analytics {
         |  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
         |FROM act JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
-      val uw = Tables.events(s, d)
-        .select(col("user_id"),
-          date_trunc("week", col("ts")).as("w"))
-        .distinct()
-      val first = uw.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
-      val sizes = first.groupBy("cohort_week")
-        .agg(count(lit(1)).as("n_cohort"))
-      uw.join(first, "user_id")
-        .groupBy(col("cohort_week"),
-          expr("CAST(datediff(w, cohort_week) div 7 AS BIGINT)")
-            .as("week_offset"))
-        .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(sizes), "cohort_week")
-        .select(col("cohort_week"), col("week_offset"), col("n_cohort"),
-          col("n_active"),
-          (col("n_active").cast("double") / col("n_cohort").cast("double"))
-            .as("retention"))
-        .orderBy("cohort_week", "week_offset")
+      retentionTriangleOf(
+        Tables.events(s, d).select(col("user_id"), col("ts")),
+        "user_id", "ts")
     },
 
     Q("orders_cohort_ltv",
@@ -2891,38 +2949,8 @@ object Analytics {
         |FROM t
         |ORDER BY support DESC, part_a, part_b, part_c
         |LIMIT 100""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val baskets = li.groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-      val pairs = baskets
-        .select(col("ps"), explode(col("ps")).as("pa"))
-        .select(col("pa"),
-          explode(expr("filter(ps, x -> x > pa)")).as("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
-        .where(col("n") >= 2)
-      // Apriori prune: items outside every frequent pair cannot be in a
-      // frequent triple — node-sized list, broadcast semi-join
-      val freqItems = pairs.select(col("pa").as("pk"))
-        .unionAll(pairs.select(col("pb").as("pk"))).distinct()
-      val pruned = li
-        .join(broadcast(freqItems), col("l_partkey") === col("pk"),
-          "left_semi")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .where(size(col("ps")) >= 3)
-      pruned
-        .select(col("ps"), explode(col("ps")).as("part_a"))
-        .select(col("ps"), col("part_a"),
-          explode(expr("filter(ps, x -> x > part_a)")).as("part_b"))
-        .select(col("part_a"), col("part_b"),
-          explode(expr("filter(ps, x -> x > part_b)")).as("part_c"))
-        .groupBy("part_a", "part_b", "part_c")
-        .agg(count(lit(1)).as("support"))
-        .where(col("support") >= 2)
-        .orderBy(col("support").desc, col("part_a"), col("part_b"),
-          col("part_c"))
-        .limit(100)
+      aprioriTriplesOf(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        minSupport = 2, topN = 100)
     },
 
     // Lag-1 autocorrelation per hourly series — the is-this-series-even-

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -294,6 +294,57 @@ object Stats {
     * rank windows touch |distinct x| + |distinct y| rows, never the
     * fact table.
     */
+  /** Deterministic Poisson BOOTSTRAP confidence interval for the mean of
+    * `valueExpr` per `groupCol` (re-exported as
+    * `graft.api.Graft.bootstrapCi`): `replicas` resamples, each
+    * weighting every row by a Poisson(1)-distributed integer derived
+    * from md5(`keyExpr`) — ONE hash per row, remixed per replica with
+    * odd-multiplier integer maps mod 2^16 (the Poisson-bootstrap
+    * discipline at scan cost instead of replicas× hash cost; the remix
+    * is LCG-style, documented as such). Weights follow the exact
+    * Poisson(1) pmf cutoffs scaled to 65536; replica means are
+    * DECIMAL-exact sums with ONE double division; CI endpoints are
+    * INDEX-SELECTED order statistics (2nd and (replicas−1)-th — no
+    * interpolation, so both engines pick the same stored double).
+    * `valueExpr` must be an exact (decimal/integer) column. Returns
+    * (grp, n_rows, sample_mean, boot_lo, boot_hi).
+    */
+  private[graft] def bootstrapCiOf(df: DataFrame, groupCol: String,
+      valueExpr: Column, keyExpr: Column, replicas: Int = 50)
+      : DataFrame = {
+    require(replicas >= 4, s"bootstrapCiOf: replicas=$replicas < 4 — " +
+      "the 2nd/(n-1)th order statistics need at least 4 replicas")
+    val li = df.select(col(groupCol).as("grp"), valueExpr.as("q"),
+      conv(substring(md5(keyExpr), 1, 8), 16, 10).cast("long").as("h32"))
+    val weighted = li
+      .select(col("grp"), col("q"), col("h32"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("b"))
+      .select(col("grp"), col("q"), col("b"),
+        ((col("h32") * (lit(2) * col("b") + 1) + lit(131071L) * col("b"))
+          % 65536L).as("hv"))
+      .select(col("grp"), col("q"), col("b"),
+        when(col("hv") < 24109, 0L).when(col("hv") < 48219, 1L)
+          .when(col("hv") < 60274, 2L).when(col("hv") < 64292, 3L)
+          .when(col("hv") < 65296, 4L).when(col("hv") < 65497, 5L)
+          .otherwise(6L).as("w"))
+    val reps = weighted.groupBy("grp", "b")
+      .agg((sum(col("q") * col("w")).cast("double")
+        / sum(col("w")).cast("double")).as("m"))
+    val wnd = Window.partitionBy("grp").orderBy(col("m"), col("b"))
+    val ci = reps
+      .select(col("grp"), col("m"), row_number().over(wnd).as("rnk"))
+      .groupBy("grp")
+      .agg(max(when(col("rnk") === 2, col("m"))).as("boot_lo"),
+        max(when(col("rnk") === replicas - 1, col("m"))).as("boot_hi"))
+    val base = li.groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("q")).cast("double") / count(lit(1))).as("sample_mean"))
+    base.join(broadcast(ci), "grp")
+      .select(col("grp"), col("n_rows"), col("sample_mean"),
+        col("boot_lo"), col("boot_hi"))
+      .orderBy("grp")
+  }
+
   private[graft] def spearman(df: DataFrame, xc: String, yc: String)
       : DataFrame = {
     val cells = df.groupBy(col(xc).as("x"), col(yc).as("y"))
@@ -684,41 +735,11 @@ object Stats {
         |  boot_lo, boot_hi
         |FROM base JOIN ci USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-        col("l_quantity").cast("decimal(12,2)").as("q"),
-        conv(substring(md5(concat_ws(":",
-          col("l_orderkey").cast("string"),
-          col("l_linenumber").cast("string"))), 1, 8), 16, 10)
-          .cast("long").as("h32"))
-      val weighted = li
-        .select(col("l_returnflag"), col("q"), col("h32"),
-          explode(expr("sequence(0, 49)")).as("b"))
-        .select(col("l_returnflag"), col("q"), col("b"),
-          ((col("h32") * (lit(2) * col("b") + 1) + lit(131071L) * col("b"))
-            % 65536L).as("hv"))
-        .select(col("l_returnflag"), col("q"), col("b"),
-          when(col("hv") < 24109, 0L).when(col("hv") < 48219, 1L)
-            .when(col("hv") < 60274, 2L).when(col("hv") < 64292, 3L)
-            .when(col("hv") < 65296, 4L).when(col("hv") < 65497, 5L)
-            .otherwise(6L).as("w"))
-      val reps = weighted.groupBy("l_returnflag", "b")
-        .agg((sum(col("q") * col("w")).cast("double")
-          / sum(col("w")).cast("double")).as("m"))
-      val wnd = Window.partitionBy("l_returnflag")
-        .orderBy(col("m"), col("b"))
-      val ci = reps
-        .select(col("l_returnflag"), col("m"),
-          row_number().over(wnd).as("rnk"))
-        .groupBy("l_returnflag")
-        .agg(max(when(col("rnk") === 2, col("m"))).as("boot_lo"),
-          max(when(col("rnk") === 49, col("m"))).as("boot_hi"))
-      val base = li.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          (sum(col("q")).cast("double") / count(lit(1))).as("sample_mean"))
-      base.join(broadcast(ci), "l_returnflag")
-        .select(col("l_returnflag"), col("n_rows"), col("sample_mean"),
-          col("boot_lo"), col("boot_hi"))
-        .orderBy("l_returnflag")
+      bootstrapCiOf(Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity").cast("decimal(12,2)"),
+        concat_ws(":", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string")))
+        .withColumnRenamed("grp", "l_returnflag")
     },
 
     // Poisson overdispersion of daily event arrivals per type: the

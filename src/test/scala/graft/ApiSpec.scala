@@ -1113,6 +1113,39 @@ class ApiSpec extends SparkSuite {
     assert(math.abs(wm - 5.5) < 1e-9, s"wm=$wm")
   }
 
+  test("retentionTriangle / aprioriTriples / bootstrapCi facade kernels " +
+      "on hand-checkable frames") {
+    import spark.implicits._
+    // retention: both users first-active in the week of Mon 2024-01-01,
+    // only user 1 returns the following week
+    val ev = Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-02 10:00:00"),
+      (1L, "2024-01-08 10:00:00")).toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val rt = Graft.retentionTriangle(ev).collect()
+    assert(rt.length == 2, rt.mkString(", "))
+    assert(rt(0).getLong(1) == 0L && rt(0).getLong(2) == 2L &&
+      rt(0).getLong(3) == 2L && rt(0).getDouble(4) == 1.0)
+    assert(rt(1).getLong(1) == 1L && rt(1).getLong(3) == 1L &&
+      rt(1).getDouble(4) == 0.5)
+    // apriori: {1,2,3} twice and {1,2,4} once → only (1,2,3) at support 2
+    // (items 1,2 are in frequent pairs; 4 is pruned before the explode)
+    val b = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (11L, 3L), (12L, 1L), (12L, 2L), (12L, 4L)).toDF("bk", "it")
+    val tr = Graft.aprioriTriples(b, "bk", "it").collect()
+    assert(tr.length == 1 && tr(0).getLong(0) == 1L &&
+      tr(0).getLong(1) == 2L && tr(0).getLong(2) == 3L &&
+      tr(0).getLong(3) == 2L, tr.mkString(", "))
+    // bootstrap of a CONSTANT column: every replica mean is exactly the
+    // constant, so the CI collapses to a point — pins the weighting and
+    // order-statistic plumbing without distributional assumptions
+    val c = (1 to 200).map(i => ("g", BigDecimal("5.00"), i.toString))
+      .toDF("grp", "v", "k")
+    val ci = Graft.bootstrapCi(c, "grp",
+      col("v").cast("decimal(12,2)"), col("k")).collect().head
+    assert(ci.getLong(1) == 200L && ci.getDouble(2) == 5.0 &&
+      ci.getDouble(3) == 5.0 && ci.getDouble(4) == 5.0, ci.toString)
+  }
+
   test("persisted-IVF delete/compaction: census balances, live view and " +
       "search exclude deletes, both compaction paths, recall holds on " +
       "the shrunken store") {

@@ -44,7 +44,10 @@ object ScalingBench {
     "stream_stream_left_semi",
     "pipeline_pretrain_corpus",
     "text_bpe_train",
-    "text_hapax_ratio")
+    "text_hapax_ratio",
+    "orders_basket_triples",
+    "events_retention_triangle",
+    "stats_bootstrap_ci")
 
   /** Least-squares slope of ln(wall) on ln(scale). */
   private[graft] def fitExponent(points: Seq[(Double, Double)]): Double = {

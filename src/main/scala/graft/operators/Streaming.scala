@@ -1178,6 +1178,50 @@ object Streaming {
         .orderBy("cell")
     },
 
+    // Streaming index maintenance, DELETE direction — stream_ann_ingest
+    // in reverse and ann_ivf_delete_compact's hot path made literally
+    // streaming: each micro-batch of delete ids routes to its cells by
+    // ONE semi-join (Ann.ivfDelete) and appends cell-partitioned
+    // tombstones; data files never rewrite in the hot path (that is
+    // compaction's amortized job), and readers see the live view
+    // (tombstones anti-joined partition-aligned) immediately. Scratch
+    // index per run — the shared memoized index stays immutable for the
+    // sibling queries. Output: per-cell live/tombstoned census with an
+    // id-checksum; no SQL oracle (cells are seeded-k-means-defined) —
+    // ApiSpec gates the census against the batch recompute.
+    Q.noOracle("stream_ann_delete") { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_del_").toString
+      Ann.writeIndexLayers(s, dir,
+        Ann.kmeansCells(graft.Tables.embeddings(s, d), k = 4, iters = 3),
+        withGraph = false, withPq = false)
+      val chk = java.nio.file.Files
+        .createTempDirectory("graft_ann_delchk_").toString
+      val q = Streams.embeddingsStream(s, d)
+        .where(col("vec_id") % 5 === 0)
+        .select("vec_id")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$chk/chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Ann.ivfDelete(s, dir, batch)
+        }
+        .start()
+      q.awaitTermination()
+      val live = Ann.ivfLiveCells(s, dir)
+        .groupBy(col("cell").cast("string").as("cell"))
+        .agg(count(lit(1)).as("n_live"),
+          sum(col("vec_id")).as("sum_live_ids"))
+      val tomb = s.read.parquet(s"$dir/tombstones")
+        .groupBy(col("cell").cast("string").as("cell"))
+        .agg(count(lit(1)).as("n_tombstoned"))
+      live.join(tomb, Seq("cell"), "left")
+        .na.fill(0L, Seq("n_tombstoned"))
+        .select(col("cell"), col("n_live"), col("n_tombstoned"),
+          col("sum_live_ids"))
+        .orderBy("cell")
+    },
+
     // Late-data drop across micro-batches (algorithm-defined fixture —
     // no SQL oracle): batch 1 sets the watermark; batch 2 delivers one
     // in-order event and one 70-minutes-late event, which is dropped, so

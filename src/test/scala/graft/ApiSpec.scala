@@ -1242,4 +1242,22 @@ class ApiSpec extends SparkSuite {
     assert(qr.map(_.getLong(1)).sum > 0 &&
       qr.forall(r => r.getLong(3) == r.getLong(1) - r.getLong(2)))
   }
+
+  test("stream_ann_delete census equals the batch tombstone recompute") {
+    val emb = Tables.embeddings(spark, sf)
+    val nDel = emb.where(col("vec_id") % 5 === 0).count()
+    val n = emb.count()
+    val rows = SparkEntry.queries("stream_ann_delete")(spark, sf).collect()
+    // per-cell live + tombstoned must cover the store exactly, with
+    // every %5 id tombstoned and none of them in the live checksum
+    assert(rows.map(_.getLong(2)).sum == nDel,
+      s"tombstoned ${rows.map(_.getLong(2)).sum} != $nDel")
+    assert(rows.map(_.getLong(1)).sum == n - nDel)
+    val liveIdSum = rows.map(_.getLong(3)).sum
+    val expectedLiveIdSum = emb.where(col("vec_id") % 5 =!= 0)
+      .agg(sum(col("vec_id"))).head().getLong(0)
+    assert(liveIdSum == expectedLiveIdSum,
+      s"live id checksum $liveIdSum != $expectedLiveIdSum — a deleted " +
+        "id survived in the live view or a live one was dropped")
+  }
 }

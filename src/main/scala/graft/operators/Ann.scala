@@ -171,7 +171,7 @@ object Ann {
       val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
       val cells = routeCells(s, dir, probe, nprobe = 3)
-      s.read.parquet(s"$dir/cells")
+      readLayer(s, s"${indexRoot(dir)}/cells")
         .where(col("cell").isin(cells.toIndexedSeq: _*))
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
@@ -191,10 +191,11 @@ object Ann {
     // semi-join, ZERO data files rewritten at delete time — then
     // compact. Churn 1/7 ≈ 14% sits under the 20% rebuild threshold,
     // so only the cell partitions that HAVE tombstones are rewritten
-    // (dynamic partition overwrite) and the census says so per cell.
-    // Deterministic because the k-means seeding is; ApiSpec gates the
-    // post-delete census, both compaction paths, and recall vs exact
-    // on the shrunken store.
+    // into a new GENERATION dir (untouched cells hard-linked across,
+    // atomic CURRENT cut-over — crash-safe publish) and the census
+    // says so per cell. Deterministic because the k-means seeding is;
+    // ApiSpec gates the post-delete census, both compaction paths,
+    // crash-before-publish, and recall vs exact on the shrunken store.
     Q.noOracle("ann_ivf_delete_compact") { (s, d) =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ivf_life_").toString
@@ -205,8 +206,8 @@ object Ann {
         Tables.embeddings(s, d).where(col("vec_id") % 7 === 0)
           .select("vec_id"))
       val census = ivfCompact(s, dir, rebuildChurn = 0.2)
-      // the census rows are checkpoint-pinned inside ivfCompact, so the
-      // scratch generation can be reclaimed immediately
+      // the census is a k-row driver-local frame, so the scratch
+      // generation can be reclaimed immediately
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(
         java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
@@ -230,12 +231,13 @@ object Ann {
       val probe = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select(lit(0L).as("probe_id"), col("embedding").as("probe"))
       val cells = routeCells(s, dir, probe, nprobe = 3)
-      val codes = s.read.parquet(s"$dir/pq_codes")
+      val root = indexRoot(dir)
+      val codes = readLayer(s, s"$root/pq_codes")
         .where(col("cell").isin(cells.toIndexedSeq: _*))
         .where(col("id") =!= 0)
-      val cents = s.read.parquet(s"$dir/centroids")
+      val cents = s.read.parquet(s"$root/centroids")
         .where(col("cell").isin(cells.toIndexedSeq: _*))
-      adcScoreResidual(codes, s.read.parquet(s"$dir/pq_codebook"),
+      adcScoreResidual(codes, s.read.parquet(s"$root/pq_codebook"),
           cents, probe, 8, 10)
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
@@ -262,8 +264,8 @@ object Ann {
       val cells = routeCells(s, dir, Tables.embeddings(s, d)
         .where(col("vec_id") === 0).select(col("embedding").as("probe")),
         nprobe = 3)
-      graphSearchCells(s, s"$dir/graph", cells.toIndexedSeq, probeRow,
-          k = 10, ef = 48)
+      graphSearchCells(s, s"${indexRoot(dir)}/graph", cells.toIndexedSeq,
+          probeRow, k = 10, ef = 48)
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
@@ -518,13 +520,14 @@ object Ann {
       // rank all k=4 cells per probe by centroid cosine — the routing
       // table stays a DATAFRAME (no driver collect: the curve reads all
       // cells anyway, so static partition pruning buys nothing here)
-      val ranked = s.read.parquet(s"$dir/centroids")
+      val root = indexRoot(dir)
+      val ranked = s.read.parquet(s"$root/centroids")
         .crossJoin(broadcast(probes))
         .withColumn("cell_rank", row_number().over(
           w.partitionBy("probe_id")
             .orderBy(cosine_sim(col("cent"), col("pe")).desc, col("cell"))))
         .select("probe_id", "cell", "cell_rank", "pe")
-      val topk = s.read.parquet(s"$dir/cells")
+      val topk = readLayer(s, s"$root/cells")
         .join(broadcast(ranked), "cell")
         .where(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"), col("cell_rank"),
@@ -575,7 +578,8 @@ object Ann {
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
       // ONE routing pass for all probes (k centroid rows × 4 probes →
       // 12 bounded driver-side pairs, the routeCells precedent)
-      val routingRows = s.read.parquet(s"$dir/centroids")
+      val root = indexRoot(dir)
+      val routingRows = s.read.parquet(s"$root/centroids")
         .crossJoin(broadcast(probeFrame))
         .withColumn("rn", row_number().over(w0.partitionBy("probe_id")
           .orderBy(cosine_sim(col("cent"), col("probe")).desc, col("cell"))))
@@ -587,13 +591,13 @@ object Ann {
       // bound per probe through the r_pid channel (a code row joins only
       // the probes actually routed to its cell), self-matches excluded
       val routing = routingRows.toSeq.toDF("r_pid", "cell")
-      val codes = s.read.parquet(s"$dir/pq_codes")
+      val codes = readLayer(s, s"$root/pq_codes")
         .where(col("cell").isin(unionCells: _*))
         .join(broadcast(routing), "cell")
         .where(col("id") =!= col("r_pid"))
       val ivfpq = adcScoreResidual(codes,
-          s.read.parquet(s"$dir/pq_codebook"),
-          s.read.parquet(s"$dir/centroids")
+          s.read.parquet(s"$root/pq_codebook"),
+          s.read.parquet(s"$root/centroids")
             .where(col("cell").isin(unionCells: _*)),
           probeFrame, 8, 10)
         .select(col("probe_id"), lit("ivfpq").as("method"),
@@ -607,7 +611,7 @@ object Ann {
       val routedByProbe = routingRows.groupBy(_._1).toSeq
         .map { case (p, rs) => (p, pvecs(p), rs.map(_._2).toSet) }
         .sortBy(_._1)
-      val graph = graphSearchMulti(s.read.parquet(s"$dir/graph"),
+      val graph = graphSearchMulti(readLayer(s, s"$root/graph"),
           routedByProbe, k = 12, ef = 48)
         .where(col("vec_id") =!= col("probe_id"))
         .withColumn("rn", row_number().over(w0.partitionBy("probe_id")
@@ -741,7 +745,7 @@ object Ann {
       graphDir: String, cells: Seq[String], probe: Array[Float],
       k: Int, ef: Int): org.apache.spark.sql.DataFrame =
     graphSearchOf(
-      s.read.parquet(graphDir).where(col("cell").isin(cells: _*)),
+      readLayer(s, graphDir).where(col("cell").isin(cells: _*)),
       probe, k, ef)
 
   /** Frame-parametric beam search over per-cell neighbor graphs (the
@@ -864,6 +868,105 @@ object Ann {
       dir
     })
 
+  /** Resolve the LIVE layer root of a persisted index: `$dir/gen-N` when
+    * an atomic `CURRENT` pointer exists (an index that has been
+    * compacted at least once — see [[ivfCompact]]'s generation publish),
+    * else `dir` itself (a fresh [[writeIndexLayers]] build — implicit
+    * generation 0). Every reader resolves through this, so a compaction
+    * cut-over is one pointer flip and a reader mid-compaction always
+    * sees one whole generation (the vector STORE's `upsertGeneration`
+    * discipline, extended to the multi-layer index).
+    */
+  private[graft] def indexRoot(dir: String): String = {
+    val cur = java.nio.file.Paths.get(dir, "CURRENT")
+    if (java.nio.file.Files.isRegularFile(cur))
+      dir + "/" + new String(java.nio.file.Files.readAllBytes(cur),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    else dir
+  }
+
+  /** Read a cell-PARTITIONED index layer with partition-column type
+    * inference OFF, so `cell` always comes back as the STRING it was
+    * written as ([[writeIndexLayers]] pins the type before the write).
+    * Without this, Spark infers `cell=3` back as int and every
+    * lifecycle join (cells⋈tombstones, assignment⋈centroids — the
+    * centroid table stores cell as a string DATA column) silently leans
+    * on int/string comparison coercion. The conf is scoped to the one
+    * eager `load()` and restored immediately.
+    */
+  private[graft] def readLayer(s: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try s.read.parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** Carry an UNTOUCHED layer (or single partition directory) from the
+    * old generation into the new one without opening a single data
+    * file: hard links where the filesystem allows, byte copies
+    * otherwise. On an object store this is a manifest/pointer copy —
+    * the point is that compaction's cost is proportional to the
+    * AFFECTED cells, never the index size.
+    */
+  private def linkLayer(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(src)) return
+    scala.util.Using.resource(java.nio.file.Files.walk(src))(
+      _.iterator().asScala.toSeq).foreach { p =>
+      val rel = src.relativize(p)
+      val tgt = dst.resolve(rel)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(tgt)
+      else {
+        java.nio.file.Files.createDirectories(tgt.getParent)
+        try java.nio.file.Files.createLink(tgt, p)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(p, tgt,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+  }
+
+  /** Atomically PUBLISH a fully-written generation directory and GC the
+    * superseded one: write `CURRENT.tmp`, ATOMIC_MOVE onto `CURRENT`,
+    * then delete the old generation's files. A crash before the move
+    * leaves the old generation (including its tombstones) fully live; a
+    * crash after it leaves only unreferenced garbage. Tombstone
+    * consumption is therefore PART of the generation commit — the new
+    * generation is born with no tombstones directory.
+    */
+  private[graft] def publishGeneration(dir: String, gen: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val oldRoot = java.nio.file.Paths.get(indexRoot(dir))
+    val tmp = root.resolve("CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, root.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def deleteTree(p: java.nio.file.Path): Unit =
+      scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.iterator().asScala.toSeq).reverse
+        .foreach(q => try java.nio.file.Files.deleteIfExists(q)
+          catch { case _: Exception => () })
+    if (oldRoot == root)
+      // implicit generation 0: the layers live bare under the index dir
+      Seq("cells", "centroids", "graph", "pq_codes", "pq_codebook",
+          "tombstones")
+        .map(root.resolve)
+        .filter(java.nio.file.Files.exists(_))
+        .foreach(deleteTree)
+    else if (oldRoot.getFileName.toString != gen)
+      deleteTree(oldRoot)
+  }
+
   /** Write one index GENERATION from a (vec_id, embedding, cell)
     * assignment: the cell-partitioned float cells, the k-row centroid
     * table, and (optionally) the derived graph and PQ layers. Shared by
@@ -920,6 +1023,10 @@ object Ann {
       cbFrame(s, cb).coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/pq_codebook")
     }
+    // the checkpoint's blocks are dead once the last layer is written —
+    // free them (repeated index builds in one session would otherwise
+    // accumulate checkpoint blocks in the block manager)
+    assign.unpersist(blocking = false)
   }
 
   /** Tombstone DELETES routed to their cells — the `stream_ann_ingest`
@@ -933,12 +1040,33 @@ object Ann {
     * data files (that is [[ivfCompact]]'s job, amortized over churn).
     */
   private[graft] def ivfDelete(s: org.apache.spark.sql.SparkSession,
-      dir: String, deleteIds: org.apache.spark.sql.DataFrame): Unit =
-    s.read.parquet(s"$dir/cells")
+      dir: String, deleteIds: org.apache.spark.sql.DataFrame): Unit = {
+    val root = indexRoot(dir)
+    readLayer(s, s"$root/cells")
       .join(deleteIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("cell"))
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/tombstones")
+      .parquet(s"$root/tombstones")
+  }
+
+  /** Batch INGEST into the persisted index — `stream_ann_ingest`'s
+    * per-micro-batch kernel pointed at the index itself (the reference's
+    * document-add direction, `OpenSearchConnection.java:21-36`): new
+    * vectors route to their nearest persisted centroid (broadcast k-row
+    * table, one combiner shuffle) and APPEND to the live generation's
+    * cell partitions — no rebuild, and every reader prunes to the same
+    * cells over the grown store. Appends commit per Spark's file-commit
+    * protocol (files surface only on task commit), so a killed ingest
+    * leaves no partial rows visible.
+    */
+  private[graft] def ivfIngest(s: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: org.apache.spark.sql.DataFrame): Unit = {
+    val root = indexRoot(dir)
+    assignToCentroids(vecs.select("vec_id", "embedding"),
+        s.read.parquet(s"$root/centroids"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$root/cells")
+  }
 
   /** LIVE view of the persisted cells: tombstoned rows anti-joined out,
     * on (cell, vec_id) so the probe's partition pruning carries to the
@@ -946,110 +1074,145 @@ object Ann {
     */
   private[graft] def ivfLiveCells(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val cells = s.read.parquet(s"$dir/cells")
+    val root = indexRoot(dir)
+    val cells = readLayer(s, s"$root/cells")
     if (!java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(dir, "tombstones"))) cells
+        java.nio.file.Paths.get(root, "tombstones"))) cells
     else cells.join(
-      s.read.parquet(s"$dir/tombstones").select("cell", "vec_id"),
+      readLayer(s, s"$root/tombstones").select("cell", "vec_id"),
       Seq("cell", "vec_id"), "left_anti")
   }
 
   /** COMPACTION with a churn threshold — the maintenance half of the
     * delete lifecycle. Returns the per-cell census the decision was made
-    * from: (cell, n_before, n_tombstoned, n_live, action).
+    * from: (cell, n_before, n_tombstoned, n_live, action) — a k-row
+    * DRIVER-LOCAL frame (the bounded-centroid-collect precedent), so it
+    * survives any later reclamation of the index dir and pins no
+    * checkpoint blocks.
+    *
+    * CRASH-SAFE PUBLISH: compaction never rewrites the live generation
+    * in place. Every surviving layer is written to a fresh `gen-N`
+    * directory under the index dir (untouched cell partitions carried
+    * over as hard links — zero data files opened), and the cut-over is
+    * [[publishGeneration]]'s single atomic CURRENT flip, after which
+    * the superseded generation — INCLUDING its tombstones: consumption
+    * is part of the commit — is GC'd. A crash anywhere before the flip
+    * leaves the old generation fully live with its tombstones intact
+    * (the live view is unchanged, and re-running compaction redoes the
+    * work idempotently); a reader mid-compaction always sees one whole
+    * generation. This is the vector STORE's `upsertGeneration`
+    * discipline extended to the multi-layer index.
     *
     * If total churn (tombstoned/total) exceeds `rebuildChurn`, the
     * k-means coarse quantizer itself is re-run on the surviving vectors
     * and every layer rewritten ([[writeIndexLayers]]) — high churn
     * shifts the data distribution under the frozen centroids, degrading
     * routing recall. Below the threshold only the cell partitions that
-    * HAVE tombstones are rewritten (dynamic partition overwrite — the
-    * untouched cells' files are never opened); derived graph/PQ layers,
-    * when present, are rebuilt from the live assignment (at 100 TB
-    * scope that rebuild to the affected cells the same way — the
-    * boundary-stitch replicas are the only cross-cell dependency).
-    * Tombstones are consumed (deleted) on success; the census is
-    * computed BEFORE any rewrite and is deterministic.
+    * HAVE tombstones are rewritten into the new generation; a FULLY
+    * tombstoned cell simply has no partition there (nothing to
+    * resurrect — its centroid stays for routing and prunes to zero
+    * rows); derived graph/PQ layers, when present, are rebuilt from the
+    * live assignment (at 100 TB scope that rebuild to the affected
+    * cells the same way — the boundary-stitch replicas are the only
+    * cross-cell dependency).
+    *
+    * `publish = false` is the crash-injection hook: every layer of the
+    * new generation is written but the CURRENT flip never happens —
+    * exactly the state a kill between the last layer write and the
+    * commit leaves behind (ApiSpec drives it and asserts the old
+    * generation still serves).
     */
   private[graft] def ivfCompact(s: org.apache.spark.sql.SparkSession,
-      dir: String, rebuildChurn: Double = 0.2, iters: Int = 3)
+      dir: String, rebuildChurn: Double = 0.2, iters: Int = 3,
+      publish: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
-    val cells = s.read.parquet(s"$dir/cells")
-    val before = cells.groupBy("cell").agg(count(lit(1)).as("n_before"))
-    val tombPath = java.nio.file.Paths.get(dir, "tombstones")
+    import s.implicits._
+    val root = indexRoot(dir)
+    val before = readLayer(s, s"$root/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n_before"))
+    def censusFrame(rows: Seq[(String, Long, Long, Long, String)]) =
+      rows.sortBy(_._1)
+        .toDF("cell", "n_before", "n_tombstoned", "n_live", "action")
+    val tombPath = java.nio.file.Paths.get(root, "tombstones")
     if (!java.nio.file.Files.isDirectory(tombPath))
-      return before
-        .select(col("cell"), col("n_before"), lit(0L).as("n_tombstoned"),
-          col("n_before").as("n_live"), lit("kept").as("action"))
-        .orderBy("cell")
-    val tomb = s.read.parquet(s"$dir/tombstones")
+      // k-row bounded collect, uniform with the main path: no lazily
+      // file-bound frame escapes this function
+      return censusFrame(before.collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), 0L, r.getLong(1), "kept")))
+    val tomb = readLayer(s, s"$root/tombstones")
       .select("cell", "vec_id").distinct()
-    val census0 = before
+    // the census is k rows of bounded metadata — collect it and decide
+    // everything driver-side (affected set, churn, action labels)
+    val census = before
       .join(tomb.groupBy("cell").agg(count(lit(1)).as("n_tombstoned")),
         Seq("cell"), "left")
       .na.fill(0L, Seq("n_tombstoned"))
-      .select(col("cell"), col("n_before"), col("n_tombstoned"),
-        (col("n_before") - col("n_tombstoned")).as("n_live"))
-      .localCheckpoint(true) // census precedes (and survives) the rewrite
-    val totals = census0
-      .agg(sum("n_before").as("b"), sum("n_tombstoned").as("t")).head()
-    val churn = totals.getLong(1).toDouble / math.max(1L, totals.getLong(0))
+      .collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(1) - r.getLong(2)))
+    val churn = census.map(_._3).sum.toDouble /
+      math.max(1L, census.map(_._2).sum)
     val withGraph = java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(dir, "graph"))
+      java.nio.file.Paths.get(root, "graph"))
     val withPq = java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(dir, "pq_codes"))
-    // materialize the survivors BEFORE any overwrite touches the files
-    // they were read from
+      java.nio.file.Paths.get(root, "pq_codes"))
+    val curGen =
+      if (root == dir) 0
+      else java.nio.file.Paths.get(root).getFileName.toString
+        .stripPrefix("gen-").toInt
+    val gen = s"gen-${curGen + 1}"
+    val next = s"$dir/$gen"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(next))
+    // materialize the survivors once: k-means (rebuild path) or the
+    // three layer writes (rewrite path) would each replay the anti-join
     val live = ivfLiveCells(s, dir)
-      .select("vec_id", "embedding").localCheckpoint(true)
-    val action =
-      if (churn > rebuildChurn) {
-        val k = s.read.parquet(s"$dir/centroids").count().toInt
-        writeIndexLayers(s, dir, kmeansCells(live, k, iters),
-          withGraph, withPq)
-        lit("rebuilt")
-      } else {
-        // affected partitions only: k-row bounded collect of cell ids
-        // (partition-column type inference may read `cell` back as int,
-        // so collect the raw values)
-        val affected = census0.where(col("n_tombstoned") > 0)
-          .select("cell").collect().map(_.get(0))
-        val liveAssign = ivfLiveCells(s, dir)
-          .select("vec_id", "embedding", "cell").localCheckpoint(true)
-        liveAssign.where(col("cell").isin(affected.toIndexedSeq: _*))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(s"$dir/cells")
-        if (withGraph)
-          buildCellGraphs(stitchAssignment(liveAssign), m = 12)
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$dir/graph")
-        if (withPq) {
-          val cents = s.read.parquet(s"$dir/centroids")
-          val res = liveAssign.join(broadcast(cents), "cell")
-            .select(col("vec_id").as("id"), col("cell"),
-              expr("zip_with(embedding, cent, (x, y) -> x - y)").as("res"))
-          val cb = pqCodebooks(res.select(col("id"), col("res")),
-            "id", "res", 8, 16, 3)
-          subVectors(res, "id", "res", 8, carry = Seq("cell"))
-            .select(col("id"), col("cell"), col("sub"),
-              pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$dir/pq_codes")
-          cbFrame(s, cb).coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/pq_codebook")
-        }
-        when(col("n_tombstoned") > 0, lit("rewritten"))
-          .otherwise(lit("kept"))
+      .select("vec_id", "embedding", "cell").localCheckpoint(true)
+    val rebuilt = churn > rebuildChurn
+    if (rebuilt) {
+      val k = s.read.parquet(s"$root/centroids").count().toInt
+      writeIndexLayers(s, next,
+        kmeansCells(live.select("vec_id", "embedding"), k, iters),
+        withGraph, withPq)
+    } else {
+      // rewrite ONLY the tombstoned cells' survivors; hard-link every
+      // untouched cell's files across (never opened); centroids are NOT
+      // retrained below the threshold — carried verbatim
+      val affected = census.filter(_._3 > 0).map(_._1)
+      live.where(col("cell").isin(affected: _*))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$next/cells")
+      census.map(_._1).filterNot(affected.contains).foreach { c =>
+        linkLayer(java.nio.file.Paths.get(root, "cells", s"cell=$c"),
+          java.nio.file.Paths.get(next, "cells", s"cell=$c"))
       }
-    // tombstones are consumed: the rewrite made them permanent
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(java.nio.file.Files.walk(tombPath))(
-      _.iterator().asScala.toSeq).reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    census0.select(col("cell"), col("n_before"), col("n_tombstoned"),
-        col("n_live"), action.as("action"))
-      .orderBy("cell")
+      linkLayer(java.nio.file.Paths.get(root, "centroids"),
+        java.nio.file.Paths.get(next, "centroids"))
+      if (withGraph)
+        buildCellGraphs(stitchAssignment(live), m = 12)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$next/graph")
+      if (withPq) {
+        val cents = s.read.parquet(s"$next/centroids")
+        val res = live.join(broadcast(cents), "cell")
+          .select(col("vec_id").as("id"), col("cell"),
+            expr("zip_with(embedding, cent, (x, y) -> x - y)").as("res"))
+        val cb = pqCodebooks(res.select(col("id"), col("res")),
+          "id", "res", 8, 16, 3)
+        subVectors(res, "id", "res", 8, carry = Seq("cell"))
+          .select(col("id"), col("cell"), col("sub"),
+            pq_argmin(col("sv"), col("sub"), cbLit(cb)).as("code"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$next/pq_codes")
+        cbFrame(s, cb).coalesce(1).write.mode("overwrite")
+          .parquet(s"$next/pq_codebook")
+      }
+    }
+    live.unpersist(blocking = false)
+    if (publish) publishGeneration(dir, gen)
+    censusFrame(census.map { case (c, nb, nt, nl) =>
+      (c, nb, nt, nl,
+        if (rebuilt) "rebuilt" else if (nt > 0) "rewritten" else "kept")
+    })
   }
 
   /** nprobe nearest persisted cells for a probe frame exposing a
@@ -1059,7 +1222,7 @@ object Ann {
     */
   private def routeCells(s: org.apache.spark.sql.SparkSession, dir: String,
       probe: org.apache.spark.sql.DataFrame, nprobe: Int): Array[String] =
-    s.read.parquet(s"$dir/centroids")
+    s.read.parquet(s"${indexRoot(dir)}/centroids")
       .crossJoin(broadcast(probe.select(col("probe"))))
       .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
       .orderBy(col("cs").desc, col("cell"))

@@ -1157,7 +1157,7 @@ object Streaming {
     // against the batch nearest-centroid recompute exactly.
     Q.noOracle("stream_ann_ingest") { (s, d) =>
       val dir = Ann.ivfIndex(s, d)
-      val cents = s.read.parquet(s"$dir/centroids")
+      val cents = s.read.parquet(s"${Ann.indexRoot(dir)}/centroids")
       val ingest = java.nio.file.Files
         .createTempDirectory("graft_ann_ingest_").toString
       val q = Streams.embeddingsStream(s, d).writeStream
@@ -1212,8 +1212,14 @@ object Streaming {
         .groupBy(col("cell").cast("string").as("cell"))
         .agg(count(lit(1)).as("n_live"),
           sum(col("vec_id")).as("sum_live_ids"))
-      val tomb = s.read.parquet(s"$dir/tombstones")
-        .groupBy(col("cell").cast("string").as("cell"))
+      // DISTINCT (cell, vec_id) before counting: foreachBatch is
+      // at-least-once, so a replayed epoch re-appends its tombstones —
+      // the census must count deletes, not deliveries (the same
+      // discipline ivfCompact's census applies)
+      val tomb = Ann.readLayer(s, s"${Ann.indexRoot(dir)}/tombstones")
+        .select(col("cell").cast("string").as("cell"), col("vec_id"))
+        .distinct()
+        .groupBy("cell")
         .agg(count(lit(1)).as("n_tombstoned"))
       live.join(tomb, Seq("cell"), "left")
         .na.fill(0L, Seq("n_tombstoned"))

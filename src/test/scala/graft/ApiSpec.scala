@@ -1181,14 +1181,20 @@ class ApiSpec extends SparkSuite {
     assert(census1.forall(r =>
       r.getString(4) == (if (r.getLong(2) > 0) "rewritten" else "kept")),
       census1.mkString(", "))
-    // compaction consumed the tombstones and made them permanent
+    // compaction consumed the tombstones as part of the generation
+    // commit: the published generation has no tombstones dir and the
+    // superseded bare layers are GC'd
+    val root1 = Ann.indexRoot(dir1)
+    assert(root1 != dir1, "compaction must publish a new generation")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root1, "tombstones")))
     assert(!java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(dir1, "tombstones")))
-    assert(spark.read.parquet(s"$dir1/cells").count() == n - nDel1)
-    assert(spark.read.parquet(s"$dir1/cells")
+    assert(spark.read.parquet(s"$root1/cells").count() == n - nDel1)
+    assert(spark.read.parquet(s"$root1/cells")
       .join(dels1, Seq("vec_id"), "left_semi").count() == 0)
     // centroids NOT retrained on this path
-    assert(spark.read.parquet(s"$dir1/centroids").count() == 4)
+    assert(spark.read.parquet(s"$root1/centroids").count() == 4)
 
     // --- high churn (every 3rd id ≈ 33% > 20%) → k-means REBUILD path
     val dir2 = freshIndex()
@@ -1198,10 +1204,11 @@ class ApiSpec extends SparkSuite {
     val census2 = Ann.ivfCompact(spark, dir2, rebuildChurn = 0.2).collect()
     assert(census2.forall(_.getString(4) == "rebuilt"),
       census2.mkString(", "))
-    val cells2 = spark.read.parquet(s"$dir2/cells")
+    val root2 = Ann.indexRoot(dir2)
+    val cells2 = spark.read.parquet(s"$root2/cells")
     assert(cells2.count() == n - nDel2)
     assert(cells2.join(dels2, Seq("vec_id"), "left_semi").count() == 0)
-    assert(spark.read.parquet(s"$dir2/centroids").count() == 4)
+    assert(spark.read.parquet(s"$root2/centroids").count() == 4)
 
     // --- recall vs exact on the shrunken store: route the standard
     // probe through the rebuilt centroids, search 3 of 4 cells, compare
@@ -1210,7 +1217,7 @@ class ApiSpec extends SparkSuite {
     val probe = emb.where(col("vec_id") === 1) // vec 0 is deleted (÷3)
       .select(col("embedding").as("probe"))
     val pv = probe.head().getSeq[Float](0)
-    val routed = spark.read.parquet(s"$dir2/centroids")
+    val routed = spark.read.parquet(s"$root2/centroids")
       .crossJoin(broadcast(probe))
       .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
       .orderBy(col("cs").desc, col("cell"))
@@ -1259,5 +1266,152 @@ class ApiSpec extends SparkSuite {
     assert(liveIdSum == expectedLiveIdSum,
       s"live id checksum $liveIdSum != $expectedLiveIdSum — a deleted " +
         "id survived in the live view or a live one was dropped")
+  }
+
+  test("compaction publish is crash-safe: an unpublished generation " +
+      "leaves the old one fully live, and a fully-tombstoned cell does " +
+      "not resurrect after publish") {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_crash_").toString
+    Ann.writeIndexLayers(spark, dir,
+      Ann.kmeansCells(emb, k = 4, iters = 3),
+      withGraph = false, withPq = false)
+    // tombstone EVERY vector of the smallest cell — the case the
+    // in-place dynamic-overwrite design silently resurrected (zero live
+    // rows => no partition rewrite => old files stayed)
+    val cellsDf = Ann.readLayer(spark, s"$dir/cells")
+    val smallest = cellsDf.groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(col("n"), col("cell")).head()
+    val victim = smallest.getString(0)
+    val nVictim = smallest.getLong(1)
+    // pin the delete set: the old generation's files are GC'd at publish
+    val dels = cellsDf.where(col("cell") === victim).select("vec_id")
+      .localCheckpoint(true)
+    Ann.ivfDelete(spark, dir, dels)
+    // CRASH INJECTION: every layer of gen-1 is written, CURRENT never
+    // flips (rebuildChurn 0.9 forces the per-cell rewrite path so the
+    // fully-tombstoned case is the one exercised)
+    val census = Ann.ivfCompact(spark, dir, rebuildChurn = 0.9,
+      publish = false).collect()
+    assert(Ann.indexRoot(dir) == dir,
+      "unpublished compaction must not move the live root")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "gen-1", "cells")))
+    // the old generation still serves the exact pre-crash live view:
+    // tombstones intact, anti-join still applied
+    val live0 = Ann.ivfLiveCells(spark, dir)
+    assert(live0.count() == n - nVictim)
+    assert(live0.where(col("cell") === victim).count() == 0)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "tombstones")))
+    // recovery: publish the written generation (re-running ivfCompact
+    // would redo it idempotently)
+    Ann.publishGeneration(dir, "gen-1")
+    val root = Ann.indexRoot(dir)
+    assert(root == s"$dir/gen-1")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "cells", s"cell=$victim")),
+      "fully-tombstoned cell resurrected in the published generation")
+    val after = Ann.readLayer(spark, s"$root/cells")
+    assert(after.count() == n - nVictim)
+    assert(after.join(dels, Seq("vec_id"), "left_semi").count() == 0)
+    assert(Ann.ivfLiveCells(spark, dir).count() == n - nVictim)
+    // tombstones were consumed as part of the commit
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "tombstones")))
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "tombstones")))
+    // the census named the outcome: victim fully rewritten to zero rows
+    val vrow = census.find(_.getString(0) == victim).get
+    assert(vrow.getLong(3) == 0L && vrow.getString(4) == "rewritten")
+    // centroids carried verbatim below the rebuild threshold — the
+    // empty cell still routes (and prunes to zero rows)
+    assert(spark.read.parquet(s"$root/centroids").count() == 4)
+  }
+
+  test("mixed-churn ANN lifecycle: two ingest-delete-compact-ingest " +
+      "cycles keep the live view exact and recall@10 vs exact after " +
+      "every phase") {
+    import graft.operators.Ann
+    import graft.functions.cosine_sim
+    val emb = Tables.embeddings(spark, sf) // 500 vectors at this sf
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_churn_").toString
+    Ann.writeIndexLayers(spark, dir,
+      Ann.kmeansCells(emb.where(col("vec_id") < 300), k = 4, iters = 3),
+      withGraph = false, withPq = false)
+    // the driver-side model of the live id set — the oracle every
+    // phase's live view and exact top-10 are checked against
+    var liveIds = (0L until 300L).toSet
+    val probe = emb.where(col("vec_id") === 1)
+      .select(col("embedding").as("probe"))
+    def ingest(from: Long, until: Long): Unit = {
+      Ann.ivfIngest(spark, dir,
+        emb.where(col("vec_id") >= from && col("vec_id") < until))
+      liveIds ++= (from until until)
+    }
+    def delete(mod: Long): Set[Long] = {
+      val ids = liveIds.filter(id => id % mod == 0 && id != 1)
+      Ann.ivfDelete(spark, dir,
+        emb.where(col("vec_id").isInCollection(ids)).select("vec_id"))
+      liveIds --= ids
+      ids
+    }
+    def checkPhase(phase: String): Unit = {
+      val live = Ann.ivfLiveCells(spark, dir)
+      val got = live.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got == liveIds, s"$phase: live view diverged from the " +
+        s"model (missing=${(liveIds -- got).take(5)}, " +
+        s"extra=${(got -- liveIds).take(5)})")
+      def top10(df: org.apache.spark.sql.DataFrame) = df
+        .where(col("vec_id") =!= 1)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          cosine_sim(col("embedding"), col("probe")).as("s"))
+        .orderBy(col("s").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+      val routed = spark.read
+        .parquet(s"${Ann.indexRoot(dir)}/centroids")
+        .crossJoin(broadcast(probe))
+        .select(col("cell"), cosine_sim(col("cent"), col("probe")).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(3).select("cell").collect().map(_.getString(0))
+      val approx = top10(live.where(col("cell")
+        .isin(routed.toIndexedSeq: _*)))
+      val exact = top10(emb.where(col("vec_id").isInCollection(liveIds)))
+      val recall = approx.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.6, s"$phase: recall@10 $recall")
+    }
+    def compactAndCheck(phase: String, expectAction: String): Unit = {
+      val nBefore = liveIds.size
+      val census = Ann.ivfCompact(spark, dir, rebuildChurn = 0.2).collect()
+      assert(census.map(_.getLong(3)).sum == nBefore,
+        s"$phase: census n_live != model live count")
+      assert(census.forall(r => r.getLong(3) ==
+        r.getLong(1) - r.getLong(2)), s"$phase: census does not balance")
+      assert(census.exists(_.getString(4) == expectAction),
+        s"$phase: expected a '$expectAction' cell, got " +
+          census.map(_.getString(4)).mkString(","))
+      checkPhase(phase)
+    }
+    checkPhase("build")
+    // ---- cycle 1: grow, churn under the threshold, compact, grow again
+    ingest(300, 400); checkPhase("ingest-1a")
+    val d1 = delete(7); checkPhase("delete-1")
+    assert(d1.nonEmpty && d1.size.toDouble / (liveIds.size + d1.size) < 0.2)
+    compactAndCheck("compact-1", "rewritten")
+    ingest(400, 450); checkPhase("ingest-1b")
+    // ---- cycle 2: churn OVER the threshold -> full k-means rebuild
+    val d2 = delete(3); checkPhase("delete-2")
+    assert(d2.size.toDouble / (liveIds.size + d2.size) > 0.2)
+    compactAndCheck("compact-2", "rebuilt")
+    ingest(450, 500); checkPhase("ingest-2")
+    // two full cycles later the index is on its second published
+    // generation and the store holds exactly the surviving ids
+    assert(Ann.indexRoot(dir) == s"$dir/gen-2")
+    assert(Ann.ivfLiveCells(spark, dir).count() == liveIds.size)
   }
 }

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   *    axis is guarded separately by the bench's state_rows telemetry.
   *  - Dimension-sized tables (region, nation) copy verbatim.
   *
-  * Usage: `runMain graft.ScaleGen <srcSfDir> <outDir> <factor>`.
-  * ScalingBench invokes this lazily for missing scale dirs.
+  * Usage: `runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
+  * [holdHotParts]` (the optional 4th arg writes the GROWING-SKEW
+  * variant — see `generate`). ScalingBench invokes this lazily for
+  * missing scale dirs.
   */
 object ScaleGen {
 
@@ -46,12 +48,28 @@ object ScaleGen {
     * caller (one offset per join key, from the dimension side) so fact
     * and dim shift identically and referential integrity holds in
     * every copy.
+    *
+    * `hold` (the GROWING-SKEW mode, r18 verdict ask #2): per column, a
+    * set of key values that are NOT shifted — every copy keeps them
+    * verbatim, so the held keys' share of rows stays constant while
+    * their ABSOLUTE mass grows `factor`×. Plain amplification makes
+    * `factor` structurally-independent shards (each shard brings its
+    * own hot key, so skew never grows); held keys are the power-law
+    * HEAD that grows with the corpus — the shape the salted/capped
+    * kernels exist for. Held values always exist in copy 0, so
+    * referential integrity is untouched.
     */
   private def amplify(df: DataFrame, factor: Int, offs: Map[String, Long],
-      textPermute: Boolean = false): DataFrame = {
+      textPermute: Boolean = false,
+      hold: Map[String, Seq[Long]] = Map.empty): DataFrame = {
     (0 until factor).map { cp =>
       val shifted = offs.foldLeft(df) { case (d, (c, off)) =>
-        d.withColumn(c, col(c) + lit(cp * off))
+        val sh = col(c) + lit(cp * off)
+        d.withColumn(c, hold.get(c) match {
+          case Some(hot) if hot.nonEmpty =>
+            when(col(c).isin(hot: _*), col(c)).otherwise(sh)
+          case _ => sh
+        })
       }
       if (!textPermute || cp == 0) shifted
       else
@@ -73,10 +91,21 @@ object ScaleGen {
 
   /** Amplify every table of `src` into `out` (idempotent: skips when the
     * marker file for this factor already exists).
+    *
+    * `holdHotParts` > 0 enables the growing-skew corpus: the N parts
+    * appearing in the most distinct orders keep their `l_partkey`
+    * across every copy (order keys still shift), so each hot part
+    * co-purchases with `factor`× as many orders — its co-purchase hub
+    * DEGREE grows linearly with the corpus while its row share stays
+    * constant. This is the axis the salted-adjacency and
+    * capped-middle-vertex kernels must survive; the plain corpus can
+    * never exercise it (shards are structurally independent).
     */
   def generate(spark: SparkSession, src: String, out: String,
-      factor: Int): Unit = {
-    val marker = java.nio.file.Paths.get(out, s"_SCALE_$factor")
+      factor: Int, holdHotParts: Int = 0): Unit = {
+    val marker = java.nio.file.Paths.get(out,
+      if (holdHotParts > 0) s"_SCALE_${factor}_h$holdHotParts"
+      else s"_SCALE_$factor")
     if (java.nio.file.Files.exists(marker)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     // nanos-encoded events fixtures (rounds ≤9) arrive as raw-long under
@@ -117,9 +146,18 @@ object ScaleGen {
     val partOff = keyMax("part", "p_partkey")
     val suppOff = keyMax("supplier", "s_suppkey")
     val custOff = keyMax("customer", "c_custkey")
+    // the growing-skew head: top-N parts by distinct-order count (a
+    // bounded N-row collect), held verbatim in every copy
+    val hotParts: Seq[Long] =
+      if (holdHotParts <= 0) Nil
+      else read("lineitem").select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_partkey"))
+        .limit(holdHotParts).collect().map(_.getLong(0)).toSeq
     write(amplify(read("lineitem"), factor, Map(
       "l_orderkey" -> ordOff, "l_partkey" -> partOff,
-      "l_suppkey" -> suppOff)), "lineitem", 4 * factor)
+      "l_suppkey" -> suppOff),
+      hold = Map("l_partkey" -> hotParts)), "lineitem", 4 * factor)
     write(amplify(read("orders"), factor, Map(
       "o_orderkey" -> ordOff, "o_custkey" -> custOff)),
       "orders", 2 * factor)
@@ -153,7 +191,8 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, factor)
+    generate(spark, src, out, factor,
+      holdHotParts = args.lift(3).map(_.toInt).getOrElse(0))
     spark.stop()
   }
 }

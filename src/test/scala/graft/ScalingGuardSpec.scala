@@ -55,6 +55,46 @@ class ScalingGuardSpec extends AnyFunSuite {
         "at some scale; re-run and re-commit from a clean pass")
   }
 
+  test("committed curve covers the growing-skew set and the 20x top end") {
+    val s = committed()
+    for (q <- ScalingBench.skewQueries)
+      assert(s.contains("\"" + q + "\":{"),
+        s"$q missing from the skew section")
+    assert(s.contains("\"skew\":{"), "skew section missing")
+    // the three steepest kernels carry the fourth (20x) point
+    for (q <- ScalingBench.topEndQueries) {
+      val entry = ("\"" + q + "\":\\{\"walls\":\\{([^}]*)\\}").r
+      val walls = entry.findFirstMatchIn(s)
+        .getOrElse(fail(s"$q missing")).group(1)
+      assert(walls.contains("\"sf2.0\":"),
+        s"$q lacks the 20x point: $walls")
+    }
+  }
+
+  test("state axis: walls and state_rows both grow near-linearly") {
+    val s = committed()
+    assert(s.contains("\"stream_stream_band_state\":{"),
+      "state-axis entry missing — the stream-stream join family's " +
+        "state growth is unguarded")
+    val stateExp = "\"state_exponent\":(-?[0-9.]+)".r
+      .findFirstMatchIn(s).getOrElse(fail("no state_exponent")).group(1)
+      .toDouble
+    // state must actually GROW with the widened bound (an exponent
+    // near 0 would mean the axis regressed to measuring job init) and
+    // stay at-most-linear-ish (the watermark is advancing; nothing
+    // accumulates beyond the keys the bound admits)
+    assert(stateExp > 0.5 && stateExp <= maxExponent,
+      s"state_rows exponent $stateExp outside (0.5, $maxExponent]")
+    // the wall exponent is the entry's "exponent" key (it precedes
+    // "state_exponent", and the lazy match cannot land on the latter —
+    // its quote-prefixed form differs)
+    val entry = "\"stream_stream_band_state\":\\{.*?\"exponent\":(-?[0-9.]+)".r
+    val we = entry.findFirstMatchIn(s)
+      .getOrElse(fail("no state wall exponent")).group(1).toDouble
+    assert(we <= maxExponent,
+      s"state-axis wall exponent $we exceeds the $maxExponent gate")
+  }
+
   test("every committed exponent is near-linear or a named exception") {
     val s = committed()
     val entry =

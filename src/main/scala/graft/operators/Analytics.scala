@@ -325,10 +325,31 @@ object Analytics {
     * when no walk mass returns to the seed.
     */
   private[graft] def pprOf(edges: DataFrame, seed: Long, iters: Int,
+      saltDegree: Long = 0L, salts: Int = 16): DataFrame =
+    pprRounds(pageRankAdjacency(edges, saltDegree, salts).persist(),
+      seed, iters)
+
+  /** [[pprOf]] with the seed DERIVED from the graph itself (min source
+    * node) instead of passed in — the `graph_ppr_seeded` contract. The
+    * seed head() doubles as the adjacency persist's materializing
+    * action (the pageRankOf count discipline), so the walk plans no
+    * extra scan of anything: one adjacency build, one O(1) driver
+    * scalar, `iters` sparse rounds. Empty edge frames yield an empty
+    * result (same schema).
+    */
+  private[graft] def pprMinSeeded(edges: DataFrame, iters: Int,
       saltDegree: Long = 0L, salts: Int = 16): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val adj = pageRankAdjacency(edges, saltDegree, salts).persist()
+    val seedRow = adj.agg(min(col("u"))).head
+    if (seedRow.isNullAt(0))
+      adj.select(col("u"), lit(0L).as("pr")).where(lit(false))
+    else pprRounds(adj, seedRow.getLong(0), iters)
+  }
+
+  private def pprRounds(adj: DataFrame, seed: Long, iters: Int)
+      : DataFrame = {
+    val spark = adj.sparkSession
+    import spark.implicits._
     val base = 150000000L // 0.15 · 1e9: the restart mass, seed-only
     val p0 = Seq((seed, 1000000000L)).toDF("pu", "pr")
     val ranked = (1 to iters).foldLeft(p0) { (p, i) =>
@@ -3122,15 +3143,15 @@ object Analytics {
         |       GROUP BY t.u, sd.s)
         |SELECT u AS part, pr AS ppr_scaled FROM p3
         |ORDER BY pr DESC, u LIMIT 20""".stripMargin) { (s, d) =>
-      // lazy checkpoint: the seed read below materializes the fan-out
-      // ONCE and pprOf's adjacency build reads the pinned blocks —
-      // unpinned, the lineitem scan + basket shuffle would run twice
-      val edges = copurchaseEdgeFanout(s, d).localCheckpoint(false)
-      val seedRow = edges.agg(min(col("u"))).head
-      val ppr =
-        pprOf(edges, if (seedRow.isNullAt(0)) 0L else seedRow.getLong(0),
+      // the seed (min co-purchased part) is min(u) of the adjacency the
+      // walk needs anyway, so pprMinSeeded reads it off the persisted
+      // adjacency — whose materialization it doubles as. The fan-out
+      // stays FUSED into the adjacency build's distinct partial-agg
+      // (the pagerank siblings' plan); nothing is checkpointed or
+      // scanned twice (r19: the previous edge-frame checkpoint + seed
+      // agg made ppr the denominator's heaviest kernel at 4.2 s)
+      pprMinSeeded(copurchaseEdgeFanout(s, d),
           iters = 3, saltDegree = 32L, salts = 8)
-      (if (seedRow.isNullAt(0)) ppr.where(lit(false)) else ppr)
         .select(col("u").as("part"), col("pr").as("ppr_scaled"))
         .orderBy(col("ppr_scaled").desc, col("part"))
         .limit(20)

@@ -1549,10 +1549,16 @@ object Ann {
       .select(col("vec_id").as("cell"), col("embedding").as("cent"))
       .localCheckpoint(true)
     def assignTo(c: org.apache.spark.sql.DataFrame) = assignToCentroids(e, c)
-    for (_ <- 1 until iters)
+    for (_ <- 1 until iters) {
+      val prev = cents
       cents = assignTo(cents)
         .groupBy("cell").agg(vector_avg(col("embedding")).as("cent"))
         .localCheckpoint(true)
+      // round r+1 only needs the NEW centroid checkpoint — free the
+      // previous round's k-row blocks (same discipline as the layer
+      // writers: no checkpoint outlives its last consumer)
+      prev.unpersist(blocking = false)
+    }
     assignTo(cents)
   }
 }

@@ -20,6 +20,81 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Touch channels for `attribution_markov_removal` (the non-absorbing
+    * event types of the fixture's domain, FIXTURES.md §1).
+    */
+  private val MarkovChannels = Seq("click", "error", "signup", "view")
+
+  /** Generated oracle for `attribution_markov_removal`: the K=8
+    * scaled-integer fixed-point iteration unrolled as eight CTEs (p1..p8),
+    * one per step, each computing p_k(removal, state) from p_{k−1} with
+    * HUGEINT products/sums and a floor division per source — the exact
+    * mirror of the Spark side's driver-side BigInt loop, so the BIGINT
+    * outputs are bit-identical by construction.
+    */
+  private def markovRemovalOracle: String = {
+    val rmVals = ("none" +: MarkovChannels)
+      .map(c => s"('$c')").mkString(", ")
+    def step(k: Int): String =
+      s"""p$k AS (
+         |  SELECT ch, st, v FROM (
+         |    SELECT rm.ch AS ch, n.src AS st,
+         |      coalesce(sum(CASE WHEN c.dst <> rm.ch
+         |        THEN c.c * p.v END), 0) // n.n AS v
+         |    FROM n CROSS JOIN rm
+         |    JOIN c ON c.src = n.src
+         |    LEFT JOIN p${k - 1} p ON p.ch = rm.ch AND p.st = c.dst
+         |    GROUP BY rm.ch, n.src, n.n)
+         |  UNION ALL
+         |  SELECT ch, 'purchase' AS st,
+         |    CAST(1000000000000 AS HUGEINT) AS v FROM rm)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+       |  FROM events),
+       |pos AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY tus, event_id) AS rn
+       |  FROM ev),
+       |fp AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'purchase' THEN rn END) AS fpp
+       |  FROM pos GROUP BY user_id),
+       |j AS (
+       |  SELECT p.user_id, p.event_type, p.rn
+       |  FROM pos p JOIN fp USING (user_id)
+       |  WHERE fpp IS NULL OR p.rn <= fpp),
+       |tr AS (
+       |  SELECT src, dst FROM (
+       |    SELECT user_id, event_type AS src,
+       |      coalesce(lead(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY rn), 'drop') AS dst
+       |    FROM j)
+       |  WHERE src <> 'purchase'
+       |  UNION ALL
+       |  SELECT 'start' AS src, event_type AS dst FROM j WHERE rn = 1),
+       |c AS (SELECT src, dst, CAST(count(*) AS HUGEINT) AS c
+       |      FROM tr GROUP BY 1, 2),
+       |n AS (SELECT src, sum(c) AS n FROM c GROUP BY 1),
+       |rm(ch) AS (SELECT * FROM (VALUES $rmVals) AS t(ch)),
+       |p0 AS (SELECT ch, 'purchase' AS st,
+       |       CAST(1000000000000 AS HUGEINT) AS v FROM rm),
+       |${(1 to 8).map(step).mkString(",\n")},
+       |fin AS (SELECT ch, v FROM p8 WHERE st = 'start'),
+       |base AS (SELECT v AS bv FROM fin WHERE ch = 'none'),
+       |eff AS (SELECT ch, v, bv, bv - v AS de
+       |        FROM fin, base WHERE ch <> 'none'),
+       |tot AS (SELECT sum(de) AS td FROM eff)
+       |SELECT ch AS channel,
+       |  CAST(v AS BIGINT) AS p_removed_scaled,
+       |  CAST(bv AS BIGINT) AS p_base_scaled,
+       |  CASE WHEN bv > 0 THEN CAST(de AS DOUBLE) / CAST(bv AS DOUBLE)
+       |       ELSE 0.0 END AS removal_effect,
+       |  CASE WHEN td > 0 THEN CAST(de AS DOUBLE) / CAST(td AS DOUBLE)
+       |       ELSE 0.0 END AS credit_share
+       |FROM eff, tot ORDER BY channel""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Heavy hitters
   // ---------------------------------------------------------------------
@@ -4648,6 +4723,206 @@ object Analytics {
       skylineOf(Tables.part(s, d), "p_retailprice", "p_size")
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
         .orderBy(col("p_retailprice"), col("p_partkey"))
+    },
+
+    // MARKOV REMOVAL-EFFECT attribution — the data-driven fourth model
+    // completing the heuristic trio (last-touch / linear / U-shaped):
+    // build the first-order journey chain start→{touches}→purchase|drop
+    // (each user's events ordered by (ts, event_id), truncated at the
+    // FIRST purchase — purchase is absorbing), then a channel's credit
+    // is its REMOVAL EFFECT: how much the chain's conversion
+    // probability drops when every transition INTO that channel is
+    // redirected to drop. Absorption probabilities come from K=8
+    // fixed-point iterations in EXACT SCALED-INTEGER arithmetic
+    // (p(purchase) ≡ 1e12; p_k(s) = ⌊Σ_t c(s,t)·p_{k−1}(t) / n(s)⌋ —
+    // integer sums are order-independent, so both engines produce
+    // bit-identical BIGINTs; K=8 bounds the walk the same way
+    // graph_ppr_seeded bounds its rounds). Plan: the data-sized work is
+    // ONE user-keyed window pass + a (src,dst) combiner aggregate; the
+    // chain itself is ≤6×7 rows of bounded metadata (the k-row-centroid
+    // collect precedent), so the iteration costs nothing at any scale —
+    // at 100 TB the transition-count aggregate is the entire job.
+    Q("attribution_markov_removal", markovRemovalOracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val pos = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+      val fp = pos.groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase", col("rn")))
+          .as("fpp"))
+      val j = pos.join(fp, Seq("user_id"))
+        .where(col("fpp").isNull || col("rn") <= col("fpp"))
+      val wj = Window.partitionBy("user_id").orderBy("rn")
+      val steps = j
+        .withColumn("dst",
+          coalesce(lead(col("event_type"), 1).over(wj), lit("drop")))
+        .where(col("event_type") =!= "purchase")
+        .select(col("event_type").as("src"), col("dst"))
+      val starts = j.where(col("rn") === 1)
+        .select(lit("start").as("src"), col("event_type").as("dst"))
+      // ≤ 6×7 rows of bounded chain metadata (k-row-centroid precedent):
+      // the iteration runs driver-side in exact BigInt arithmetic.
+      val trans: Map[(String, String), Long] = steps.unionAll(starts)
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val srcs = trans.keys.map(_._1).toSeq.distinct.sorted
+      val nOut: Map[String, BigInt] = trans.toSeq
+        .groupBy(_._1._1).map { case (k, v) =>
+          k -> BigInt(v.map(_._2).sum) }
+      val S = BigInt(1000000000000L)
+      def absorb(removed: Option[String]): BigInt = {
+        var p: Map[String, BigInt] = Map("purchase" -> S)
+        for (_ <- 1 to 8) {
+          p = srcs.map { src =>
+            val num = trans.iterator.collect {
+              case ((`src`, dst), cnt) if !removed.contains(dst) =>
+                BigInt(cnt) * p.getOrElse(dst, BigInt(0))
+            }.sum
+            src -> num / nOut(src)
+          }.toMap + ("purchase" -> S)
+        }
+        p.getOrElse("start", BigInt(0))
+      }
+      val base = absorb(None)
+      val effs = MarkovChannels.map(ch => ch -> (base - absorb(Some(ch))))
+      val tot = effs.map(_._2).sum
+      import s.implicits._
+      effs.map { case (ch, de) =>
+        (ch, (base - de).toLong, base.toLong,
+          if (base > 0) de.toDouble / base.toDouble else 0.0,
+          if (tot > 0) de.toDouble / tot.toDouble else 0.0)
+      }.toDF("channel", "p_removed_scaled", "p_base_scaled",
+        "removal_effect", "credit_share")
+        .orderBy("channel")
+    },
+
+    // Growth-accounting lifecycle states — the standard DAU decomposition
+    // every growth team runs: each active (user, day) is NEW (first day
+    // ever), RETAINED (also active the previous day), or RESURRECTED
+    // (returning after a gap), and each day's CHURNED count is yesterday's
+    // actives that did not return (active(d−1) − retained(d)). Exact
+    // integer arithmetic end to end. Plan: one DISTINCT (user, day)
+    // combiner shuffle, one user-keyed window for lag(day), then the
+    // per-day classification collapses to |days| rows before the tiny
+    // ordered lag — at 100 TB the distinct is the only data-sized
+    // exchange, and it partial-aggregates map-side.
+    Q("events_lifecycle_states",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |l AS (SELECT user_id, day,
+        |        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS pd
+        |      FROM a),
+        |cls AS (SELECT day,
+        |    CAST(sum(CASE WHEN pd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN date_diff('day', pd, day) = 1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN date_diff('day', pd, day) > 1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM l GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_new, n_retained,
+        |  n_resurrected, n_active,
+        |  coalesce(lag(n_active) OVER (ORDER BY day), 0) - n_retained
+        |    AS n_churned
+        |FROM cls ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val a = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val l = a.withColumn("pd",
+        lag(col("day"), 1).over(
+          Window.partitionBy("user_id").orderBy("day")))
+      val cls = l.groupBy("day")
+        .agg(
+          sum(when(col("pd").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(datediff(col("day"), col("pd")) === 1, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(datediff(col("day"), col("pd")) > 1, 1L)
+            .otherwise(0L)).as("n_resurrected"),
+          count(lit(1)).as("n_active"))
+      cls
+        .withColumn("n_churned",
+          coalesce(lag(col("n_active"), 1).over(Window.orderBy("day")),
+            lit(0L)) - col("n_retained"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_new"), col("n_retained"), col("n_resurrected"),
+          col("n_active"), col("n_churned"))
+        .orderBy("day")
+    },
+
+    // Croston's method for INTERMITTENT demand — the forecasting family
+    // member Holt/SES mishandle: per-part weekly demand is mostly zero
+    // weeks, and smoothing the zeros drives any EMA toward 0. Croston
+    // smooths the NONZERO demand sizes (z) and the inter-demand
+    // intervals (p) as two separate α=0.25 EMAs over demand POINTS
+    // only; the demand-rate forecast is z/p per week. α is an exact
+    // binary fraction and both engines fold the same per-part sorted
+    // demand sequence in the same order, so every double is
+    // bit-identical (the ts_ema_hourly discipline); weekly demand
+    // itself sums as DECIMAL before ONE cast. Plan: one (part, week)
+    // combiner aggregate, then one part-keyed fold over each part's
+    // bounded demand-point array — series count scales out, series
+    // length stays bounded by the calendar, the ts family's shape.
+    Q("ts_croston_intermittent",
+      """WITH RECURSIVE wk AS (
+        |  SELECT l_partkey,
+        |    CAST(date_diff('day', DATE '1970-01-05',
+        |      CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS wk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT l_partkey, wk, q,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY wk) AS i,
+        |    count(*) OVER (PARTITION BY l_partkey) AS np
+        |  FROM wk),
+        |cro AS (
+        |  SELECT l_partkey, wk, q, i, np, q AS z, CAST(NULL AS DOUBLE) AS p
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.l_partkey, x.wk, x.q, x.i, x.np,
+        |    0.25 * x.q + 0.75 * c.z,
+        |    CASE WHEN c.p IS NULL THEN CAST(x.wk - c.wk AS DOUBLE)
+        |         ELSE 0.25 * CAST(x.wk - c.wk AS DOUBLE) + 0.75 * c.p END
+        |  FROM idx x JOIN cro c
+        |    ON x.l_partkey = c.l_partkey AND x.i = c.i + 1)
+        |SELECT l_partkey, CAST(np AS BIGINT) AS n_demands, wk AS last_wk,
+        |  z AS z_final, p AS p_final, z / p AS forecast_per_week
+        |FROM cro WHERE i = np AND np >= 2
+        |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      val wkly = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), " +
+            "DATE '1970-01-05') div 7 AS BIGINT)").as("wk"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("double").as("q"))
+      wkly.groupBy("l_partkey")
+        .agg(sort_array(collect_list(struct(col("wk"), col("q"))))
+          .as("sarr"),
+          count(lit(1)).as("n_demands"))
+        .where(col("n_demands") >= 2)
+        .select(col("l_partkey"), col("n_demands"),
+          expr("element_at(sarr, -1).wk").as("last_wk"),
+          expr("""aggregate(slice(sarr, 2, size(sarr) - 1),
+            |  named_struct(
+            |    'z', element_at(sarr, 1).q,
+            |    'p', CAST(NULL AS DOUBLE),
+            |    'w', element_at(sarr, 1).wk),
+            |  (acc, x) -> named_struct(
+            |    'z', 0.25D * x.q + 0.75D * acc.z,
+            |    'p', CASE WHEN acc.p IS NULL
+            |           THEN CAST(x.wk - acc.w AS DOUBLE)
+            |           ELSE 0.25D * CAST(x.wk - acc.w AS DOUBLE)
+            |                + 0.75D * acc.p END,
+            |    'w', x.wk))""".stripMargin).as("cro"))
+        .select(col("l_partkey"), col("n_demands"), col("last_wk"),
+          col("cro.z").as("z_final"), col("cro.p").as("p_final"),
+          (col("cro.z") / col("cro.p")).as("forecast_per_week"))
+        .orderBy("l_partkey")
     },
   )
 }

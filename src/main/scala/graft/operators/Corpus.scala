@@ -671,6 +671,74 @@ object Corpus {
           md5(col("kept_text").cast("binary")).as("kept_md5"))
         .orderBy("doc_id")
     },
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection with
+    // Importance Resampling"): score every raw document by the
+    // log-likelihood ratio of its hashed unigram features under a
+    // TARGET corpus distribution vs the RAW distribution — the
+    // published recipe for skimming a web-scale crawl toward a small
+    // high-quality target domain before pretraining. Target here:
+    // the lang='en' slice; features: 256 md5-prefix hash buckets
+    // (the repo's cross-engine deterministic hash); both bucket
+    // models are Laplace-smoothed (+1 / +256). The per-bucket log
+    // ratio is ONE ln of an exact-integer rational, scaled to a
+    // BIGINT micro-log (floor(1e6·ln), the text_zipf_slope
+    // discipline), so the per-doc weight is an EXACT integer sum —
+    // no cross-engine float-summation-order hazard. Plan: one token
+    // explode feeds the 256-row bucket model (combiner-friendly
+    // conditional aggregate); the scoring pass re-joins tokens to the
+    // broadcast 256-row score table and collapses per doc in a single
+    // doc-keyed combiner shuffle. At 100 TB the model is two scans of
+    // the token stream and a KB-sized broadcast — nothing else grows.
+    Q("corpus_dsir_weights",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tok2 AS (
+        |  SELECT doc_id, substr(md5(w), 1, 2) AS b,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+        |  FROM tok WHERE w <> ''),
+        |bc AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+        |         CAST(sum(tgt) AS BIGINT) AS ct
+        |  FROM tok2 GROUP BY b),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |               CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+        |sc AS (
+        |  SELECT b, CAST(floor(ln(
+        |      CAST((ct + 1) * (nr + 256) AS DOUBLE)
+        |      / CAST((cr + 1) * (nt + 256) AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS score
+        |  FROM bc, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(score) AS BIGINT) AS weight_scaled
+        |FROM tok2 JOIN sc USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .select(col("doc_id"), substring(md5(col("w")), 1, 2).as("b"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("tgt"))
+      val bc = tok.groupBy("b")
+        .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct"))
+      // corpus totals as a GLOBAL WINDOW over the 256-row model — a
+      // second .agg would re-derive bc and re-scan the token stream
+      // (Catalyst does not CSE across aggregates); the window costs one
+      // 256-row single-partition exchange instead of a corpus scan
+      val sc = bc
+        .withColumn("nr", sum(col("cr")).over(Window.partitionBy()))
+        .withColumn("nt", sum(col("ct")).over(Window.partitionBy()))
+        .select(col("b"),
+          floor(log(((col("ct") + 1) * (col("nr") + 256)).cast("double")
+            / ((col("cr") + 1) * (col("nt") + 256)).cast("double"))
+            * 1000000).cast("long").as("score"))
+      tok.join(broadcast(sc), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("score")).as("weight_scaled"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Paragraph-level exact dedup with reassembly (frame-parametric kernel

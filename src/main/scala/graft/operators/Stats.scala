@@ -771,5 +771,84 @@ object Stats {
             / (col("n_days") * col("s")).cast("double")).as("dispersion"))
         .orderBy("event_type")
     },
+
+    // Benjamini–Hochberg FDR control over a FAMILY of hypothesis tests —
+    // the multiple-testing step every per-segment screening pipeline
+    // needs (run one test per brand and 5% of brands are "significant"
+    // by luck; BH step-up bounds the expected FALSE-DISCOVERY fraction
+    // at q instead of the per-test error). Family: one two-proportion
+    // z-test per p_brand of its return rate vs the pooled rate. The
+    // z-statistic uses only +,−,×,÷,sqrt on exact integer aggregates —
+    // every op is IEEE-correctly-rounded, so z is bit-identical
+    // cross-engine (deliberately no erf/exp: the p-value surrogate is
+    // the ALGEBRAIC normal-tail approximation 1 − |z|/sqrt(z² + π/2),
+    // slope-matched to Φ at 0, documented max abs err < 2% — the BH
+    // procedure itself is then EXACT given the surrogate). Step-up:
+    // rank p ascending, k_max = max{k : p_(k) ≤ k·q/m}, reject all
+    // k ≤ k_max (q = 0.10). Plan: one brand-keyed combiner aggregate
+    // over the lineitem⋈part join (build side broadcast), then the
+    // whole procedure runs on the m-row family — window functions over
+    // m = |brands| rows, nothing data-sized past the first aggregate;
+    // at 100 TB the family table is KBs regardless of corpus size.
+    Q("stats_benjamini_hochberg",
+      """WITH br AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |             CAST(sum(r) AS BIGINT) AS rr FROM br),
+        |z AS (
+        |  SELECT p_brand, n, r,
+        |    (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / sqrt((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (1 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        / CAST(n AS DOUBLE)) AS z
+        |  FROM br, g),
+        |p AS (SELECT p_brand, n, r, z,
+        |        1 - abs(z) / sqrt(z * z + 1.5707963267948966) AS pval
+        |      FROM z),
+        |k AS (SELECT p_brand, n, r, z, pval,
+        |        row_number() OVER (ORDER BY pval, p_brand) AS k,
+        |        count(*) OVER () AS m FROM p),
+        |s AS (SELECT p_brand, n, r, z, pval, k, m,
+        |        CASE WHEN pval <= CAST(k AS DOUBLE) * 0.1
+        |                          / CAST(m AS DOUBLE)
+        |             THEN k ELSE 0 END AS hit FROM k)
+        |SELECT p_brand, n, r, z, pval, k,
+        |  k <= max(hit) OVER () AS significant
+        |FROM s ORDER BY k""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val br = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      val g = br.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"))
+      val p0 = col("rr").cast("double") / col("nn").cast("double")
+      val z = br.crossJoin(broadcast(g))
+        .select(col("p_brand"), col("n"), col("r"),
+          ((col("r").cast("double") / col("n").cast("double") - p0)
+            / sqrt(p0 * (lit(1) - p0) / col("n").cast("double"))).as("z"))
+      val p = z.withColumn("pval",
+        lit(1) - abs(col("z")) / sqrt(col("z") * col("z")
+          + lit(1.5707963267948966)))
+      val k = p
+        .withColumn("k", row_number().over(
+          Window.orderBy(col("pval"), col("p_brand"))))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy()))
+      val hit = k.withColumn("hit",
+        when(col("pval") <= col("k").cast("double") * lit(0.1)
+          / col("m").cast("double"), col("k")).otherwise(lit(0L)))
+      hit
+        .withColumn("kmax", max(col("hit")).over(Window.partitionBy()))
+        .select(col("p_brand"), col("n"), col("r"), col("z"), col("pval"),
+          col("k"), (col("k") <= col("kmax")).as("significant"))
+        .orderBy("k")
+    },
   )
 }

@@ -640,4 +640,66 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.commonNeighborsOf(small, topN = 5000,
       maxMiddleDegree = 10).count() == 0L)
   }
+
+  test("markov removal: effects in [0,1], removal never helps, shares sum") {
+    val rows = SparkEntry.queries("attribution_markov_removal")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("click", "error", "signup", "view"))
+    val base = rows.map(_.getLong(2)).distinct
+    assert(base.length == 1 && base.head > 0,
+      s"one positive base conversion expected, got ${base.toSeq}")
+    rows.foreach { r =>
+      val (rem, b) = (r.getLong(1), r.getLong(2))
+      assert(rem >= 0 && rem <= b,
+        s"${r.getString(0)}: removal must not raise conversion ($rem > $b)")
+      val eff = r.getDouble(3)
+      assert(eff >= 0.0 && eff <= 1.0, s"effect $eff out of range")
+      // removal_effect is exactly (base - removed)/base, bit-for-bit
+      assert(eff == (b - rem).toDouble / b.toDouble)
+    }
+    val shares = rows.map(_.getDouble(4))
+    if (shares.exists(_ > 0))
+      assert(math.abs(shares.sum - 1.0) < 1e-9,
+        s"credit shares must sum to 1, got ${shares.sum}")
+  }
+
+  test("lifecycle states: per-day identity and conservation laws") {
+    val rows = SparkEntry.queries("events_lifecycle_states")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // per day: new + retained + resurrected == active
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4),
+        s"day ${r.getString(0)}: state classes must partition actives")
+    }
+    // day 1: everyone is new, nobody churned out of a nonexistent day 0
+    assert(rows.head.getLong(1) == rows.head.getLong(4))
+    assert(rows.head.getLong(5) == -rows.head.getLong(2) &&
+      rows.head.getLong(2) == 0)
+    // churn conservation: churned(d) = active(d-1) - retained(d) >= 0
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(5) == prev.getLong(4) - cur.getLong(2))
+      assert(cur.getLong(5) >= 0)
+    case _ => ()
+    }
+    // total new across days == distinct users ever active
+    val users = Tables.events(spark, sf).select("user_id")
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+  }
+
+  test("croston: z/p bounds on intermittent weekly demand") {
+    val rows = SparkEntry.queries("ts_croston_intermittent")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "n_demands >= 2 after the filter")
+      val (z, p, f) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(z > 0.0, s"smoothed demand size must be positive, got $z")
+      assert(p >= 1.0,
+        s"smoothed inter-demand interval is an EMA of gaps >= 1, got $p")
+      assert(f == z / p && f > 0.0)
+    }
+  }
 }

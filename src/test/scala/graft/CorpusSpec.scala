@@ -265,4 +265,24 @@ class CorpusSpec extends SparkSuite {
     val tiny = operators.Text.trainBpeOn(Seq(("ab", 1L)), nMerges = 5)
     assert(tiny == Seq((1L, "a", "b", 1L)), tiny.toString)
   }
+
+  test("dsir weights: target-language docs score above the raw average") {
+    import org.apache.spark.sql.functions._
+    val w = SparkEntry.queries("corpus_dsir_weights")(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val joined = w.join(docs, "doc_id")
+      .select(col("lang") === "en", col("weight_scaled"),
+        col("n_tokens"))
+      .collect()
+    assert(joined.length == 500, s"one weight per doc, got ${joined.length}")
+    // per-token mean weight: en (the target) must beat the rest — the
+    // defining property of an importance weight toward the target
+    def mean(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(1).toDouble).sum /
+        math.max(1.0, rows.map(_.getLong(2).toDouble).sum)
+    val (en, rest) = joined.partition(_.getBoolean(0))
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest),
+      s"en per-token weight ${mean(en)} must exceed raw ${mean(rest)}")
+  }
 }

@@ -681,4 +681,52 @@ class PlanSpec extends SparkSuite {
     }.nonEmpty)
     assert(rightHasFilter, "c=1 filter is not below the join's build side")
   }
+
+  test("dsir weights broadcast the 256-row score model, never shuffle it") {
+    val p = planString("corpus_dsir_weights")
+    // the token→score join must be broadcast (KB model), and the only
+    // hash exchanges are the bucket-model aggregate and the per-doc
+    // collapse — the token stream itself is never key-shuffled twice
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    val tokenExchanges = "hashpartitioning\\((?:b|doc_id)".r
+      .findAllIn(p).length
+    assert(tokenExchanges <= 2,
+      s"expected <= 2 token-stream exchanges (bucket agg + doc " +
+        s"collapse), saw $tokenExchanges:\n${p.take(3000)}")
+  }
+
+  test("benjamini-hochberg broadcasts part and runs BH on the m-row family") {
+    val p = planString("stats_benjamini_hochberg")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the windows (rank, m, kmax) must run AFTER the brand aggregate —
+    // single-partition exchanges are fine there because the family is
+    // m rows, but no window may consume the raw lineitem scan
+    val windowOverFact = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("l_partkey"))
+    assert(!windowOverFact, "a window consumed the fact scan")
+  }
+
+  test("croston folds per part after ONE (part, week) combiner aggregate") {
+    val df = SparkEntry.queries("ts_croston_intermittent")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // two partial aggregates (weekly rollup, then per-part collect) on
+    // the same part-keyed grouping: the weekly aggregate must be
+    // map-side partial, and the fold itself adds no exchange
+    assert("partial_sum|PartialAggregate|partial".r.findAllIn(p).nonEmpty,
+      p.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"croston should shuffle at most twice (week rollup + part fold), " +
+        s"saw $exchanges:\n${p.take(3000)}")
+  }
+
+  test("markov removal: the data-sized plan is one user window + one agg") {
+    val df = SparkEntry.queries("attribution_markov_removal")(spark, sf)
+    // the returned frame is the driver-computed 4-row result; the plan
+    // to inspect is the transition aggregate, which already ran. Gate
+    // the RESULT shape instead: 4 channels, exact schema
+    assert(df.columns.toSeq == Seq("channel", "p_removed_scaled",
+      "p_base_scaled", "removal_effect", "credit_share"))
+    assert(df.count() == 4)
+  }
 }

@@ -166,4 +166,27 @@ class StatsSpec extends SparkSuite {
     assert(got.toSet == Set((1L, 3L, 333333333333L), (1L, 4L, 333333333333L)),
       got.mkString(", "))
   }
+
+  test("benjamini-hochberg: step-up rejections are a prefix of the p-order") {
+    val rows = SparkEntry.queries("stats_benjamini_hochberg")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // output is already in k order; p-values must be sorted and in (0,1)
+    val ps = rows.map(_.getDouble(4))
+    assert(ps.sameElements(ps.sorted), "rows must arrive in p-rank order")
+    assert(ps.forall(p => p > 0.0 && p <= 1.0), ps.mkString(", "))
+    // THE BH structural invariant: the rejection set is a prefix of the
+    // rank order — a significant k above a non-significant k' < k would
+    // violate step-up
+    val sig = rows.map(_.getBoolean(6))
+    assert(!sig.sliding(2).exists { case Array(a, b) => !a && b
+      case _ => false },
+      "rejections must be a prefix of the p-order")
+    // every rejected k satisfies its own BH bound's transitive closure:
+    // p_(k) <= kmax*q/m for the largest rejected kmax
+    val m = rows.length
+    val kmax = sig.count(identity)
+    if (kmax > 0)
+      assert(rows(kmax - 1).getDouble(4) <= kmax.toDouble * 0.1 / m)
+  }
 }

@@ -1225,9 +1225,16 @@ object Analytics {
     */
   private[graft] def aprioriTriplesOf(df: DataFrame, basketCol: String,
       itemCol: String, minSupport: Int = 2, topN: Int = 100): DataFrame = {
-    val li = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
-    val baskets = li.groupBy("bk").agg(collect_set(col("it")).as("ps"))
+    // basket formulation throughout (the graph_copurchase_pairs
+    // discipline): collect_set IS the distinct, so the basket build is
+    // ONE basket-keyed shuffle with map-side set dedup — the previous
+    // (bk, it) DISTINCT in front was a second data-sized Exchange for
+    // nothing, and the prune below re-shuffled the item stream a third
+    // time. Both consumers (pair mining, prune) share the identical
+    // basket subtree, so Spark's ReusedExchange serves the second from
+    // the first's shuffle files.
+    val baskets = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .groupBy("bk").agg(collect_set(col("it")).as("ps"))
     val pairs = baskets
       .select(col("ps"), explode(col("ps")).as("pa"))
       .select(col("pa"),
@@ -1236,7 +1243,12 @@ object Analytics {
       .where(col("n") >= minSupport)
     val freqItems = pairs.select(col("pa").as("pk"))
       .unionAll(pairs.select(col("pb").as("pk"))).distinct()
-    val pruned = li
+    // prune INSIDE the existing bk partitioning: explode preserves the
+    // basket hash layout and the frequent-item filter is a broadcast
+    // semi-join, so the re-collect adds NO new Exchange (EnsureRequirements
+    // sees hashpartitioning(bk) already satisfied)
+    val pruned = baskets
+      .select(col("bk"), explode(col("ps")).as("it"))
       .join(broadcast(freqItems), col("it") === col("pk"), "left_semi")
       .groupBy("bk")
       .agg(sort_array(collect_set(col("it"))).as("ps"))

@@ -641,6 +641,26 @@ class AnalyticsSpec extends SparkSuite {
       maxMiddleDegree = 10).count() == 0L)
   }
 
+  test("apriori triples: basket formulation carries no pre-distinct") {
+    val df = SparkEntry.queries("orders_basket_triples")(spark, sf)
+    // the (basket, item) pre-DISTINCT was a data-sized Exchange that
+    // collect_set's own set semantics already subsume; its shape is an
+    // Aggregate grouping two columns and emitting exactly those two —
+    // no aggregate in the plan may look like that (pair/triple counts
+    // emit a count on top of their keys; the frequent-item distinct is
+    // single-column)
+    val preDistinct = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.length == 2 &&
+            a.aggregateExpressions.forall(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                .AttributeReference]) => a
+    }
+    assert(preDistinct.isEmpty,
+      "a (basket, item) pre-distinct crept back in:\n" +
+        preDistinct.map(_.toString).mkString("\n").take(2000))
+  }
+
   test("markov removal: effects in [0,1], removal never helps, shares sum") {
     val rows = SparkEntry.queries("attribution_markov_removal")(spark, sf)
       .collect()

@@ -4936,5 +4936,74 @@ object Analytics {
           (col("cro.z") / col("cro.p")).as("forecast_per_week"))
         .orderBy("l_partkey")
     },
+
+    // HITS hubs/authorities over the customer→part purchase bipartite
+    // graph (Kleinberg's mutual reinforcement, the bipartite cousin of
+    // graph_pagerank): a part is AUTHORITATIVE when good hubs buy it, a
+    // customer is a good HUB when they buy authoritative parts. Three
+    // half-steps (a¹ ← h⁰, h¹ ← a¹, a² ← h¹) in the pagerank integer
+    // discipline — scores scaled to 1e9 and L1-renormalized each
+    // half-step by a truncating integer level (score div greatest(
+    // Σscore div 1e9, 1)): integer sums are order-independent, so both
+    // engines produce bit-identical BIGINTs (int64 headroom to ~1e9
+    // edges; past that the sums swap to DECIMAL like the other graph
+    // kernels). Plan: each half-step is ONE node-keyed equi-join +
+    // combiner aggregate over the persisted edge frame; the
+    // renormalization is a window over the node-sized score frame,
+    // never the edges. Top-20 each side under a total order.
+    Q("graph_hits_bipartite",
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1 AS (SELECT p, sum(CAST(1000000000 AS BIGINT)) AS a
+        |       FROM e GROUP BY p),
+        |a1n AS (SELECT p,
+        |          a // greatest(sum(a) OVER () // 1000000000, 1) AS a
+        |        FROM a1),
+        |h1 AS (SELECT e.c, sum(a1n.a) AS h
+        |       FROM e JOIN a1n ON e.p = a1n.p GROUP BY e.c),
+        |h1n AS (SELECT c,
+        |          h // greatest(sum(h) OVER () // 1000000000, 1) AS h
+        |        FROM h1),
+        |a2 AS (SELECT e.p, sum(h1n.h) AS a
+        |       FROM e JOIN h1n ON e.c = h1n.c GROUP BY e.p),
+        |a2n AS (SELECT p,
+        |          a // greatest(sum(a) OVER () // 1000000000, 1) AS a
+        |        FROM a2)
+        |SELECT kind, id, score FROM (
+        |  SELECT 'authority' AS kind, p AS id, CAST(a AS BIGINT) AS score,
+        |    row_number() OVER (ORDER BY a DESC, p) AS rk FROM a2n
+        |  UNION ALL
+        |  SELECT 'hub' AS kind, c AS id, CAST(h AS BIGINT) AS score,
+        |    row_number() OVER (ORDER BY h DESC, c) AS rk FROM h1n) u
+        |WHERE rk <= 20
+        |ORDER BY kind, score DESC, id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct().persist()
+      def renorm(scores: org.apache.spark.sql.DataFrame, v: String) =
+        scores.withColumn(v,
+          expr(s"$v div greatest((sum($v) OVER ()) div 1000000000, 1)"))
+      val a1n = renorm(e.groupBy("p")
+        .agg(sum(lit(1000000000L)).as("a")), "a")
+      val h1n = renorm(e.join(a1n, Seq("p"))
+        .groupBy("c").agg(sum(col("a")).as("h")), "h")
+      val a2n = renorm(e.join(h1n, Seq("c"))
+        .groupBy("p").agg(sum(col("h")).as("a")), "a")
+      val auth = a2n.select(lit("authority").as("kind"),
+          col("p").as("id"), col("a").as("score"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))))
+      val hubs = h1n.select(lit("hub").as("kind"),
+          col("c").as("id"), col("h").as("score"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))))
+      auth.unionAll(hubs)
+        .where(col("rk") <= 20)
+        .select(col("kind"), col("id"), col("score"))
+        .orderBy(col("kind"), col("score").desc, col("id"))
+    },
   )
 }

@@ -739,6 +739,75 @@ object Corpus {
           sum(col("score")).as("weight_scaled"))
         .orderBy("doc_id")
     },
+
+    // WATER-FILLING token-budget allocation across sources — the data-
+    // recipe step after the mixture report: spend a fixed token budget
+    // (half the corpus here) so every source contributes up to a COMMON
+    // level and no large source dominates; sources smaller than the
+    // level are taken whole ("capped"), the rest split the remaining
+    // budget equally. The discrete level comes from the sorted-prefix
+    // formulation (rank sources by inventory ascending; source i's
+    // candidate level is (budget − prefix) div (remaining sources)) in
+    // EXACT integer arithmetic — no float level, no iteration. Spending
+    // undershoots the budget by at most (uncapped count − 1) tokens
+    // (integer-division remainder), never overshoots. Plan: one
+    // combiner token-count shuffle collapses the corpus to |sources|
+    // rows; everything after (ranks, prefix sums, the level, the spend)
+    // is windows over that tiny frame — at 100 TB the scan is the
+    // entire job, exactly like corpus_mix_temperature.
+    Q("corpus_token_waterfill",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |inv AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS t
+        |  FROM tok WHERE w <> '' GROUP BY source),
+        |r AS (
+        |  SELECT source, t,
+        |    CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS i,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY t, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pp,
+        |    CAST(sum(t) OVER () // 2 AS BIGINT) AS budget,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM inv),
+        |lv AS (SELECT r.*, (budget - pp) // (n - i + 1) AS level_i FROM r),
+        |fin AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN t <= level_i THEN t ELSE 0 END) OVER ()
+        |      AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN t <= level_i THEN 0 ELSE 1 END) OVER ()
+        |      AS BIGINT) AS nu
+        |  FROM lv)
+        |SELECT source, t AS inventory, budget, t <= level_i AS capped,
+        |  CAST(CASE WHEN t <= level_i THEN t
+        |       ELSE (budget - ct) // nu END AS BIGINT) AS alloc
+        |FROM fin ORDER BY source""".stripMargin) { (s, d) =>
+      val inv = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("source").agg(count(lit(1)).as("t"))
+      val ord = Window.orderBy(col("t"), col("source"))
+      val r = inv
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("pp", coalesce(sum(col("t")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("budget",
+          expr("sum(t) OVER () div 2"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val lv = r.withColumn("level_i",
+        expr("(budget - pp) div (n - i + 1)"))
+      val fin = lv
+        .withColumn("ct", sum(when(col("t") <= col("level_i"), col("t"))
+          .otherwise(0L)).over(Window.partitionBy()))
+        .withColumn("nu", sum(when(col("t") <= col("level_i"), 0L)
+          .otherwise(1L)).over(Window.partitionBy()))
+      fin.select(col("source"), col("t").as("inventory"), col("budget"),
+          (col("t") <= col("level_i")).as("capped"),
+          when(col("t") <= col("level_i"), col("t"))
+            .otherwise(expr("(budget - ct) div nu")).as("alloc"))
+        .orderBy("source")
+    },
   )
 
   /** Paragraph-level exact dedup with reassembly (frame-parametric kernel

@@ -850,5 +850,190 @@ object Stats {
           col("k"), (col("k") <= col("kmax")).as("significant"))
         .orderBy("k")
     },
+
+    // Brown–Forsythe test (the median-centered Levene): do order totals
+    // have EQUAL SPREAD across order priorities? — the variance-
+    // homogeneity check that gates every pooled-variance test upstream
+    // (Welch exists precisely because this often fails). Robust center:
+    // each group's LOWER-MIDDLE order statistic (position (n+1)//2 —
+    // a stored value, never an interpolated average, so the center is
+    // an exact DECIMAL on both engines); deviations z = |x − med| stay
+    // exact DECIMAL, and the one-way ANOVA F over z uses the
+    // stats_chi_square quantization discipline: each group's S²/n term
+    // is floored to an exact BIGINT before the cross-group sum (a raw
+    // double Σ over groups is accumulation-order nondeterministic),
+    // then F is ONE identically-ordered double expression. Plan: one
+    // rank window + one group aggregate over the k-row frame; the fact
+    // table collapses to k groups map-side after the median join.
+    Q("stats_brown_forsythe",
+      """WITH x AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS x, o_orderkey
+        |  FROM orders),
+        |rk AS (
+        |  SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x, o_orderkey)
+        |      AS i,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM x),
+        |med AS (SELECT g, x AS med FROM rk WHERE i = (n + 1) // 2),
+        |z AS (
+        |  SELECT x.g, abs(x.x - med.med) AS z
+        |  FROM x JOIN med ON x.g = med.g),
+        |grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS DOUBLE) AS s
+        |  FROM z GROUP BY g),
+        |gq AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(CAST(floor(s * s / n) AS BIGINT)) AS BIGINT) AS bq
+        |  FROM grp),
+        |gl AS (
+        |  SELECT CAST(sum(z) AS DOUBLE) AS ss,
+        |    CAST(sum(CAST(z * z AS DECIMAL(28,4))) AS DOUBLE) AS qq
+        |  FROM z)
+        |SELECT k, nn AS n_total,
+        |  (CAST(bq AS DOUBLE) - ss * ss / nn) / (k - 1)
+        |    / ((qq - CAST(bq AS DOUBLE)) / (nn - k)) AS f_stat
+        |FROM gq, gl""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"),
+          col("o_totalprice").cast("decimal(12,2)").as("x"),
+          col("o_orderkey"))
+      val rk = x
+        .withColumn("i", row_number().over(
+          Window.partitionBy("g").orderBy(col("x"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      val med = rk.where(col("i") === expr("(n + 1) div 2"))
+        .select(col("g"), col("x").as("med"))
+      val z = x.join(broadcast(med), Seq("g"))
+        .select(col("g"), abs(col("x") - col("med")).as("z"))
+      val grp = z.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("z")).cast("double").as("s"))
+      val gq = grp.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(floor(col("s") * col("s") / col("n")).cast("long")).as("bq"))
+      val gl = z.agg(sum(col("z")).cast("double").as("ss"),
+        sum((col("z") * col("z")).cast("decimal(28,4)"))
+          .cast("double").as("qq"))
+      gq.crossJoin(gl)
+        .select(col("k"), col("nn").as("n_total"),
+          (((col("bq").cast("double") - col("ss") * col("ss") / col("nn"))
+            / (col("k") - 1))
+            / ((col("qq") - col("bq").cast("double"))
+              / (col("nn") - col("k")))).as("f_stat"))
+    },
+
+    // Deterministic 1-D k-means (K=4, three unrolled Lloyd iterations)
+    // over order totals — the scalar QUANTIZER primitive (price-band
+    // discovery; the 1-D ancestor of the IVF coarse quantizer and the
+    // int8 embedding quantizer, learned from the data instead of fixed
+    // percentiles). Every step is cross-engine bit-exact: init
+    // centroids are min + span·{1,3,5,7}/8 (exact binary fractions of
+    // two stored order statistics); assignment is a fixed <=-chain of
+    // abs distances (ties to the LOWER cluster id, same CASE both
+    // engines); the update mean is a DECIMAL-exact sum with ONE double
+    // division; an emptied cluster keeps its previous centroid.
+    // Inertia is quantized per row (floor(100·(x−c)²) BIGINT) so the
+    // final sum is exact (DECIMAL(38)/HUGEINT twins). Plan: each
+    // iteration is one combiner-friendly conditional aggregate over the
+    // scan with the 1-row centroid frame BROADCAST — no shuffle ever
+    // carries data, and iterations are a fixed constant (3).
+    Q("stats_kmeans_1d", kmeans1dOracle) { (s, d) =>
+      val x = Tables.orders(s, d).select(
+        col("o_totalprice").cast("double").as("xd"),
+        col("o_totalprice").cast("decimal(12,2)").as("xc"))
+      val init = x.agg(min(col("xd")).as("mn"), max(col("xd")).as("mx"))
+        .select(
+          (col("mn") + (col("mx") - col("mn")) * 0.125).as("c0"),
+          (col("mn") + (col("mx") - col("mn")) * 0.375).as("c1"),
+          (col("mn") + (col("mx") - col("mn")) * 0.625).as("c2"),
+          (col("mn") + (col("mx") - col("mn")) * 0.875).as("c3"))
+      def assignCl(df: org.apache.spark.sql.DataFrame) = df.withColumn("cl",
+        when(abs(col("xd") - col("c0")) <= abs(col("xd") - col("c1")) &&
+             abs(col("xd") - col("c0")) <= abs(col("xd") - col("c2")) &&
+             abs(col("xd") - col("c0")) <= abs(col("xd") - col("c3")), 0)
+        .when(abs(col("xd") - col("c1")) <= abs(col("xd") - col("c2")) &&
+              abs(col("xd") - col("c1")) <= abs(col("xd") - col("c3")), 1)
+        .when(abs(col("xd") - col("c2")) <= abs(col("xd") - col("c3")), 2)
+        .otherwise(3))
+      def centOf(j: Int) = coalesce(
+        sum(when(col("cl") === j, col("xc"))).cast("double")
+          / count(when(col("cl") === j, col("xc"))),
+        max(col(s"c$j"))).as(s"c$j")
+      var cent = init
+      for (_ <- 1 to 3) {
+        val a = assignCl(x.crossJoin(broadcast(cent)))
+        cent = a.agg(centOf(0), centOf(1), centOf(2), centOf(3))
+      }
+      val fin = assignCl(x.crossJoin(broadcast(cent)))
+        .withColumn("c",
+          when(col("cl") === 0, col("c0")).when(col("cl") === 1, col("c1"))
+            .when(col("cl") === 2, col("c2")).otherwise(col("c3")))
+      fin.groupBy("cl")
+        .agg(count(lit(1)).as("n"), max(col("c")).as("centroid"),
+          sum(floor(lit(100) * (col("xd") - col("c"))
+            * (col("xd") - col("c"))).cast("decimal(38,0)"))
+            .cast("double").as("inertia_scaled"))
+        .select(col("cl").as("cluster"), col("n"), col("centroid"),
+          col("inertia_scaled"))
+        .orderBy("cluster")
+    },
   )
+
+  /** Generated oracle for `stats_kmeans_1d`: the three Lloyd iterations
+    * unrolled as assignment/update CTE pairs — the exact mirror of the
+    * Spark side's loop (same CASE chain, same coalesce-on-empty, same
+    * decimal-exact means), so all doubles are bit-identical.
+    */
+  private def kmeans1dOracle: String = {
+    def caseCl(src: String) =
+      s"""CASE WHEN abs(xd - $src.c0) <= abs(xd - $src.c1)
+         |       AND abs(xd - $src.c0) <= abs(xd - $src.c2)
+         |       AND abs(xd - $src.c0) <= abs(xd - $src.c3) THEN 0
+         |     WHEN abs(xd - $src.c1) <= abs(xd - $src.c2)
+         |       AND abs(xd - $src.c1) <= abs(xd - $src.c3) THEN 1
+         |     WHEN abs(xd - $src.c2) <= abs(xd - $src.c3) THEN 2
+         |     ELSE 3 END""".stripMargin
+    def cent(j: Int) =
+      s"""coalesce(CAST(sum(CASE WHEN cl = $j THEN xc END) AS DOUBLE)
+         |      / count(CASE WHEN cl = $j THEN xc END), max(c$j)) AS c$j"""
+        .stripMargin
+    def step(k: Int): String = {
+      val prev = if (k == 1) "c0i" else s"u${k - 1}"
+      s"""a$k AS (
+         |  SELECT x.xd, x.xc, $prev.c0, $prev.c1, $prev.c2, $prev.c3,
+         |    ${caseCl(prev)} AS cl
+         |  FROM x, $prev),
+         |u$k AS (
+         |  SELECT ${cent(0)}, ${cent(1)}, ${cent(2)}, ${cent(3)}
+         |  FROM a$k)"""
+        .stripMargin
+    }
+    s"""WITH x AS (
+       |  SELECT CAST(o_totalprice AS DOUBLE) AS xd,
+       |         CAST(o_totalprice AS DECIMAL(12,2)) AS xc FROM orders),
+       |mm AS (SELECT min(xd) AS mn, max(xd) AS mx FROM x),
+       |c0i AS (SELECT mn + (mx - mn) * 0.125 AS c0,
+       |               mn + (mx - mn) * 0.375 AS c1,
+       |               mn + (mx - mn) * 0.625 AS c2,
+       |               mn + (mx - mn) * 0.875 AS c3 FROM mm),
+       |${(1 to 3).map(step).mkString(",\n")},
+       |fin AS (
+       |  SELECT x.xd, x.xc,
+       |    ${caseCl("u3")} AS cl,
+       |    u3.c0, u3.c1, u3.c2, u3.c3
+       |  FROM x, u3),
+       |fc AS (
+       |  SELECT xd, cl,
+       |    CASE WHEN cl = 0 THEN c0 WHEN cl = 1 THEN c1
+       |         WHEN cl = 2 THEN c2 ELSE c3 END AS c
+       |  FROM fin)
+       |SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |  max(c) AS centroid,
+       |  CAST(sum(CAST(floor(100 * (xd - c) * (xd - c)) AS BIGINT))
+       |    AS DOUBLE) AS inertia_scaled
+       |FROM fc GROUP BY cl ORDER BY cl""".stripMargin
+  }
 }

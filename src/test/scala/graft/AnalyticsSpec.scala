@@ -709,6 +709,19 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum == users)
   }
 
+  test("hits: 20 hubs + 20 authorities, positive, rank-ordered per side") {
+    val rows = SparkEntry.queries("graph_hits_bipartite")(spark, sf)
+      .collect()
+    val (auth, hubs) = rows.partition(_.getString(0) == "authority")
+    assert(auth.length == 20 && hubs.length == 20, s"got ${rows.length}")
+    for (side <- Seq(auth, hubs)) {
+      val scores = side.map(_.getLong(2))
+      assert(scores.forall(_ > 0), "renormalized scores must be positive")
+      assert(scores.sameElements(scores.sortBy(-_)),
+        "each side must arrive score-descending")
+    }
+  }
+
   test("croston: z/p bounds on intermittent weekly demand") {
     val rows = SparkEntry.queries("ts_croston_intermittent")(spark, sf)
       .collect()

@@ -285,4 +285,23 @@ class CorpusSpec extends SparkSuite {
     assert(mean(en) > mean(rest),
       s"en per-token weight ${mean(en)} must exceed raw ${mean(rest)}")
   }
+
+  test("waterfill: spends the budget up to integer remainder, caps whole") {
+    val rows = SparkEntry.queries("corpus_token_waterfill")(spark, sf)
+      .collect()
+    assert(rows.length == 20, "one allocation per source")
+    val budget = rows.map(_.getLong(2)).distinct
+    assert(budget.length == 1 && budget.head > 0)
+    val spent = rows.map(_.getLong(4)).sum
+    val nUncapped = rows.count(!_.getBoolean(3))
+    assert(spent <= budget.head,
+      s"allocation $spent must never overshoot the budget ${budget.head}")
+    assert(spent > budget.head - math.max(nUncapped, 1),
+      s"undershoot beyond the division remainder: $spent vs ${budget.head}")
+    // capped sources are taken whole; uncapped sources share one level
+    rows.filter(_.getBoolean(3)).foreach(r =>
+      assert(r.getLong(4) == r.getLong(1), "capped must take the inventory"))
+    val levels = rows.filter(!_.getBoolean(3)).map(_.getLong(4)).distinct
+    assert(levels.length <= 1, s"uncapped must share one level: $levels")
+  }
 }

@@ -189,4 +189,30 @@ class StatsSpec extends SparkSuite {
     if (kmax > 0)
       assert(rows(kmax - 1).getDouble(4) <= kmax.toDouble * 0.1 / m)
   }
+
+  test("brown-forsythe: F over median deviations is finite and positive") {
+    val r = SparkEntry.queries("stats_brown_forsythe")(spark, sf).head()
+    assert(r.getLong(0) == 5, "five priority groups expected")
+    val n = Tables.orders(spark, sf).count()
+    assert(r.getLong(1) == n, s"n_total must be the order count $n")
+    val f = r.getDouble(2)
+    assert(!f.isNaN && !f.isInfinite && f >= 0.0, s"f_stat=$f")
+  }
+
+  test("kmeans 1d: ordered centroids partition the price domain") {
+    val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val cents = rows.map(_.getDouble(2))
+    assert(cents.sameElements(cents.sorted),
+      s"centroids must be ordered after Lloyd rounds: ${cents.toSeq}")
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.orders(spark, sf).count(), "clusters must partition orders")
+    val (mn, mx) = {
+      val r = Tables.orders(spark, sf)
+        .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    assert(cents.forall(c => c >= mn && c <= mx))
+    assert(rows.forall(_.getDouble(3) >= 0.0), "inertia must be nonnegative")
+  }
 }

@@ -3112,6 +3112,80 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // Partial autocorrelations (lags 1–3) of the daily order-count
+    // series via the Durbin–Levinson recursion unrolled — the AR-order
+    // diagnostic that separates direct lag-k dependence from what lag-1
+    // already explains (ACF alone can't: an AR(1) shows geometric ACF
+    // at every lag but PACF cuts off after 1). Exactness: center by the
+    // ×n trick (z_t = n·c_t − Σc is integer, so every autocovariance
+    // Σ z_t·z_{t+k} is an exact sum — products in DECIMAL(38,0)/HUGEINT
+    // for headroom at any scale), ρ_k = g_k/g_0 one division each, and
+    // the three-level recursion is a fixed cascade of double
+    // expressions written identically on both engines. Plan: the fact
+    // collapses to the |days| frame in one combiner shuffle; the lead
+    // windows and moment aggregate run on ~10³ calendar-bounded rows —
+    // at 100 TB the series length does not grow, only the scan does.
+    Q("ts_pacf_levinson",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(c) AS BIGINT) AS sm FROM daily),
+        |z AS (SELECT day, n, n * c - sm AS z FROM daily, st),
+        |l AS (SELECT n, z,
+        |        lead(z, 1) OVER (ORDER BY day) AS z1,
+        |        lead(z, 2) OVER (ORDER BY day) AS z2,
+        |        lead(z, 3) OVER (ORDER BY day) AS z3
+        |      FROM z),
+        |gam AS (SELECT max(n) AS n,
+        |    CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST(z AS HUGEINT) * z1) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST(z AS HUGEINT) * z2) AS DOUBLE) AS g2,
+        |    CAST(sum(CAST(z AS HUGEINT) * z3) AS DOUBLE) AS g3
+        |  FROM l),
+        |r AS (SELECT n, g1 / g0 AS r1, g2 / g0 AS r2, g3 / g0 AS r3
+        |      FROM gam),
+        |p2 AS (SELECT n, r1, r2, r3,
+        |         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22 FROM r),
+        |p3 AS (SELECT n, r1, r2, r3, phi22,
+        |         r1 * (1.0 - phi22) AS phi21 FROM p2)
+        |SELECT n AS n_days, r1 AS rho1, r2 AS rho2, r3 AS rho3,
+        |  r1 AS pacf1, phi22 AS pacf2,
+        |  (r3 - phi21 * r2 - phi22 * r1)
+        |    / (1.0 - phi21 * r1 - phi22 * r2) AS pacf3
+        |FROM p3""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val st = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("sm"))
+      val z = daily.crossJoin(broadcast(st))
+        .select(col("day"), col("n"),
+          (col("n") * col("c") - col("sm")).as("z"))
+      val w = Window.orderBy("day")
+      val l = z.select(col("n"), col("z"),
+        lead(col("z"), 1).over(w).as("z1"),
+        lead(col("z"), 2).over(w).as("z2"),
+        lead(col("z"), 3).over(w).as("z3"))
+      def g(c2: Column, as: String) =
+        sum(col("z").cast("decimal(38,0)") * c2).cast("double").as(as)
+      val gam = l.agg(max(col("n")).as("n"), g(col("z"), "g0"),
+        g(col("z1"), "g1"), g(col("z2"), "g2"), g(col("z3"), "g3"))
+      val r = gam.select(col("n"), (col("g1") / col("g0")).as("r1"),
+        (col("g2") / col("g0")).as("r2"), (col("g3") / col("g0")).as("r3"))
+      val p2 = r.withColumn("phi22",
+        (col("r2") - col("r1") * col("r1"))
+          / (lit(1.0) - col("r1") * col("r1")))
+      val p3 = p2.withColumn("phi21",
+        col("r1") * (lit(1.0) - col("phi22")))
+      p3.select(col("n").as("n_days"), col("r1").as("rho1"),
+        col("r2").as("rho2"), col("r3").as("rho3"),
+        col("r1").as("pacf1"), col("phi22").as("pacf2"),
+        ((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+          / (lit(1.0) - col("phi21") * col("r1")
+            - col("phi22") * col("r2"))).as("pacf3"))
+    },
+
     // PageRank over the co-purchase graph, two unrolled iterations, in
     // INTEGER arithmetic: ranks are scaled to 1e9 and every step is
     // BIGINT multiply/divide (pr div deg, 85·Σ div 100) — truncating
@@ -4604,6 +4678,122 @@ object Analytics {
         .orderBy("bucket")
     },
 
+    // Degree ASSORTATIVITY of the co-purchase graph — Newman's r: the
+    // Pearson correlation of endpoint degrees across edges ("do popular
+    // parts co-sell with popular parts, or do hubs bridge the tail?"),
+    // the one-number mixing diagnostic that decides whether hub-salting
+    // (graph_pagerank_salted's regime) is even needed: disassortative
+    // graphs concentrate shuffle mass on hub rows, assortative ones
+    // spread it. Both edge directions are kept so the endpoint-degree
+    // moments are symmetric and r is the textbook undirected form. All
+    // four moments (M, Σj, Σjk, Σj²) are EXACT BIGINTs — degrees are
+    // integers and every product fits well under 2⁶³ at any plausible
+    // co-purchase density — and r is one identically-associated double
+    // expression (the >2⁶³ cross products M·Σjk happen in DOUBLE on
+    // both engines). Plan: the same in-task basket fan-out as the
+    // PageRank family (no pair self-join), pair-level codegen DISTINCT,
+    // degree table = |parts| rows broadcast onto the edge list twice,
+    // ONE combiner aggregate — no shuffle ever carries more than the
+    // deduped edge list.
+    Q("graph_assortativity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS dg
+        |        FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(du.dg) AS BIGINT) AS sj,
+        |    CAST(sum(du.dg * dv.dg) AS BIGINT) AS sjk,
+        |    CAST(sum(du.dg * du.dg) AS BIGINT) AS sjj
+        |  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x)
+        |SELECT m AS m_directed, sj AS sum_deg,
+        |  (CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+        |     - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+        |  / (CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+        |     - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) AS assortativity
+        |FROM s""".stripMargin) { (s, d) =>
+      val e = copurchaseEdgeFanout(s, d)
+        .select(col("u"), col("v")).distinct()
+      val deg = e.groupBy(col("u").as("x"))
+        .agg(count(lit(1)).as("dg"))
+      val st = e
+        .join(broadcast(deg.select(col("x"), col("dg").as("du"))),
+          col("u") === col("x")).drop("x")
+        .join(broadcast(deg.select(col("x"), col("dg").as("dv"))),
+          col("v") === col("x")).drop("x")
+        .agg(count(lit(1)).as("m"), sum(col("du")).as("sj"),
+          sum(col("du") * col("dv")).as("sjk"),
+          sum(col("du") * col("du")).as("sjj"))
+      def dd(c: Column) = c.cast("double")
+      st.select(col("m").as("m_directed"), col("sj").as("sum_deg"),
+        ((dd(col("m")) * dd(col("sjk")) - dd(col("sj")) * dd(col("sj")))
+          / (dd(col("m")) * dd(col("sjj")) - dd(col("sj")) * dd(col("sj"))))
+          .as("assortativity"))
+    },
+
+    // RICH-CLUB coefficient curve φ(k) — assortativity's distributional
+    // companion: for each degree threshold k, the edge density among
+    // nodes of degree > k ("do the hubs form their own clique, or do
+    // they only touch the tail?"); φ(k) = E_club/(N_k·(N_k−1)) with the
+    // directed both-direction edge count (= 2·E_undirected, exactly the
+    // textbook 2E/(N(N−1))). Four fixed thresholds give the curve
+    // shape; everything is exact BIGINT counts until ONE double
+    // division per row. Plan: the SAME deduped edge frame and broadcast
+    // degree table as graph_assortativity (both degree joins broadcast),
+    // the 4-row threshold frame cross-joins IN-TASK before one combiner
+    // aggregate — the edge list is scanned once for all four k, and the
+    // club sizes come from the |parts|-sized degree table, never the
+    // edges.
+    Q("graph_rich_club",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS dg
+        |        FROM e GROUP BY 1),
+        |ks(k) AS (SELECT * FROM (VALUES (5), (10), (20), (40)) AS t(k)),
+        |club AS (SELECT k, CAST(count(dg) AS BIGINT) AS nk
+        |         FROM ks LEFT JOIN deg ON dg > k GROUP BY 1),
+        |ec AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS ek
+        |       FROM e JOIN deg du ON e.u = du.x
+        |         JOIN deg dv ON e.v = dv.x
+        |       CROSS JOIN ks
+        |       WHERE du.dg > ks.k AND dv.dg > ks.k
+        |       GROUP BY 1)
+        |SELECT club.k AS k, nk AS n_club,
+        |  coalesce(ek, 0) AS e_club_directed,
+        |  CASE WHEN nk >= 2 THEN CAST(coalesce(ek, 0) AS DOUBLE)
+        |    / (CAST(nk AS DOUBLE) * CAST(nk - 1 AS DOUBLE))
+        |  ELSE 0.0 END AS phi
+        |FROM club LEFT JOIN ec ON club.k = ec.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val e = copurchaseEdgeFanout(s, d)
+        .select(col("u"), col("v")).distinct()
+      val deg = e.groupBy(col("u").as("x"))
+        .agg(count(lit(1)).as("dg"))
+      val ks = s.range(1).select(explode(array(
+        lit(5), lit(10), lit(20), lit(40))).as("k"))
+      val club = ks.join(broadcast(deg), col("dg") > col("k"), "left")
+        .groupBy("k").agg(count(col("dg")).as("nk"))
+      val ec = e
+        .join(broadcast(deg.select(col("x"), col("dg").as("du"))),
+          col("u") === col("x")).drop("x")
+        .join(broadcast(deg.select(col("x"), col("dg").as("dv"))),
+          col("v") === col("x")).drop("x")
+        .crossJoin(broadcast(ks))
+        .where(col("du") > col("k") && col("dv") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("ek"))
+      club.join(broadcast(ec), Seq("k"), "left")
+        .select(col("k"), col("nk").as("n_club"),
+          coalesce(col("ek"), lit(0L)).as("e_club_directed"),
+          when(col("nk") >= 2, coalesce(col("ek"), lit(0L)).cast("double")
+            / (col("nk").cast("double") * (col("nk") - 1).cast("double")))
+            .otherwise(lit(0.0)).as("phi"))
+        .orderBy("k")
+    },
+
     // Pareto / Lorenz concentration of event traffic: users ranked by
     // activity, cut into deciles, cumulative share of all events per
     // decile — "what % of users generate 80% of the load", the capacity-
@@ -4711,6 +4901,63 @@ object Analytics {
       markovTransitionsOf(Tables.events(s, d), "user_id", "event_type",
           "event_id")
         .orderBy("from_type", "to_type")
+    },
+
+    // Conditional next-event ENTROPY per state + the frequency-weighted
+    // chain entropy rate — how PREDICTABLE is each point of the journey
+    // (H(next|cur) ≈ 0 means a deterministic funnel step; ln(#types)
+    // means anything can follow), the one-number sequencing diagnostic
+    // next to the raw events_markov_transitions matrix. Micro-log
+    // discipline: each transition's p(d|s) = n_sd/n_s is an EXACT
+    // integer rational, so the per-state sum Σ n_sd·floor(1e6·ln(p)) is
+    // an exact BIGINT and H = −sum/n_s/1e6 is ONE double cascade; the
+    // weighted rate collapses algebraically to −Σ_s sum_s / Σ_s n_s (two
+    // exact BIGINT totals, one division) — no per-state double Σ, no
+    // accumulation-order hazard. Plan: one user-keyed lead window, one
+    // (src,dst) combiner aggregate, then everything runs on the ≤k²
+    // transition-cell frame.
+    Q("events_markov_entropy",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS ft,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS tt
+        |  FROM events),
+        |c AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n FROM seq
+        |      WHERE tt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT ft, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1),
+        |t AS (
+        |  SELECT c.ft, tn,
+        |    CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)
+        |      / CAST(tn AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS hsum
+        |  FROM c JOIN tot ON c.ft = tot.ft GROUP BY c.ft, tn),
+        |g AS (SELECT CAST(sum(tn) AS BIGINT) AS gt,
+        |             CAST(sum(hsum) AS BIGINT) AS gh FROM t)
+        |SELECT ft AS from_type, tn AS n_trans,
+        |  -CAST(hsum AS DOUBLE) / CAST(tn AS DOUBLE) / 1000000.0
+        |    AS h_nats,
+        |  -CAST(gh AS DOUBLE) / CAST(gt AS DOUBLE) / 1000000.0
+        |    AS h_rate_nats
+        |FROM t, g ORDER BY from_type""".stripMargin) { (s, d) =>
+      val seq0 = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("ft"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy("event_id")).as("tt"))
+      val c = seq0.where(col("tt").isNotNull)
+        .groupBy("ft", "tt").agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("ft").agg(sum(col("n")).as("tn"))
+      val t = c.join(broadcast(tot), "ft")
+        .groupBy("ft", "tn")
+        .agg(sum(col("n") * floor(log(col("n").cast("double")
+          / col("tn").cast("double")) * 1000000).cast("long")).as("hsum"))
+      val g = t.agg(sum(col("tn")).as("gt"), sum(col("hsum")).as("gh"))
+      t.crossJoin(broadcast(g))
+        .select(col("ft").as("from_type"), col("tn").as("n_trans"),
+          (negate(col("hsum").cast("double")) / col("tn").cast("double")
+            / 1000000.0).as("h_nats"),
+          (negate(col("gh").cast("double")) / col("gt").cast("double")
+            / 1000000.0).as("h_rate_nats"))
+        .orderBy("from_type")
     },
 
     // 2-D Pareto skyline (minimize price, maximize size): the classic

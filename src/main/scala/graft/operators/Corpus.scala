@@ -808,6 +808,97 @@ object Corpus {
             .otherwise(expr("(budget - ct) div nu")).as("alloc"))
         .orderBy("source")
     },
+
+    // Pairwise Jensen–Shannon divergence between source unigram models —
+    // the symmetric, bounded [0, ln 2] distribution distance the mixture
+    // planner reads next to corpus_dsir_weights' one-directional LLR
+    // (which sources are interchangeable? which pair justifies separate
+    // mixture weights?). Same 256-bucket hashed-unigram model and the
+    // same BIGINT micro-log discipline as DSIR: for each bucket the two
+    // smoothed masses form EXACT integer rationals, p/m and q/m reduce
+    // to integer-over-integer (2·(c_a+1)·(N_b+256) over the cross-sum), so
+    // each KL term is count × floor(1e6·ln(rational)) — an exact BIGINT
+    // sum per pair, ONE double division per side at the end. Bucket
+    // space = buckets observed anywhere in the corpus (both engines
+    // derive it identically; smoothing keeps zero-count buckets
+    // contributing). Plan: ONE token scan feeds the |sources|×256 model;
+    // the dense grid, the 190-pair expansion and the divergence all run
+    // on KB-sized frames — at 100 TB the scan is the entire job.
+    Q("corpus_js_divergence",
+      """WITH tok AS (
+        |  SELECT source, substr(md5(w), 1, 2) AS b
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |m AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt
+        |      FROM m GROUP BY 1),
+        |bk AS (SELECT DISTINCT b FROM m),
+        |g AS (
+        |  SELECT n.source, n.nt, bk.b, coalesce(m.c, 0) AS c
+        |  FROM n CROSS JOIN bk
+        |  LEFT JOIN m ON m.source = n.source AND m.b = bk.b),
+        |pr AS (
+        |  SELECT a.source AS src_a, b2.source AS src_b,
+        |    a.nt AS na, b2.nt AS nb, a.c + 1 AS ca, b2.c + 1 AS cb,
+        |    (a.c + 1) * (b2.nt + 256) AS wa,
+        |    (b2.c + 1) * (a.nt + 256) AS wb
+        |  FROM g a JOIN g b2 ON a.b = b2.b AND a.source < b2.source),
+        |t AS (
+        |  SELECT src_a, src_b, na, nb,
+        |    ca * CAST(floor(ln(CAST(2 * wa AS DOUBLE)
+        |      / CAST(wa + wb AS DOUBLE)) * 1000000) AS BIGINT) AS tp,
+        |    cb * CAST(floor(ln(CAST(2 * wb AS DOUBLE)
+        |      / CAST(wa + wb AS DOUBLE)) * 1000000) AS BIGINT) AS tq
+        |  FROM pr),
+        |ag AS (
+        |  SELECT src_a, src_b, max(na) AS n_a, max(nb) AS n_b,
+        |    CAST(sum(tp) AS BIGINT) AS sp, CAST(sum(tq) AS BIGINT) AS sq
+        |  FROM t GROUP BY 1, 2)
+        |SELECT src_a AS source_a, src_b AS source_b, n_a, n_b,
+        |  (CAST(sp AS DOUBLE) / CAST(n_a + 256 AS DOUBLE)
+        |   + CAST(sq AS DOUBLE) / CAST(n_b + 256 AS DOUBLE))
+        |    / 2.0 / 1000000.0 AS js_divergence
+        |FROM ag ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .select(col("source"), substring(md5(col("w")), 1, 2).as("b"))
+      val m = tok.groupBy("source", "b").agg(count(lit(1)).as("c"))
+      val n = m.groupBy("source").agg(sum(col("c")).as("nt"))
+      val bk = m.select(col("b")).distinct()
+      val g = n.crossJoin(broadcast(bk))
+        .join(broadcast(m), Seq("source", "b"), "left")
+        .select(col("source"), col("nt"), col("b"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val a = g.select(col("source").as("src_a"), col("nt").as("na"),
+        col("b"), col("c").as("c_a"))
+      val b2 = g.select(col("source").as("src_b"), col("nt").as("nb"),
+        col("b").as("bb"), col("c").as("c_b"))
+      val pr = a.join(broadcast(b2),
+          col("b") === col("bb") && col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          (col("c_a") + 1).as("ca"), (col("c_b") + 1).as("cb"),
+          ((col("c_a") + 1) * (col("nb") + 256)).as("wa"),
+          ((col("c_b") + 1) * (col("na") + 256)).as("wb"))
+      val t = pr.select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        (col("ca") * floor(log((lit(2) * col("wa")).cast("double")
+          / (col("wa") + col("wb")).cast("double")) * 1000000)
+          .cast("long")).as("tp"),
+        (col("cb") * floor(log((lit(2) * col("wb")).cast("double")
+          / (col("wa") + col("wb")).cast("double")) * 1000000)
+          .cast("long")).as("tq"))
+      t.groupBy("src_a", "src_b")
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(col("tp")).as("sp"), sum(col("tq")).as("sq"))
+        .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
+          col("n_a"), col("n_b"),
+          ((col("sp").cast("double") / (col("n_a") + 256).cast("double")
+            + col("sq").cast("double") / (col("n_b") + 256).cast("double"))
+            / 2.0 / 1000000.0).as("js_divergence"))
+        .orderBy("source_a", "source_b")
+    },
   )
 
   /** Paragraph-level exact dedup with reassembly (frame-parametric kernel

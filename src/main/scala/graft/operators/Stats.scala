@@ -374,6 +374,127 @@ object Stats {
         .as("spearman_rho"))
   }
 
+  /** Kendall's tau-b over two bounded-domain columns via the joint-cell
+    * frame (the [[spearman]] collapse): concordant/discordant pair mass
+    * from the O(cells²) self-join of the ≤|dom(x)|·|dom(y)| cell counts,
+    * tie terms from the marginal totals. Returns one row
+    * (n_rows, concordant, discordant, kendall_tau_b). All five cell
+    * consumers share the cell aggregate's canonical exchange, so the
+    * input is scanned once (exchange reuse; plan-gated in StatsSpec).
+    */
+  private[graft] def kendallTau(df: DataFrame, xc: String, yc: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xc).as("x"), col(yc).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("c").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("c").as("cb"))
+    val pp = a.join(broadcast(b), col("xa") < col("xb"))
+      .agg(
+        coalesce(sum(when(col("ya") < col("yb"), col("ca") * col("cb"))),
+          lit(0L)).as("conc"),
+        coalesce(sum(when(col("ya") > col("yb"), col("ca") * col("cb"))),
+          lit(0L)).as("disc"))
+    val nt = cells.agg(sum(col("c")).as("n"))
+    val tx = cells.groupBy("x").agg(sum(col("c")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("tx2"))
+    val ty = cells.groupBy("y").agg(sum(col("c")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("ty2"))
+    pp.crossJoin(nt).crossJoin(tx).crossJoin(ty)
+      .select(col("n").as("n_rows"), col("conc").as("concordant"),
+        col("disc").as("discordant"),
+        (((col("conc") - col("disc")) * 2).cast("double")
+          / sqrt((col("n") * (col("n") - 1) - col("tx2")).cast("double")
+            * (col("n") * (col("n") - 1) - col("ty2")).cast("double")))
+          .as("kendall_tau_b"))
+  }
+
+  /** Kruskal–Wallis H over (g: String, x) for a FIXED known group list
+    * (required: per-group terms pivot into one row so the cross-group
+    * sum is a fixed-association double expression, not an accumulation-
+    * order-dependent double Σ). Doubled midranks (2·cb + t + 1) stay
+    * integer; H and its tie-corrected form are the only doubles.
+    */
+  private[graft] def kruskalWallis(df: DataFrame, groups: Seq[String])
+      : DataFrame = {
+    val cells = df.groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val m = cells.groupBy("x").agg(sum(col("c")).as("t"))
+    val r = m.withColumn("cb",
+        coalesce(sum(col("t")).over(Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("x"), (lit(2L) * col("cb") + col("t") + 1L).as("r2"))
+    val tie = m.agg(sum(col("t") * col("t") * col("t") - col("t"))
+      .as("ties"))
+    val picks = Seq(sum(col("c")).as("n")) ++
+      groups.zipWithIndex.map { case (gv, i) =>
+        sum(when(col("g") === gv, col("c") * col("r2")))
+          .as(s"r2${i + 1}") } ++
+      groups.zipWithIndex.map { case (gv, i) =>
+        sum(when(col("g") === gv, col("c"))).as(s"n${i + 1}") }
+    val st = cells.join(broadcast(r), "x").agg(picks.head, picks.tail: _*)
+    val hExpr = groups.indices
+      .map { i =>
+        col(s"r2${i + 1}").cast("double") * col(s"r2${i + 1}").cast("double") /
+          col(s"n${i + 1}").cast("double")
+      }
+      .reduceLeft(_ + _)
+    val hs = st.select(col("n"),
+      (lit(3.0) / (col("n") * (col("n") + 1)).cast("double") * hExpr
+        - lit(3.0) * (col("n") + 1).cast("double")).as("h"))
+    hs.crossJoin(tie)
+      .select(col("n").as("n_total"), col("h").as("h_stat"),
+        (col("h") / (lit(1.0) - col("ties").cast("double")
+          / (col("n") * col("n") * col("n") - col("n")).cast("double")))
+          .as("h_tie_corrected"))
+  }
+
+  /** Closed-form two-regressor OLS per key over (key, x1, x2, y) with
+    * INTEGER (cent-unit) inputs: one combiner aggregate of the nine
+    * exact integer moments (products summed as DECIMAL(38,0) —
+    * HUGEINT's twin — so the one cast to double is a single correctly-
+    * rounded int→double on both engines), then the 2×2 normal-equation
+    * solve as a fixed cascade of double expressions. Betas and R² are
+    * scale-invariant; the intercept converts cents→natural with one
+    * exact /100. Returns (key, n, beta_qty, beta_disc, intercept,
+    * r_squared) ordered by key.
+    */
+  private[graft] def olsTwoFactor(df: DataFrame, key: String): DataFrame = {
+    def sd(e: Column, as: String) =
+      sum(e.cast("decimal(38,0)")).cast("double").as(as)
+    val st = df.groupBy(key).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).cast("double").as("s1"),
+      sum(col("x2")).cast("double").as("s2"),
+      sum(col("y")).cast("double").as("sy"),
+      sd(col("x1") * col("x1"), "s11"),
+      sd(col("x1") * col("x2"), "s12"),
+      sd(col("x2") * col("x2"), "s22"),
+      sd(col("x1") * col("y"), "s1y"),
+      sd(col("x2") * col("y"), "s2y"),
+      sd(col("y") * col("y"), "syy"))
+    val c = st
+      .withColumn("v11", col("s11") - col("s1") * col("s1") / col("n"))
+      .withColumn("v12", col("s12") - col("s1") * col("s2") / col("n"))
+      .withColumn("v22", col("s22") - col("s2") * col("s2") / col("n"))
+      .withColumn("v1y", col("s1y") - col("s1") * col("sy") / col("n"))
+      .withColumn("v2y", col("s2y") - col("s2") * col("sy") / col("n"))
+      .withColumn("vyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("det", col("v11") * col("v22") - col("v12") * col("v12"))
+      .withColumn("beta_qty",
+        (col("v22") * col("v1y") - col("v12") * col("v2y")) / col("det"))
+      .withColumn("beta_disc",
+        (col("v11") * col("v2y") - col("v12") * col("v1y")) / col("det"))
+    c.select(col(key), col("n"), col("beta_qty"), col("beta_disc"),
+        ((col("sy") - col("beta_qty") * col("s1")
+          - col("beta_disc") * col("s2")) / col("n") / 100.0)
+          .as("intercept"),
+        ((col("beta_qty") * col("v1y") + col("beta_disc") * col("v2y"))
+          / col("vyy")).as("r_squared"))
+      .orderBy(key)
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Welch's t between URGENT and LOW order totals — the "is the A/B
@@ -979,6 +1100,194 @@ object Stats {
         .select(col("cl").as("cluster"), col("n"), col("centroid"),
           col("inertia_scaled"))
         .orderBy("cluster")
+    },
+
+    // Kendall's tau-b of quantity × discount — the PAIR-CONCORDANCE
+    // rank correlation next to stats_spearman_rho (Spearman correlates
+    // ranks; Kendall counts inversions, so it is the one robust to the
+    // heavy joint-tie structure of two bounded domains). Same cell
+    // trick as Spearman: both columns have bounded domains (50 × 11 →
+    // ≤550 joint cells), so the fact table collapses to the cell frame
+    // in ONE combiner shuffle and the O(cells²) concordance join runs
+    // over ≤550 rows — never over row pairs (an all-pairs tau on 100 TB
+    // is impossible; the cell form is exact and corpus-size-free).
+    // Every count is an exact BIGINT (concordant/discordant sums of
+    // c_a·c_b products; tie terms Σt(t−1) avoid the /2 by carrying the
+    // doubled form); tau-b is ONE identically-associated double
+    // expression. All five cell-frame consumers sit on the same
+    // canonical aggregate exchange, so Spark's exchange reuse scans
+    // the fact table once (plan-asserted in StatsSpec).
+    Q("stats_kendall_tau",
+      """WITH cells AS (
+        |  SELECT l_quantity AS x, l_discount AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c END), 0)
+        |      AS BIGINT) AS conc,
+        |    CAST(coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c END), 0)
+        |      AS BIGINT) AS disc
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |tx AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS tx2
+        |       FROM (SELECT x, sum(c) AS t FROM cells GROUP BY 1)),
+        |ty AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS ty2
+        |       FROM (SELECT y, sum(c) AS t FROM cells GROUP BY 1))
+        |SELECT n AS n_rows, conc AS concordant, disc AS discordant,
+        |  CAST((conc - disc) * 2 AS DOUBLE)
+        |    / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+        |           * CAST(n * (n - 1) - ty2 AS DOUBLE)) AS kendall_tau_b
+        |FROM pp, nt, tx, ty""".stripMargin) { (s, d) =>
+      kendallTau(Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_discount")),
+        "l_quantity", "l_discount")
+    },
+
+    // Kruskal–Wallis H across all five order priorities — the k-group
+    // generalization of stats_mann_whitney (same rank-sum machinery,
+    // same tie correction) answering "did quantity's DISTRIBUTION shift
+    // anywhere among the groups" without normality or equal-variance
+    // assumptions (the rank-based sibling of stats_brown_forsythe's F).
+    // The priority domain is FIXED (5 known values), so the per-group
+    // rank sums pivot into one row and H is ONE identically-associated
+    // double expression over exact BIGINTs — a raw double Σ over groups
+    // would be accumulation-order nondeterministic cross-engine. Rank
+    // frame: quantity's 50-value domain (≤250 group cells); doubled
+    // ranks (2·cb + t + 1) keep midranks integer. Plan: the fact join
+    // collapses to the cell frame in one combiner shuffle; everything
+    // after runs on ≤250 rows.
+    Q("stats_kruskal_wallis",
+      """WITH j AS (
+        |  SELECT o_orderpriority AS g, l_quantity AS x
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cells AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        |          FROM j GROUP BY 1, 2),
+        |m AS (SELECT x, sum(c) AS t FROM cells GROUP BY 1),
+        |r AS (SELECT x,
+        |        2 * coalesce(sum(t) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        + t + 1 AS r2
+        |      FROM m),
+        |tie AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM m),
+        |st AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN g = '1-URGENT' THEN c * r2 END) AS BIGINT)
+        |      AS r21,
+        |    CAST(sum(CASE WHEN g = '2-HIGH' THEN c * r2 END) AS BIGINT)
+        |      AS r22,
+        |    CAST(sum(CASE WHEN g = '3-MEDIUM' THEN c * r2 END) AS BIGINT)
+        |      AS r23,
+        |    CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN c * r2 END)
+        |      AS BIGINT) AS r24,
+        |    CAST(sum(CASE WHEN g = '5-LOW' THEN c * r2 END) AS BIGINT)
+        |      AS r25,
+        |    CAST(sum(CASE WHEN g = '1-URGENT' THEN c END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN g = '2-HIGH' THEN c END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN g = '3-MEDIUM' THEN c END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN c END)
+        |      AS BIGINT) AS n4,
+        |    CAST(sum(CASE WHEN g = '5-LOW' THEN c END) AS BIGINT) AS n5
+        |  FROM cells JOIN r USING (x)),
+        |hs AS (
+        |  SELECT n,
+        |    3.0 / CAST(n * (n + 1) AS DOUBLE)
+        |      * (CAST(r21 AS DOUBLE) * CAST(r21 AS DOUBLE)
+        |           / CAST(n1 AS DOUBLE)
+        |         + CAST(r22 AS DOUBLE) * CAST(r22 AS DOUBLE)
+        |           / CAST(n2 AS DOUBLE)
+        |         + CAST(r23 AS DOUBLE) * CAST(r23 AS DOUBLE)
+        |           / CAST(n3 AS DOUBLE)
+        |         + CAST(r24 AS DOUBLE) * CAST(r24 AS DOUBLE)
+        |           / CAST(n4 AS DOUBLE)
+        |         + CAST(r25 AS DOUBLE) * CAST(r25 AS DOUBLE)
+        |           / CAST(n5 AS DOUBLE))
+        |    - 3.0 * CAST(n + 1 AS DOUBLE) AS h
+        |  FROM st)
+        |SELECT n AS n_total, h AS h_stat,
+        |  h / (1.0 - CAST(ties AS DOUBLE)
+        |             / CAST(n * n * n - n AS DOUBLE)) AS h_tie_corrected
+        |FROM hs, tie""".stripMargin) { (s, d) =>
+      kruskalWallis(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("g"), col("l_quantity").as("x")),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+    },
+
+    // Two-factor OLS per brand: extendedprice ~ quantity + discount via
+    // the closed-form 2×2 normal equations — MULTIPLE regression next
+    // to the single-regressor trend/elasticity kernels (the partial
+    // effect of discount holding quantity fixed is exactly what the
+    // one-factor elasticity slope confounds). Nine exact accumulators
+    // per brand in INTEGER CENT UNITS (×100 kills the fractional scale,
+    // so every accumulator is a pure integer and its one cast to DOUBLE
+    // is a SINGLE correctly-rounded int→double conversion on both
+    // engines — a DECIMAL(·,4) sum whose raw value tops 2⁵³ is NOT
+    // enough: DuckDB's decimal→double is (double)raw·10⁻ᵏ, two
+    // roundings, while Spark's BigDecimal cast rounds once, and the y²
+    // moment crosses 2⁵³ raw already at sf0.01). Then centered moments,
+    // determinant, betas, intercept and R² as a fixed cascade of double
+    // expressions written identically on both engines (betas and R² are
+    // invariant under the common ×100; the intercept converts back with
+    // one exact /100 at the end) — no matrix library, no iteration,
+    // bit-exact. Plan: ONE brand-keyed combiner aggregate over the
+    // lineitem⋈broadcast(part) join collapses the fact table to
+    // |brands| = 25 rows; the algebra runs on the tiny frame. At 100 TB
+    // nothing but the scan grows (DECIMAL(38,0) keeps the big moments
+    // exact to ~sf10⁶).
+    Q("stats_ols_two_factor",
+      """WITH b AS (
+        |  SELECT p_brand,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x1,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x1 * x1 AS HUGEINT)) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(x1 * x2 AS HUGEINT)) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(x2 * x2 AS HUGEINT)) AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(x1 * y AS HUGEINT)) AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST(x2 * y AS HUGEINT)) AS DOUBLE) AS s2y,
+        |    CAST(sum(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT p_brand, n, s1, s2, sy,
+        |    s11 - s1 * s1 / n AS v11,
+        |    s12 - s1 * s2 / n AS v12,
+        |    s22 - s2 * s2 / n AS v22,
+        |    s1y - s1 * sy / n AS v1y,
+        |    s2y - s2 * sy / n AS v2y,
+        |    syy - sy * sy / n AS vyy
+        |  FROM s),
+        |dt AS (SELECT p_brand, n, s1, s2, sy, v1y, v2y, vyy,
+        |         v11 * v22 - v12 * v12 AS det, v11, v12, v22
+        |       FROM c),
+        |e AS (
+        |  SELECT p_brand, n, s1, s2, sy, v1y, v2y, vyy,
+        |    (v22 * v1y - v12 * v2y) / det AS beta_qty,
+        |    (v11 * v2y - v12 * v1y) / det AS beta_disc
+        |  FROM dt)
+        |SELECT p_brand, n, beta_qty, beta_disc,
+        |  (sy - beta_qty * s1 - beta_disc * s2) / n / 100.0 AS intercept,
+        |  (beta_qty * v1y + beta_disc * v2y) / vyy AS r_squared
+        |FROM e ORDER BY p_brand""".stripMargin) { (s, d) =>
+      def cents(c: Column) =
+        (c.cast("decimal(12,2)") * 100).cast("long")
+      olsTwoFactor(
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            cents(col("l_quantity")).as("x1"),
+            cents(col("l_discount")).as("x2"),
+            cents(col("l_extendedprice")).as("y")),
+        "p_brand")
     },
   )
 

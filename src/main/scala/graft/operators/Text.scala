@@ -713,5 +713,101 @@ object Text {
         .agg(sum(col("ntok")).as("n_tokens"), count(lit(1)).as("n_words"))
         .orderBy("doc_id")
     },
+
+    // HEAPS' LAW fit — vocabulary growth V(N) ≈ K·N^β over the corpus
+    // read in doc_id order (sublinear 0 < β < 1 for natural-ish text;
+    // β → 1 flags synthetic/random corpora, β → 0 pure boilerplate).
+    // Unit = word TRIGRAMS (the dedup family's shingle), which keeps
+    // the curve informative even when the base lexicon is tiny — the
+    // fixture's 31-word lexicon saturates inside the first bucket, but
+    // its realized trigram space keeps growing, exactly the regime a
+    // template-heavy web crawl shows. Ten checkpoint buckets by
+    // document RANK; V_i = shingles whose FIRST bucket ≤ i (min-bucket
+    // per shingle, then a cumulative window over ten rows — never a
+    // vocab×checkpoint join); N_i = cumulative shingle count; β = OLS
+    // slope of the micro-log pairs (floor(1e6·ln), text_zipf_slope
+    // discipline) so every regression accumulator is an exact BIGINT
+    // sum. The bucket id is explicit integer arithmetic
+    // ((rk−1)·10 div n_docs + 1), not ntile. Plan: one shingle-explode
+    // scan (codegen'd word_ngrams, ONE split per row) → (bucket,
+    // shingle) combiner counts + one min-bucket aggregate over the
+    // shingle vocab; the global doc-rank window runs on the DOC frame
+    // (row-count sized, not token sized — at 100 TB the rank comes from
+    // a range-partitioned sort or the catalog's file ordering, and
+    // everything after the two combiner aggregates is a 10-row frame).
+    Q("text_heaps_law",
+      """WITH rk AS (
+        |  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rk,
+        |    count(*) OVER () AS nd
+        |  FROM documents),
+        |tb AS (
+        |  SELECT ((rk - 1) * 10) // nd + 1 AS b,
+        |    ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS w
+        |  FROM (SELECT rk, nd, string_split(text, ' ') AS ws FROM rk) t,
+        |    unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+        |      AS u(i)),
+        |tokens AS (SELECT b, CAST(count(*) AS BIGINT) AS tk
+        |           FROM tb GROUP BY 1),
+        |firstb AS (SELECT w, min(b) AS fb FROM tb GROUP BY 1),
+        |vocab AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS vc
+        |          FROM firstb GROUP BY 1),
+        |cum AS (
+        |  SELECT t.b,
+        |    CAST(sum(t.tk) OVER (ORDER BY t.b) AS BIGINT) AS n_tokens,
+        |    CAST(sum(coalesce(v.vc, 0)) OVER (ORDER BY t.b) AS BIGINT)
+        |      AS vocab_cum
+        |  FROM tokens t LEFT JOIN vocab v ON t.b = v.b),
+        |ml AS (
+        |  SELECT b, n_tokens, vocab_cum,
+        |    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS x,
+        |    CAST(floor(ln(CAST(vocab_cum AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS y
+        |  FROM cum),
+        |sl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM ml)
+        |SELECT b AS bucket, n_tokens, vocab_cum,
+        |  (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta
+        |FROM ml, sl ORDER BY bucket""".stripMargin) { (s, d) =>
+      val rk = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("rk", row_number().over(Window.orderBy("doc_id")))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      val tb = rk
+        .select(expr("((rk - 1) * 10) div nd + 1").as("b"),
+          explode(word_ngrams(col("text"), 3)).as("w"))
+      val tokens = tb.groupBy("b").agg(count(lit(1)).as("tk"))
+      val vocab = tb.groupBy("w").agg(min(col("b")).as("fb"))
+        .groupBy(col("fb").as("b")).agg(count(lit(1)).as("vc"))
+      val wb = Window.orderBy("b")
+      val cum = tokens.join(broadcast(vocab), Seq("b"), "left")
+        .select(col("b"),
+          sum(col("tk")).over(wb).as("n_tokens"),
+          sum(coalesce(col("vc"), lit(0L))).over(wb).as("vocab_cum"))
+      val ml = cum.select(col("b"), col("n_tokens"), col("vocab_cum"),
+        floor(log(col("n_tokens").cast("double")) * 1000000)
+          .cast("long").as("x"),
+        floor(log(col("vocab_cum").cast("double")) * 1000000)
+          .cast("long").as("y"))
+      val sl = ml.agg(count(lit(1)).as("m2"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      ml.crossJoin(broadcast(sl))
+        .select(col("b").as("bucket"), col("n_tokens"), col("vocab_cum"),
+          ((col("m2").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("m2").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+            .as("heaps_beta"))
+        .orderBy("bucket")
+    },
   )
 }

@@ -735,4 +735,75 @@ class AnalyticsSpec extends SparkSuite {
       assert(f == z / p && f > 0.0)
     }
   }
+
+  test("assortativity: Pearson bounds and symmetric-moment structure") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, sf).head()
+    val m = r.getAs[Long]("m_directed")
+    assert(m > 0 && m % 2 == 0,
+      s"both directions of every undirected edge must be present: m=$m")
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12, s"r=$a")
+    // sum_deg over directed edges = sum of squared degrees >= m (every
+    // endpoint has degree >= 1)
+    assert(r.getAs[Long]("sum_deg") >= m)
+  }
+
+  test("rich club: monotone club sizes, phi is a valid density") {
+    val rows = SparkEntry.queries("graph_rich_club")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(5, 10, 20, 40))
+    val sizes = rows.map(_.getAs[Long]("n_club"))
+    // raising the degree bar can only shrink the club
+    assert(sizes.sliding(2).forall { case Array(a, b) => b <= a
+      case _ => true }, sizes.toSeq.toString)
+    rows.foreach { r =>
+      val nk = r.getAs[Long]("n_club")
+      val ek = r.getAs[Long]("e_club_directed")
+      val phi = r.getAs[Double]("phi")
+      assert(ek % 2 == 0, "directed club edges come in symmetric pairs")
+      if (nk >= 2) {
+        assert(ek <= nk * (nk - 1), s"k=${r.getInt(0)}: $ek > max")
+        assert(phi >= 0.0 && phi <= 1.0 + 1e-12, s"phi=$phi")
+      } else assert(ek == 0 && phi == 0.0)
+    }
+  }
+
+  test("markov entropy: bounds per state and collapsed weighted rate") {
+    val rows = SparkEntry.queries("events_markov_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nTypes = rows.length // states with at least one outgoing edge
+    val hRate = rows.map(_.getAs[Double]("h_rate_nats")).distinct
+    assert(hRate.length == 1, "rate must be one global constant")
+    var num = 0.0; var den = 0.0
+    rows.foreach { r =>
+      val h = r.getAs[Double]("h_nats")
+      // micro-log floors can push H a hair past the exact ceiling
+      assert(h >= 0.0 && h <= math.log(nTypes + 1.0) + 1e-3,
+        s"${r.getString(0)}: h=$h")
+      num += h * r.getAs[Long]("n_trans"); den += r.getAs[Long]("n_trans")
+    }
+    // the collapsed -gh/gt form must equal the per-state weighted mean
+    assert(math.abs(hRate.head - num / den) < 1e-9,
+      s"rate ${hRate.head} vs weighted mean ${num / den}")
+  }
+
+  test("pacf: lag-1 equals rho1, all lags bounded, AR(1) cuts off") {
+    val r = SparkEntry.queries("ts_pacf_levinson")(spark, sf).head()
+    assert(r.getAs[Long]("n_days") > 10)
+    Seq("rho1", "rho2", "rho3", "pacf1", "pacf2", "pacf3").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c=$v")
+    }
+    assert(r.getAs[Double]("pacf1") == r.getAs[Double]("rho1"))
+    // Durbin-Levinson closed form on a synthetic exact-AR(1) ACF:
+    // rho_k = rho^k makes pacf2 = pacf3 = 0
+    val rho = 0.5
+    val (r1, r2, r3) = (rho, rho * rho, rho * rho * rho)
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val phi21 = r1 * (1.0 - phi22)
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+      (1.0 - phi21 * r1 - phi22 * r2)
+    assert(math.abs(phi22) < 1e-15 && math.abs(phi33) < 1e-15,
+      "recursion must zero out beyond lag 1 on an AR(1) ACF")
+  }
 }

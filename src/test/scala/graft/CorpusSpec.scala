@@ -304,4 +304,45 @@ class CorpusSpec extends SparkSuite {
     val levels = rows.filter(!_.getBoolean(3)).map(_.getLong(4)).distinct
     assert(levels.length <= 1, s"uncapped must share one level: $levels")
   }
+
+  test("js divergence: all pairs, bounded by ln 2, near-zero on self-mix") {
+    val rows = SparkEntry.queries("corpus_js_divergence")(spark, sf)
+      .collect()
+    // 20 sources -> C(20,2) ordered pairs, each exactly once with a < b
+    assert(rows.length == 190, s"expected 190 pairs, got ${rows.length}")
+    assert(rows.forall(r => r.getString(0) < r.getString(1)),
+      "pairs must be ordered source_a < source_b")
+    val ln2 = math.log(2.0)
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js_divergence")
+      // floor-quantized micro-logs can dip a hair under 0; ln 2 is the
+      // hard JS ceiling
+      assert(js > -1e-4 && js < ln2 + 1e-4,
+        s"js(${r.getString(0)},${r.getString(1)})=$js out of [0, ln2]")
+    }
+    // the fixture sources share one generator, so every divergence must
+    // sit far from the ln2 disjoint-support ceiling
+    val worst = rows.map(_.getAs[Double]("js_divergence")).max
+    assert(worst < 0.5 * ln2,
+      s"same-generator sources should not approach ln2: worst=$worst")
+  }
+
+  test("heaps law: cumulative curves monotone, beta in the sublinear band") {
+    val rows = SparkEntry.queries("text_heaps_law")(spark, sf).collect()
+    assert(rows.length == 10, s"ten checkpoints, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (1L to 10L))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    val voc = rows.map(_.getAs[Long]("vocab_cum"))
+    assert(toks.sliding(2).forall { case Array(a, b) => b > a
+      case _ => true }, "token curve must strictly grow")
+    assert(voc.sliding(2).forall { case Array(a, b) => b >= a
+      case _ => true }, "vocab curve must be nondecreasing")
+    assert(voc.zip(toks).forall { case (v, t) => v <= t },
+      "vocabulary can never exceed tokens read")
+    val beta = rows.map(_.getAs[Double]("heaps_beta")).distinct
+    assert(beta.length == 1, "beta must be one global constant")
+    // new vocabulary must keep arriving (beta > 0) but sublinearly
+    // (beta < 1) on any natural-ish corpus
+    assert(beta.head > 0.0 && beta.head < 1.0, s"beta=${beta.head}")
+  }
 }

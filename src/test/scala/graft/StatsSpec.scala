@@ -199,6 +199,72 @@ class StatsSpec extends SparkSuite {
     assert(!f.isNaN && !f.isInfinite && f >= 0.0, s"f_stat=$f")
   }
 
+  test("kendall tau-b: sign/bounds, pair accounting, and one fact scan") {
+    val df = SparkEntry.queries("stats_kendall_tau")(spark, sf)
+    val r = df.head()
+    val n = r.getAs[Long]("n_rows")
+    assert(n == Tables.lineitem(spark, sf).count())
+    val conc = r.getAs[Long]("concordant")
+    val disc = r.getAs[Long]("discordant")
+    assert(conc >= 0 && disc >= 0 && conc + disc <= n * (n - 1) / 2,
+      s"conc=$conc disc=$disc n=$n")
+    val tau = r.getAs[Double]("kendall_tau_b")
+    assert(tau >= -1.0 && tau <= 1.0, s"tau=$tau")
+    // closed form on a perfectly concordant fixture: tau-b = 1
+    import spark.implicits._
+    val mono = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+      .toDF("a", "b")
+    val tm = Stats.kendallTau(mono, "a", "b").head()
+    assert(tm.getAs[Long]("concordant") == 6 &&
+      tm.getAs[Long]("discordant") == 0 &&
+      tm.getAs[Double]("kendall_tau_b") == 1.0)
+    // all five cell-frame consumers must land on ONE scan of the fact
+    // table via canonical exchange reuse — the claim the 100 TB plan
+    // rests on
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    val reused = plan.contains("ReusedExchange")
+    assert(reused || scans <= 1,
+      s"expected exchange reuse over the cell frame; scans=$scans")
+  }
+
+  test("kruskal-wallis: H bounds and tie correction direction") {
+    val r = SparkEntry.queries("stats_kruskal_wallis")(spark, sf).head()
+    val nLines = Tables.lineitem(spark, sf).count()
+    assert(r.getAs[Long]("n_total") == nLines)
+    val h = r.getAs[Double]("h_stat")
+    val hc = r.getAs[Double]("h_tie_corrected")
+    assert(h >= 0.0, s"h=$h")
+    // ties factor is in (0,1], so the corrected H can only grow
+    assert(hc >= h, s"h=$h hc=$hc")
+    // H is bounded by n-1 (attained when every group is a distinct block)
+    assert(hc <= nLines.toDouble, s"hc=$hc")
+  }
+
+  test("ols two-factor: recovers an exact linear law with r2 = 1") {
+    import spark.implicits._
+    // y = 3 + 2*x1 - 5*x2 exactly, in cent units (x100)
+    val rows = for (a <- 1 to 5; b <- 1 to 4) yield {
+      val y = 3.0 + 2.0 * a - 5.0 * b
+      ("k", (a * 100).toLong, (b * 100).toLong, math.round(y * 100))
+    }
+    val fit = Stats.olsTwoFactor(
+      rows.toDF("p_brand", "x1", "x2", "y"), "p_brand").head()
+    assert(math.abs(fit.getAs[Double]("beta_qty") - 2.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("beta_disc") - -5.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("intercept") - 3.0) < 1e-6)
+    assert(math.abs(fit.getAs[Double]("r_squared") - 1.0) < 1e-12)
+    // and on the real tables: every brand's r2 in [0, 1], det nonzero
+    val real = SparkEntry.queries("stats_ols_two_factor")(spark, sf)
+      .collect()
+    assert(real.length == 25)
+    assert(real.forall { r =>
+      val r2 = r.getAs[Double]("r_squared")
+      !r2.isNaN && r2 >= -1e-12 && r2 <= 1.0 + 1e-12
+    })
+  }
+
   test("kmeans 1d: ordered centroids partition the price domain") {
     val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))

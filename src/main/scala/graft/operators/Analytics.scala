@@ -3547,6 +3547,65 @@ object Analytics {
     // expression (R_m·Σn)/(n_m·ΣR) from the four exact accumulators —
     // no intermediate monthly-average double ever summed. One fact pass
     // to a 12-row frame; the cross join is a broadcast of one row.
+    // NEWSVENDOR critical-fractile stocking level per brand — the
+    // inventory-planning primitive on top of the demand history: at
+    // service level 0.8 the optimal stock is the 0.8-fractile of weekly
+    // demand, taken as an INDEX-SELECTED order statistic (position
+    // ceil(0.8·n) — a stored DECIMAL, never an interpolated average, so
+    // both engines pick the same value bit-for-bit; the bootstrap-CI
+    // endpoint discipline). Weekly demand is a DECIMAL-exact sum;
+    // mean and safety ratio are one double division each. Plan: one
+    // (brand, week) combiner aggregate collapses the fact, then a
+    // per-brand rank window over the |brands|×|weeks| frame —
+    // calendar-bounded, corpus-size-free past the scan.
+    Q("orders_newsvendor_level",
+      """WITH wk AS (
+        |  SELECT p_brand, date_trunc('week', l_shipdate) AS wk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |      AS dem
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT p_brand, wk, dem,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY dem, wk)
+        |      AS i,
+        |    count(*) OVER (PARTITION BY p_brand) AS n
+        |  FROM wk),
+        |sel AS (SELECT p_brand, n, dem FROM rk
+        |        WHERE i = (8 * n + 9) // 10),
+        |mn AS (SELECT p_brand, CAST(sum(dem) AS DOUBLE) / count(*)
+        |         AS mean_weekly
+        |       FROM wk GROUP BY 1)
+        |SELECT sel.p_brand AS p_brand, CAST(n AS BIGINT) AS n_weeks,
+        |  mean_weekly, CAST(dem AS DOUBLE) AS q_star,
+        |  CAST(dem AS DOUBLE) / mean_weekly AS safety_ratio
+        |FROM sel JOIN mn ON sel.p_brand = mn.p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val wk = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_trunc("week", col("l_shipdate")).as("wk"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").as("dem"))
+      val rk = wk
+        .withColumn("i", row_number().over(Window.partitionBy("p_brand")
+          .orderBy(col("dem"), col("wk"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("p_brand")))
+      val sel = rk.where(col("i") === expr("(8 * n + 9) div 10"))
+        .select(col("p_brand"), col("n"), col("dem"))
+      val mn = wk.groupBy("p_brand")
+        .agg((sum(col("dem")).cast("double") / count(lit(1)))
+          .as("mean_weekly"))
+      sel.join(broadcast(mn), "p_brand")
+        .select(col("p_brand"), col("n").cast("long").as("n_weeks"),
+          col("mean_weekly"), col("dem").cast("double").as("q_star"),
+          (col("dem").cast("double") / col("mean_weekly"))
+            .as("safety_ratio"))
+        .orderBy("p_brand")
+    },
+
     Q("orders_seasonality_index",
       """WITH m AS (
         |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS moy,

@@ -1289,6 +1289,182 @@ object Stats {
             cents(col("l_extendedprice")).as("y")),
         "p_brand")
     },
+
+    // Randomization (approximate permutation) test for the R-vs-A mean
+    // quantity gap — the nonparametric p-value machine completing the
+    // resampling pair with stats_bootstrap_ci (bootstrap answers "how
+    // wide", permutation answers "is it real"): 50 pseudo-relabelings,
+    // each row reassigned to R with the EMPIRICAL rate via the same
+    // deterministic md5-h32 + odd-multiplier remix as the bootstrap
+    // (cutoff = (65536·n_R) div n, an exact integer), so the whole
+    // null distribution is reproducible and cross-engine bit-exact.
+    // Replica statistics are DECIMAL-exact conditional sums with one
+    // double division per side; p = (1 + #{|T_b| ≥ |T_obs|})/(B+1),
+    // the add-one permutation p-value. Plan: one hash per row, the
+    // replica explode happens IN-TASK before a 100-group combiner
+    // aggregate — scan cost, not B× cost, the only shape a 100 TB
+    // pass tolerates.
+    Q("stats_permutation_test",
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(12,2)) AS q,
+        |    md5(CAST(l_orderkey AS VARCHAR) || ':'
+        |        || CAST(l_linenumber AS VARCHAR)) AS hx
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |h AS (SELECT g, q,
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS h32
+        |  FROM r),
+        |base AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN g = 'R' THEN q END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    - CAST(sum(CASE WHEN g = 'A' THEN q END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS t_obs
+        |  FROM h),
+        |cut AS (SELECT (65536 * nr) // n AS c FROM base),
+        |lab AS (
+        |  SELECT b, q,
+        |    CASE WHEN (h32 * (2 * b + 1) + 131071 * b) % 65536 < c
+        |         THEN 1 ELSE 0 END AS isr
+        |  FROM h, (SELECT unnest(range(0, 50)) AS b), cut),
+        |reps AS (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN isr = 1 THEN q END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN isr = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    - CAST(sum(CASE WHEN isr = 0 THEN q END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN isr = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS t
+        |  FROM lab GROUP BY b),
+        |ex AS (
+        |  SELECT CAST(sum(CASE WHEN abs(t) >= abs(t_obs) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ne
+        |  FROM reps, base)
+        |SELECT na AS n_a, nr AS n_r, t_obs,
+        |  CAST(50 AS BIGINT) AS b_replicas, ne AS n_extreme,
+        |  CAST(1 + ne AS DOUBLE) / 51.0 AS p_value
+        |FROM base, ex""".stripMargin) { (s, d) =>
+      val r = Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("decimal(12,2)").as("q"),
+          conv(substring(md5(concat_ws(":",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("h32"))
+      val base = r.agg(
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("na"),
+        count(lit(1)).as("n"),
+        (sum(when(col("g") === "R", col("q"))).cast("double")
+          / sum(when(col("g") === "R", 1L).otherwise(0L)).cast("double")
+          - sum(when(col("g") === "A", col("q"))).cast("double")
+          / sum(when(col("g") === "A", 1L).otherwise(0L)).cast("double"))
+          .as("t_obs"))
+      val cut = base.select(expr("(65536 * nr) div n").as("c"))
+      val lab = r
+        .select(col("q"), col("h32"),
+          explode(expr("sequence(0, 49)")).as("b"))
+        .crossJoin(broadcast(cut))
+        .select(col("b"), col("q"),
+          when((col("h32") * (lit(2) * col("b") + 1)
+            + lit(131071L) * col("b")) % 65536L < col("c"), 1L)
+            .otherwise(0L).as("isr"))
+      val reps = lab.groupBy("b")
+        .agg((sum(when(col("isr") === 1, col("q"))).cast("double")
+          / sum(when(col("isr") === 1, 1L).otherwise(0L)).cast("double")
+          - sum(when(col("isr") === 0, col("q"))).cast("double")
+          / sum(when(col("isr") === 0, 1L).otherwise(0L)).cast("double"))
+          .as("t"))
+      val ex = reps.crossJoin(broadcast(base))
+        .agg(sum(when(abs(col("t")) >= abs(col("t_obs")), 1L)
+          .otherwise(0L)).as("ne"))
+      base.crossJoin(broadcast(ex))
+        .select(col("na").as("n_a"), col("nr").as("n_r"), col("t_obs"),
+          lit(50L).as("b_replicas"), col("ne").as("n_extreme"),
+          ((lit(1) + col("ne")).cast("double") / 51.0).as("p_value"))
+    },
+
+    // Exact DECISION STUMP on the bounded quantity domain — the 1-node
+    // CART split search ("which single quantity threshold best
+    // separates returned lines?"), the ML-primitive counterpart of the
+    // chi-square association test: weighted Gini impurity of every
+    // x ≤ t / x > t split from the CUMULATIVE class counts over the
+    // ≤50-value cell frame. Every count is an exact BIGINT (squared
+    // class masses stay under 2⁶³ at any per-threshold row count that
+    // fits one engine anyway — DECIMAL swap documented past that); each
+    // split's impurity is ONE identically-associated double expression,
+    // and the argmin is an exact double-equality flag against the
+    // window min (identical doubles both engines, threshold ties both
+    // flagged). Plan: the fact collapses to the cell frame in one
+    // combiner shuffle; the split search is two windows over ≤50 rows.
+    Q("stats_decision_stump",
+      """WITH cells AS (
+        |  SELECT l_quantity AS x,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS tot
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT x,
+        |    CAST(sum(pos) OVER (ORDER BY x) AS BIGINT) AS pl,
+        |    CAST(sum(tot) OVER (ORDER BY x) AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS p,
+        |    CAST(sum(tot) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |spl AS (
+        |  SELECT x AS threshold, nl AS n_left, pl AS pos_left,
+        |    (CAST(nl AS DOUBLE)
+        |       - CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+        |         / CAST(nl AS DOUBLE)
+        |     + CAST(n - nl AS DOUBLE)
+        |       - CAST((p - pl) * (p - pl)
+        |              + (n - nl - p + pl) * (n - nl - p + pl) AS DOUBLE)
+        |         / CAST(n - nl AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS gini
+        |  FROM cum WHERE nl < n),
+        |best AS (SELECT min(gini) AS g FROM spl)
+        |SELECT threshold, n_left, pos_left, gini, gini = g AS is_best
+        |FROM spl, best ORDER BY threshold""".stripMargin) { (s, d) =>
+      val cells = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").as("x"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("pos"), count(lit(1)).as("tot"))
+      val wc = Window.orderBy("x")
+      val wg = Window.partitionBy()
+      val cum = cells.select(col("x"),
+        sum(col("pos")).over(wc).as("pl"),
+        sum(col("tot")).over(wc).as("nl"),
+        sum(col("pos")).over(wg).as("p"),
+        sum(col("tot")).over(wg).as("n"))
+      val spl = cum.where(col("nl") < col("n"))
+        .select(col("x").as("threshold"), col("nl").as("n_left"),
+          col("pl").as("pos_left"),
+          ((col("nl").cast("double")
+            - (col("pl") * col("pl")
+              + (col("nl") - col("pl")) * (col("nl") - col("pl")))
+              .cast("double") / col("nl").cast("double")
+            + (col("n") - col("nl")).cast("double")
+            - ((col("p") - col("pl")) * (col("p") - col("pl"))
+              + (col("n") - col("nl") - col("p") + col("pl"))
+                * (col("n") - col("nl") - col("p") + col("pl")))
+              .cast("double") / (col("n") - col("nl")).cast("double"))
+            / col("n").cast("double")).as("gini"))
+      val best = spl.agg(min(col("gini")).as("g"))
+      spl.crossJoin(broadcast(best))
+        .select(col("threshold"), col("n_left"), col("pos_left"),
+          col("gini"), (col("gini") === col("g")).as("is_best"))
+        .orderBy("threshold")
+    },
   )
 
   /** Generated oracle for `stats_kmeans_1d`: the three Lloyd iterations

@@ -748,6 +748,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Long]("sum_deg") >= m)
   }
 
+  test("newsvendor: q_star is the 0.8-fractile order statistic per brand") {
+    val rows = SparkEntry.queries("orders_newsvendor_level")(spark, sf)
+      .collect()
+    assert(rows.length == 25, "one stocking level per brand")
+    // recompute the weekly demand frame and check the fractile property
+    val wk = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), date_trunc("week", col("l_shipdate")))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+        .cast("double").as("dem"))
+      .select("p_brand", "dem").collect()
+      .groupBy(_.getString(0)).map { case (b, rs) =>
+        b -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val dems = wk(r.getString(0))
+      val nW = r.getAs[Long]("n_weeks")
+      assert(nW == dems.length)
+      val q = r.getAs[Double]("q_star")
+      val atMost = dems.count(_ <= q)
+      val target = (8 * nW + 9) / 10
+      assert(atMost >= target,
+        s"${r.getString(0)}: only $atMost of $nW weeks <= q_star")
+      assert(r.getAs[Double]("safety_ratio") ==
+        q / r.getAs[Double]("mean_weekly"))
+    }
+  }
+
   test("rich club: monotone club sizes, phi is a valid density") {
     val rows = SparkEntry.queries("graph_rich_club")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(5, 10, 20, 40))

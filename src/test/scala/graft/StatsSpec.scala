@@ -265,6 +265,48 @@ class StatsSpec extends SparkSuite {
     })
   }
 
+  test("permutation test: p-value lattice and label accounting") {
+    val r = SparkEntry.queries("stats_permutation_test")(spark, sf).head()
+    val (na, nr) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_r"))
+    val nAR = Tables.lineitem(spark, sf)
+      .where(col("l_returnflag").isin("A", "R")).count()
+    assert(na + nr == nAR, s"$na + $nr != $nAR")
+    assert(r.getAs[Long]("b_replicas") == 50)
+    val ne = r.getAs[Long]("n_extreme")
+    assert(ne >= 0 && ne <= 50)
+    // the add-one p-value is exactly (1 + ne) / 51 — a 51-point lattice
+    val p = r.getAs[Double]("p_value")
+    assert(p == (1.0 + ne) / 51.0, s"p=$p ne=$ne")
+    assert(p > 0.0 && p <= 1.0)
+  }
+
+  test("decision stump: impurity recomputation and argmin flag") {
+    val rows = SparkEntry.queries("stats_decision_stump")(spark, sf)
+      .collect()
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    val pTot = li.where(col("l_returnflag") === "R").count()
+    assert(rows.length == 49, "50-value domain -> 49 proper splits")
+    val nls = rows.map(_.getAs[Long]("n_left"))
+    assert(nls.sliding(2).forall { case Array(a, b) => b > a
+      case _ => true }, "cumulative left size must strictly grow")
+    // recompute weighted Gini from the output's own counts
+    rows.foreach { r =>
+      val nl = r.getAs[Long]("n_left"); val pl = r.getAs[Long]("pos_left")
+      val nr = n - nl; val pr = pTot - pl
+      val exp = ((nl - (pl.toDouble * pl + (nl - pl).toDouble * (nl - pl))
+        / nl) + (nr - (pr.toDouble * pr + (nr - pr).toDouble * (nr - pr))
+        / nr)) / n
+      assert(math.abs(r.getAs[Double]("gini") - exp) < 1e-12,
+        s"t=${r.get(0)}: ${r.getAs[Double]("gini")} vs $exp")
+    }
+    val minG = rows.map(_.getAs[Double]("gini")).min
+    val best = rows.filter(_.getAs[Boolean]("is_best"))
+    assert(best.nonEmpty &&
+      best.forall(_.getAs[Double]("gini") == minG),
+      "is_best must flag exactly the argmin rows")
+  }
+
   test("kmeans 1d: ordered centroids partition the price domain") {
     val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))

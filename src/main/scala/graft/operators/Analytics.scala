@@ -2146,6 +2146,119 @@ object Analytics {
         "user_id", "ts")
     },
 
+    // Retention HALF-LIFE — the one-number summary the raw triangle
+    // doesn't give: pool the triangle's per-age retention with proper
+    // RIGHT-CENSORING (age a's base counts only cohorts old enough to
+    // be observable at a — naive pooling biases late ages toward the
+    // oldest cohorts), fit ln R(a) ~ a by micro-log OLS over ages ≥ 1
+    // with retained > 0, and report half-life = ln 2 / |slope| in
+    // weeks. R(a) is an exact integer rational per age, its micro-log
+    // an exact BIGINT, so the OLS accumulators are exact integer sums
+    // (the text_zipf_slope discipline); slope and half-life are one
+    // double cascade with the ln 2 literal written identically on both
+    // engines (the Benford-literal rule: parse the same decimal, never
+    // call log(2)). Plan: the same two user-keyed passes as the
+    // triangle, then the whole fit runs on the ≤|weeks| age frame.
+    Q("events_retention_halflife",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+        |            FROM events),
+        |f AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1),
+        |mx AS (SELECT max(w) AS mw FROM uw),
+        |sz AS (
+        |  SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort,
+        |    CAST(date_diff('day', cw, mw) // 7 AS BIGINT) AS max_age
+        |  FROM f, mx GROUP BY cw, mw),
+        |act AS (SELECT cw,
+        |          CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS a,
+        |          CAST(count(*) AS BIGINT) AS n_active
+        |        FROM uw JOIN f USING (user_id) GROUP BY 1, 2),
+        |ages AS (SELECT DISTINCT a FROM act),
+        |base AS (
+        |  SELECT a, CAST(sum(n_cohort) AS BIGINT) AS base
+        |  FROM ages JOIN sz ON sz.max_age >= ages.a GROUP BY a),
+        |ret AS (
+        |  SELECT base.a, base.base,
+        |    CAST(coalesce(sum(act.n_active), 0) AS BIGINT) AS retained
+        |  FROM base LEFT JOIN act ON act.a = base.a
+        |  GROUP BY base.a, base.base),
+        |ml AS (
+        |  SELECT a, base, retained,
+        |    CAST(floor(ln(CAST(retained AS DOUBLE)
+        |      / CAST(base AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM ret WHERE a >= 1 AND retained > 0),
+        |sl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(a) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(a * y) AS BIGINT) AS sxy,
+        |    CAST(sum(a * a) AS BIGINT) AS sxx
+        |  FROM ml),
+        |fit AS (
+        |  SELECT (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    AS slope_scaled
+        |  FROM sl)
+        |SELECT ret.a AS week_offset, base, retained,
+        |  CAST(retained AS DOUBLE) / CAST(base AS DOUBLE)
+        |    AS retention_pooled,
+        |  slope_scaled,
+        |  CASE WHEN slope_scaled < 0 THEN
+        |    CAST(0.6931471805599453 AS DOUBLE) * 1000000.0
+        |      / (0.0 - slope_scaled) END AS half_life_weeks
+        |FROM ret, fit ORDER BY week_offset""".stripMargin) { (s, d) =>
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("timestamp").as("w"))
+        .distinct()
+      val f = uw.groupBy("user_id").agg(min(col("w")).as("cw"))
+      val mx = uw.agg(max(col("w")).as("mw"))
+      val sz = f.crossJoin(broadcast(mx))
+        .groupBy(col("cw"), col("mw"))
+        .agg(count(lit(1)).as("n_cohort"))
+        .select(col("cw"), col("n_cohort"),
+          (datediff(col("mw"), col("cw")).cast("long") / 7)
+            .cast("long").as("max_age"))
+      val act = uw.join(f, "user_id")
+        .groupBy(col("cw"),
+          expr("CAST(datediff(w, cw) div 7 AS BIGINT)").as("a"))
+        .agg(count(lit(1)).as("n_active"))
+      val ages = act.select(col("a")).distinct()
+      val base = ages.join(broadcast(sz), col("max_age") >= col("a"))
+        .groupBy("a").agg(sum(col("n_cohort")).as("base"))
+      val ret = base
+        .join(act.select(col("a").as("aa"), col("n_active")),
+          col("a") === col("aa"), "left")
+        .groupBy("a", "base")
+        .agg(coalesce(sum(col("n_active")), lit(0L)).as("retained"))
+      val ml = ret.where(col("a") >= 1 && col("retained") > 0)
+        .select(col("a"), col("retained"), col("base"),
+          floor(log(col("retained").cast("double")
+            / col("base").cast("double")) * 1000000)
+            .cast("long").as("y"))
+      val sl = ml.agg(count(lit(1)).as("m2"), sum(col("a")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("a") * col("y")).as("sxy"),
+        sum(col("a") * col("a")).as("sxx"))
+      val fit = sl.select(
+        ((col("m2").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("m2").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("slope_scaled"))
+      ret.crossJoin(broadcast(fit))
+        .select(col("a").as("week_offset"), col("base"), col("retained"),
+          (col("retained").cast("double") / col("base").cast("double"))
+            .as("retention_pooled"),
+          col("slope_scaled"),
+          // zero/positive slope = no decay in window (half-life
+          // undefined → NULL; an unguarded double /0 trips ANSI)
+          when(col("slope_scaled") < 0,
+            lit(0.6931471805599453) * 1000000.0
+              / (lit(0.0) - col("slope_scaled"))).as("half_life_weeks"))
+        .orderBy("week_offset")
+    },
+
     Q("orders_cohort_ltv",
       """WITH c AS (
         |  SELECT o_custkey,
@@ -2552,6 +2665,84 @@ object Analytics {
           date_format(col("z.hs"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("z.es").as("ema"))
         .orderBy("event_type", "hour")
+    },
+
+    // SES hyperparameter SELECTION — the model-tuning step the fixed-α
+    // EMA queries skip: for each series, score all seven α = k/8
+    // candidates by one-step-ahead squared forecast error (the honest
+    // backtest loss — each point is predicted by the PREVIOUS smoothed
+    // level, never itself) and flag the per-series argmin. α candidates
+    // are exact binary fractions (CAST(k)/8.0 is exact in both
+    // engines); the fold carries (level, sse) and uses the IDENTICAL
+    // update form e + α·(x−e) on both sides, so every intermediate
+    // double is bit-identical (the ts_ema_hourly discipline); the
+    // argmin is an exact double-equality flag against the per-series
+    // min (ties all flagged). Plan: ONE hourly combiner aggregate, one
+    // collect-per-series, then the 7-candidate explode and folds run
+    // on the series frame IN-TASK — the corpus is scanned once for the
+    // whole sweep, the α grid costs nothing data-sized.
+    Q("ts_ses_alpha_select",
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        |  FROM hourly),
+        |ks(k) AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6),
+        |                                (7)) AS t(k)),
+        |f AS (
+        |  SELECT x.event_type, ks.k, x.i, x.v AS e,
+        |    CAST(0 AS DOUBLE) AS sse
+        |  FROM idx x, ks WHERE x.i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, f.k, x.i,
+        |    f.e + CAST(f.k AS DOUBLE) / 8.0 * (x.v - f.e),
+        |    f.sse + (x.v - f.e) * (x.v - f.e)
+        |  FROM idx x JOIN f
+        |    ON x.event_type = f.event_type AND x.i = f.i + 1),
+        |lst AS (SELECT event_type, k, max(i) AS n FROM f GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT f.event_type, f.k, f.sse, lst.n
+        |  FROM f JOIN lst ON f.event_type = lst.event_type
+        |    AND f.k = lst.k AND f.i = lst.n),
+        |mn AS (SELECT event_type, min(sse) AS ms FROM fin GROUP BY 1)
+        |SELECT fin.event_type AS event_type, k,
+        |  CAST(k AS DOUBLE) / 8.0 AS alpha,
+        |  CAST(n AS BIGINT) AS n_points, sse, sse = ms AS is_best
+        |FROM fin JOIN mn ON fin.event_type = mn.event_type
+        |ORDER BY event_type, k""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+      val folds = hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("s"))
+        .select(col("event_type"),
+          expr("transform(s, x -> x.v)").as("vs"))
+        .withColumn("k", explode(expr("sequence(1, 7)")))
+        .withColumn("res", expr(
+          """aggregate(vs, cast(array() as array<double>),
+            |  (acc, x) -> CASE WHEN size(acc) = 0
+            |    THEN array(x, cast(0 as double))
+            |    ELSE array(
+            |      element_at(acc, 1)
+            |        + cast(k as double) / 8.0D
+            |          * (x - element_at(acc, 1)),
+            |      element_at(acc, 2)
+            |        + (x - element_at(acc, 1))
+            |          * (x - element_at(acc, 1))) END)""".stripMargin))
+        .select(col("event_type"), col("k"),
+          (col("k").cast("double") / 8.0).as("alpha"),
+          size(col("vs")).cast("long").as("n_points"),
+          expr("element_at(res, 2)").as("sse"))
+      folds
+        .withColumn("ms", min(col("sse")).over(
+          Window.partitionBy("event_type")))
+        .select(col("event_type"), col("k"), col("alpha"),
+          col("n_points"), col("sse"), (col("sse") === col("ms"))
+            .as("is_best"))
+        .orderBy("event_type", "k")
     },
 
     // Holt's linear (double-exponential) smoothing per series: level

@@ -1465,6 +1465,78 @@ object Stats {
           col("gini"), (col("gini") === col("g")).as("is_best"))
         .orderBy("threshold")
     },
+
+    // Experiment-design SAMPLE SIZE — the question asked BEFORE the
+    // Welch/permutation tests run: how many lines per arm would an A/B
+    // test need to detect the observed R-vs-A quantity gap at α = 0.05
+    // (two-sided) with 80% power? n = ceil(2·σ²_pooled·(z_α+z_β)²/δ²)
+    // with the z quantiles as 16-digit LITERALS (the Benford rule —
+    // both engines parse the same decimal to the same double, where a
+    // cross-engine erf⁻¹ would drift), σ² from exact BIGINT/DECIMAL
+    // accumulators, δ the observed mean gap; everything after the one
+    // aggregate is a fixed double cascade + one ceil→BIGINT. Plan: ONE
+    // conditional combiner aggregate over the scan — the power analysis
+    // itself is frame-free.
+    Q("stats_sample_size",
+      """WITH st AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+        |      AS sr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A'
+        |      THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+        |      AS sa,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(CAST(l_quantity AS DECIMAL(12,2))
+        |        * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))
+        |      END) AS DOUBLE) AS qr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A'
+        |      THEN CAST(CAST(l_quantity AS DECIMAL(12,2))
+        |        * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))
+        |      END) AS DOUBLE) AS qa
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |d AS (
+        |  SELECT nr, na, sr / nr - sa / na AS delta,
+        |    ((qr - sr * sr / nr) + (qa - sa * sa / na))
+        |      / CAST(nr + na - 2 AS DOUBLE) AS var_pooled
+        |  FROM st)
+        |SELECT nr AS n_r, na AS n_a, delta, var_pooled,
+        |  CAST(ceil(2.0 * var_pooled
+        |    * (1.9599639845400545 + 0.8416212335729143)
+        |    * (1.9599639845400545 + 0.8416212335729143)
+        |    / (delta * delta)) AS BIGINT) AS n_per_arm
+        |FROM d""".stripMargin) { (s, d) =>
+      val q = col("l_quantity").cast("decimal(12,2)")
+      val st = Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("nr"),
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("l_returnflag") === "R", q)).cast("double")
+            .as("sr"),
+          sum(when(col("l_returnflag") === "A", q)).cast("double")
+            .as("sa"),
+          sum(when(col("l_returnflag") === "R",
+            (q * q).cast("decimal(28,4)"))).cast("double").as("qr"),
+          sum(when(col("l_returnflag") === "A",
+            (q * q).cast("decimal(28,4)"))).cast("double").as("qa"))
+      val dd = st.select(col("nr"), col("na"),
+        (col("sr") / col("nr") - col("sa") / col("na")).as("delta"),
+        (((col("qr") - col("sr") * col("sr") / col("nr"))
+          + (col("qa") - col("sa") * col("sa") / col("na")))
+          / (col("nr") + col("na") - 2).cast("double")).as("var_pooled"))
+      val zsum = lit(1.9599639845400545) + lit(0.8416212335729143)
+      dd.select(col("nr").as("n_r"), col("na").as("n_a"), col("delta"),
+        col("var_pooled"),
+        ceil(lit(2.0) * col("var_pooled") * zsum * zsum
+          / (col("delta") * col("delta"))).cast("long").as("n_per_arm"))
+    },
   )
 
   /** Generated oracle for `stats_kmeans_1d`: the three Lloyd iterations

@@ -748,6 +748,56 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Long]("sum_deg") >= m)
   }
 
+  test("ses alpha select: grid shape, driver-side fold replay, argmin") {
+    val rows = SparkEntry.queries("ts_ses_alpha_select")(spark, sf)
+      .collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (et, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 7), s"$et grid")
+      assert(rs.count(_.getAs[Boolean]("is_best")) >= 1, s"$et argmin")
+      val minSse = rs.map(_.getAs[Double]("sse")).min
+      rs.filter(_.getAs[Boolean]("is_best"))
+        .foreach(r => assert(r.getAs[Double]("sse") == minSse))
+      rs.foreach { r =>
+        assert(r.getAs[Double]("alpha") == r.getInt(1) / 8.0)
+        assert(r.getAs[Double]("sse") >= 0.0)
+      }
+    }
+    // replay one series' k=2 fold driver-side from the hourly frame
+    val et = byType.keys.min
+    val vs = Tables.events(spark, sf)
+      .where(col("event_type") === et)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+      .orderBy("h").collect().map(_.getDouble(1))
+    var e = vs.head; var sse = 0.0
+    vs.tail.foreach { x => sse += (x - e) * (x - e); e += 0.25 * (x - e) }
+    val got = rows.find(r => r.getString(0) == et && r.getInt(1) == 2).get
+    assert(got.getAs[Long]("n_points") == vs.length)
+    assert(got.getAs[Double]("sse") == sse,
+      s"fold replay: ${got.getAs[Double]("sse")} vs $sse")
+  }
+
+  test("retention halflife: censored bases shrink, fit constants agree") {
+    val rows = SparkEntry.queries("events_retention_halflife")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val bases = rows.map(_.getAs[Long]("base"))
+    assert(bases.sliding(2).forall { case Array(a, b) => b <= a
+      case _ => true }, "right-censoring can only shrink the base")
+    rows.foreach { r =>
+      val ret = r.getAs[Double]("retention_pooled")
+      assert(ret > 0.0 && ret <= 1.0 + 1e-12, s"retention=$ret")
+      assert(r.getAs[Long]("retained") <= r.getAs[Long]("base"))
+    }
+    val slopes = rows.map(_.getAs[Double]("slope_scaled")).distinct
+    assert(slopes.length == 1, "one pooled slope")
+    val hl = rows.map(r => Option(r.getAs[java.lang.Double]
+      ("half_life_weeks"))).distinct
+    assert(hl.length == 1)
+    hl.head.foreach(h => assert(h > 0.0, s"half-life must be positive: $h"))
+  }
+
   test("newsvendor: q_star is the 0.8-fractile order statistic per brand") {
     val rows = SparkEntry.queries("orders_newsvendor_level")(spark, sf)
       .collect()

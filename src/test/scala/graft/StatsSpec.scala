@@ -307,6 +307,20 @@ class StatsSpec extends SparkSuite {
       "is_best must flag exactly the argmin rows")
   }
 
+  test("sample size: closed-form power analysis from exact moments") {
+    val r = SparkEntry.queries("stats_sample_size")(spark, sf).head()
+    val n = r.getAs[Long]("n_per_arm")
+    assert(n >= 1, s"n_per_arm=$n")
+    // recompute from the output's own delta and pooled variance
+    val z = 1.9599639845400545 + 0.8416212335729143
+    val d = r.getAs[Double]("delta"); val v = r.getAs[Double]("var_pooled")
+    assert(v > 0.0 && d != 0.0)
+    assert(n == math.ceil(2.0 * v * z * z / (d * d)).toLong,
+      s"formula mismatch: $n")
+    // a bigger effect needs fewer samples: sanity lower bound
+    assert(n.toDouble >= 2.0 * v * z * z / (d * d))
+  }
+
   test("kmeans 1d: ordered centroids partition the price domain") {
     val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))

@@ -3738,6 +3738,95 @@ object Analytics {
     // expression (R_m·Σn)/(n_m·ΣR) from the four exact accumulators —
     // no intermediate monthly-average double ever summed. One fact pass
     // to a 12-row frame; the cross join is a broadcast of one row.
+    // Difference-in-differences PROMO LIFT — the causal-inference
+    // primitive on top of the descriptive promo revenue share (q14):
+    // did promo-type parts' demand move differently across the 1998
+    // cutover than everything else's? DiD = (ȳ_T,post − ȳ_T,pre) −
+    // (ȳ_C,post − ȳ_C,pre) nets out both the level difference between
+    // groups and the common time shock; SE is the standard large-sample
+    // four-cell form sqrt(Σ s²_g/n_g). All four cells accumulate exact
+    // BIGINT/DECIMAL moments in ONE conditional combiner aggregate
+    // (never four scans); DiD, SE and t are a fixed double cascade.
+    Q("orders_promo_lift_did",
+      """WITH cell AS (
+        |  SELECT CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS trt,
+        |    CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1
+        |         ELSE 0 END AS post,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |st AS (
+        |  SELECT trt, post, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(q * q AS DECIMAL(28,4))) AS DOUBLE) AS ss
+        |  FROM cell GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT
+        |    max(CASE WHEN trt = 1 AND post = 0 THEN n END) AS n10,
+        |    max(CASE WHEN trt = 1 AND post = 1 THEN n END) AS n11,
+        |    max(CASE WHEN trt = 0 AND post = 0 THEN n END) AS n00,
+        |    max(CASE WHEN trt = 0 AND post = 1 THEN n END) AS n01,
+        |    max(CASE WHEN trt = 1 AND post = 0 THEN s END) AS s10,
+        |    max(CASE WHEN trt = 1 AND post = 1 THEN s END) AS s11,
+        |    max(CASE WHEN trt = 0 AND post = 0 THEN s END) AS s00,
+        |    max(CASE WHEN trt = 0 AND post = 1 THEN s END) AS s01,
+        |    max(CASE WHEN trt = 1 AND post = 0 THEN ss END) AS q10,
+        |    max(CASE WHEN trt = 1 AND post = 1 THEN ss END) AS q11,
+        |    max(CASE WHEN trt = 0 AND post = 0 THEN ss END) AS q00,
+        |    max(CASE WHEN trt = 0 AND post = 1 THEN ss END) AS q01
+        |  FROM st),
+        |dd AS (
+        |  SELECT n10, n11, n00, n01,
+        |    s11 / n11 - s10 / n10 AS d_treat,
+        |    s01 / n01 - s00 / n00 AS d_ctrl,
+        |    (q11 - s11 * s11 / n11) / (n11 - 1) / n11
+        |      + (q10 - s10 * s10 / n10) / (n10 - 1) / n10
+        |      + (q01 - s01 * s01 / n01) / (n01 - 1) / n01
+        |      + (q00 - s00 * s00 / n00) / (n00 - 1) / n00 AS var_did
+        |  FROM pv)
+        |SELECT n10 AS n_treat_pre, n11 AS n_treat_post,
+        |  n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+        |  d_treat, d_ctrl, d_treat - d_ctrl AS did,
+        |  sqrt(var_did) AS se,
+        |  (d_treat - d_ctrl) / sqrt(var_did) AS t_stat
+        |FROM dd""".stripMargin) { (s, d) =>
+      val cell = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          when(col("p_type") === "PROMO", 1).otherwise(0).as("trt"),
+          when(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"),
+            1).otherwise(0).as("post"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+      val st = cell.groupBy("trt", "post").agg(
+        count(lit(1)).as("n"), sum(col("q")).cast("double").as("s"),
+        sum((col("q") * col("q")).cast("decimal(28,4)")).cast("double")
+          .as("ss"))
+      def pick(t: Int, p: Int, c: String, as: String) =
+        max(when(col("trt") === t && col("post") === p, col(c))).as(as)
+      val pv = st.agg(
+        pick(1, 0, "n", "n10"), pick(1, 1, "n", "n11"),
+        pick(0, 0, "n", "n00"), pick(0, 1, "n", "n01"),
+        pick(1, 0, "s", "s10"), pick(1, 1, "s", "s11"),
+        pick(0, 0, "s", "s00"), pick(0, 1, "s", "s01"),
+        pick(1, 0, "ss", "q10"), pick(1, 1, "ss", "q11"),
+        pick(0, 0, "ss", "q00"), pick(0, 1, "ss", "q01"))
+      def vterm(qq: String, ss0: String, nn: String) =
+        (col(qq) - col(ss0) * col(ss0) / col(nn)) / (col(nn) - 1) / col(nn)
+      val dd = pv.select(col("n10"), col("n11"), col("n00"), col("n01"),
+        (col("s11") / col("n11") - col("s10") / col("n10")).as("d_treat"),
+        (col("s01") / col("n01") - col("s00") / col("n00")).as("d_ctrl"),
+        (vterm("q11", "s11", "n11") + vterm("q10", "s10", "n10")
+          + vterm("q01", "s01", "n01") + vterm("q00", "s00", "n00"))
+          .as("var_did"))
+      dd.select(col("n10").as("n_treat_pre"), col("n11").as("n_treat_post"),
+        col("n00").as("n_ctrl_pre"), col("n01").as("n_ctrl_post"),
+        col("d_treat"), col("d_ctrl"),
+        (col("d_treat") - col("d_ctrl")).as("did"),
+        sqrt(col("var_did")).as("se"),
+        ((col("d_treat") - col("d_ctrl")) / sqrt(col("var_did")))
+          .as("t_stat"))
+    },
+
     // NEWSVENDOR critical-fractile stocking level per brand — the
     // inventory-planning primitive on top of the demand history: at
     // service level 0.8 the optimal stock is the 0.8-fractile of weekly
@@ -4689,6 +4778,87 @@ object Analytics {
         .select(col("node").as("part_id"),
           col("community").as("community_id"))
         .orderBy("part_id")
+    },
+
+    // MODULARITY of the LPA partition — the quality score that makes
+    // the community detection above auditable (Q ≈ 0: labels explain
+    // nothing beyond degree chance; Q ≳ 0.3: real structure), and the
+    // standard stopping/comparison metric for any partitioner. Newman:
+    // Q = e_within/M − Σ_c (D_c/M)² over the directed both-way edge
+    // list (M = 2·|undirected|, D_c = total degree in c — exactly the
+    // textbook undirected form). All counts exact BIGINTs; Q is one
+    // identically-associated double expression. Plan: the SAME pinned
+    // thresholded edge frame the LPA run iterates on (no second basket
+    // fan-out), labels broadcast onto the edges once per endpoint
+    // (node-sized), one combiner aggregate each for the within-count
+    // and the per-community degree mass.
+    Q("graph_modularity",
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM p
+        |      UNION ALL SELECT pb, pa FROM p),
+        |lp AS (
+        |  SELECT 0 AS it, src AS node, src AS lbl FROM e GROUP BY src
+        |  UNION ALL
+        |  SELECT it, node, lbl FROM (
+        |    SELECT nv.it + 1 AS it, e.src AS node, nv.lbl AS lbl,
+        |      row_number() OVER (PARTITION BY e.src
+        |        ORDER BY count(*) DESC, nv.lbl) AS rn
+        |    FROM e JOIN (SELECT * FROM lp
+        |                 WHERE it = (SELECT max(it) FROM lp) AND it < 5) nv
+        |      ON e.dst = nv.node
+        |    GROUP BY nv.it, e.src, nv.lbl)
+        |  WHERE rn = 1),
+        |lbl AS (SELECT node, lbl FROM lp WHERE it = 5),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+        |        FROM e GROUP BY 1),
+        |j AS (SELECT ls.lbl AS cs, ld.lbl AS cd
+        |      FROM e JOIN lbl ls ON e.src = ls.node
+        |        JOIN lbl ld ON e.dst = ld.node),
+        |es AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS ew
+        |       FROM j),
+        |dc AS (SELECT l.lbl, CAST(sum(d.dg) AS BIGINT) AS dcs
+        |       FROM deg d JOIN lbl l ON d.src = l.node GROUP BY 1),
+        |sq AS (SELECT CAST(count(*) AS BIGINT) AS ncomm,
+        |         CAST(sum(dcs * dcs) AS BIGINT) AS sd2 FROM dc)
+        |SELECT m AS m_directed, ncomm AS n_communities,
+        |  ew AS e_within,
+        |  CAST(ew AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - CAST(sd2 AS DOUBLE)
+        |      / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
+        |FROM es, sq""".stripMargin) { (s, d) =>
+      val eu = thresholdedCopurchaseEdges(s, d, "u", "v")
+      val e = eu.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(eu.select(col("v").as("src"), col("u").as("dst")))
+      val lab = labelPropagationOf(eu, iters = 5)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val j = e
+        .join(broadcast(lab.select(col("node"),
+          col("community").as("cs"))), col("src") === col("node"))
+        .drop("node")
+        .join(broadcast(lab.select(col("node"),
+          col("community").as("cd"))), col("dst") === col("node"))
+        .drop("node")
+      val es = j.agg(count(lit(1)).as("m"),
+        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("ew"))
+      val dc = deg
+        .join(broadcast(lab), col("src") === col("node"))
+        .groupBy("community").agg(sum(col("dg")).as("dcs"))
+      val sq = dc.agg(count(lit(1)).as("ncomm"),
+        sum(col("dcs") * col("dcs")).as("sd2"))
+      es.crossJoin(broadcast(sq))
+        .select(col("m").as("m_directed"),
+          col("ncomm").as("n_communities"), col("ew").as("e_within"),
+          (col("ew").cast("double") / col("m").cast("double")
+            - col("sd2").cast("double")
+              / (col("m").cast("double") * col("m").cast("double")))
+            .as("modularity"))
     },
 
     Q("graph_triangle_count",

@@ -1537,6 +1537,93 @@ object Stats {
         ceil(lit(2.0) * col("var_pooled") * zsum * zsum
           / (col("delta") * col("delta"))).cast("long").as("n_per_arm"))
     },
+
+    // TOST EQUIVALENCE test — the inverse question of every test above:
+    // not "is there a difference" but "can we certify the R-vs-A mean
+    // quantity gap is WITHIN ±1.0 units" (the two-one-sided-tests
+    // procedure: reject difference ≤ −δ AND difference ≥ +δ; failing to
+    // reject a plain t-test is NOT evidence of equivalence). Welch SE
+    // from exact accumulators; the one-sided p surrogate is the same
+    // algebraic tail as stats_benjamini_hochberg halved
+    // (0.5·(1 − t/√(t²+π/2)), monotone, no erf/exp libm hazard);
+    // p_tost = max of the two one-sided p's, equivalent ⇔ p ≤ 0.05.
+    // Plan: ONE conditional combiner aggregate, then a 1-row cascade.
+    Q("stats_tost_equivalence",
+      """WITH st AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+        |      AS sr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A'
+        |      THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+        |      AS sa,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(CAST(l_quantity AS DECIMAL(12,2))
+        |        * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))
+        |      END) AS DOUBLE) AS qr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A'
+        |      THEN CAST(CAST(l_quantity AS DECIMAL(12,2))
+        |        * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))
+        |      END) AS DOUBLE) AS qa
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |d AS (
+        |  SELECT nr, na, sr / nr - sa / na AS diff,
+        |    sqrt((qr - sr * sr / nr) / (nr - 1) / nr
+        |         + (qa - sa * sa / na) / (na - 1) / na) AS se
+        |  FROM st),
+        |t AS (
+        |  SELECT nr, na, diff, se,
+        |    (diff + 1.0) / se AS t_lower,
+        |    (1.0 - diff) / se AS t_upper
+        |  FROM d),
+        |p AS (
+        |  SELECT nr, na, diff, se, t_lower, t_upper,
+        |    greatest(
+        |      0.5 * (1 - t_lower / sqrt(t_lower * t_lower
+        |        + 1.5707963267948966)),
+        |      0.5 * (1 - t_upper / sqrt(t_upper * t_upper
+        |        + 1.5707963267948966))) AS p_tost
+        |  FROM t)
+        |SELECT nr AS n_r, na AS n_a, diff, se, t_lower, t_upper,
+        |  p_tost, p_tost <= 0.05 AS equivalent
+        |FROM p""".stripMargin) { (s, d) =>
+      val q = col("l_quantity").cast("decimal(12,2)")
+      val st = Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("nr"),
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("l_returnflag") === "R", q)).cast("double")
+            .as("sr"),
+          sum(when(col("l_returnflag") === "A", q)).cast("double")
+            .as("sa"),
+          sum(when(col("l_returnflag") === "R",
+            (q * q).cast("decimal(28,4)"))).cast("double").as("qr"),
+          sum(when(col("l_returnflag") === "A",
+            (q * q).cast("decimal(28,4)"))).cast("double").as("qa"))
+      val dd = st.select(col("nr"), col("na"),
+        (col("sr") / col("nr") - col("sa") / col("na")).as("diff"),
+        sqrt((col("qr") - col("sr") * col("sr") / col("nr"))
+          / (col("nr") - 1) / col("nr")
+          + (col("qa") - col("sa") * col("sa") / col("na"))
+            / (col("na") - 1) / col("na")).as("se"))
+      val t = dd.select(col("nr"), col("na"), col("diff"), col("se"),
+        ((col("diff") + 1.0) / col("se")).as("t_lower"),
+        ((lit(1.0) - col("diff")) / col("se")).as("t_upper"))
+      def pOne(tc: Column) =
+        lit(0.5) * (lit(1) - tc / sqrt(tc * tc + 1.5707963267948966))
+      t.select(col("nr").as("n_r"), col("na").as("n_a"), col("diff"),
+          col("se"), col("t_lower"), col("t_upper"),
+          greatest(pOne(col("t_lower")), pOne(col("t_upper")))
+            .as("p_tost"))
+        .withColumn("equivalent", col("p_tost") <= 0.05)
+    },
   )
 
   /** Generated oracle for `stats_kmeans_1d`: the three Lloyd iterations

@@ -798,6 +798,30 @@ class AnalyticsSpec extends SparkSuite {
     hl.head.foreach(h => assert(h > 0.0, s"half-life must be positive: $h"))
   }
 
+  test("modularity: bounds, symmetric edges, chance term direction") {
+    val r = SparkEntry.queries("graph_modularity")(spark, sf).head()
+    val m = r.getAs[Long]("m_directed")
+    val ew = r.getAs[Long]("e_within")
+    val q = r.getAs[Double]("modularity")
+    assert(m > 0 && m % 2 == 0, s"directed both-way edge list: m=$m")
+    assert(ew >= 0 && ew <= m)
+    assert(r.getAs[Long]("n_communities") >= 1)
+    assert(q >= -0.5 - 1e-12 && q <= 1.0, s"Q=$q out of Newman bounds")
+    // Q = within-fraction minus the nonnegative degree-chance term
+    assert(q <= ew.toDouble / m + 1e-12, "chance term must subtract")
+  }
+
+  test("promo DiD: identity between cells, positive SE, t consistency") {
+    val r = SparkEntry.queries("orders_promo_lift_did")(spark, sf).head()
+    Seq("n_treat_pre", "n_treat_post", "n_ctrl_pre", "n_ctrl_post")
+      .foreach(c => assert(r.getAs[Long](c) > 1, s"$c must exceed 1"))
+    val did = r.getAs[Double]("did")
+    assert(did == r.getAs[Double]("d_treat") - r.getAs[Double]("d_ctrl"))
+    val se = r.getAs[Double]("se")
+    assert(se > 0.0 && !se.isNaN)
+    assert(r.getAs[Double]("t_stat") == did / se)
+  }
+
   test("newsvendor: q_star is the 0.8-fractile order statistic per brand") {
     val rows = SparkEntry.queries("orders_newsvendor_level")(spark, sf)
       .collect()

@@ -321,6 +321,19 @@ class StatsSpec extends SparkSuite {
     assert(n.toDouble >= 2.0 * v * z * z / (d * d))
   }
 
+  test("tost: one-sided pair geometry and the equivalence verdict") {
+    val r = SparkEntry.queries("stats_tost_equivalence")(spark, sf).head()
+    val (tl, tu) = (r.getAs[Double]("t_lower"), r.getAs[Double]("t_upper"))
+    val se = r.getAs[Double]("se")
+    // (diff + 1)/se + (1 - diff)/se collapses to 2/se
+    assert(math.abs(tl + tu - 2.0 / se) < 1e-9, s"$tl + $tu vs ${2 / se}")
+    val p = r.getAs[Double]("p_tost")
+    def pOne(t: Double) = 0.5 * (1 - t / math.sqrt(t * t + math.Pi / 2))
+    assert(math.abs(p - math.max(pOne(tl), pOne(tu))) < 1e-12)
+    assert(p > 0.0 && p < 1.0)
+    assert(r.getAs[Boolean]("equivalent") == (p <= 0.05))
+  }
+
   test("kmeans 1d: ordered centroids partition the price domain") {
     val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))

@@ -66,7 +66,15 @@ object ScalingBench {
     "text_hapax_ratio",
     "orders_basket_triples",
     "events_retention_triangle",
-    "stats_bootstrap_ci")
+    "stats_bootstrap_ci",
+    // round-19 entrants: the heaviest of the 27 new kernels (edge-frame
+    // moments, LPA+modularity tail, 190-pair micro-log divergence,
+    // per-brand order statistics, 50-replica in-task resampling)
+    "graph_assortativity",
+    "graph_modularity",
+    "corpus_js_divergence",
+    "orders_newsvendor_level",
+    "stats_permutation_test")
 
   /** The r18 curve's three steepest kernels — these alone also run the
     * 20× point (the fit has four points; everything else keeps three).

@@ -3886,6 +3886,133 @@ object Analytics {
         .orderBy("p_brand")
     },
 
+    // Cross-brand weekly demand CORRELATION — the substitutes-vs-
+    // complements screen behind assortment and promo planning (strong
+    // negative correlation on the common calendar = substitution
+    // candidates, strong positive = bundled demand or shared
+    // seasonality): Pearson r per brand pair over the DENSE week
+    // calendar (zero-filled weeks count — an inner join on active
+    // weeks would censor exactly the substitution signal). Weekly
+    // demand is a DECIMAL-exact sum; all five pair moments accumulate
+    // in DECIMAL(38,4); r is one identically-associated double
+    // expression. Plan: ONE (brand, week) combiner aggregate collapses
+    // the fact; the dense grid, the 300-pair expansion and the moment
+    // aggregate all run on the calendar-bounded frame (|brands|²·|weeks|
+    // rows — KBs at any corpus size).
+    Q("orders_demand_correlation",
+      """WITH wk AS (
+        |  SELECT p_brand, date_trunc('week', l_shipdate) AS w,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |      AS dem
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT w FROM wk),
+        |brands AS (SELECT DISTINCT p_brand FROM wk),
+        |g AS (
+        |  SELECT b.p_brand, s.w,
+        |    coalesce(wk.dem, CAST(0 AS DECIMAL(18,2))) AS dem
+        |  FROM brands b CROSS JOIN spine s
+        |  LEFT JOIN wk ON wk.p_brand = b.p_brand AND wk.w = s.w),
+        |pr AS (
+        |  SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.dem) AS DOUBLE) AS sa,
+        |    CAST(sum(b2.dem) AS DOUBLE) AS sb,
+        |    CAST(sum(CAST(a.dem * b2.dem AS DECIMAL(38,4))) AS DOUBLE)
+        |      AS sab,
+        |    CAST(sum(CAST(a.dem * a.dem AS DECIMAL(38,4))) AS DOUBLE)
+        |      AS saa,
+        |    CAST(sum(CAST(b2.dem * b2.dem AS DECIMAL(38,4))) AS DOUBLE)
+        |      AS sbb
+        |  FROM g a JOIN g b2 ON a.w = b2.w AND a.p_brand < b2.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n AS n_weeks,
+        |  (CAST(n AS DOUBLE) * sab - sa * sb)
+        |    / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+        |           * (CAST(n AS DOUBLE) * sbb - sb * sb)) AS demand_corr
+        |FROM pr ORDER BY brand_a, brand_b""".stripMargin) { (s, d) =>
+      val wk = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_trunc("week", col("l_shipdate")).as("w"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").as("dem"))
+      val spine = wk.select(col("w")).distinct()
+      val brands = wk.select(col("p_brand")).distinct()
+      val g = brands.crossJoin(broadcast(spine))
+        .join(broadcast(wk), Seq("p_brand", "w"), "left")
+        .select(col("p_brand"), col("w"),
+          coalesce(col("dem"), lit(0).cast("decimal(18,2)")).as("dem"))
+      val a = g.select(col("p_brand").as("brand_a"), col("w"),
+        col("dem").as("da"))
+      val b2 = g.select(col("p_brand").as("brand_b"), col("w").as("wb"),
+        col("dem").as("db"))
+      val pr = a.join(broadcast(b2),
+          col("w") === col("wb") && col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(count(lit(1)).as("n"),
+          sum(col("da")).cast("double").as("sa"),
+          sum(col("db")).cast("double").as("sb"),
+          sum((col("da") * col("db")).cast("decimal(38,4)"))
+            .cast("double").as("sab"),
+          sum((col("da") * col("da")).cast("decimal(38,4)"))
+            .cast("double").as("saa"),
+          sum((col("db") * col("db")).cast("decimal(38,4)"))
+            .cast("double").as("sbb"))
+      pr.select(col("brand_a"), col("brand_b"), col("n").as("n_weeks"),
+          ((col("n").cast("double") * col("sab") - col("sa") * col("sb"))
+            / sqrt((col("n").cast("double") * col("saa")
+              - col("sa") * col("sa"))
+              * (col("n").cast("double") * col("sbb")
+                - col("sb") * col("sb")))).as("demand_corr"))
+        .orderBy("brand_a", "brand_b")
+    },
+
+    // Gini concentration of the co-purchase DEGREE distribution — the
+    // third number of the hub triptych (assortativity: who hubs attach
+    // to; rich-club: whether hubs clique; degree Gini: how much of the
+    // edge mass the hubs own at all — the single scalar that predicts
+    // whether the salted adjacency layout is worth its extra exchange).
+    // Same rank formulation as orders_gini_segment: G = (2Σi·dᵢ −
+    // (n+1)Σd)/(nΣd) with ties broken by node id, every accumulator an
+    // exact BIGINT, one double expression. Plan: the shared basket
+    // fan-out + pair DISTINCT collapses to the |parts|-sized degree
+    // table; the rank window runs there, never on edges.
+    Q("graph_degree_gini",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS dg
+        |        FROM e GROUP BY 1),
+        |rk AS (SELECT dg, row_number() OVER (ORDER BY dg, x) AS i
+        |       FROM deg),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dg) AS BIGINT) AS sd,
+        |         CAST(sum(i * dg) AS BIGINT) AS sid
+        |       FROM rk)
+        |SELECT n AS n_nodes, sd AS sum_deg,
+        |  (2.0 * CAST(sid AS DOUBLE)
+        |     - CAST(n + 1 AS DOUBLE) * CAST(sd AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sd AS DOUBLE)) AS gini_degree
+        |FROM st""".stripMargin) { (s, d) =>
+      val e = copurchaseEdgeFanout(s, d)
+        .select(col("u"), col("v")).distinct()
+      val deg = e.groupBy(col("u").as("x"))
+        .agg(count(lit(1)).as("dg"))
+      val rk = deg.select(col("dg"),
+        row_number().over(Window.orderBy(col("dg"), col("x")))
+          .cast("long").as("i"))
+      val st = rk.agg(count(lit(1)).as("n"), sum(col("dg")).as("sd"),
+        sum(col("i") * col("dg")).as("sid"))
+      st.select(col("n").as("n_nodes"), col("sd").as("sum_deg"),
+        ((lit(2.0) * col("sid").cast("double")
+          - (col("n") + 1).cast("double") * col("sd").cast("double"))
+          / (col("n").cast("double") * col("sd").cast("double")))
+          .as("gini_degree"))
+    },
+
     Q("orders_seasonality_index",
       """WITH m AS (
         |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS moy,

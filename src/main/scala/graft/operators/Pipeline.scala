@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.zorder_key
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -502,6 +503,105 @@ object Pipeline {
     // domain / range checks share ONE aggregate scan; the FK existence
     // check is a broadcast anti-join. The per-rule (violations, pass)
     // rows are what a pipeline gates a 100 TB load on.
+    // Referential-integrity audit over the WHOLE star schema — the DQ
+    // check a warehouse loader runs after every batch: per FK edge, how
+    // many child rows point at a missing parent (orphans break every
+    // downstream inner join silently — rows just vanish). One row per
+    // edge with child/orphan counts and the rate; the fixture is intact
+    // so the expected orphan count is 0 — the query's value is the
+    // harness, and the spec cross-checks the zero against an
+    // independent inner-join count. Plan: each edge is ONE left-anti
+    // shaped aggregate — dimension parents broadcast (nation/region/
+    // customer/supplier/part), the fact-fact edge (lineitem→orders)
+    // shuffles on the join key; no edge is ever a cartesian or a
+    // driver-side loop, and the seven edges are independent jobs a
+    // scheduler can overlap.
+    Q("dq_referential_integrity",
+      """WITH edges AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderkey IS NULL) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |     WHERE p.p_partkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |     WHERE s.s_suppkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |     WHERE n.n_nationkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey->nation',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM supplier s
+        |     LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |     WHERE n.n_nationkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM nation),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM nation n
+        |     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |     WHERE r.r_regionkey IS NULL))
+        |SELECT fk_edge, n_child, n_orphans,
+        |  CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+        |    AS orphan_rate
+        |FROM edges ORDER BY fk_edge""".stripMargin) { (s, d) =>
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String, bcastParent: Boolean)
+          : DataFrame = {
+        val pkeys = parent.select(col(pk))
+        val orphans = child.join(
+          if (bcastParent) broadcast(pkeys) else pkeys,
+          col(ck) === col(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_child"),
+            col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, d)
+      val rows = Seq(
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", bcastParent = false),
+        edge("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey", bcastParent = true),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", bcastParent = true),
+        edge("orders.o_custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey",
+          bcastParent = true),
+        edge("customer.c_nationkey->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey",
+          bcastParent = true),
+        edge("supplier.s_nationkey->nation", Tables.supplier(s, d),
+          "s_nationkey", Tables.nation(s, d), "n_nationkey",
+          bcastParent = true),
+        edge("nation.n_regionkey->region", Tables.nation(s, d),
+          "n_regionkey", Tables.region(s, d), "r_regionkey",
+          bcastParent = true))
+      rows.reduce(_ unionAll _)
+        .select(col("fk_edge"), col("n_child"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_child").cast("double"))
+            .as("orphan_rate"))
+        .orderBy("fk_edge")
+    },
+
     Q("dq_constraint_check",
       """WITH c AS (
         |  SELECT

@@ -1624,6 +1624,85 @@ object Stats {
             .as("p_tost"))
         .withColumn("equivalent", col("p_tost") <= 0.05)
     },
+
+    // Wald–Wolfowitz RUNS test — is the weekly order-count series
+    // RANDOM around its median, or does it trend/oscillate (too few
+    // runs = momentum/regime, too many = alternation)? The randomness
+    // screen run before any i.i.d.-assuming test upstream. Weekly
+    // granularity keeps both sides of the median populated at every
+    // fixture sf (daily counts at sf0.001 are almost all 1, and the
+    // classical drop-ties rule would empty the below side). Median =
+    // the lower-middle order statistic (a stored BIGINT, the
+    // Brown–Forsythe center discipline); weeks AT the median are
+    // dropped; the run count is one lag comparison; z uses the exact
+    // integer mean/variance formulas as ONE identically-associated
+    // double cascade, NULL when either side is empty (σ = 0 — an
+    // unguarded /0 trips ANSI). Plan: the fact collapses to the
+    // |weeks| frame in one combiner shuffle; rank/lag windows run on
+    // the calendar-bounded frame.
+    Q("stats_runs_test",
+      """WITH wkc AS (
+        |  SELECT date_trunc('week', o_orderdate) AS w,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |rkm AS (SELECT c, row_number() OVER (ORDER BY c, w) AS i,
+        |          count(*) OVER () AS n
+        |        FROM wkc),
+        |med AS (SELECT c AS m FROM rkm WHERE i = (n + 1) // 2),
+        |sgn AS (SELECT w, c > m AS up FROM wkc, med WHERE c <> m),
+        |r AS (SELECT up, lag(up) OVER (ORDER BY w) AS pu FROM sgn),
+        |st AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |    CAST(1 + sum(CASE WHEN pu IS NOT NULL AND up <> pu
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM r),
+        |z AS (SELECT n1, n2, runs, n1 + n2 AS n,
+        |        1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+        |          / CAST(n1 + n2 AS DOUBLE) AS mu
+        |      FROM st)
+        |SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+        |  mu AS mu_runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    (CAST(runs AS DOUBLE) - mu)
+        |      / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+        |             * CAST(2 * n1 * n2 - n AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                * CAST(n - 1 AS DOUBLE))) END AS z_stat
+        |FROM z""".stripMargin) { (s, d) =>
+      val wkc = Tables.orders(s, d)
+        .groupBy(date_trunc("week", col("o_orderdate")).as("w"))
+        .agg(count(lit(1)).as("c"))
+      val rkm = wkc
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("c"), col("w"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val med = rkm.where(col("i") === expr("(n + 1) div 2"))
+        .select(col("c").as("m"))
+      val sgn = wkc.crossJoin(broadcast(med))
+        .where(col("c") =!= col("m"))
+        .select(col("w"), (col("c") > col("m")).as("up"))
+      val r = sgn.select(col("up"),
+        lag(col("up"), 1).over(Window.orderBy("w")).as("pu"))
+      val st = r.agg(
+        sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("up"), 0L).otherwise(1L)).as("n2"),
+        (lit(1L) + sum(when(col("pu").isNotNull
+          && col("up") =!= col("pu"), 1L).otherwise(0L))).as("runs"))
+      val z = st.select(col("n1"), col("n2"), col("runs"),
+        (col("n1") + col("n2")).as("n"),
+        (lit(1.0) + (lit(2) * col("n1") * col("n2")).cast("double")
+          / (col("n1") + col("n2")).cast("double")).as("mu"))
+      z.select(col("n1").as("n_above"), col("n2").as("n_below"),
+        col("runs").as("n_runs"), col("mu").as("mu_runs"),
+        when(col("n1") > 0 && col("n2") > 0,
+          (col("runs").cast("double") - col("mu"))
+            / sqrt((lit(2) * col("n1") * col("n2")).cast("double")
+              * (lit(2) * col("n1") * col("n2") - col("n")).cast("double")
+              / (col("n").cast("double") * col("n").cast("double")
+                * (col("n") - 1).cast("double")))).as("z_stat"))
+    },
   )
 
   /** Generated oracle for `stats_kmeans_1d`: the three Lloyd iterations

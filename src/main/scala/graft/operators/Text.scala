@@ -728,10 +728,12 @@ object Text {
     // slope of the micro-log pairs (floor(1e6·ln), text_zipf_slope
     // discipline) so every regression accumulator is an exact BIGINT
     // sum. The bucket id is explicit integer arithmetic
-    // ((rk−1)·10 div n_docs + 1), not ntile. Plan: one shingle-explode
-    // scan (codegen'd word_ngrams, ONE split per row) → (bucket,
-    // shingle) combiner counts + one min-bucket aggregate over the
-    // shingle vocab; the global doc-rank window runs on the DOC frame
+    // ((rk−1)·10 div n_docs + 1), not ntile. Plan: the doc scan and the
+    // rank window are computed once and SHARED via the window's
+    // exchange; the in-task shingle explode (codegen'd word_ngrams, ONE
+    // split per row) feeds the two combiner aggregates — (bucket,
+    // shingle) counts and the min-bucket vocab pass — each clustering
+    // on its own key; the global doc-rank window runs on the DOC frame
     // (row-count sized, not token sized — at 100 TB the rank comes from
     // a range-partitioned sort or the catalog's file ordering, and
     // everything after the two combiner aggregates is a 10-row frame).

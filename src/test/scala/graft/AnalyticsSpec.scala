@@ -822,6 +822,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Double]("t_stat") == did / se)
   }
 
+  test("demand correlation: full pair grid on the dense calendar") {
+    val rows = SparkEntry.queries("orders_demand_correlation")(spark, sf)
+      .collect()
+    assert(rows.length == 300, "C(25,2) ordered brand pairs")
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    val weeks = rows.map(_.getAs[Long]("n_weeks")).distinct
+    assert(weeks.length == 1,
+      s"dense calendar: every pair sees the same week count, got $weeks")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("demand_corr")
+      assert(!c.isNaN && c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12,
+        s"${r.getString(0)}x${r.getString(1)}: corr=$c")
+    }
+  }
+
+  test("degree gini: bounds and cross-gate against assortativity's m") {
+    val g = SparkEntry.queries("graph_degree_gini")(spark, sf).head()
+    val gini = g.getAs[Double]("gini_degree")
+    assert(gini >= 0.0 && gini < 1.0, s"gini=$gini")
+    assert(g.getAs[Long]("sum_deg") % 2 == 0,
+      "directed degree mass is even (both directions present)")
+    // the degree table here and assortativity's edge list describe the
+    // SAME graph: total degree == directed edge count
+    val a = SparkEntry.queries("graph_assortativity")(spark, sf).head()
+    assert(g.getAs[Long]("sum_deg") == a.getAs[Long]("m_directed"),
+      "degree mass must equal the directed edge count")
+  }
+
   test("newsvendor: q_star is the 0.8-fractile order statistic per brand") {
     val rows = SparkEntry.queries("orders_newsvendor_level")(spark, sf)
       .collect()

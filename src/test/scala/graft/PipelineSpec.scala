@@ -169,6 +169,27 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("referential integrity: intact fixture, independent recount") {
+    val rows = SparkEntry.queries("dq_referential_integrity")(spark, sf)
+      .collect()
+    assert(rows.length == 7, "seven FK edges in the star schema")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_child") > 0)
+      assert(r.getAs[Long]("n_orphans") == 0,
+        s"${r.getString(0)}: fixture must be referentially intact")
+      assert(r.getAs[Double]("orphan_rate") == 0.0)
+    }
+    // independent recount of one edge: child total minus inner-join
+    // matches must equal the reported orphans
+    val li = Tables.lineitem(spark, sf)
+    val matched = li.join(Tables.orders(spark, sf),
+      col("l_orderkey") === col("o_orderkey")).count()
+    val edge = rows.find(_.getString(0) == "lineitem.l_orderkey->orders")
+      .get
+    assert(edge.getAs[Long]("n_child") - matched ==
+      edge.getAs[Long]("n_orphans"))
+  }
+
   test("ts_gapfill_ffill emits the full grid with zeros filled forward") {
     val out = SparkEntry.queries("ts_gapfill_ffill")(spark, sf)
     val types = Tables.events(spark, sf).select("event_type").distinct().count()

@@ -334,6 +334,21 @@ class StatsSpec extends SparkSuite {
     assert(r.getAs[Boolean]("equivalent") == (p <= 0.05))
   }
 
+  test("runs test: run-count bounds and the exact mean formula") {
+    val r = SparkEntry.queries("stats_runs_test")(spark, sf).head()
+    val n1 = r.getAs[Long]("n_above"); val n2 = r.getAs[Long]("n_below")
+    val runs = r.getAs[Long]("n_runs")
+    assert(n1 > 0 && n2 > 0)
+    // a run sequence over two symbols is bounded by [2, n] (given both
+    // symbols occur) and by the alternation cap 2*min+1
+    assert(runs >= 2 && runs <= n1 + n2)
+    assert(runs <= 2 * math.min(n1, n2) + 1)
+    val mu = r.getAs[Double]("mu_runs")
+    assert(mu == 1.0 + (2.0 * n1 * n2) / (n1 + n2), s"mu=$mu")
+    val z = r.getAs[Double]("z_stat")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
   test("kmeans 1d: ordered centroids partition the price domain") {
     val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))

@@ -3969,6 +3969,84 @@ object Analytics {
         .orderBy("brand_a", "brand_b")
     },
 
+    // Laspeyres / Paasche / Fisher PRICE INDEX chain by month — the
+    // econ aggregate behind "did prices move or did the mix move":
+    // per-brand monthly unit values p = e/q against the FIRST month's
+    // matched basket (brands present in both periods; absences drop
+    // consistently on both engines). Exactness: e and q accumulate in
+    // integer CENTS; each basket term e_m·q_0/q_m is a double product
+    // of exact integers (well under 2⁵³ at fixture scale; DECIMAL swap
+    // documented past that) floored to a BIGINT, so the cross-brand
+    // sums are exact integer sums — never an order-dependent double Σ;
+    // Laspeyres = Σ⌊e_m q_0 / q_m⌋ / Σe_0, Paasche = Σe_m / Σ⌊e_0 q_m /
+    // q_0⌋, Fisher = √(L·P), three divisions and one sqrt per row.
+    // Plan: ONE (brand, month) combiner aggregate collapses the fact;
+    // the base-month join and index algebra run on the 25×|months|
+    // frame.
+    Q("orders_price_index",
+      """WITH m AS (
+        |  SELECT p_brand, date_trunc('month', l_shipdate) AS mth,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS e,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT min(mth) AS mth0 FROM m),
+        |base AS (SELECT p_brand, e AS e0, q AS q0
+        |         FROM m, m0 WHERE mth = mth0),
+        |j AS (SELECT m.mth, m.p_brand, m.e AS em, m.q AS qm, b.e0, b.q0
+        |      FROM m JOIN base b ON m.p_brand = b.p_brand),
+        |t AS (
+        |  SELECT mth, CAST(count(*) AS BIGINT) AS n_brands,
+        |    CAST(sum(CAST(floor(CAST(em AS DOUBLE) * CAST(q0 AS DOUBLE)
+        |      / CAST(qm AS DOUBLE)) AS BIGINT)) AS BIGINT) AS lnum,
+        |    CAST(sum(e0) AS BIGINT) AS lden,
+        |    CAST(sum(em) AS BIGINT) AS pnum,
+        |    CAST(sum(CAST(floor(CAST(e0 AS DOUBLE) * CAST(qm AS DOUBLE)
+        |      / CAST(q0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS pden
+        |  FROM j GROUP BY 1)
+        |SELECT CAST(mth AS TIMESTAMP) AS month, n_brands,
+        |  CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE) AS laspeyres,
+        |  CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE) AS paasche,
+        |  sqrt(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)
+        |       * (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE)))
+        |    AS fisher
+        |FROM t ORDER BY month""".stripMargin) { (s, d) =>
+      def cents(c: Column) =
+        (c.cast("decimal(12,2)") * 100).cast("long")
+      val m = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_trunc("month", col("l_shipdate")).as("mth"))
+        .agg(sum(cents(col("l_extendedprice"))).as("e"),
+          sum(cents(col("l_quantity"))).as("q"))
+      val m0 = m.agg(min(col("mth")).as("mth0"))
+      val base = m.crossJoin(broadcast(m0))
+        .where(col("mth") === col("mth0"))
+        .select(col("p_brand").as("bb"), col("e").as("e0"),
+          col("q").as("q0"))
+      val j = m.join(broadcast(base), col("p_brand") === col("bb"))
+      def term(a: String, b: String, c: String) =
+        floor(col(a).cast("double") * col(b).cast("double")
+          / col(c).cast("double")).cast("long")
+      val t = j.groupBy("mth").agg(count(lit(1)).as("n_brands"),
+        sum(term("e", "q0", "q")).as("lnum"),
+        sum(col("e0")).as("lden"),
+        sum(col("e")).as("pnum"),
+        sum(term("e0", "q", "q0")).as("pden"))
+      t.select(col("mth").cast("timestamp").as("month"), col("n_brands"),
+          (col("lnum").cast("double") / col("lden").cast("double"))
+            .as("laspeyres"),
+          (col("pnum").cast("double") / col("pden").cast("double"))
+            .as("paasche"),
+          sqrt(col("lnum").cast("double") / col("lden").cast("double")
+            * (col("pnum").cast("double") / col("pden").cast("double")))
+            .as("fisher"))
+        .orderBy("month")
+    },
+
     // Gini concentration of the co-purchase DEGREE distribution — the
     // third number of the hub triptych (assortativity: who hubs attach
     // to; rich-club: whether hubs clique; degree Gini: how much of the

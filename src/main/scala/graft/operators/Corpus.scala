@@ -899,6 +899,101 @@ object Corpus {
             / 2.0 / 1000000.0).as("js_divergence"))
         .orderBy("source_a", "source_b")
     },
+
+    // DSIR RESAMPLE — the selection step the importance weights exist
+    // for (Xie et al. 2023 §3: score, then keep the top slice toward
+    // the target): rank every doc by its exact-integer DSIR weight
+    // (ties by doc_id — fully deterministic, no Gumbel noise needed
+    // when the weights are already integers), keep the global top
+    // quarter, and report the per-source budget impact the mixture
+    // planner reads (docs and TOKENS kept — a source can survive by
+    // doc count yet lose its token mass). Same two-scan token pipeline
+    // as corpus_dsir_weights; the rank runs over the DOC-sized weight
+    // frame. The keep quota is exact integer arithmetic (nd div 4).
+    Q("corpus_dsir_resample",
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tok2 AS (
+        |  SELECT doc_id, substr(md5(w), 1, 2) AS b,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+        |  FROM tok WHERE w <> ''),
+        |bc AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+        |         CAST(sum(tgt) AS BIGINT) AS ct
+        |  FROM tok2 GROUP BY b),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |               CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+        |sc AS (
+        |  SELECT b, CAST(floor(ln(
+        |      CAST((ct + 1) * (nr + 256) AS DOUBLE)
+        |      / CAST((cr + 1) * (nt + 256) AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS score
+        |  FROM bc, tot),
+        |wts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(score) AS BIGINT) AS weight_scaled
+        |  FROM tok2 JOIN sc USING (b) GROUP BY doc_id),
+        |ds AS (
+        |  SELECT w.doc_id, d.source, w.n_tokens, w.weight_scaled
+        |  FROM wts w JOIN documents d ON w.doc_id = d.doc_id),
+        |rk AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (ORDER BY weight_scaled DESC, doc_id)
+        |      AS rnk,
+        |    count(*) OVER () AS nd
+        |  FROM ds),
+        |sel AS (SELECT source, n_tokens, rnk <= nd // 4 AS keep FROM rk)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_selected,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS tokens_selected,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS doc_share
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin) {
+        (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .select(col("doc_id"), substring(md5(col("w")), 1, 2).as("b"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("tgt"))
+      val bc = tok.groupBy("b")
+        .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct"))
+      val sc = bc
+        .withColumn("nr", sum(col("cr")).over(Window.partitionBy()))
+        .withColumn("nt", sum(col("ct")).over(Window.partitionBy()))
+        .select(col("b"),
+          floor(log(((col("ct") + 1) * (col("nr") + 256)).cast("double")
+            / ((col("cr") + 1) * (col("nt") + 256)).cast("double"))
+            * 1000000).cast("long").as("score"))
+      val wts = tok.join(broadcast(sc), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("score")).as("weight_scaled"))
+      val ds = wts.join(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      val rk = ds
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("weight_scaled").desc, col("doc_id"))))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      val sel = rk.select(col("source"), col("n_tokens"),
+        (col("rnk") <= expr("nd div 4")).as("keep"))
+      sel.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_selected"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+            .as("tokens_selected"))
+        .select(col("source"), col("n_docs"), col("n_selected"),
+          col("tokens_total"), col("tokens_selected"),
+          (col("n_selected").cast("double") / col("n_docs").cast("double"))
+            .as("doc_share"))
+        .orderBy("source")
+    },
   )
 
   /** Paragraph-level exact dedup with reassembly (frame-parametric kernel

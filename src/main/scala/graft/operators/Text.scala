@@ -714,6 +714,74 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Tokenizer FERTILITY by language — tokens-per-word under the
+    // trained BPE, the tokenizer-health metric multilingual pipelines
+    // track (a language with fertility 2× the corpus mean pays 2× the
+    // context budget per word and trains on fragmented units; the
+    // go-signal for retraining the tokenizer or re-weighting the mix).
+    // Rides the SAME trained merge table as text_bpe_train/encode (one
+    // capped-dict train, memoized) and the same per-word fold; adds the
+    // per-language rollup plus chars-per-token from the documents'
+    // stored lengths. Exact BIGINT counts; two double divisions per
+    // row. Plan: the per-WORD token counts come from the vocab-sized
+    // frame (the fold runs once per distinct word, not per token) and
+    // broadcast-join onto the token stream; one lang-keyed combiner
+    // aggregate each side.
+    Q("corpus_tokenizer_fertility",
+      s"""WITH RECURSIVE $bpeTrainCte,
+         |merges AS (SELECT DISTINCT it, ml, mr FROM bpe WHERE it > 0),
+         |enc AS (
+         |  SELECT 0 AS it, word,
+         |         array_to_string(string_split(word, ''), '|') AS syms
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT e.it + 1, e.word,
+         |         replace(e.syms, m.ml || '|' || m.mr, m.ml || m.mr)
+         |  FROM enc e JOIN merges m ON m.it = e.it + 1),
+         |wtok AS (
+         |  SELECT word, len(string_split(syms, '|')) AS ntok
+         |  FROM enc WHERE it = (SELECT count(*) FROM merges)),
+         |docw AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |agg AS (
+         |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(w.ntok) AS BIGINT) AS n_tokens
+         |  FROM docw d JOIN wtok w ON d.word = w.word GROUP BY 1),
+         |chs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |        FROM documents GROUP BY 1)
+         |SELECT agg.lang AS lang, n_docs, n_words, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS fertility,
+         |  CAST(sum_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    AS chars_per_token
+         |FROM agg JOIN chs ON agg.lang = chs.lang
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      val syms0 = regexp_replace(col("word"), "(.)(?=.)", "$1|")
+      val folded = trainBpe(s, d).foldLeft(syms0: Column) {
+        case (c, (_, l, r, _)) => replace(c, lit(l + "|" + r), lit(l + r))
+      }
+      val docw = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      val wtok = docw.select(col("word")).distinct()
+        .select(col("word"), size(split(folded, "[|]")).as("ntok"))
+      val agg = docw.join(broadcast(wtok), "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+      val chs = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      agg.join(broadcast(chs), "lang")
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("sum_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     // HEAPS' LAW fit — vocabulary growth V(N) ≈ K·N^β over the corpus
     // read in doc_id order (sublinear 0 < β < 1 for natural-ish text;
     // β → 1 flags synthetic/random corpora, β → 0 pure boilerplate).

@@ -850,6 +850,27 @@ class AnalyticsSpec extends SparkSuite {
       "degree mass must equal the directed edge count")
   }
 
+  test("price index: base month is exactly 1.0, Fisher between L and P") {
+    val rows = SparkEntry.queries("orders_price_index")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val base = rows.head // ordered by month; first is the base
+    assert(base.getAs[Double]("laspeyres") == 1.0 &&
+      base.getAs[Double]("paasche") == 1.0 &&
+      base.getAs[Double]("fisher") == 1.0,
+      "matched basket against itself must index to exactly 1")
+    rows.foreach { r =>
+      val l = r.getAs[Double]("laspeyres"); val p = r.getAs[Double]("paasche")
+      val f = r.getAs[Double]("fisher")
+      assert(l > 0.0 && p > 0.0 && f > 0.0)
+      assert(r.getAs[Long]("n_brands") >= 1 &&
+        r.getAs[Long]("n_brands") <= 25)
+      // the geometric mean sits between its factors
+      assert(f >= math.min(l, p) - 1e-12 && f <= math.max(l, p) + 1e-12,
+        s"fisher $f outside [$l, $p]")
+    }
+  }
+
   test("newsvendor: q_star is the 0.8-fractile order statistic per brand") {
     val rows = SparkEntry.queries("orders_newsvendor_level")(spark, sf)
       .collect()

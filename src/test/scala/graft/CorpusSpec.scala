@@ -327,6 +327,49 @@ class CorpusSpec extends SparkSuite {
       s"same-generator sources should not approach ln2: worst=$worst")
   }
 
+  test("tokenizer fertility: cross-gated against the per-doc BPE encode") {
+    val fert = SparkEntry.queries("corpus_tokenizer_fertility")(spark, sf)
+      .collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"),
+        "BPE can only split words, never merge across them")
+      assert(r.getAs[Double]("fertility") ==
+        r.getAs[Long]("n_tokens").toDouble / r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+    // the per-language rollup must reproduce text_bpe_encode's per-doc
+    // counts exactly (same trained merges, same fold)
+    val perDoc = SparkEntry.queries("text_bpe_encode")(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_tokens").as("t"), sum("n_words").as("w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    fert.foreach { r =>
+      val (t, w) = perDoc(r.getString(0))
+      assert(r.getAs[Long]("n_tokens") == t && r.getAs[Long]("n_words") == w,
+        s"${r.getString(0)}: rollup disagrees with the per-doc encode")
+    }
+  }
+
+  test("dsir resample: exact global quota, per-source accounting") {
+    val rows = SparkEntry.queries("corpus_dsir_resample")(spark, sf)
+      .collect()
+    assert(rows.length == 20, "one row per source")
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == 500)
+    assert(rows.map(_.getAs[Long]("n_selected")).sum == nDocs / 4,
+      "the keep quota is exactly the global top quarter")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_selected") <=
+        r.getAs[Long]("tokens_total"))
+      val share = r.getAs[Double]("doc_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
   test("heaps law: cumulative curves monotone, beta in the sublinear band") {
     val rows = SparkEntry.queries("text_heaps_law")(spark, sf).collect()
     assert(rows.length == 10, s"ten checkpoints, got ${rows.length}")

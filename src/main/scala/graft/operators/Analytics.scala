@@ -4723,6 +4723,154 @@ object Analytics {
         .withColumnRenamed("n_items", "n_parts")
     },
 
+    // ABC CLASS MIGRATION across the 1998 cutover — the drift view the
+    // static classification can't give (an A-part decaying to C is the
+    // assortment-planning signal; the static report shows both periods
+    // healthy): classify every part's revenue in the pre and post
+    // periods with the SAME 70/90 cumulative-share rule, full-outer
+    // join the two class maps ('N' = not sold that period), and count
+    // the transition matrix. Same exactness as parts_abc_classes
+    // (DECIMAL revenue, double cum-share against identical window
+    // frames, lowest-key tie-break). Plan: two period-filtered scans
+    // each collapse to the part frame in one combiner shuffle; the
+    // windows, join and matrix run on |parts| rows.
+    Q("parts_abc_migration",
+      """WITH pre AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |post AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |ca AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE)
+        |         / CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND UNBOUNDED FOLLOWING) AS DOUBLE) <= 0.7 THEN 'A'
+        |         WHEN CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE)
+        |         / CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND UNBOUNDED FOLLOWING) AS DOUBLE) <= 0.9 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM pre),
+        |cb AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE)
+        |         / CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND UNBOUNDED FOLLOWING) AS DOUBLE) <= 0.7 THEN 'A'
+        |         WHEN CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE)
+        |         / CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND UNBOUNDED FOLLOWING) AS DOUBLE) <= 0.9 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM post)
+        |SELECT coalesce(ca.cls, 'N') AS class_pre,
+        |  coalesce(cb.cls, 'N') AS class_post,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM ca FULL OUTER JOIN cb ON ca.l_partkey = cb.l_partkey
+        |GROUP BY 1, 2 ORDER BY class_pre, class_post""".stripMargin) {
+        (s, d) =>
+      def clsOf(period: Column) = {
+        val pr = Tables.lineitem(s, d).where(period)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount").cast("decimal(12,2)")))
+            .as("rev"))
+        val run = Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        val share = sum(col("rev")).over(run).cast("double") /
+          sum(col("rev")).over(all).cast("double")
+        pr.select(col("l_partkey"),
+          when(share <= 0.7, "A").when(share <= 0.9, "B")
+            .otherwise("C").as("cls"))
+      }
+      val cut = lit("1998-01-01").cast("timestamp")
+      val ca = clsOf(col("l_shipdate") < cut)
+        .select(col("l_partkey").as("ka"), col("cls").as("cls_a"))
+      val cb = clsOf(col("l_shipdate") >= cut)
+        .select(col("l_partkey").as("kb"), col("cls").as("cls_b"))
+      ca.join(cb, col("ka") === col("kb"), "full_outer")
+        .groupBy(coalesce(col("cls_a"), lit("N")).as("class_pre"),
+          coalesce(col("cls_b"), lit("N")).as("class_post"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("class_pre", "class_post")
+    },
+
+    // Double-BFS DIAMETER lower bound — the graph-health scalar next to
+    // the degree profile (is the co-purchase world small or stringy?):
+    // sweep 1 runs BFS from the deterministic min-node anchor and picks
+    // the farthest node (the standard 2-sweep heuristic: a peripheral
+    // node); sweep 2's eccentricity from there lower-bounds the true
+    // diameter, and equals it on trees / most small-world graphs. Both
+    // sweeps are the shared frontier-expansion kernel (per-round
+    // frontier⋈edges + dedup + visited anti-join, O(E) total); the two
+    // driver reads between jobs are BOUNDED (one anchor row, one argmax
+    // row — the k-row-centroid collect precedent). The oracle replays
+    // both sweeps as recursive-CTE BFS with the same 30-hop cap.
+    Q("graph_diameter_2sweep",
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM p
+        |      UNION ALL SELECT pb, pa FROM p),
+        |r1 AS (
+        |  SELECT * FROM (SELECT (SELECT min(src) FROM e) AS node, 0 AS h)
+        |  WHERE node IS NOT NULL
+        |  UNION
+        |  SELECT e.src, r1.h + 1 FROM e JOIN r1 ON e.dst = r1.node
+        |  WHERE r1.h < 30),
+        |b1 AS (SELECT node, CAST(min(h) AS BIGINT) AS hops
+        |       FROM r1 GROUP BY node),
+        |far AS (SELECT node, hops FROM b1
+        |        ORDER BY hops DESC, node LIMIT 1),
+        |r2 AS (
+        |  SELECT node, 0 AS h FROM far
+        |  UNION
+        |  SELECT e.src, r2.h + 1 FROM e JOIN r2 ON e.dst = r2.node
+        |  WHERE r2.h < 30),
+        |b2 AS (SELECT node, CAST(min(h) AS BIGINT) AS hops
+        |       FROM r2 GROUP BY node)
+        |SELECT (SELECT min(src) FROM e) AS seed_node,
+        |  far.node AS peripheral_node, far.hops AS ecc_sweep1,
+        |  (SELECT CAST(max(hops) AS BIGINT) FROM b2) AS diameter_lb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b2) AS n_reached
+        |FROM far""".stripMargin) { (s, d) =>
+      val edges = thresholdedCopurchaseEdges(s, d, "u", "v")
+      val srcRow = edges.agg(min(col("u"))).head
+      val empty = srcRow.isNullAt(0)
+      val seed = if (empty) 0L else srcRow.getLong(0)
+      val b1 = shortestHopsOf(edges, seed, maxHops = 30)
+      val farRow = b1.orderBy(col("hops").desc, col("node")).head
+      val (farNode, ecc1) = (farRow.getLong(0), farRow.getLong(1))
+      val b2 = shortestHopsOf(edges, farNode, maxHops = 30)
+      val out = b2.agg(max(col("hops")).as("diameter_lb"),
+          count(lit(1)).as("n_reached"))
+        .select(lit(seed).as("seed_node"),
+          lit(farNode).as("peripheral_node"),
+          lit(ecc1).as("ecc_sweep1"), col("diameter_lb"),
+          col("n_reached"))
+      if (empty) out.where(lit(false)) else out
+    },
+
     // Robust (median/MAD) hourly outlier detection per series — the
     // companion to ts_anomaly_zscore for series whose mean/σ are
     // themselves corrupted by the outliers being hunted (z-scores mask

@@ -871,6 +871,35 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("abc migration: cells partition the sold parts, no N->N cell") {
+    val rows = SparkEntry.queries("parts_abc_migration")(spark, sf)
+      .collect()
+    val classes = Set("A", "B", "C", "N")
+    rows.foreach { r =>
+      assert(classes(r.getString(0)) && classes(r.getString(1)))
+      assert(r.getAs[Long]("n_parts") > 0)
+    }
+    assert(!rows.exists(r =>
+      r.getString(0) == "N" && r.getString(1) == "N"),
+      "a part absent from BOTH periods cannot appear")
+    // every part sold in either period lands in exactly one cell
+    val sold = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == sold,
+      "matrix must partition the sold-part universe")
+  }
+
+  test("diameter 2-sweep: second eccentricity dominates the first") {
+    val r = SparkEntry.queries("graph_diameter_2sweep")(spark, sf).head()
+    val ecc1 = r.getAs[Long]("ecc_sweep1")
+    val dia = r.getAs[Long]("diameter_lb")
+    // dist(far, seed) == ecc_sweep1, so far's eccentricity >= ecc_sweep1
+    assert(dia >= ecc1, s"sweep-2 ecc $dia < sweep-1 ecc $ecc1")
+    assert(dia >= 1 && r.getAs[Long]("n_reached") >= 2)
+    assert(r.getAs[Long]("seed_node") != r.getAs[Long]("peripheral_node")
+      || ecc1 == 0)
+  }
+
   test("newsvendor: q_star is the 0.8-fractile order statistic per brand") {
     val rows = SparkEntry.queries("orders_newsvendor_level")(spark, sf)
       .collect()

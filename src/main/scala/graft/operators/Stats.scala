@@ -1703,6 +1703,330 @@ object Stats {
               / (col("n").cast("double") * col("n").cast("double")
                 * (col("n") - 1).cast("double")))).as("z_stat"))
     },
+
+    // One-way ANOVA F across the five order priorities on order value —
+    // "does priority class shift mean spend at all", the k-group
+    // generalization of the Welch pair test upstream. Per-group n/Σx/Σx²
+    // accumulate DECIMAL-exact; the five per-group SSB/SSW contributions
+    // are integer-FLOORED before the cross-group sum (double addition is
+    // order-dependent, floored BIGINTs are not — the chi-square scaled-
+    // contrib discipline; the ≤1-unit floor error is noise at SS ~1e14).
+    // Plan: one combiner shuffle collapses the fact scan to 5 rows; the
+    // grand totals re-aggregate the 5-row frame, never the fact table.
+    Q("stats_anova_f",
+      """WITH g AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))
+        |        * CAST(o_totalprice AS DECIMAL(12,2))) AS ss
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st,
+        |        CAST(count(*) AS BIGINT) AS k FROM g),
+        |c AS (
+        |  SELECT g.n, g.s, g.ss, t.nt, t.k,
+        |    CAST(g.s AS DOUBLE) / g.n AS m,
+        |    CAST(t.st AS DOUBLE) / t.nt AS gm
+        |  FROM g CROSS JOIN t),
+        |sc AS (
+        |  SELECT nt, k,
+        |    CAST(floor(CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * m) AS BIGINT) AS ssw_s,
+        |    CAST(floor(n * (m - gm) * (m - gm)) AS BIGINT) AS ssb_s
+        |  FROM c),
+        |f AS (
+        |  SELECT max(nt) AS n_total, max(k) AS k_groups,
+        |    CAST(sum(ssb_s) AS DOUBLE) AS ss_between,
+        |    CAST(sum(ssw_s) AS DOUBLE) AS ss_within
+        |  FROM sc)
+        |SELECT n_total, k_groups, ss_between, ss_within,
+        |  (ss_between / (k_groups - 1))
+        |    / (ss_within / (n_total - k_groups)) AS f_stat,
+        |  ss_between / (ss_between + ss_within) AS eta_sq
+        |FROM f""".stripMargin) { (s, d) =>
+      val x = col("o_totalprice").cast("decimal(12,2)")
+      val g = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(x).as("s"),
+          sum(x * x).as("ss"))
+      val t = g.agg(sum(col("n")).cast("long").as("nt"),
+        sum(col("s")).as("st"), count(lit(1)).as("k"))
+      val c = g.crossJoin(broadcast(t))
+        .select(col("n"), col("s"), col("ss"), col("nt"), col("k"),
+          (col("s").cast("double") / col("n")).as("m"),
+          (col("st").cast("double") / col("nt")).as("gm"))
+      val sc = c.select(col("nt"), col("k"),
+        floor(col("ss").cast("double")
+          - col("s").cast("double") * col("m")).cast("long").as("ssw_s"),
+        floor(col("n") * (col("m") - col("gm"))
+          * (col("m") - col("gm"))).cast("long").as("ssb_s"))
+      val f = sc.agg(max(col("nt")).as("n_total"),
+        max(col("k")).as("k_groups"),
+        sum(col("ssb_s")).cast("double").as("ss_between"),
+        sum(col("ssw_s")).cast("double").as("ss_within"))
+      f.select(col("n_total"), col("k_groups"), col("ss_between"),
+        col("ss_within"),
+        ((col("ss_between") / (col("k_groups") - 1))
+          / (col("ss_within") / (col("n_total") - col("k_groups"))))
+          .as("f_stat"),
+        (col("ss_between") / (col("ss_between") + col("ss_within")))
+          .as("eta_sq"))
+    },
+
+    // Jarque–Bera normality screen on line quantity — skewness and
+    // excess kurtosis from the first four RAW moments, all BIGINT-exact
+    // (quantity is integral ≤50, so Σx⁴ ≤ 6.25e6·n stays in BIGINT up to
+    // ~1e12 rows), converted to central moments in one double cascade.
+    // The "is this column even test-able with moment methods" gate run
+    // before any z-based screen. Plan: a single map-side combine to ONE
+    // row; no shuffle wider than the 5 partial sums.
+    Q("stats_jarque_bera",
+      """WITH x AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s1,
+        |    CAST(sum(v * v) AS BIGINT) AS s2,
+        |    CAST(sum(v * v * v) AS BIGINT) AS s3,
+        |    CAST(sum(v * v * v * v) AS BIGINT) AS s4
+        |  FROM x),
+        |m AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM s),
+        |c AS (
+        |  SELECT n, mu, r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |k AS (
+        |  SELECT n, mu, m2,
+        |    m3 / sqrt(m2 * m2 * m2) AS skewness,
+        |    m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+        |  FROM c)
+        |SELECT n, mu AS mean_qty, skewness, kurtosis_excess,
+        |  CAST(n AS DOUBLE) / 6.0 * (skewness * skewness
+        |    + kurtosis_excess * kurtosis_excess / 4.0) AS jb_stat
+        |FROM k""".stripMargin) { (s, d) =>
+      val st = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("long").as("v")).agg(
+          count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"),
+          sum(col("v") * col("v") * col("v")).as("s3"),
+          sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      val m = st.select(col("n"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        (col("s2").cast("double") / col("n")).as("r2"),
+        (col("s3").cast("double") / col("n")).as("r3"),
+        (col("s4").cast("double") / col("n")).as("r4"))
+      val c = m.select(col("n"), col("mu"),
+        (col("r2") - col("mu") * col("mu")).as("m2"),
+        (col("r3") - lit(3.0) * col("mu") * col("r2")
+          + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+        (col("r4") - lit(4.0) * col("mu") * col("r3")
+          + lit(6.0) * col("mu") * col("mu") * col("r2")
+          - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+          .as("m4"))
+      val k = c.select(col("n"), col("mu"), col("m2"),
+        (col("m3") / sqrt(col("m2") * col("m2") * col("m2")))
+          .as("skewness"),
+        (col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          .as("kurtosis_excess"))
+      k.select(col("n"), col("mu").as("mean_qty"), col("skewness"),
+        col("kurtosis_excess"),
+        (col("n").cast("double") / lit(6.0)
+          * (col("skewness") * col("skewness")
+            + col("kurtosis_excess") * col("kurtosis_excess") / lit(4.0)))
+          .as("jb_stat"))
+    },
+
+    // Cohen's d (+ the small-sample Hedges g correction) between
+    // returned (R) and accepted (A) line quantities — the EFFECT-SIZE
+    // companion to the Welch/Mann–Whitney significance tests: a 0.02-σ
+    // difference can be "significant" at 6e8 rows and still not matter.
+    // Pooled variance from BIGINT-exact n/Σx/Σx² per group (quantity is
+    // integral), one double cascade. Plan: single combine to one row.
+    Q("stats_cohens_d",
+      """WITH g AS (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN grp = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN grp = 'A' THEN v ELSE 0 END) AS BIGINT)
+        |      AS s1,
+        |    CAST(sum(CASE WHEN grp = 'R' THEN v ELSE 0 END) AS BIGINT)
+        |      AS s2,
+        |    CAST(sum(CASE WHEN grp = 'A' THEN v * v ELSE 0 END) AS BIGINT)
+        |      AS q1,
+        |    CAST(sum(CASE WHEN grp = 'R' THEN v * v ELSE 0 END) AS BIGINT)
+        |      AS q2
+        |  FROM g),
+        |m AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+        |    (CAST(q1 AS DOUBLE)
+        |       - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n1)
+        |     + CAST(q2 AS DOUBLE)
+        |       - CAST(s2 AS DOUBLE) * (CAST(s2 AS DOUBLE) / n2))
+        |      / (n1 + n2 - 2) AS varp
+        |  FROM s)
+        |SELECT n1 AS n_a, n2 AS n_r, m1 AS mean_a, m2 AS mean_r,
+        |  (m1 - m2) / sqrt(varp) AS cohens_d,
+        |  (m1 - m2) / sqrt(varp)
+        |    * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)) AS hedges_g
+        |FROM m""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("grp"),
+          col("l_quantity").cast("long").as("v"))
+      val st = base.agg(
+        sum(when(col("grp") === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === "R", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("grp") === "A", col("v")).otherwise(0L)).as("s1"),
+        sum(when(col("grp") === "R", col("v")).otherwise(0L)).as("s2"),
+        sum(when(col("grp") === "A", col("v") * col("v")).otherwise(0L))
+          .as("q1"),
+        sum(when(col("grp") === "R", col("v") * col("v")).otherwise(0L))
+          .as("q2"))
+      val m = st.select(col("n1"), col("n2"),
+        (col("s1").cast("double") / col("n1")).as("m1"),
+        (col("s2").cast("double") / col("n2")).as("m2"),
+        ((col("q1").cast("double")
+          - col("s1").cast("double")
+            * (col("s1").cast("double") / col("n1"))
+          + col("q2").cast("double")
+          - col("s2").cast("double")
+            * (col("s2").cast("double") / col("n2")))
+          / (col("n1") + col("n2") - 2)).as("varp"))
+      m.select(col("n1").as("n_a"), col("n2").as("n_r"),
+        col("m1").as("mean_a"), col("m2").as("mean_r"),
+        ((col("m1") - col("m2")) / sqrt(col("varp"))).as("cohens_d"),
+        ((col("m1") - col("m2")) / sqrt(col("varp"))
+          * (lit(1.0) - lit(3.0)
+            / (lit(4.0) * (col("n1") + col("n2")) - lit(9.0))))
+          .as("hedges_g"))
+    },
+
+    // Point-biserial correlation between the "returned" indicator and
+    // line quantity — the Pearson r specialization for one binary
+    // variable: how much of quantity's variance does return status
+    // actually explain (the screening form of "is returns-vs-size a
+    // real axis"). All five accumulators BIGINT-exact; population σ.
+    // Plan: single map-side combine to one row, zero wide shuffles.
+    Q("stats_point_biserial",
+      """WITH x AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(b) AS BIGINT) AS n1,
+        |    CAST(sum(v) AS BIGINT) AS sv,
+        |    CAST(sum(v * v) AS BIGINT) AS qv,
+        |    CAST(sum(b * v) AS BIGINT) AS s1
+        |  FROM x),
+        |m AS (
+        |  SELECT n, n1, n - n1 AS n0,
+        |    CAST(s1 AS DOUBLE) / n1 AS m1,
+        |    CAST(sv - s1 AS DOUBLE) / (n - n1) AS m0,
+        |    sqrt(CAST(qv AS DOUBLE) / n
+        |      - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) AS sn
+        |  FROM s)
+        |SELECT n, n1 AS n_returned, n0 AS n_kept,
+        |  m1 AS mean_returned, m0 AS mean_kept,
+        |  (m1 - m0) / sn
+        |    * sqrt(CAST(n1 AS DOUBLE) * n0
+        |           / (CAST(n AS DOUBLE) * n)) AS r_pb
+        |FROM m""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("b"))
+      val st = base.agg(count(lit(1)).as("n"), sum(col("b")).as("n1"),
+        sum(col("v")).as("sv"), sum(col("v") * col("v")).as("qv"),
+        sum(col("b") * col("v")).as("s1"))
+      val m = st.select(col("n"), col("n1"),
+        (col("n") - col("n1")).as("n0"),
+        (col("s1").cast("double") / col("n1")).as("m1"),
+        ((col("sv") - col("s1")).cast("double")
+          / (col("n") - col("n1"))).as("m0"),
+        sqrt(col("qv").cast("double") / col("n")
+          - (col("sv").cast("double") / col("n"))
+            * (col("sv").cast("double") / col("n"))).as("sn"))
+      m.select(col("n"), col("n1").as("n_returned"),
+        col("n0").as("n_kept"), col("m1").as("mean_returned"),
+        col("m0").as("mean_kept"),
+        ((col("m1") - col("m0")) / col("sn")
+          * sqrt(col("n1").cast("double") * col("n0")
+            / (col("n").cast("double") * col("n")))).as("r_pb"))
+    },
+
+    // McNemar's paired test (Edwards continuity correction) on customer
+    // activity across the catalog's two eras (pre/post 1998-01-01): did
+    // significantly more customers TURN active than went quiet? The
+    // paired analogue of the chi-square independence test — the
+    // statistic only sees the discordant cells of the per-customer 2×2.
+    // Plan: orders collapse to |customers| flags in one combiner
+    // shuffle; the customer left join keeps never-ordered customers in
+    // the n_neither cell; the 2×2 reduce is map-side.
+    Q("stats_mcnemar_halves",
+      """WITH act AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |        THEN 1 ELSE 0 END) AS h1,
+        |    max(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |        THEN 1 ELSE 0 END) AS h2
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(a.h1, 0) AS h1, coalesce(a.h2, 0) AS h2
+        |  FROM customer c LEFT JOIN act a ON c.c_custkey = a.o_custkey),
+        |ct AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_both,
+        |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_h1_only,
+        |    CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_h2_only,
+        |    CAST(sum(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_neither
+        |  FROM j)
+        |SELECT n_both, n_h1_only, n_h2_only, n_neither,
+        |  CASE WHEN n_h1_only + n_h2_only > 0 THEN
+        |    CAST((abs(n_h1_only - n_h2_only) - 1)
+        |         * (abs(n_h1_only - n_h2_only) - 1) AS DOUBLE)
+        |      / (n_h1_only + n_h2_only) END AS chi2_cc
+        |FROM ct""".stripMargin) { (s, d) =>
+      val cut = lit("1998-01-01").cast("timestamp")
+      val act = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
+        max(when(col("o_orderdate") < cut, 1).otherwise(0)).as("h1"),
+        max(when(col("o_orderdate") >= cut, 1).otherwise(0)).as("h2"))
+      val j = Tables.customer(s, d)
+        .join(act, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("h1"), lit(0)).as("h1"),
+          coalesce(col("h2"), lit(0)).as("h2"))
+      val ct = j.agg(
+        sum(when(col("h1") === 1 && col("h2") === 1, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("h1") === 1 && col("h2") === 0, 1L).otherwise(0L))
+          .as("n_h1_only"),
+        sum(when(col("h1") === 0 && col("h2") === 1, 1L).otherwise(0L))
+          .as("n_h2_only"),
+        sum(when(col("h1") === 0 && col("h2") === 0, 1L).otherwise(0L))
+          .as("n_neither"))
+      ct.select(col("n_both"), col("n_h1_only"), col("n_h2_only"),
+        col("n_neither"),
+        when(col("n_h1_only") + col("n_h2_only") > 0,
+          ((abs(col("n_h1_only") - col("n_h2_only")) - 1)
+            * (abs(col("n_h1_only") - col("n_h2_only")) - 1))
+            .cast("double")
+            / (col("n_h1_only") + col("n_h2_only"))).as("chi2_cc"))
+    },
   )
 
   /** Generated oracle for `stats_kmeans_1d`: the three Lloyd iterations

@@ -349,6 +349,70 @@ class StatsSpec extends SparkSuite {
     assert(!z.isNaN && !z.isInfinite)
   }
 
+  test("anova f: partitioned sums of squares and the F/eta identities") {
+    val r = SparkEntry.queries("stats_anova_f")(spark, sf).head()
+    assert(r.getAs[Long]("n_total") == Tables.orders(spark, sf).count())
+    assert(r.getAs[Long]("k_groups") == 5)
+    val ssb = r.getAs[Double]("ss_between")
+    val ssw = r.getAs[Double]("ss_within")
+    assert(ssb >= 0.0 && ssw > 0.0)
+    val f = r.getAs[Double]("f_stat")
+    assert(f >= 0.0 && !f.isInfinite)
+    assert(r.getAs[Double]("eta_sq") == ssb / (ssb + ssw))
+  }
+
+  test("jarque-bera: moment bounds and the JB closed form") {
+    val r = SparkEntry.queries("stats_jarque_bera")(spark, sf).head()
+    val n = r.getAs[Long]("n")
+    assert(n == Tables.lineitem(spark, sf).count())
+    val mu = r.getAs[Double]("mean_qty")
+    assert(mu >= 1.0 && mu <= 50.0)
+    val sk = r.getAs[Double]("skewness")
+    val ku = r.getAs[Double]("kurtosis_excess")
+    // a bounded uniform-ish domain: near-zero skew, platykurtic
+    assert(math.abs(sk) < 1.0 && ku < 0.0, s"skew=$sk kurt=$ku")
+    assert(r.getAs[Double]("jb_stat") ==
+      n.toDouble / 6.0 * (sk * sk + ku * ku / 4.0))
+  }
+
+  test("cohens d: hedges shrinkage identity and sign agreement") {
+    val r = SparkEntry.queries("stats_cohens_d")(spark, sf).head()
+    val n = r.getAs[Long]("n_a") + r.getAs[Long]("n_r")
+    val d = r.getAs[Double]("cohens_d")
+    val g = r.getAs[Double]("hedges_g")
+    assert(g == d * (1.0 - 3.0 / (4.0 * n - 9.0)))
+    assert(math.abs(g) < math.abs(d), "g must shrink d toward 0")
+    assert(math.signum(g) == math.signum(d))
+    assert((r.getAs[Double]("mean_a") - r.getAs[Double]("mean_r"))
+      .sign == d.sign)
+  }
+
+  test("point-biserial: correlation bounds and cell accounting") {
+    val r = SparkEntry.queries("stats_point_biserial")(spark, sf).head()
+    assert(r.getAs[Long]("n_returned") + r.getAs[Long]("n_kept")
+      == r.getAs[Long]("n"))
+    val rpb = r.getAs[Double]("r_pb")
+    assert(rpb >= -1.0 && rpb <= 1.0)
+    // sign must follow the mean difference
+    assert(math.signum(rpb) == math.signum(
+      r.getAs[Double]("mean_returned") - r.getAs[Double]("mean_kept")))
+  }
+
+  test("mcnemar halves: 2x2 accounting and the corrected chi-square") {
+    val r = SparkEntry.queries("stats_mcnemar_halves")(spark, sf).head()
+    val cells = Seq("n_both", "n_h1_only", "n_h2_only", "n_neither")
+      .map(r.getAs[Long])
+    assert(cells.forall(_ >= 0))
+    assert(cells.sum == Tables.customer(spark, sf).count(),
+      "cells must partition the customer base")
+    val b = r.getAs[Long]("n_h1_only"); val c = r.getAs[Long]("n_h2_only")
+    if (b + c > 0) {
+      val chi = r.getAs[Double]("chi2_cc")
+      val e = math.abs(b - c) - 1.0
+      assert(chi == e * e / (b + c))
+    }
+  }
+
   test("kmeans 1d: ordered centroids partition the price domain") {
     val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))

@@ -6025,5 +6025,332 @@ object Analytics {
         .select(col("kind"), col("id"), col("score"))
         .orderBy(col("kind"), col("score").desc, col("id"))
     },
+
+    // Herfindahl–Hirschman supplier-concentration index per nation —
+    // the antitrust-style "is this market one supplier in a trench
+    // coat" scalar next to orders_gini_segment (Gini ranks the whole
+    // curve; HHI squares the shares, so it reacts to the top). Revenue
+    // accumulates DECIMAL-exact per (nation, supplier); each squared
+    // share is ONE double expression floored to 1e-8 units so the
+    // cross-supplier sum is an exact BIGINT (the chi-square scaled-
+    // contrib discipline); HHI reported on the 0–10000 points scale.
+    // Plan: ONE (nation, supplier) combiner aggregate collapses the
+    // fact scan; totals and the squared-share sum run on the
+    // |suppliers|-row frame.
+    Q("orders_hhi_supplier",
+      """WITH rev AS (
+        |  SELECT s_nationkey AS nk, l_suppkey AS sk,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT nk, sum(r) AS tr, CAST(count(*) AS BIGINT) AS ns
+        |        FROM rev GROUP BY 1),
+        |sh AS (
+        |  SELECT rev.nk AS nk, tot.ns,
+        |    CAST(floor((CAST(r AS DOUBLE) / CAST(tr AS DOUBLE))
+        |      * (CAST(r AS DOUBLE) / CAST(tr AS DOUBLE))
+        |      * 100000000) AS BIGINT) AS s2
+        |  FROM rev JOIN tot ON rev.nk = tot.nk)
+        |SELECT nk AS nationkey, max(ns) AS n_suppliers,
+        |  CAST(sum(s2) AS DOUBLE) / 10000.0 AS hhi
+        |FROM sh GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("r"))
+      val tot = rev.groupBy("nk")
+        .agg(sum(col("r")).as("tr"), count(lit(1)).as("ns"))
+      val sh = rev.join(broadcast(tot), "nk")
+        .select(col("nk"), col("ns"),
+          floor((col("r").cast("double") / col("tr").cast("double"))
+            * (col("r").cast("double") / col("tr").cast("double"))
+            * lit(100000000)).cast("long").as("s2"))
+      sh.groupBy(col("nk").as("nationkey"))
+        .agg(max(col("ns")).as("n_suppliers"),
+          (sum(col("s2")).cast("double") / lit(10000.0)).as("hhi"))
+        .orderBy("nationkey")
+    },
+
+    // XYZ demand-variability classes per part — the planning companion
+    // of parts_abc_classes (ABC ranks by value, XYZ by forecastability):
+    // coefficient of variation of WEEKLY demand on the dense week
+    // calendar (zero weeks count — that is exactly what makes demand
+    // intermittent; they cost nothing because zero contributes nothing
+    // to Σq/Σq², only to the calendar length). Class cuts 3.75/4.25 are
+    // calibrated to the catalog's intermittent-demand regime (fixture
+    // CV spans ~2.9–6.3; the textbook 0.5/1.0 cuts assume fast-movers
+    // and would put every part in Z). Per-part CV is floored to micro
+    // units before the per-class mean so the cross-part sum is an exact
+    // BIGINT. Plan: ONE (part, week) combiner aggregate collapses the
+    // fact, then a part-level reduce; the class rollup is 3 rows.
+    Q("parts_xyz_classes",
+      """WITH cal AS (
+        |  SELECT CAST(count(DISTINCT date_trunc('week', l_shipdate))
+        |              AS BIGINT) AS nw
+        |  FROM lineitem),
+        |wd AS (
+        |  SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT pk, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(sum(q * q) AS BIGINT) AS ss
+        |  FROM wd GROUP BY 1),
+        |cv AS (
+        |  SELECT pk,
+        |    sqrt(CAST(ss AS DOUBLE) / nw
+        |        - (CAST(s AS DOUBLE) / nw) * (CAST(s AS DOUBLE) / nw))
+        |      / (CAST(s AS DOUBLE) / nw) AS cv
+        |  FROM ps CROSS JOIN cal),
+        |cl AS (
+        |  SELECT CASE WHEN cv < 3.75 THEN 'X'
+        |              WHEN cv < 4.25 THEN 'Y' ELSE 'Z' END AS xyz_class,
+        |    CAST(floor(cv * 1000000) AS BIGINT) AS cvm
+        |  FROM cv)
+        |SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cvm) AS DOUBLE) / 1000000.0 / count(*) AS mean_cv
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val cal = li.agg(
+        countDistinct(date_trunc("week", col("l_shipdate"))).as("nw"))
+      val wd = li.groupBy(col("l_partkey").as("pk"),
+          date_trunc("week", col("l_shipdate")).as("wk"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val ps = wd.groupBy("pk")
+        .agg(sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
+      val cv = ps.crossJoin(broadcast(cal))
+        .select(col("pk"),
+          (sqrt(col("ss").cast("double") / col("nw")
+            - (col("s").cast("double") / col("nw"))
+              * (col("s").cast("double") / col("nw")))
+            / (col("s").cast("double") / col("nw"))).as("cv"))
+      val cl = cv.select(
+        when(col("cv") < 3.75, "X").when(col("cv") < 4.25, "Y")
+          .otherwise("Z").as("xyz_class"),
+        floor(col("cv") * lit(1000000)).cast("long").as("cvm"))
+      cl.groupBy("xyz_class")
+        .agg(count(lit(1)).as("n_parts"),
+          (sum(col("cvm")).cast("double") / lit(1000000.0)
+            / count(lit(1))).as("mean_cv"))
+        .orderBy("xyz_class")
+    },
+
+    // Normalized pointwise mutual information between event types over
+    // user-day baskets — "which behaviors actually co-occur beyond
+    // their base rates" (raw co-occurrence counts just rank popular
+    // pairs; NPMI corrects for both marginals and lands in [-1, 1]).
+    // All four probabilities enter as BIGINT micro-logs (floor(1e6·ln),
+    // the text_zipf_slope discipline), so PMI and NPMI are single
+    // double expressions over exact integers; the perfect-cooccurrence
+    // pole (ln p_ab = ln N) NULL-guards the NPMI division. Plan: the
+    // basket distinct is one combiner shuffle; the pair self-join is
+    // keyed on (user, day) with ≤|types|² pairs per basket — linear in
+    // baskets, never all-pairs across users; the NPMI algebra runs on
+    // the |types|²-row frame.
+    Q("events_type_npmi",
+      """WITH base AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |bk AS (SELECT CAST(count(*) AS BIGINT) AS nb
+        |       FROM (SELECT DISTINCT user_id, day FROM base) q),
+        |ca AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS c
+        |       FROM base GROUP BY 1),
+        |cab AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base a JOIN base b ON a.user_id = b.user_id
+        |    AND a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT cab.ta, cab.tb, cab.c,
+        |    CAST(floor(ln(CAST(cab.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS xab,
+        |    CAST(floor(ln(CAST(x1.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS xa,
+        |    CAST(floor(ln(CAST(x2.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS xb,
+        |    CAST(floor(ln(CAST(bk.nb AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS xn
+        |  FROM cab JOIN ca x1 ON cab.ta = x1.t
+        |  JOIN ca x2 ON cab.tb = x2.t CROSS JOIN bk)
+        |SELECT ta AS type_a, tb AS type_b, c AS n_cooccur,
+        |  CAST(xab + xn - xa - xb AS DOUBLE) / 1000000.0 AS pmi_ln,
+        |  CASE WHEN xn > xab THEN CAST(xab + xn - xa - xb AS DOUBLE)
+        |    / CAST(xn - xab AS DOUBLE) END AS npmi
+        |FROM mx ORDER BY ta, tb""".stripMargin) { (s, d) =>
+      def mlog(c: Column) =
+        floor(log(c.cast("double")) * lit(1000000)).cast("long")
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          col("event_type"))
+        .distinct()
+      val bk = base.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("nb"))
+      val ca = base.groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val a = base.select(col("user_id"), col("day"),
+        col("event_type").as("ta"))
+      val b = base.select(col("user_id").as("u2"), col("day").as("d2"),
+        col("event_type").as("tb"))
+      val cab = a.join(b, col("user_id") === col("u2")
+          && col("day") === col("d2") && col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("c"))
+      val mx = cab
+        .join(broadcast(ca.select(col("t"), col("c").as("c1"))),
+          col("ta") === col("t")).drop("t")
+        .join(broadcast(ca.select(col("t"), col("c").as("c2"))),
+          col("tb") === col("t")).drop("t")
+        .crossJoin(broadcast(bk))
+        .select(col("ta"), col("tb"), col("c"),
+          mlog(col("c")).as("xab"), mlog(col("c1")).as("xa"),
+          mlog(col("c2")).as("xb"), mlog(col("nb")).as("xn"))
+      mx.select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("c").as("n_cooccur"),
+          ((col("xab") + col("xn") - col("xa") - col("xb"))
+            .cast("double") / lit(1000000.0)).as("pmi_ln"),
+          when(col("xn") > col("xab"),
+            (col("xab") + col("xn") - col("xa") - col("xb"))
+              .cast("double")
+              / (col("xn") - col("xab")).cast("double")).as("npmi"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // Hurst exponent of the daily order-arrival series by rescaled-
+    // range (R/S) analysis — long-range dependence in one number
+    // (H≈0.5 = memoryless, H→1 = persistent/trending demand; the
+    // statistic behind "can this series be forecast at all", feeding
+    // the SES/Holt kernels upstream). Blocks of 64/128/256 days on the
+    // DENSE calendar; per block the range of cumulative deviations
+    // (exact BIGINT prefix sums minus one double product) over the
+    // population σ; per-size means floor-quantized; H = the micro-log
+    // OLS slope of ln(R/S) on ln(w) (the text_zipf_slope discipline).
+    // Plan: the fact collapses to |days| counts in one combiner
+    // shuffle; blocks, prefix windows, and the 3-point fit all run on
+    // the calendar-bounded frame (~2.4k rows regardless of corpus
+    // size).
+    Q("ts_hurst_rescaled_range",
+      """WITH b AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |              AS DATE) AS day
+        |  FROM b),
+        |dc AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM orders GROUP BY 1),
+        |ser AS (
+        |  SELECT CAST(cal.day - b.d0 AS BIGINT) AS t,
+        |    coalesce(dc.c, 0) AS c
+        |  FROM cal CROSS JOIN b LEFT JOIN dc ON dc.day = cal.day),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndays FROM ser),
+        |ws AS (SELECT CAST(w AS BIGINT) AS w
+        |       FROM (VALUES (64), (128), (256)) AS v(w)),
+        |bx AS (
+        |  SELECT ws.w, ser.t // ws.w AS blk, ser.t % ws.w AS i, ser.c
+        |  FROM ser CROSS JOIN ws CROSS JOIN nd
+        |  WHERE ser.t // ws.w < nd.ndays // ws.w),
+        |st AS (SELECT w, blk, CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(c * c) AS BIGINT) AS ss
+        |       FROM bx GROUP BY 1, 2),
+        |cm AS (SELECT w, blk, i,
+        |         CAST(sum(c) OVER (PARTITION BY w, blk ORDER BY i)
+        |              AS BIGINT) AS cum
+        |       FROM bx),
+        |dv AS (
+        |  SELECT cm.w, cm.blk,
+        |    CAST(cm.cum AS DOUBLE)
+        |      - (cm.i + 1) * (CAST(st.s AS DOUBLE) / cm.w) AS dev
+        |  FROM cm JOIN st ON cm.w = st.w AND cm.blk = st.blk),
+        |rg AS (SELECT w, blk, max(dev) - min(dev) AS rng
+        |       FROM dv GROUP BY 1, 2),
+        |sd AS (
+        |  SELECT st.w, st.blk, rg.rng,
+        |    sqrt(CAST(st.ss AS DOUBLE) / st.w
+        |      - (CAST(st.s AS DOUBLE) / st.w)
+        |        * (CAST(st.s AS DOUBLE) / st.w)) AS sdev
+        |  FROM st JOIN rg ON st.w = rg.w AND st.blk = rg.blk),
+        |rs AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CAST(floor(rng / sdev * 1000000) AS BIGINT))
+        |         AS BIGINT) AS f
+        |  FROM sd WHERE sdev > 0 GROUP BY 1),
+        |av AS (SELECT w, n_blocks,
+        |         CAST(f AS DOUBLE) / 1000000.0 / n_blocks AS rs_avg
+        |       FROM rs),
+        |lg AS (SELECT
+        |         CAST(floor(ln(CAST(w AS DOUBLE)) * 1000000) AS BIGINT)
+        |           AS x,
+        |         CAST(floor(ln(rs_avg) * 1000000) AS BIGINT) AS y
+        |       FROM av),
+        |ols AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |          sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |        FROM lg),
+        |h AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) AS hurst
+        |      FROM ols)
+        |SELECT av.w AS block_days, av.n_blocks, av.rs_avg, h.hurst
+        |FROM av CROSS JOIN h ORDER BY av.w""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val b = orders.agg(min(col("o_orderdate")).cast("date").as("d0"),
+        max(col("o_orderdate")).cast("date").as("d1"))
+      val cal = b.select(col("d0"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val dc = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val ser = cal.join(dc, Seq("day"), "left")
+        .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val nd = ser.agg(count(lit(1)).as("ndays"))
+      val ws = Seq(64L, 128L, 256L)
+        .foldLeft(Option.empty[DataFrame]) { (acc, w) =>
+          val one = b.select(lit(w).as("w"))
+          Some(acc.fold(one)(_.unionAll(one)))
+        }.get
+      val bx = ser.crossJoin(broadcast(ws)).crossJoin(broadcast(nd))
+        .where(expr("t div w < ndays div w"))
+        .select(col("w"), expr("t div w").as("blk"),
+          expr("t % w").as("i"), col("c"))
+      val st = bx.groupBy("w", "blk")
+        .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+      val cm = bx.select(col("w"), col("blk"), col("i"),
+        sum(col("c")).over(Window.partitionBy("w", "blk").orderBy("i"))
+          .as("cum"))
+      val dv = cm.join(st, Seq("w", "blk"))
+        .select(col("w"), col("blk"),
+          (col("cum").cast("double")
+            - (col("i") + 1) * (col("s").cast("double") / col("w")))
+            .as("dev"))
+      val rg = dv.groupBy("w", "blk")
+        .agg((max(col("dev")) - min(col("dev"))).as("rng"))
+      val sd = st.join(rg, Seq("w", "blk"))
+        .select(col("w"), col("blk"), col("rng"),
+          sqrt(col("ss").cast("double") / col("w")
+            - (col("s").cast("double") / col("w"))
+              * (col("s").cast("double") / col("w"))).as("sdev"))
+      val rs = sd.where(col("sdev") > 0).groupBy("w")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(floor(col("rng") / col("sdev") * lit(1000000))
+            .cast("long")).as("f"))
+      val av = rs.select(col("w"), col("n_blocks"),
+        (col("f").cast("double") / lit(1000000.0) / col("n_blocks"))
+          .as("rs_avg"))
+      val lg = av.select(
+        floor(log(col("w").cast("double")) * lit(1000000)).cast("long")
+          .as("x"),
+        floor(log(col("rs_avg")) * lit(1000000)).cast("long").as("y"))
+      val ols = lg.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val h = ols.select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("hurst"))
+      av.crossJoin(broadcast(h))
+        .select(col("w").as("block_days"), col("n_blocks"),
+          col("rs_avg"), col("hurst"))
+        .orderBy("block_days")
+    },
   )
 }

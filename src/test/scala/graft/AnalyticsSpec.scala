@@ -985,4 +985,63 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(phi22) < 1e-15 && math.abs(phi33) < 1e-15,
       "recursion must zero out beyond lag 1 on an AR(1) ACF")
   }
+
+  test("hhi: per-nation bounds and the uniform/monopoly poles") {
+    val rows = SparkEntry.queries("orders_hhi_supplier")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ns = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Double]("hhi")
+      assert(ns >= 1)
+      // HHI on the 0-10000 scale: floor quantization can only lose
+      // mass, so uniform-shares 10000/ns is the exact lower pole
+      assert(hhi <= 10000.0 + 1e-9, s"hhi=$hhi")
+      assert(hhi >= 10000.0 / ns - 1e-4, s"hhi=$hhi below uniform pole")
+      if (ns == 1) assert(math.abs(hhi - 10000.0) < 1e-4)
+    }
+  }
+
+  test("xyz classes: partition of parts-with-sales, ordered class CV") {
+    val rows = SparkEntry.queries("parts_xyz_classes")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("X", "Y", "Z")))
+    val sold = Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == sold,
+      "classes must partition the parts that ever sold")
+    // class means must respect the cut order X < Y < Z
+    val mean = rows.map(r => r.getString(0) ->
+      r.getAs[Double]("mean_cv")).toMap
+    for (Seq(a, b) <- Seq("X", "Y", "Z").filter(mean.contains)
+        .sliding(2) if a != b)
+      assert(mean(a) < mean(b), s"mean_cv($a) must be < mean_cv($b)")
+  }
+
+  test("npmi: bounds, canonical pair order, and marginal consistency") {
+    val rows = SparkEntry.queries("events_type_npmi")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be canonical")
+      assert(r.getAs[Long]("n_cooccur") > 0)
+      val npmi = r.getAs[Double]("npmi")
+      // micro-log floors can push the ratio a hair past the poles
+      assert(npmi >= -1.0 - 1e-3 && npmi <= 1.0 + 1e-3, s"npmi=$npmi")
+    }
+  }
+
+  test("hurst: R/S grows with block size, exponent in the open interval") {
+    val rows = SparkEntry.queries("ts_hurst_rescaled_range")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("block_days")).toSeq ==
+      Seq(64L, 128L, 256L))
+    val rsAvg = rows.map(_.getAs[Double]("rs_avg"))
+    assert(rsAvg.forall(_ > 0))
+    assert(rsAvg.sameElements(rsAvg.sorted),
+      "mean R/S must be monotone in block size")
+    val h = rows.map(_.getAs[Double]("hurst")).distinct
+    assert(h.length == 1)
+    assert(h.head > 0.0 && h.head < 1.0, s"hurst=${h.head}")
+  }
 }

@@ -879,5 +879,131 @@ object Text {
             .as("heaps_beta"))
         .orderBy("bucket")
     },
+
+    // Yule's K vocabulary-richness characteristic per language — the
+    // repetitiveness constant next to the Zipf slope and Heaps
+    // exponent (K is size-invariant where type/token ratios are not,
+    // so it compares corpora of different volume honestly): K =
+    // 10⁴·(Σc² − N)/N² over the term-frequency spectrum, every
+    // accumulator an exact BIGINT, K one double expression. Plan: one
+    // (lang, term) combiner aggregate collapses the token explode; the
+    // K algebra runs on the \|langs\|-row frame.
+    Q("text_yule_k",
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok WHERE t <> '' GROUP BY 1, 2),
+        |st AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS v,
+        |         CAST(sum(c * c) AS BIGINT) AS s2
+        |       FROM tf GROUP BY 1)
+        |SELECT lang, n AS n_tokens, v AS n_types,
+        |  10000.0 * (CAST(s2 AS DOUBLE) - n)
+        |    / (CAST(n AS DOUBLE) * n) AS yule_k
+        |FROM st ORDER BY lang""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      val st = tf.groupBy("lang").agg(sum(col("c")).as("n"),
+        count(lit(1)).as("v"), sum(col("c") * col("c")).as("s2"))
+      st.select(col("lang"), col("n").as("n_tokens"),
+          col("v").as("n_types"),
+          (lit(10000.0) * (col("s2").cast("double") - col("n"))
+            / (col("n").cast("double") * col("n"))).as("yule_k"))
+        .orderBy("lang")
+    },
+
+    // Per-word BURSTINESS (Fano factor of per-document counts) for the
+    // top-20 corpus words — the content-vs-function signal (a topical
+    // word clumps into the documents about its topic, F ≫ 1; a
+    // function word spreads Poisson-like, F ≈ 1), the lexical
+    // counterpart of events_interevent_burstiness. Variance over ALL
+    // docs including zeros, which cost nothing: absent docs add 0 to
+    // Σc/Σc² and enter only through the doc-count denominator. All
+    // accumulators BIGINT-exact; F one double cascade. Plan: one
+    // (term, doc) combiner aggregate, a term-level reduce, TakeOrdered
+    // top-20 under a total order; the Fano algebra runs on 20 rows.
+    Q("text_word_burstiness",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |dtc AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c
+        |        FROM tok WHERE t <> '' GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+        |wf AS (SELECT t, CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(c * c) AS BIGINT) AS ss,
+        |         CAST(count(*) AS BIGINT) AS df
+        |       FROM dtc GROUP BY 1 ORDER BY s DESC, t LIMIT 20)
+        |SELECT t AS word, wf.s AS n_tokens, wf.df AS doc_freq,
+        |  (CAST(ss AS DOUBLE) / d
+        |     - (CAST(s AS DOUBLE) / d) * (CAST(s AS DOUBLE) / d))
+        |    / (CAST(s AS DOUBLE) / d) AS fano
+        |FROM wf CROSS JOIN nd
+        |ORDER BY n_tokens DESC, word""".stripMargin) { (s, d) =>
+      val dtc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("t", "doc_id").agg(count(lit(1)).as("c"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("d"))
+      val wf = dtc.groupBy("t").agg(sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"), count(lit(1)).as("df"))
+        .orderBy(col("s").desc, col("t")).limit(20)
+      wf.crossJoin(broadcast(nd))
+        .select(col("t").as("word"), col("s").as("n_tokens"),
+          col("df").as("doc_freq"),
+          ((col("ss").cast("double") / col("d")
+            - (col("s").cast("double") / col("d"))
+              * (col("s").cast("double") / col("d")))
+            / (col("s").cast("double") / col("d"))).as("fano"))
+        .orderBy(col("n_tokens").desc, col("word"))
+    },
+
+    // Top-k token COVERAGE curve — what share of the whole corpus the
+    // k most frequent words carry (k = 1/2/5/10/20/50), the stopword-
+    // budget and tokenizer-vocabulary planning curve that the Zipf
+    // slope summarizes but does not expose pointwise. Checkpoints that
+    // exceed the vocabulary drop out identically on both engines. All
+    // counts BIGINT-exact; coverage one double division. Plan: one
+    // term-frequency combiner shuffle, TakeOrdered top-50, then the
+    // rank/prefix window on ≤50 rows — the corpus never meets a
+    // window.
+    Q("text_topk_coverage",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok WHERE t <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |          CAST(count(*) AS BIGINT) AS v FROM tf),
+        |top AS (SELECT t, c FROM tf ORDER BY c DESC, t LIMIT 50),
+        |rk AS (SELECT row_number() OVER (ORDER BY c DESC, t) AS r,
+        |         CAST(sum(c) OVER (ORDER BY c DESC, t) AS BIGINT) AS cum
+        |       FROM top),
+        |ck AS (SELECT CAST(k AS BIGINT) AS k
+        |       FROM (VALUES (1), (2), (5), (10), (20), (50)) AS v(k))
+        |SELECT ck.k AS top_k, rk.cum AS cum_tokens, tot.v AS n_types,
+        |  CAST(rk.cum AS DOUBLE) / tot.n AS coverage
+        |FROM ck JOIN rk ON rk.r = ck.k CROSS JOIN tot
+        |ORDER BY ck.k""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+      val top = tf.orderBy(col("c").desc, col("t")).limit(50)
+      val w = Window.orderBy(col("c").desc, col("t"))
+      val rk = top.select(row_number().over(w).as("r"),
+        sum(col("c")).over(w).as("cum"))
+      val ck = Seq(1L, 2L, 5L, 10L, 20L, 50L)
+        .map(k => tot.select(lit(k).as("k")).limit(1))
+        .reduce(_ unionAll _)
+      ck.join(broadcast(rk), col("r") === col("k"))
+        .crossJoin(broadcast(tot))
+        .select(col("k").as("top_k"), col("cum").as("cum_tokens"),
+          col("v").as("n_types"),
+          (col("cum").cast("double") / col("n")).as("coverage"))
+        .orderBy("top_k")
+    },
   )
 }

@@ -388,4 +388,46 @@ class CorpusSpec extends SparkSuite {
     // (beta < 1) on any natural-ish corpus
     assert(beta.head > 0.0 && beta.head < 1.0, s"beta=${beta.head}")
   }
+
+  test("yule k: nonnegative, K identity from exact moments per lang") {
+    val rows = SparkEntry.queries("text_yule_k")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val v = r.getAs[Long]("n_types")
+      assert(v >= 1 && n >= v)
+      val k = r.getAs[Double]("yule_k")
+      // K = 0 iff every type occurs once; repetitive corpora are > 0
+      assert(k >= 0.0, s"${r.getString(0)}: K=$k")
+      // upper pole: a single type repeated n times gives 1e4*(n-1)/n
+      assert(k <= 10000.0, s"${r.getString(0)}: K=$k")
+    }
+  }
+
+  test("word burstiness: top-20 by frequency, Fano nonnegative") {
+    val rows = SparkEntry.queries("text_word_burstiness")(spark, sf)
+      .collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val freqs = rows.map(_.getAs[Long]("n_tokens"))
+    assert(freqs.sameElements(freqs.sortBy(-_)), "must be ranked")
+    val nDocs = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_freq") <= nDocs)
+      assert(r.getAs[Long]("doc_freq") >= 1)
+      assert(r.getAs[Double]("fano") >= 0.0)
+    }
+  }
+
+  test("topk coverage: monotone to 1.0, checkpoints past vocab drop") {
+    val rows = SparkEntry.queries("text_topk_coverage")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val ks = rows.map(_.getAs[Long]("top_k"))
+    assert(ks.sameElements(ks.sorted))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.sameElements(cov.sorted), "coverage must be monotone")
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    val vocab = rows.head.getAs[Long]("n_types")
+    assert(ks.forall(_ <= math.max(vocab, 50L)),
+      "checkpoints beyond the vocabulary must drop out")
+  }
 }

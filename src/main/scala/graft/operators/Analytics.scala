@@ -6352,5 +6352,63 @@ object Analytics {
           col("rs_avg"), col("hurst"))
         .orderBy("block_days")
     },
+
+    // Theil–Sen robust trend of the weekly order-count series — the
+    // median of all pairwise slopes (breakdown point 29%, where the
+    // OLS trend in ts_linear_trend is moved by ONE corrupted week;
+    // run both and a gap between them IS the outlier alarm). Every
+    // pairwise slope is one double division of exact integers; the
+    // median is an INDEX-SELECTED order statistic (lower-middle, ties
+    // broken by the (i, j) pair id — a stored double, no
+    // interpolation), so both engines pick the identical value. Plan:
+    // the fact collapses to the |weeks| frame in one combiner
+    // shuffle; the O(weeks²) pair join (~60k pairs on a 7-year
+    // calendar) and the rank window are calendar-bounded — corpus
+    // size changes the counts, never the pair volume.
+    Q("ts_theil_sen_weekly",
+      """WITH wk AS (
+        |  SELECT date_trunc('week', o_orderdate) AS w,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |w0 AS (SELECT CAST(min(w) AS DATE) AS w0 FROM wk),
+        |ix AS (SELECT CAST((CAST(w AS DATE) - w0) // 7 AS BIGINT) AS t,
+        |         c
+        |       FROM wk CROSS JOIN w0),
+        |pr AS (
+        |  SELECT a.t AS ti, b.t AS tj,
+        |    CAST(b.c - a.c AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+        |      AS slope
+        |  FROM ix a JOIN ix b ON b.t > a.t),
+        |rk AS (SELECT slope, ti, tj,
+        |         row_number() OVER (ORDER BY slope, ti, tj) AS r,
+        |         CAST(count(*) OVER () AS BIGINT) AS np FROM pr),
+        |med AS (SELECT slope AS sen_slope, np FROM rk
+        |        WHERE r = (np + 1) // 2),
+        |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks FROM ix)
+        |SELECT nw.n_weeks, med.np AS n_pairs, med.sen_slope
+        |FROM nw CROSS JOIN med""".stripMargin) { (s, d) =>
+      val wk = Tables.orders(s, d)
+        .groupBy(date_trunc("week", col("o_orderdate")).as("w"))
+        .agg(count(lit(1)).as("c"))
+      val w0 = wk.agg(min(col("w")).cast("date").as("w0"))
+      val ix = wk.crossJoin(broadcast(w0))
+        .select(expr("CAST(datediff(CAST(w AS DATE), w0) div 7 AS LONG)")
+          .as("t"), col("c"))
+      val a = ix.select(col("t").as("ti"), col("c").as("ca"))
+      val b = ix.select(col("t").as("tj"), col("c").as("cb"))
+      val pr = a.join(broadcast(b), col("tj") > col("ti"))
+        .select(col("ti"), col("tj"),
+          ((col("cb") - col("ca")).cast("double")
+            / (col("tj") - col("ti")).cast("double")).as("slope"))
+      val rk = pr.select(col("slope"), col("ti"), col("tj"),
+        row_number().over(Window.orderBy("slope", "ti", "tj")).as("r"),
+        count(lit(1)).over(Window.partitionBy()).as("np"))
+      val med = rk.where(col("r") === expr("(np + 1) div 2"))
+        .select(col("slope").as("sen_slope"), col("np"))
+      val nw = ix.agg(count(lit(1)).as("n_weeks"))
+      nw.crossJoin(broadcast(med))
+        .select(col("n_weeks"), col("np").as("n_pairs"),
+          col("sen_slope"))
+    },
   )
 }

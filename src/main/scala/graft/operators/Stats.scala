@@ -2027,6 +2027,166 @@ object Stats {
             .cast("double")
             / (col("n_h1_only") + col("n_h2_only"))).as("chi2_cc"))
     },
+
+    // Mood's MEDIAN test of line quantity across the three return
+    // flags — the coarsest (and most outlier-proof) k-group location
+    // test: only above/below the grand median counts enter, so a
+    // single corrupt extreme value cannot move it (Kruskal–Wallis
+    // ranks everything; Mood just dichotomizes). Grand median = the
+    // lower-middle order statistic off the ≤50-cell quantity marginal
+    // (the Brown–Forsythe center discipline); ties AT the median drop
+    // per the classical rule; each group's two (O−E)²/E terms are one
+    // double expression quantized to nano-units so the cross-group
+    // chi-square total is an exact BIGINT sum. Plan: the fact
+    // collapses to ≤150 (group, value) cells in one combiner shuffle;
+    // the median scan, cells, and chi-square all run on that frame.
+    Q("stats_mood_median",
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |marg AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS t
+        |         FROM c GROUP BY 1),
+        |cum AS (SELECT v, t,
+        |          coalesce(CAST(sum(t) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |            AS BIGINT), 0) AS cb,
+        |          CAST(sum(t) OVER () AS BIGINT) AS n
+        |        FROM marg),
+        |med AS (SELECT min(v) AS m FROM cum
+        |        WHERE cb + t >= (n + 1) // 2),
+        |cells AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN v > m THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN v < m THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM c CROSS JOIN med GROUP BY 1),
+        |tots AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |           CAST(sum(nb) AS BIGINT) AS tb,
+        |           CAST(sum(na + nb) AS BIGINT) AS n FROM cells),
+        |sc AS (
+        |  SELECT g, na, nb,
+        |    CAST(ta * (na + nb) AS DOUBLE) / n AS ea,
+        |    CAST(tb * (na + nb) AS DOUBLE) / n AS eb
+        |  FROM cells CROSS JOIN tots),
+        |sc2 AS (
+        |  SELECT g, na, nb, ea, eb,
+        |    CAST(floor(((CAST(na AS DOUBLE) - ea)
+        |        * (CAST(na AS DOUBLE) - ea) / ea
+        |      + (CAST(nb AS DOUBLE) - eb)
+        |        * (CAST(nb AS DOUBLE) - eb) / eb)
+        |      * 1000000000) AS BIGINT) AS cs
+        |  FROM sc),
+        |t2 AS (SELECT CAST(sum(cs) AS DOUBLE) / 1000000000.0 AS chi2
+        |       FROM sc2)
+        |SELECT g AS grp, na AS n_above, nb AS n_below,
+        |  ea AS e_above, eb AS e_below, chi2 AS chi2_stat
+        |FROM sc2 CROSS JOIN t2 ORDER BY g""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val marg = c.groupBy("v").agg(sum(col("cnt")).as("t"))
+      val cum = marg.select(col("v"), col("t"),
+        coalesce(sum(col("t")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("cb"),
+        sum(col("t")).over(Window.partitionBy()).as("n"))
+      val med = cum.where(col("cb") + col("t")
+          >= expr("(n + 1) div 2"))
+        .agg(min(col("v")).as("m"))
+      val cells = c.crossJoin(broadcast(med)).groupBy("g").agg(
+        sum(when(col("v") > col("m"), col("cnt")).otherwise(0L))
+          .as("na"),
+        sum(when(col("v") < col("m"), col("cnt")).otherwise(0L))
+          .as("nb"))
+      val tots = cells.agg(sum(col("na")).as("ta"),
+        sum(col("nb")).as("tb"), sum(col("na") + col("nb")).as("n"))
+      val sc = cells.crossJoin(broadcast(tots))
+        .select(col("g"), col("na"), col("nb"),
+          ((col("ta") * (col("na") + col("nb"))).cast("double")
+            / col("n")).as("ea"),
+          ((col("tb") * (col("na") + col("nb"))).cast("double")
+            / col("n")).as("eb"))
+      val sc2 = sc.select(col("g"), col("na"), col("nb"), col("ea"),
+        col("eb"),
+        floor(((col("na").cast("double") - col("ea"))
+          * (col("na").cast("double") - col("ea")) / col("ea")
+          + (col("nb").cast("double") - col("eb"))
+            * (col("nb").cast("double") - col("eb")) / col("eb"))
+          * lit(1000000000)).cast("long").as("cs"))
+      val t2 = sc2.agg(
+        (sum(col("cs")).cast("double") / lit(1000000000.0)).as("chi2"))
+      sc2.crossJoin(broadcast(t2))
+        .select(col("g").as("grp"), col("na").as("n_above"),
+          col("nb").as("n_below"), col("ea").as("e_above"),
+          col("eb").as("e_below"), col("chi2").as("chi2_stat"))
+        .orderBy("grp")
+    },
+
+    // Cochran's Q across THREE catalog eras (1995–96 / 97–98 / 99–01)
+    // on per-customer activity — the k-treatment generalization of
+    // McNemar: did the share of active customers CHANGE across eras,
+    // accounting for it being the same customers each time (a plain
+    // chi-square would treat the eras as independent samples and
+    // overstate n)? Q = (k−1)/k · Σ(k·C_j − S)² / (k·S − ΣR²) with
+    // every accumulator an exact BIGINT (column totals C_j, grand
+    // total S, per-customer row-sum squares ΣR²) and ONE double
+    // division; the degenerate all-rows-identical pole NULL-guards.
+    // Plan: orders collapse to per-customer era flags in one combiner
+    // shuffle; Q is a map-side reduce of the flag frame to one row.
+    Q("stats_cochran_q",
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |        THEN 1 ELSE 0 END) AS e1,
+        |    max(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |          AND o_orderdate < TIMESTAMP '1999-01-01'
+        |        THEN 1 ELSE 0 END) AS e2,
+        |    max(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+        |        THEN 1 ELSE 0 END) AS e3
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e1) AS BIGINT) AS c1, CAST(sum(e2) AS BIGINT) AS c2,
+        |    CAST(sum(e3) AS BIGINT) AS c3,
+        |    CAST(sum((e1 + e2 + e3) * (e1 + e2 + e3)) AS BIGINT) AS r2
+        |  FROM f),
+        |q AS (SELECT n, c1, c2, c3, c1 + c2 + c3 AS s, r2 FROM s)
+        |SELECT n AS n_customers, c1 AS n_era1, c2 AS n_era2,
+        |  c3 AS n_era3,
+        |  CASE WHEN 3 * s - r2 > 0 THEN
+        |    2.0 * CAST((3 * c1 - s) * (3 * c1 - s)
+        |         + (3 * c2 - s) * (3 * c2 - s)
+        |         + (3 * c3 - s) * (3 * c3 - s) AS DOUBLE)
+        |      / 3.0 / CAST(3 * s - r2 AS DOUBLE) END AS q_stat
+        |FROM q""".stripMargin) { (s, d) =>
+      val t1 = lit("1997-01-01").cast("timestamp")
+      val t2 = lit("1999-01-01").cast("timestamp")
+      val f = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
+        max(when(col("o_orderdate") < t1, 1L).otherwise(0L)).as("e1"),
+        max(when(col("o_orderdate") >= t1
+          && col("o_orderdate") < t2, 1L).otherwise(0L)).as("e2"),
+        max(when(col("o_orderdate") >= t2, 1L).otherwise(0L)).as("e3"))
+      val st = f.agg(count(lit(1)).as("n"), sum(col("e1")).as("c1"),
+        sum(col("e2")).as("c2"), sum(col("e3")).as("c3"),
+        sum((col("e1") + col("e2") + col("e3"))
+          * (col("e1") + col("e2") + col("e3"))).as("r2"))
+      val q = st.select(col("n"), col("c1"), col("c2"), col("c3"),
+        (col("c1") + col("c2") + col("c3")).as("s"), col("r2"))
+      q.select(col("n").as("n_customers"), col("c1").as("n_era1"),
+        col("c2").as("n_era2"), col("c3").as("n_era3"),
+        when(lit(3) * col("s") - col("r2") > 0,
+          lit(2.0) * ((lit(3) * col("c1") - col("s"))
+              * (lit(3) * col("c1") - col("s"))
+            + (lit(3) * col("c2") - col("s"))
+              * (lit(3) * col("c2") - col("s"))
+            + (lit(3) * col("c3") - col("s"))
+              * (lit(3) * col("c3") - col("s"))).cast("double")
+            / lit(3.0) / (lit(3) * col("s") - col("r2")).cast("double"))
+          .as("q_stat"))
+    },
   )
 
   /** Generated oracle for `stats_kmeans_1d`: the three Lloyd iterations

@@ -413,6 +413,47 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("mood median: balanced split accounting and one global chi2") {
+    val rows = SparkEntry.queries("stats_mood_median")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val chi = rows.map(_.getAs[Double]("chi2_stat")).distinct
+    assert(chi.length == 1 && chi.head >= 0.0)
+    val above = rows.map(_.getAs[Long]("n_above")).sum
+    val below = rows.map(_.getAs[Long]("n_below")).sum
+    val total = Tables.lineitem(spark, sf).count()
+    assert(above + below <= total, "median ties must only DROP rows")
+    assert(above > 0 && below > 0)
+    // expected counts preserve each group's row total
+    rows.foreach { r =>
+      val o = r.getAs[Long]("n_above") + r.getAs[Long]("n_below")
+      val e = r.getAs[Double]("e_above") + r.getAs[Double]("e_below")
+      assert(math.abs(e - o) < 1e-6, s"row-total drift: $e vs $o")
+    }
+  }
+
+  test("cochran q: era totals bounded by subjects, Q nonnegative") {
+    val r = SparkEntry.queries("stats_cochran_q")(spark, sf).head()
+    val n = r.getAs[Long]("n_customers")
+    val cs = Seq("n_era1", "n_era2", "n_era3").map(r.getAs[Long])
+    assert(cs.forall(c => c >= 0 && c <= n))
+    // every counted customer ordered at least once in some era
+    assert(cs.sum >= n)
+    val q = r.getAs[Double]("q_stat")
+    assert(q >= 0.0 && !q.isInfinite, s"q=$q")
+  }
+
+  test("theil-sen: complete pair lattice, slope within the count range") {
+    val r = SparkEntry.queries("ts_theil_sen_weekly")(spark, sf).head()
+    val nw = r.getAs[Long]("n_weeks")
+    assert(r.getAs[Long]("n_pairs") == nw * (nw - 1) / 2,
+      "every week pair must contribute exactly one slope")
+    val s = r.getAs[Double]("sen_slope")
+    assert(!s.isNaN && !s.isInfinite)
+    // a median weekly-count slope cannot exceed the count range per week
+    assert(math.abs(s) < 1e6)
+  }
+
   test("kmeans 1d: ordered centroids partition the price domain") {
     val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))

@@ -6410,5 +6410,85 @@ object Analytics {
         .select(col("n_weeks"), col("np").as("n_pairs"),
           col("sen_slope"))
     },
+
+    // Kaplan–Meier survival curve of customer LIFETIME (months from
+    // first to last order) — the churn actuary's view the lifecycle-
+    // state and retention kernels summarize pointwise: customers whose
+    // last order falls in the final 6 catalog months are right-
+    // CENSORED (still alive — counting them as churn is the classic
+    // retention-analysis bias), enter the at-risk set but never the
+    // event count. Duration lives on integer month indexes (y·12+m, no
+    // interval arithmetic to disagree on); each hazard factor
+    // ln((n−d)/n) is a micro-log BIGINT so cumulative ln S(t) is an
+    // exact prefix sum (log-space — a cross-row double product is
+    // accumulation-order-dependent; exp is a libm hazard, so the curve
+    // ships in log space); the everyone-dies terminal pole contributes
+    // 0 (plateau convention, keeps logs finite). Plan: orders collapse
+    // to per-customer (first, last) in one combiner shuffle; cells,
+    // the reverse at-risk window, and the survival prefix all run on
+    // the ≤\|months\| duration frame.
+    Q("orders_survival_km",
+      """WITH life AS (
+        |  SELECT o_custkey,
+        |    CAST(year(min(o_orderdate)) * 12 + month(min(o_orderdate))
+        |         AS BIGINT) AS m0,
+        |    CAST(year(max(o_orderdate)) * 12 + month(max(o_orderdate))
+        |         AS BIGINT) AS m1
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT CAST(max(m1) AS BIGINT) AS mxm FROM life),
+        |subj AS (
+        |  SELECT m1 - m0 AS dur,
+        |    CASE WHEN m1 >= mxm - 6 THEN 0 ELSE 1 END AS ev
+        |  FROM life CROSS JOIN mx),
+        |cell AS (
+        |  SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(1 - ev) AS BIGINT) AS cns
+        |  FROM subj GROUP BY 1),
+        |rk AS (
+        |  SELECT dur, d, cns,
+        |    CAST(sum(x) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+        |  FROM cell),
+        |lg AS (
+        |  SELECT dur, d, cns, n_risk,
+        |    CASE WHEN d > 0 AND d < n_risk THEN
+        |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+        |          / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+        |    ELSE 0 END AS lnp
+        |  FROM rk),
+        |cm AS (
+        |  SELECT dur, n_risk, d AS n_events, cns AS n_censored,
+        |    CAST(sum(lnp) OVER (ORDER BY dur) AS BIGINT) AS lncum
+        |  FROM lg)
+        |SELECT dur AS months, n_risk, n_events, n_censored,
+        |  CAST(lncum AS DOUBLE) / 1000000.0 AS ln_survival
+        |FROM cm ORDER BY dur""".stripMargin) { (s, d) =>
+      val life = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
+        (year(min(col("o_orderdate"))) * 12
+          + month(min(col("o_orderdate")))).cast("long").as("m0"),
+        (year(max(col("o_orderdate"))) * 12
+          + month(max(col("o_orderdate")))).cast("long").as("m1"))
+      val mx = life.agg(max(col("m1")).as("mxm"))
+      val subj = life.crossJoin(broadcast(mx))
+        .select((col("m1") - col("m0")).as("dur"),
+          when(col("m1") >= col("mxm") - 6, 0L).otherwise(1L).as("ev"))
+      val cell = subj.groupBy("dur").agg(sum(col("ev")).as("d"),
+        count(lit(1)).as("x"), sum(lit(1L) - col("ev")).as("cns"))
+      val rk = cell.select(col("dur"), col("d"), col("cns"),
+        sum(col("x")).over(Window.orderBy(col("dur").desc)).as("n_risk"))
+      val lg = rk.select(col("dur"), col("d"), col("cns"), col("n_risk"),
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          floor(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")) * lit(1000000))
+            .cast("long")).otherwise(0L).as("lnp"))
+      val cm = lg.select(col("dur"), col("n_risk"),
+        col("d").as("n_events"), col("cns").as("n_censored"),
+        sum(col("lnp")).over(Window.orderBy("dur")).as("lncum"))
+      cm.select(col("dur").as("months"), col("n_risk"),
+          col("n_events"), col("n_censored"),
+          (col("lncum").cast("double") / lit(1000000.0))
+            .as("ln_survival"))
+        .orderBy("months")
+    },
   )
 }

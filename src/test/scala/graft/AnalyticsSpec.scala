@@ -1031,6 +1031,27 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("kaplan-meier: at-risk accounting, monotone log-survival") {
+    val rows = SparkEntry.queries("orders_survival_km")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") == nCust,
+      "everyone is at risk at duration 0")
+    // at-risk must shrink by exactly the events + censors seen so far
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") == a.getAs[Long]("n_risk")
+          - a.getAs[Long]("n_events") - a.getAs[Long]("n_censored"))
+      case _ =>
+    }
+    val ln = rows.map(_.getAs[Double]("ln_survival"))
+    assert(ln.forall(_ <= 0.0), "log-survival can never be positive")
+    assert(ln.reverse.sameElements(ln.reverse.sorted),
+      "survival must be nonincreasing in duration")
+  }
+
   test("hurst: R/S grows with block size, exponent in the open interval") {
     val rows = SparkEntry.queries("ts_hurst_rescaled_range")(spark, sf)
       .collect()

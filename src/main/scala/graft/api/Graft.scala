@@ -1035,4 +1035,47 @@ object Graft {
   def minhashBandSweep(docs: DataFrame, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame =
     graft.operators.Dedup.bandSweepOf(docs, threshold, maxBucket)
+
+  /** One-way ANOVA F of `value` (an exact decimal/integer column
+    * expression) across the groups of `groupCol` → one row (n_total,
+    * k_groups, ss_between, ss_within, f_stat, eta_sq). Cross-group
+    * sums are integer-floored, so the result is shuffle-order-free.
+    */
+  def anovaF(df: DataFrame, groupCol: String, value: Column): DataFrame =
+    graft.operators.Stats.anovaFOf(df, groupCol, value)
+
+  /** Herfindahl–Hirschman concentration of `value` mass over the
+    * members of `keyCol` within each `groupCol` → (grp, n_members,
+    * hhi), HHI on the 0–10000 points scale.
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String, keyCol: String,
+      value: Column): DataFrame =
+    graft.operators.Analytics.hhiOf(df, groupCol, keyCol, value)
+
+  /** Theil–Sen robust trend of an integer series (tCol, yCol) → one
+    * row (n_points, n_pairs, sen_slope): the median of all pairwise
+    * slopes, index-selected deterministically. O(n²) pairs — feed an
+    * AGGREGATED series (calendar buckets), not raw events.
+    */
+  def theilSenTrend(series: DataFrame, tCol: String,
+      yCol: String): DataFrame =
+    graft.operators.Analytics.theilSenOf(series, tCol, yCol)
+
+  /** Right-censored Kaplan–Meier survival of subject lifetime over
+    * (idCol, tsCol) event rows → per duration month (months, n_risk,
+    * n_events, n_censored, ln_survival). Subjects last seen within
+    * `censorMonths` of the corpus end are censored; the curve ships
+    * in exact micro-log space (apply exp downstream if needed).
+    */
+  def survivalKm(df: DataFrame, idCol: String, tsCol: String,
+      censorMonths: Int = 6): DataFrame =
+    graft.operators.Analytics.survivalKmOf(df, idCol, tsCol, censorMonths)
+
+  /** Yule's K vocabulary-richness of (groupCol, tokenCol) token rows
+    * → (grp, n_tokens, n_types, yule_k) — size-invariant, so corpora
+    * of different volume compare honestly.
+    */
+  def yuleK(tokens: DataFrame, groupCol: String,
+      tokenCol: String): DataFrame =
+    graft.operators.Text.yuleKOf(tokens, groupCol, tokenCol)
 }

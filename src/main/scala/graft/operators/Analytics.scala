@@ -6054,21 +6054,14 @@ object Analytics {
         |SELECT nk AS nationkey, max(ns) AS n_suppliers,
         |  CAST(sum(s2) AS DOUBLE) / 10000.0 AS hhi
         |FROM sh GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
-      val rev = Tables.lineitem(s, d)
-        .join(broadcast(Tables.supplier(s, d)),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("r"))
-      val tot = rev.groupBy("nk")
-        .agg(sum(col("r")).as("tr"), count(lit(1)).as("ns"))
-      val sh = rev.join(broadcast(tot), "nk")
-        .select(col("nk"), col("ns"),
-          floor((col("r").cast("double") / col("tr").cast("double"))
-            * (col("r").cast("double") / col("tr").cast("double"))
-            * lit(100000000)).cast("long").as("s2"))
-      sh.groupBy(col("nk").as("nationkey"))
-        .agg(max(col("ns")).as("n_suppliers"),
-          (sum(col("s2")).cast("double") / lit(10000.0)).as("hhi"))
+      hhiOf(
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey")),
+        "s_nationkey", "l_suppkey",
+        col("l_extendedprice").cast("decimal(12,2)"))
+        .select(col("grp").as("nationkey"),
+          col("n_members").as("n_suppliers"), col("hhi"))
         .orderBy("nationkey")
     },
 
@@ -6394,20 +6387,8 @@ object Analytics {
       val ix = wk.crossJoin(broadcast(w0))
         .select(expr("CAST(datediff(CAST(w AS DATE), w0) div 7 AS LONG)")
           .as("t"), col("c"))
-      val a = ix.select(col("t").as("ti"), col("c").as("ca"))
-      val b = ix.select(col("t").as("tj"), col("c").as("cb"))
-      val pr = a.join(broadcast(b), col("tj") > col("ti"))
-        .select(col("ti"), col("tj"),
-          ((col("cb") - col("ca")).cast("double")
-            / (col("tj") - col("ti")).cast("double")).as("slope"))
-      val rk = pr.select(col("slope"), col("ti"), col("tj"),
-        row_number().over(Window.orderBy("slope", "ti", "tj")).as("r"),
-        count(lit(1)).over(Window.partitionBy()).as("np"))
-      val med = rk.where(col("r") === expr("(np + 1) div 2"))
-        .select(col("slope").as("sen_slope"), col("np"))
-      val nw = ix.agg(count(lit(1)).as("n_weeks"))
-      nw.crossJoin(broadcast(med))
-        .select(col("n_weeks"), col("np").as("n_pairs"),
+      theilSenOf(ix, "t", "c")
+        .select(col("n_points").as("n_weeks"), col("n_pairs"),
           col("sen_slope"))
     },
 
@@ -6463,32 +6444,97 @@ object Analytics {
         |SELECT dur AS months, n_risk, n_events, n_censored,
         |  CAST(lncum AS DOUBLE) / 1000000.0 AS ln_survival
         |FROM cm ORDER BY dur""".stripMargin) { (s, d) =>
-      val life = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
-        (year(min(col("o_orderdate"))) * 12
-          + month(min(col("o_orderdate")))).cast("long").as("m0"),
-        (year(max(col("o_orderdate"))) * 12
-          + month(max(col("o_orderdate")))).cast("long").as("m1"))
-      val mx = life.agg(max(col("m1")).as("mxm"))
-      val subj = life.crossJoin(broadcast(mx))
-        .select((col("m1") - col("m0")).as("dur"),
-          when(col("m1") >= col("mxm") - 6, 0L).otherwise(1L).as("ev"))
-      val cell = subj.groupBy("dur").agg(sum(col("ev")).as("d"),
-        count(lit(1)).as("x"), sum(lit(1L) - col("ev")).as("cns"))
-      val rk = cell.select(col("dur"), col("d"), col("cns"),
-        sum(col("x")).over(Window.orderBy(col("dur").desc)).as("n_risk"))
-      val lg = rk.select(col("dur"), col("d"), col("cns"), col("n_risk"),
-        when(col("d") > 0 && col("d") < col("n_risk"),
-          floor(log((col("n_risk") - col("d")).cast("double")
-            / col("n_risk").cast("double")) * lit(1000000))
-            .cast("long")).otherwise(0L).as("lnp"))
-      val cm = lg.select(col("dur"), col("n_risk"),
-        col("d").as("n_events"), col("cns").as("n_censored"),
-        sum(col("lnp")).over(Window.orderBy("dur")).as("lncum"))
-      cm.select(col("dur").as("months"), col("n_risk"),
-          col("n_events"), col("n_censored"),
-          (col("lncum").cast("double") / lit(1000000.0))
-            .as("ln_survival"))
-        .orderBy("months")
+      survivalKmOf(Tables.orders(s, d), "o_custkey", "o_orderdate")
     },
   )
+
+  /** Herfindahl–Hirschman concentration of `value` mass over the
+    * members of `keyCol` within each `groupCol` → (grp, n_members,
+    * hhi on the 0–10000 points scale). `value` must be an exact
+    * decimal/integer expression; squared shares are floor-quantized
+    * before the cross-member sum — see the `orders_hhi_supplier`
+    * query scaladoc.
+    */
+  private[graft] def hhiOf(df: DataFrame, groupCol: String,
+      keyCol: String, value: Column): DataFrame = {
+    val rev = df.groupBy(col(groupCol).as("grp"),
+        col(keyCol).as("mk"))
+      .agg(sum(value).as("r"))
+    val tot = rev.groupBy("grp")
+      .agg(sum(col("r")).as("tr"), count(lit(1)).as("ns"))
+    val sh = rev.join(broadcast(tot), "grp")
+      .select(col("grp"), col("ns"),
+        floor((col("r").cast("double") / col("tr").cast("double"))
+          * (col("r").cast("double") / col("tr").cast("double"))
+          * lit(100000000)).cast("long").as("s2"))
+    sh.groupBy("grp")
+      .agg(max(col("ns")).as("n_members"),
+        (sum(col("s2")).cast("double") / lit(10000.0)).as("hhi"))
+  }
+
+  /** Theil–Sen robust trend over an integer series (tCol, yCol) →
+    * one row (n_points, n_pairs, sen_slope). The median of all
+    * pairwise slopes, index-selected under a total order — see the
+    * `ts_theil_sen_weekly` query scaladoc. The O(n²) pair join means
+    * the series should be an AGGREGATED frame (calendar buckets, not
+    * raw events).
+    */
+  private[graft] def theilSenOf(series: DataFrame, tCol: String,
+      yCol: String): DataFrame = {
+    val ix = series.select(col(tCol).cast("long").as("t"),
+      col(yCol).cast("long").as("c"))
+    val a = ix.select(col("t").as("ti"), col("c").as("ca"))
+    val b = ix.select(col("t").as("tj"), col("c").as("cb"))
+    val pr = a.join(broadcast(b), col("tj") > col("ti"))
+      .select(col("ti"), col("tj"),
+        ((col("cb") - col("ca")).cast("double")
+          / (col("tj") - col("ti")).cast("double")).as("slope"))
+    val rk = pr.select(col("slope"), col("ti"), col("tj"),
+      row_number().over(Window.orderBy("slope", "ti", "tj")).as("r"),
+      count(lit(1)).over(Window.partitionBy()).as("np"))
+    val med = rk.where(col("r") === expr("(np + 1) div 2"))
+      .select(col("slope").as("sen_slope"), col("np"))
+    val nw = ix.agg(count(lit(1)).as("n_points"))
+    nw.crossJoin(broadcast(med))
+      .select(col("n_points"), col("np").as("n_pairs"),
+        col("sen_slope"))
+  }
+
+  /** Right-censored Kaplan–Meier survival of subject lifetime for
+    * (idCol, tsCol) event rows → per duration month (months, n_risk,
+    * n_events, n_censored, ln_survival). Subjects last seen within
+    * `censorMonths` of the corpus end are censored; the curve ships
+    * in exact micro-log space — see the `orders_survival_km` query
+    * scaladoc.
+    */
+  private[graft] def survivalKmOf(df: DataFrame, idCol: String,
+      tsCol: String, censorMonths: Int = 6): DataFrame = {
+    val life = df.groupBy(col(idCol)).agg(
+      (year(min(col(tsCol))) * 12
+        + month(min(col(tsCol)))).cast("long").as("m0"),
+      (year(max(col(tsCol))) * 12
+        + month(max(col(tsCol)))).cast("long").as("m1"))
+    val mx = life.agg(max(col("m1")).as("mxm"))
+    val subj = life.crossJoin(broadcast(mx))
+      .select((col("m1") - col("m0")).as("dur"),
+        when(col("m1") >= col("mxm") - censorMonths, 0L).otherwise(1L)
+          .as("ev"))
+    val cell = subj.groupBy("dur").agg(sum(col("ev")).as("d"),
+      count(lit(1)).as("x"), sum(lit(1L) - col("ev")).as("cns"))
+    val rk = cell.select(col("dur"), col("d"), col("cns"),
+      sum(col("x")).over(Window.orderBy(col("dur").desc)).as("n_risk"))
+    val lg = rk.select(col("dur"), col("d"), col("cns"), col("n_risk"),
+      when(col("d") > 0 && col("d") < col("n_risk"),
+        floor(log((col("n_risk") - col("d")).cast("double")
+          / col("n_risk").cast("double")) * lit(1000000))
+          .cast("long")).otherwise(0L).as("lnp"))
+    val cm = lg.select(col("dur"), col("n_risk"),
+      col("d").as("n_events"), col("cns").as("n_censored"),
+      sum(col("lnp")).over(Window.orderBy("dur")).as("lncum"))
+    cm.select(col("dur").as("months"), col("n_risk"),
+        col("n_events"), col("n_censored"),
+        (col("lncum").cast("double") / lit(1000000.0))
+          .as("ln_survival"))
+      .orderBy("months")
+  }
 }

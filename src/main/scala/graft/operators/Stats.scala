@@ -1744,33 +1744,8 @@ object Stats {
         |    / (ss_within / (n_total - k_groups)) AS f_stat,
         |  ss_between / (ss_between + ss_within) AS eta_sq
         |FROM f""".stripMargin) { (s, d) =>
-      val x = col("o_totalprice").cast("decimal(12,2)")
-      val g = Tables.orders(s, d)
-        .groupBy(col("o_orderpriority").as("grp"))
-        .agg(count(lit(1)).as("n"), sum(x).as("s"),
-          sum(x * x).as("ss"))
-      val t = g.agg(sum(col("n")).cast("long").as("nt"),
-        sum(col("s")).as("st"), count(lit(1)).as("k"))
-      val c = g.crossJoin(broadcast(t))
-        .select(col("n"), col("s"), col("ss"), col("nt"), col("k"),
-          (col("s").cast("double") / col("n")).as("m"),
-          (col("st").cast("double") / col("nt")).as("gm"))
-      val sc = c.select(col("nt"), col("k"),
-        floor(col("ss").cast("double")
-          - col("s").cast("double") * col("m")).cast("long").as("ssw_s"),
-        floor(col("n") * (col("m") - col("gm"))
-          * (col("m") - col("gm"))).cast("long").as("ssb_s"))
-      val f = sc.agg(max(col("nt")).as("n_total"),
-        max(col("k")).as("k_groups"),
-        sum(col("ssb_s")).cast("double").as("ss_between"),
-        sum(col("ssw_s")).cast("double").as("ss_within"))
-      f.select(col("n_total"), col("k_groups"), col("ss_between"),
-        col("ss_within"),
-        ((col("ss_between") / (col("k_groups") - 1))
-          / (col("ss_within") / (col("n_total") - col("k_groups"))))
-          .as("f_stat"),
-        (col("ss_between") / (col("ss_between") + col("ss_within")))
-          .as("eta_sq"))
+      anovaFOf(Tables.orders(s, d), "o_orderpriority",
+        col("o_totalprice").cast("decimal(12,2)"))
     },
 
     // Jarque–Bera normality screen on line quantity — skewness and
@@ -2188,6 +2163,42 @@ object Stats {
           .as("q_stat"))
     },
   )
+
+  /** One-way ANOVA F of `value` (an EXACT decimal/integer column
+    * expression over `df`) across the groups of `groupCol` →
+    * (n_total, k_groups, ss_between, ss_within, f_stat, eta_sq).
+    * Per-group contributions are integer-floored before the
+    * cross-group sum so the result is accumulation-order-free; see
+    * the `stats_anova_f` query scaladoc.
+    */
+  private[graft] def anovaFOf(df: DataFrame, groupCol: String,
+      value: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(value).as("s"),
+        sum(value * value).as("ss"))
+    val t = g.agg(sum(col("n")).cast("long").as("nt"),
+      sum(col("s")).as("st"), count(lit(1)).as("k"))
+    val c = g.crossJoin(broadcast(t))
+      .select(col("n"), col("s"), col("ss"), col("nt"), col("k"),
+        (col("s").cast("double") / col("n")).as("m"),
+        (col("st").cast("double") / col("nt")).as("gm"))
+    val sc = c.select(col("nt"), col("k"),
+      floor(col("ss").cast("double")
+        - col("s").cast("double") * col("m")).cast("long").as("ssw_s"),
+      floor(col("n") * (col("m") - col("gm"))
+        * (col("m") - col("gm"))).cast("long").as("ssb_s"))
+    val f = sc.agg(max(col("nt")).as("n_total"),
+      max(col("k")).as("k_groups"),
+      sum(col("ssb_s")).cast("double").as("ss_between"),
+      sum(col("ssw_s")).cast("double").as("ss_within"))
+    f.select(col("n_total"), col("k_groups"), col("ss_between"),
+      col("ss_within"),
+      ((col("ss_between") / (col("k_groups") - 1))
+        / (col("ss_within") / (col("n_total") - col("k_groups"))))
+        .as("f_stat"),
+      (col("ss_between") / (col("ss_between") + col("ss_within")))
+        .as("eta_sq"))
+  }
 
   /** Generated oracle for `stats_kmeans_1d`: the three Lloyd iterations
     * unrolled as assignment/update CTE pairs — the exact mirror of the

@@ -902,16 +902,13 @@ object Text {
         |  10000.0 * (CAST(s2 AS DOUBLE) - n)
         |    / (CAST(n AS DOUBLE) * n) AS yule_k
         |FROM st ORDER BY lang""".stripMargin) { (s, d) =>
-      val tf = Tables.documents(s, d)
-        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
-        .where(col("t") =!= "")
-        .groupBy("lang", "t").agg(count(lit(1)).as("c"))
-      val st = tf.groupBy("lang").agg(sum(col("c")).as("n"),
-        count(lit(1)).as("v"), sum(col("c") * col("c")).as("s2"))
-      st.select(col("lang"), col("n").as("n_tokens"),
-          col("v").as("n_types"),
-          (lit(10000.0) * (col("s2").cast("double") - col("n"))
-            / (col("n").cast("double") * col("n"))).as("yule_k"))
+      yuleKOf(
+        Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+          .where(col("t") =!= ""),
+        "lang", "t")
+        .select(col("grp").as("lang"), col("n_tokens"), col("n_types"),
+          col("yule_k"))
         .orderBy("lang")
     },
 
@@ -1006,4 +1003,22 @@ object Text {
         .orderBy("top_k")
     },
   )
+
+  /** Yule's K vocabulary-richness characteristic of `tokenCol` rows
+    * per `groupCol` → (grp, n_tokens, n_types, yule_k). Size-invariant
+    * where type/token ratios are not; every accumulator an exact
+    * BIGINT — see the `text_yule_k` query scaladoc.
+    */
+  private[graft] def yuleKOf(tokens: DataFrame, groupCol: String,
+      tokenCol: String): DataFrame = {
+    val tf = tokens.groupBy(col(groupCol).as("grp"),
+        col(tokenCol).as("t"))
+      .agg(count(lit(1)).as("c"))
+    val st = tf.groupBy("grp").agg(sum(col("c")).as("n"),
+      count(lit(1)).as("v"), sum(col("c") * col("c")).as("s2"))
+    st.select(col("grp"), col("n").as("n_tokens"),
+      col("v").as("n_types"),
+      (lit(10000.0) * (col("s2").cast("double") - col("n"))
+        / (col("n").cast("double") * col("n"))).as("yule_k"))
+  }
 }

@@ -1414,4 +1414,72 @@ class ApiSpec extends SparkSuite {
     assert(Ann.indexRoot(dir) == s"$dir/gen-2")
     assert(Ann.ivfLiveCells(spark, dir).count() == liveIds.size)
   }
+
+  test("anovaF recovers the closed form on a two-group fixture") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 3), ("b", 5), ("b", 7))
+      .toDF("g", "x")
+    val r = Graft.anovaF(df, "g", col("x").cast("decimal(12,2)")).head()
+    assert(r.getAs[Long]("n_total") == 4 && r.getAs[Long]("k_groups") == 2)
+    // means 2 and 6, grand mean 4: SSB = 2*4 + 2*4 = 16, SSW = 2 + 2
+    assert(r.getAs[Double]("ss_between") == 16.0)
+    assert(r.getAs[Double]("ss_within") == 4.0)
+    assert(r.getAs[Double]("f_stat") == 8.0)
+    assert(r.getAs[Double]("eta_sq") == 0.8)
+  }
+
+  test("theilSenTrend ignores the outlier OLS would chase") {
+    import spark.implicits._
+    val series = Seq((0L, 1L), (1L, 3L), (2L, 5L), (3L, 100L))
+      .toDF("t", "y")
+    val r = Graft.theilSenTrend(series, "t", "y").head()
+    assert(r.getAs[Long]("n_points") == 4)
+    assert(r.getAs[Long]("n_pairs") == 6)
+    // slopes sorted: [2, 2, 2, 33, 48.5, 95] -> lower median = 2
+    assert(r.getAs[Double]("sen_slope") == 2.0)
+  }
+
+  test("survivalKm censors the tail and books the lone event") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2020-01-15"), (1L, "2020-06-20"),   // event, dur 5
+      (2L, "2020-01-01"), (2L, "2021-06-01"),   // censored, dur 17
+      (3L, "2021-05-02"), (3L, "2021-06-30"))   // censored, dur 1
+      .toDF("id", "d")
+      .select(col("id"), to_timestamp(col("d")).as("ts"))
+    val rows = Graft.survivalKm(ev, "id", "ts").collect()
+    assert(rows.map(_.getAs[Long]("months")).toSeq == Seq(1L, 5L, 17L))
+    assert(rows.map(_.getAs[Long]("n_risk")).toSeq == Seq(3L, 2L, 1L))
+    assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(0L, 1L, 0L))
+    assert(rows.map(_.getAs[Long]("n_censored")).toSeq ==
+      Seq(1L, 0L, 1L))
+    val ln = rows.map(_.getAs[Double]("ln_survival"))
+    assert(ln(0) == 0.0)
+    // ln(1/2) floored to micro units
+    assert(ln(1) == -0.693148 && ln(2) == -0.693148)
+  }
+
+  test("hhi poles: monopoly group at 10000, even split near 10000/n") {
+    import spark.implicits._
+    val df = Seq(("g1", "a", 10), ("g2", "a", 5), ("g2", "b", 5))
+      .toDF("g", "k", "v")
+    val rows = Graft
+      .hhiConcentration(df, "g", "k", col("v").cast("decimal(12,2)"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_members"), r.getAs[Double]("hhi"))).toMap
+    assert(rows("g1") == (1L, 10000.0))
+    assert(rows("g2")._1 == 2L && rows("g2")._2 == 5000.0)
+  }
+
+  test("yuleK: zero on all-distinct tokens, positive under repetition") {
+    import spark.implicits._
+    val tok = Seq(("d", "x"), ("d", "y"), ("d", "z"),
+      ("r", "x"), ("r", "x"), ("r", "x"))
+      .toDF("g", "t")
+    val rows = Graft.yuleK(tok, "g", "t").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("yule_k")).toMap
+    assert(rows("d") == 0.0, "hapax-only vocabulary has K = 0")
+    // one type occurring n=3 times: K = 1e4*(9-3)/9
+    assert(rows("r") == 10000.0 * 6.0 / 9.0)
+  }
 }

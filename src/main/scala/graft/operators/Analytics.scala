@@ -6078,14 +6078,12 @@ object Analytics {
     // BIGINT. Plan: ONE (part, week) combiner aggregate collapses the
     // fact, then a part-level reduce; the class rollup is 3 rows.
     Q("parts_xyz_classes",
-      """WITH cal AS (
-        |  SELECT CAST(count(DISTINCT date_trunc('week', l_shipdate))
-        |              AS BIGINT) AS nw
-        |  FROM lineitem),
-        |wd AS (
+      """WITH wd AS (
         |  SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
         |  FROM lineitem GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT CAST(count(DISTINCT wk) AS BIGINT) AS nw FROM wd),
         |ps AS (
         |  SELECT pk, CAST(sum(q) AS BIGINT) AS s,
         |    CAST(sum(q * q) AS BIGINT) AS ss
@@ -6104,12 +6102,11 @@ object Analytics {
         |SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(sum(cvm) AS DOUBLE) / 1000000.0 / count(*) AS mean_cv
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val cal = li.agg(
-        countDistinct(date_trunc("week", col("l_shipdate"))).as("nw"))
-      val wd = li.groupBy(col("l_partkey").as("pk"),
+      val wd = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"),
           date_trunc("week", col("l_shipdate")).as("wk"))
         .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val cal = wd.agg(countDistinct(col("wk")).as("nw"))
       val ps = wd.groupBy("pk")
         .agg(sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
       val cv = ps.crossJoin(broadcast(cal))

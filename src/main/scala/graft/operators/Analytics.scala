@@ -6102,10 +6102,14 @@ object Analytics {
         |SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(sum(cvm) AS DOUBLE) / 1000000.0 / count(*) AS mean_cv
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // the (part, week) frame feeds both the calendar length and the
+      // per-part reduce; localCheckpoint pins it to ONE fact scan
+      // (bounded: |parts|·|weeks| rows, dimensions not corpus)
       val wd = Tables.lineitem(s, d)
         .groupBy(col("l_partkey").as("pk"),
           date_trunc("week", col("l_shipdate")).as("wk"))
         .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .localCheckpoint(true)
       val cal = wd.agg(countDistinct(col("wk")).as("nw"))
       val ps = wd.groupBy("pk")
         .agg(sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
@@ -6171,21 +6175,34 @@ object Analytics {
         |FROM mx ORDER BY ta, tb""".stripMargin) { (s, d) =>
       def mlog(c: Column) =
         floor(log(c.cast("double")) * lit(1000000)).cast("long")
-      val base = Tables.events(s, d)
-        .select(col("user_id"), col("ts").cast("date").as("day"),
-          col("event_type"))
-        .distinct()
-      val bk = base.select("user_id", "day").distinct()
-        .agg(count(lit(1)).as("nb"))
-      val ca = base.groupBy(col("event_type").as("t"))
+      // ONE events pass: per-basket sorted type sets explode into
+      // tagged (basket / single / pair) contribution rows IN-TASK, one
+      // combiner aggregate collapses them to the ≤1+k+k² count frame,
+      // and localCheckpoint pins that tiny frame so the three marginal
+      // consumers never replay the scan. The sorted set also gives the
+      // canonical a < b pair order for free.
+      val baskets = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      val tags = baskets.select(explode(expr(
+        """concat(
+          |  array(named_struct('k', 'n', 'a', '', 'b', '')),
+          |  transform(ts, x -> named_struct('k', 's', 'a', x, 'b', '')),
+          |  flatten(transform(ts, (x, i) ->
+          |    transform(slice(ts, i + 2, size(ts)),
+          |      y -> named_struct('k', 'p', 'a', x, 'b', y)))))"""
+          .stripMargin)).as("t"))
+        .select(col("t.k").as("k"), col("t.a").as("a"),
+          col("t.b").as("b"))
+      val counts = tags.groupBy("k", "a", "b")
         .agg(count(lit(1)).as("c"))
-      val a = base.select(col("user_id"), col("day"),
-        col("event_type").as("ta"))
-      val b = base.select(col("user_id").as("u2"), col("day").as("d2"),
-        col("event_type").as("tb"))
-      val cab = a.join(b, col("user_id") === col("u2")
-          && col("day") === col("d2") && col("ta") < col("tb"))
-        .groupBy("ta", "tb").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val bk = counts.where(col("k") === "n")
+        .select(col("c").as("nb"))
+      val ca = counts.where(col("k") === "s")
+        .select(col("a").as("t"), col("c"))
+      val cab = counts.where(col("k") === "p")
+        .select(col("a").as("ta"), col("b").as("tb"), col("c"))
       val mx = cab
         .join(broadcast(ca.select(col("t"), col("c").as("c1"))),
           col("ta") === col("t")).drop("t")
@@ -6282,22 +6299,22 @@ object Analytics {
         |      FROM ols)
         |SELECT av.w AS block_days, av.n_blocks, av.rs_avg, h.hurst
         |FROM av CROSS JOIN h ORDER BY av.w""".stripMargin) { (s, d) =>
-      val orders = Tables.orders(s, d)
-      val b = orders.agg(min(col("o_orderdate")).cast("date").as("d0"),
-        max(col("o_orderdate")).cast("date").as("d1"))
+      // ONE orders scan: the |days|-row count frame is checkpointed and
+      // every later consumer (bounds, calendar join, block frames)
+      // derives from it
+      val dc = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val b = dc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val cal = b.select(col("d0"),
         explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      val dc = orders.groupBy(col("o_orderdate").cast("date").as("day"))
-        .agg(count(lit(1)).as("c"))
       val ser = cal.join(dc, Seq("day"), "left")
         .select(datediff(col("day"), col("d0")).cast("long").as("t"),
           coalesce(col("c"), lit(0L)).as("c"))
       val nd = ser.agg(count(lit(1)).as("ndays"))
-      val ws = Seq(64L, 128L, 256L)
-        .foldLeft(Option.empty[DataFrame]) { (acc, w) =>
-          val one = b.select(lit(w).as("w"))
-          Some(acc.fold(one)(_.unionAll(one)))
-        }.get
+      val ws = { import s.implicits._
+        Seq(64L, 128L, 256L).toDF("w") }
       val bx = ser.crossJoin(broadcast(ws)).crossJoin(broadcast(nd))
         .where(expr("t div w < ndays div w"))
         .select(col("w"), expr("t div w").as("blk"),
@@ -6377,9 +6394,12 @@ object Analytics {
         |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks FROM ix)
         |SELECT nw.n_weeks, med.np AS n_pairs, med.sen_slope
         |FROM nw CROSS JOIN med""".stripMargin) { (s, d) =>
+      // |weeks|-row frame feeds the origin lookup and the index join;
+      // localCheckpoint pins it to one fact scan
       val wk = Tables.orders(s, d)
         .groupBy(date_trunc("week", col("o_orderdate")).as("w"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val w0 = wk.agg(min(col("w")).cast("date").as("w0"))
       val ix = wk.crossJoin(broadcast(w0))
         .select(expr("CAST(datediff(CAST(w AS DATE), w0) div 7 AS LONG)")
@@ -6454,9 +6474,13 @@ object Analytics {
     */
   private[graft] def hhiOf(df: DataFrame, groupCol: String,
       keyCol: String, value: Column): DataFrame = {
+    // the member-level frame feeds both the totals and the share
+    // algebra; localCheckpoint pins it to one fact scan (bounded:
+    // |groups|·|members| rows)
     val rev = df.groupBy(col(groupCol).as("grp"),
         col(keyCol).as("mk"))
       .agg(sum(value).as("r"))
+      .localCheckpoint(true)
     val tot = rev.groupBy("grp")
       .agg(sum(col("r")).as("tr"), count(lit(1)).as("ns"))
     val sh = rev.join(broadcast(tot), "grp")
@@ -6478,8 +6502,10 @@ object Analytics {
     */
   private[graft] def theilSenOf(series: DataFrame, tCol: String,
       yCol: String): DataFrame = {
+    // the series is consumed three ways (both pair sides + the point
+    // count); localCheckpoint pins the caller's lineage to one pass
     val ix = series.select(col(tCol).cast("long").as("t"),
-      col(yCol).cast("long").as("c"))
+      col(yCol).cast("long").as("c")).localCheckpoint(true)
     val a = ix.select(col("t").as("ti"), col("c").as("ca"))
     val b = ix.select(col("t").as("tj"), col("c").as("cb"))
     val pr = a.join(broadcast(b), col("tj") > col("ti"))
@@ -6506,11 +6532,17 @@ object Analytics {
     */
   private[graft] def survivalKmOf(df: DataFrame, idCol: String,
       tsCol: String, censorMonths: Int = 6): DataFrame = {
+    // the subject-level frame feeds both the censor horizon and the
+    // duration cells; localCheckpoint pins it to ONE fact scan (the
+    // frame is |subjects| rows of three longs — the alternative, an
+    // unpartitioned max() window over it, single-partitions the same
+    // rows for a worse constant)
     val life = df.groupBy(col(idCol)).agg(
       (year(min(col(tsCol))) * 12
         + month(min(col(tsCol)))).cast("long").as("m0"),
       (year(max(col(tsCol))) * 12
         + month(max(col(tsCol)))).cast("long").as("m1"))
+      .localCheckpoint(true)
     val mx = life.agg(max(col("m1")).as("mxm"))
     val subj = life.crossJoin(broadcast(mx))
       .select((col("m1") - col("m0")).as("dur"),

@@ -2058,10 +2058,13 @@ object Stats {
         |SELECT g AS grp, na AS n_above, nb AS n_below,
         |  ea AS e_above, eb AS e_below, chi2 AS chi2_stat
         |FROM sc2 CROSS JOIN t2 ORDER BY g""".stripMargin) { (s, d) =>
+      // the ≤150-cell frame feeds the median scan AND the split cells;
+      // localCheckpoint pins it to one fact scan (see anovaFOf)
       val c = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag").as("g"),
           col("l_quantity").cast("long").as("v"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val marg = c.groupBy("v").agg(sum(col("cnt")).as("t"))
       val cum = marg.select(col("v"), col("t"),
         coalesce(sum(col("t")).over(Window.orderBy("v")
@@ -2173,9 +2176,14 @@ object Stats {
     */
   private[graft] def anovaFOf(df: DataFrame, groupCol: String,
       value: Column): DataFrame = {
+    // the k-row group frame feeds both the grand totals and the SS
+    // cells; localCheckpoint pins it so neither consumer replays the
+    // fact scan (exchange reuse is not guaranteed across an aggregate
+    // boundary — measured: without this the plan scans the fact twice)
     val g = df.groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n"), sum(value).as("s"),
         sum(value * value).as("ss"))
+      .localCheckpoint(true)
     val t = g.agg(sum(col("n")).cast("long").as("nt"),
       sum(col("s")).as("st"), count(lit(1)).as("k"))
     val c = g.crossJoin(broadcast(t))

@@ -983,18 +983,20 @@ object Text {
         |  CAST(rk.cum AS DOUBLE) / tot.n AS coverage
         |FROM ck JOIN rk ON rk.r = ck.k CROSS JOIN tot
         |ORDER BY ck.k""".stripMargin) { (s, d) =>
+      // the vocab-sized frequency frame feeds both the totals and the
+      // top-50 cut; localCheckpoint pins it to one corpus scan
       val tf = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("t"))
         .where(col("t") =!= "")
         .groupBy("t").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val tot = tf.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
       val top = tf.orderBy(col("c").desc, col("t")).limit(50)
       val w = Window.orderBy(col("c").desc, col("t"))
       val rk = top.select(row_number().over(w).as("r"),
         sum(col("c")).over(w).as("cum"))
-      val ck = Seq(1L, 2L, 5L, 10L, 20L, 50L)
-        .map(k => tot.select(lit(k).as("k")).limit(1))
-        .reduce(_ unionAll _)
+      val ck = { import s.implicits._
+        Seq(1L, 2L, 5L, 10L, 20L, 50L).toDF("k") }
       ck.join(broadcast(rk), col("r") === col("k"))
         .crossJoin(broadcast(tot))
         .select(col("k").as("top_k"), col("cum").as("cum_tokens"),

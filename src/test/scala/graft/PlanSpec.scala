@@ -729,4 +729,22 @@ class PlanSpec extends SparkSuite {
       "p_base_scaled", "removal_effect", "credit_share"))
     assert(df.count() == 4)
   }
+
+  test("multi-consumer collapse frames pin to at most one fact scan") {
+    // these queries re-consume their collapsed aggregate (grand
+    // totals + cells, calendar + per-key reduce, marginals + pairs);
+    // the bounded frame is localCheckpoint-pinned, so the final plan
+    // must NOT replay the fact scan per consumer — at 100 TB the
+    // second scan IS the query cost. (Exchange reuse alone is not
+    // guaranteed across an aggregate boundary — measured: without the
+    // pin these plans scanned the fact 2–4×.)
+    Seq("stats_anova_f", "stats_mood_median", "parts_xyz_classes",
+      "orders_hhi_supplier", "events_type_npmi",
+      "ts_hurst_rescaled_range", "orders_survival_km").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans <= 1, s"$name: expected ≤1 fact scan, got $scans")
+    }
+  }
 }

@@ -1055,7 +1055,9 @@ object Graft {
   /** Theil–Sen robust trend of an integer series (tCol, yCol) → one
     * row (n_points, n_pairs, sen_slope): the median of all pairwise
     * slopes, index-selected deterministically. O(n²) pairs — feed an
-    * AGGREGATED series (calendar buckets), not raw events.
+    * AGGREGATED series (calendar buckets), not raw events; series
+    * beyond 10k points fail fast before the pair explode rather than
+    * OOMing an executor.
     */
   def theilSenTrend(series: DataFrame, tCol: String,
       yCol: String): DataFrame =

@@ -6074,9 +6074,13 @@ object Analytics {
     // calibrated to the catalog's intermittent-demand regime (fixture
     // CV spans ~2.9–6.3; the textbook 0.5/1.0 cuts assume fast-movers
     // and would put every part in Z). Per-part CV is floored to micro
-    // units before the per-class mean so the cross-part sum is an exact
-    // BIGINT. Plan: ONE (part, week) combiner aggregate collapses the
-    // fact, then a part-level reduce; the class rollup is 3 rows.
+    // units ONCE, and both the class cuts and the per-class mean run on
+    // that quantized BIGINT — a last-ulp sqrt/division difference
+    // between engines at a cut boundary cannot flip a part's class.
+    // The variance is clamped at 0 before sqrt (constant weekly demand
+    // can land ss/nw-(s/nw)² a hair negative in FP; NaN would diverge
+    // the engines). Plan: ONE (part, week) combiner aggregate collapses
+    // the fact, then a part-level reduce; the class rollup is 3 rows.
     Q("parts_xyz_classes",
       """WITH wd AS (
         |  SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
@@ -6090,14 +6094,16 @@ object Analytics {
         |  FROM wd GROUP BY 1),
         |cv AS (
         |  SELECT pk,
-        |    sqrt(CAST(ss AS DOUBLE) / nw
-        |        - (CAST(s AS DOUBLE) / nw) * (CAST(s AS DOUBLE) / nw))
-        |      / (CAST(s AS DOUBLE) / nw) AS cv
+        |    CAST(floor(
+        |      sqrt(greatest(CAST(ss AS DOUBLE) / nw
+        |          - (CAST(s AS DOUBLE) / nw) * (CAST(s AS DOUBLE) / nw),
+        |        0.0))
+        |      / (CAST(s AS DOUBLE) / nw) * 1000000) AS BIGINT) AS cvm
         |  FROM ps CROSS JOIN cal),
         |cl AS (
-        |  SELECT CASE WHEN cv < 3.75 THEN 'X'
-        |              WHEN cv < 4.25 THEN 'Y' ELSE 'Z' END AS xyz_class,
-        |    CAST(floor(cv * 1000000) AS BIGINT) AS cvm
+        |  SELECT CASE WHEN cvm < 3750000 THEN 'X'
+        |              WHEN cvm < 4250000 THEN 'Y' ELSE 'Z'
+        |         END AS xyz_class, cvm
         |  FROM cv)
         |SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(sum(cvm) AS DOUBLE) / 1000000.0 / count(*) AS mean_cv
@@ -6115,14 +6121,16 @@ object Analytics {
         .agg(sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
       val cv = ps.crossJoin(broadcast(cal))
         .select(col("pk"),
-          (sqrt(col("ss").cast("double") / col("nw")
+          floor(sqrt(greatest(col("ss").cast("double") / col("nw")
             - (col("s").cast("double") / col("nw"))
-              * (col("s").cast("double") / col("nw")))
-            / (col("s").cast("double") / col("nw"))).as("cv"))
+              * (col("s").cast("double") / col("nw")), lit(0.0)))
+            / (col("s").cast("double") / col("nw")) * lit(1000000))
+            .cast("long").as("cvm"))
       val cl = cv.select(
-        when(col("cv") < 3.75, "X").when(col("cv") < 4.25, "Y")
+        when(col("cvm") < 3750000L, "X")
+          .when(col("cvm") < 4250000L, "Y")
           .otherwise("Z").as("xyz_class"),
-        floor(col("cv") * lit(1000000)).cast("long").as("cvm"))
+        col("cvm"))
       cl.groupBy("xyz_class")
         .agg(count(lit(1)).as("n_parts"),
           (sum(col("cvm")).cast("double") / lit(1000000.0)
@@ -6493,12 +6501,22 @@ object Analytics {
         (sum(col("s2")).cast("double") / lit(10000.0)).as("hhi"))
   }
 
+  /** Hard ceiling on the Theil–Sen series length: the estimator
+    * explodes n(n-1)/2 pairwise slopes and selects their median under
+    * ONE global order (an unpartitioned sort), so the pair frame must
+    * fit a single task. 10k points ≈ 5·10⁷ pairs is the most that
+    * does; anything larger means the caller skipped the calendar
+    * aggregation and is about to OOM an executor — fail loud instead.
+    */
+  private[graft] val TheilSenMaxPoints = 10000L
+
   /** Theil–Sen robust trend over an integer series (tCol, yCol) →
     * one row (n_points, n_pairs, sen_slope). The median of all
     * pairwise slopes, index-selected under a total order — see the
     * `ts_theil_sen_weekly` query scaladoc. The O(n²) pair join means
-    * the series should be an AGGREGATED frame (calendar buckets, not
-    * raw events).
+    * the series must be an AGGREGATED frame (calendar buckets, not
+    * raw events) — enforced: series longer than [[TheilSenMaxPoints]]
+    * fail fast before the pair explode.
     */
   private[graft] def theilSenOf(series: DataFrame, tCol: String,
       yCol: String): DataFrame = {
@@ -6506,6 +6524,13 @@ object Analytics {
     // count); localCheckpoint pins the caller's lineage to one pass
     val ix = series.select(col(tCol).cast("long").as("t"),
       col(yCol).cast("long").as("c")).localCheckpoint(true)
+    // the checkpoint is already materialized (eager), so this count is
+    // a metadata-cheap job — the price of not OOMing on raw events
+    val n = ix.count()
+    require(n <= TheilSenMaxPoints,
+      s"theilSen: series has $n points; the O(n²) pairwise-slope " +
+        s"median is bounded at $TheilSenMaxPoints points — " +
+        "aggregate the series to calendar buckets before calling")
     val a = ix.select(col("t").as("ti"), col("c").as("ca"))
     val b = ix.select(col("t").as("tj"), col("c").as("cb"))
     val pr = a.join(broadcast(b), col("tj") > col("ti"))

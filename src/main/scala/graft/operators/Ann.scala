@@ -934,13 +934,29 @@ object Ann {
     }
   }
 
-  /** Atomically PUBLISH a fully-written generation directory and GC the
-    * superseded one: write `CURRENT.tmp`, ATOMIC_MOVE onto `CURRENT`,
-    * then delete the old generation's files. A crash before the move
-    * leaves the old generation (including its tombstones) fully live; a
-    * crash after it leaves only unreferenced garbage. Tombstone
-    * consumption is therefore PART of the generation commit — the new
-    * generation is born with no tombstones directory.
+  /** Layer directories a generation is made of — both the bare
+    * implicit-generation-0 layout and every `gen-N` directory hold a
+    * subset of exactly these.
+    */
+  private val IndexLayerDirs = Seq("cells", "centroids", "graph",
+    "pq_codes", "pq_codebook", "tombstones")
+
+  /** Atomically PUBLISH a fully-written generation directory: write
+    * `CURRENT.tmp`, ATOMIC_MOVE onto `CURRENT`, then GC everything
+    * EXCEPT the generation just superseded. The superseded generation
+    * is GRACE-RETAINED in full (data layers AND its tombstones) until
+    * the NEXT publish — a reader that resolved [[indexRoot]] just
+    * before the flip keeps scanning intact files and still sees the
+    * exact pre-publish live view (the vector store's retain-one
+    * discipline, extended to the multi-layer index). Generations older
+    * than the retained pair are unreachable by any reader that started
+    * after the PREVIOUS publish and are reclaimed here.
+    *
+    * Crash safety is unchanged: a crash before the move leaves the old
+    * generation (including its tombstones) fully live; a crash after
+    * it leaves only the grace copy, which the next publish reclaims.
+    * Tombstone consumption remains PART of the generation commit — the
+    * new generation is born with no tombstones directory.
     */
   private[graft] def publishGeneration(dir: String, gen: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -956,15 +972,21 @@ object Ann {
         _.iterator().asScala.toSeq).reverse
         .foreach(q => try java.nio.file.Files.deleteIfExists(q)
           catch { case _: Exception => () })
-    if (oldRoot == root)
-      // implicit generation 0: the layers live bare under the index dir
-      Seq("cells", "centroids", "graph", "pq_codes", "pq_codebook",
-          "tombstones")
-        .map(root.resolve)
+    // retain the new generation and the one it superseded; GC the rest
+    val keep = Set(gen, oldRoot.getFileName.toString)
+    scala.util.Using.resource(java.nio.file.Files.list(root))(
+      _.iterator().asScala.toSeq).foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("gen-") &&
+          name.stripPrefix("gen-").forall(_.isDigit) && !keep(name))
+        deleteTree(p)
+    }
+    if (oldRoot != root)
+      // the bare implicit-generation-0 layers are now two publishes
+      // old — no reader can still hold them; reclaim
+      IndexLayerDirs.map(root.resolve)
         .filter(java.nio.file.Files.exists(_))
         .foreach(deleteTree)
-    else if (oldRoot.getFileName.toString != gen)
-      deleteTree(oldRoot)
   }
 
   /** Write one index GENERATION from a (vec_id, embedding, cell)

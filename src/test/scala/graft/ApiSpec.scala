@@ -1319,17 +1319,77 @@ class ApiSpec extends SparkSuite {
     assert(after.count() == n - nVictim)
     assert(after.join(dels, Seq("vec_id"), "left_semi").count() == 0)
     assert(Ann.ivfLiveCells(spark, dir).count() == n - nVictim)
-    // tombstones were consumed as part of the commit
+    // tombstones were consumed as part of the commit: the PUBLISHED
+    // generation is born without them...
     assert(!java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(root, "tombstones")))
-    assert(!java.nio.file.Files.isDirectory(
+    // ...while the superseded generation is GRACE-RETAINED in full
+    // (cells AND tombstones) so a reader that resolved the old root
+    // just before the flip still completes against intact files
+    assert(java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(dir, "tombstones")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "cells")))
     // the census named the outcome: victim fully rewritten to zero rows
     val vrow = census.find(_.getString(0) == victim).get
     assert(vrow.getLong(3) == 0L && vrow.getString(4) == "rewritten")
     // centroids carried verbatim below the rebuild threshold — the
     // empty cell still routes (and prunes to zero rows)
     assert(spark.read.parquet(s"$root/centroids").count() == 4)
+  }
+
+  test("generation GC grace: a reader resolved before publish " +
+      "completes against the retained generation; the next publish " +
+      "reclaims it") {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_grace_").toString
+    Ann.writeIndexLayers(spark, dir,
+      Ann.kmeansCells(emb, k = 4, iters = 3),
+      withGraph = false, withPq = false)
+    // an in-flight reader: resolves the (implicit generation-0) root
+    // and lists its files NOW; the scan itself runs after the publish
+    val oldRoot = Ann.indexRoot(dir)
+    assert(oldRoot == dir)
+    val reader = Ann.readLayer(spark, s"$oldRoot/cells")
+    val dels = reader.where(col("vec_id") % 4 === 0)
+      .select("vec_id").localCheckpoint(true)
+    val nDel = dels.count()
+    Ann.ivfDelete(spark, dir, dels)
+    Ann.ivfCompact(spark, dir, rebuildChurn = 0.9)
+    assert(Ann.indexRoot(dir) == s"$dir/gen-1")
+    // the in-flight read completes and still sees the ENTIRE
+    // superseded generation — the flip deleted nothing it holds
+    assert(reader.count() == n,
+      "reader resolved pre-publish lost files to generation GC")
+    // the pre-publish LIVE view (old cells minus old tombstones) is
+    // still reconstructible off the retained root
+    val oldLive = reader.join(
+      Ann.readLayer(spark, s"$oldRoot/tombstones").select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    assert(oldLive.count() == n - nDel)
+    // new readers resolve gen-1 and see the compacted live view
+    assert(Ann.ivfLiveCells(spark, dir).count() == n - nDel)
+    // the NEXT publish reclaims the two-publish-old bare generation
+    // and grace-retains gen-1 in its place
+    val dels2 = Ann.ivfLiveCells(spark, dir)
+      .where(col("vec_id") % 5 === 1)
+      .select("vec_id").localCheckpoint(true)
+    val nDel2 = dels2.count()
+    Ann.ivfDelete(spark, dir, dels2)
+    Ann.ivfCompact(spark, dir, rebuildChurn = 0.9)
+    assert(Ann.indexRoot(dir) == s"$dir/gen-2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "cells")),
+      "two-publish-old bare generation must be reclaimed")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombstones")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "gen-1", "cells")),
+      "the superseded gen-1 must be grace-retained")
+    assert(Ann.ivfLiveCells(spark, dir).count() == n - nDel - nDel2)
   }
 
   test("mixed-churn ANN lifecycle: two ingest-delete-compact-ingest " +
@@ -1437,6 +1497,26 @@ class ApiSpec extends SparkSuite {
     assert(r.getAs[Long]("n_pairs") == 6)
     // slopes sorted: [2, 2, 2, 33, 48.5, 95] -> lower median = 2
     assert(r.getAs[Double]("sen_slope") == 2.0)
+  }
+
+  test("theilSenTrend fails fast on an unaggregated series instead " +
+      "of exploding O(n²) pairs") {
+    import spark.implicits._
+    val raw = spark.range(
+      graft.operators.Analytics.TheilSenMaxPoints + 1)
+      .select(col("id").as("t"), (col("id") * 2).as("y"))
+    val ex = intercept[IllegalArgumentException] {
+      Graft.theilSenTrend(raw, "t", "y")
+    }
+    assert(ex.getMessage.contains("aggregate the series"),
+      s"guard message should steer the caller: ${ex.getMessage}")
+    // at the bound itself the estimator still runs (no off-by-one
+    // lockout of a legitimately large aggregated series): probe the
+    // guard with the count check only — the full 10k-point pair
+    // explode is a bench job, not a unit test
+    val ok = Seq((0L, 0L), (1L, 2L), (2L, 4L)).toDF("t", "y")
+    assert(Graft.theilSenTrend(ok, "t", "y").head()
+      .getAs[Double]("sen_slope") == 2.0)
   }
 
   test("survivalKm censors the tail and books the lone event") {

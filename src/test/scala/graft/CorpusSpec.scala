@@ -427,7 +427,14 @@ class CorpusSpec extends SparkSuite {
     assert(cov.sameElements(cov.sorted), "coverage must be monotone")
     assert(cov.forall(c => c > 0.0 && c <= 1.0))
     val vocab = rows.head.getAs[Long]("n_types")
-    assert(ks.forall(_ <= math.max(vocab, 50L)),
+    // exact row-count check: exactly the checkpoints within the
+    // vocabulary survive, so a vocab < 50 provably drops the
+    // out-of-range checkpoints (the old <= bound was vacuous)
+    val expected = Seq(1L, 2L, 5L, 10L, 20L, 50L).count(_ <= vocab)
+    assert(rows.length == expected,
+      s"expected $expected checkpoints within vocab=$vocab, " +
+        s"got ${rows.length}")
+    assert(ks.forall(_ <= vocab),
       "checkpoints beyond the vocabulary must drop out")
   }
 }

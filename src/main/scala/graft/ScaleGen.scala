@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *  - Dimension-sized tables (region, nation) copy verbatim.
   *
   * Usage: `runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
-  * [holdHotParts]` (the optional 4th arg writes the GROWING-SKEW
+  * [holdHotParts] [holdHotUsers]` (the optional 4th arg writes the
+  * GROWING-SKEW variant, the 5th the growing hot-USER streaming-state
   * variant — see `generate`). ScalingBench invokes this lazily for
   * missing scale dirs.
   */
@@ -41,6 +42,23 @@ object ScaleGen {
     var p = 1L
     while (p <= n) p *= 10
     p
+  }
+
+  /** The hot-user head the `holdHotUsers` corpus holds: top-`n` users
+    * by event count among `user_id` < 100 (the shipped stream queries'
+    * state bound), deterministic tie-break on id. Exposed so
+    * ScalingBench can recompute the exact held set for its per-point
+    * hot-key state evidence (a bounded n-row collect on a dimension-
+    * sized aggregate).
+    */
+  private[graft] def hotUserHead(spark: SparkSession, src: String,
+      n: Int): Seq[Long] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$src/events.parquet")
+      .where(col("user_id") < 100)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(n).collect().map(_.getLong(0)).toSeq
   }
 
   /** Union of `factor` copies of `df`, with each column in `offs`
@@ -100,12 +118,26 @@ object ScaleGen {
     * constant. This is the axis the salted-adjacency and
     * capped-middle-vertex kernels must survive; the plain corpus can
     * never exercise it (shards are structurally independent).
+    *
+    * `holdHotUsers` > 0 enables the growing hot-USER corpus (the
+    * streaming-state analogue of `holdHotParts`): the N most active
+    * users with `user_id` < 100 keep their id across every copy (event
+    * ids still shift), so a hot user's event mass — and therefore the
+    * rows ONE keyed state partition must hold and probe — grows
+    * `factor`× while its row share stays constant. Held users are
+    * chosen below 100 so the shipped stream-stream joins'
+    * state-bounding `user_id < 100` predicate retains them: under that
+    * bound the retained state is copy-0's users (constant) plus the
+    * held head (growing), isolating the hot-key axis. Timestamps copy
+    * verbatim, so a held user's copies land in the SAME session gaps /
+    * join bands — the worst case for a skewed state instance.
     */
   def generate(spark: SparkSession, src: String, out: String,
-      factor: Int, holdHotParts: Int = 0): Unit = {
+      factor: Int, holdHotParts: Int = 0, holdHotUsers: Int = 0): Unit = {
     val marker = java.nio.file.Paths.get(out,
-      if (holdHotParts > 0) s"_SCALE_${factor}_h$holdHotParts"
-      else s"_SCALE_$factor")
+      s"_SCALE_$factor" +
+        (if (holdHotParts > 0) s"_h$holdHotParts" else "") +
+        (if (holdHotUsers > 0) s"_u$holdHotUsers" else ""))
     if (java.nio.file.Files.exists(marker)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     // nanos-encoded events fixtures (rounds ≤9) arrive as raw-long under
@@ -154,6 +186,11 @@ object ScaleGen {
         .groupBy("l_partkey").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("l_partkey"))
         .limit(holdHotParts).collect().map(_.getLong(0)).toSeq
+    // the growing hot-USER head: top-N users by event count among
+    // user_id < 100 (the shipped state-bound), held in every copy
+    val hotUsers: Seq[Long] =
+      if (holdHotUsers <= 0) Nil
+      else hotUserHead(spark, src, holdHotUsers)
     write(amplify(read("lineitem"), factor, Map(
       "l_orderkey" -> ordOff, "l_partkey" -> partOff,
       "l_suppkey" -> suppOff),
@@ -169,7 +206,8 @@ object ScaleGen {
       "supplier", factor)
     writeOneFile(amplify(read("events"), factor, Map(
       "event_id" -> keyMax("events", "event_id"),
-      "user_id" -> keyMax("events", "user_id"))), "events")
+      "user_id" -> keyMax("events", "user_id")),
+      hold = Map("user_id" -> hotUsers)), "events")
     writeOneFile(amplify(read("documents"), factor,
       Map("doc_id" -> keyMax("documents", "doc_id")),
       textPermute = true), "documents")
@@ -192,7 +230,8 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, out, factor,
-      holdHotParts = args.lift(3).map(_.toInt).getOrElse(0))
+      holdHotParts = args.lift(3).map(_.toInt).getOrElse(0),
+      holdHotUsers = args.lift(4).map(_.toInt).getOrElse(0))
     spark.stop()
   }
 }

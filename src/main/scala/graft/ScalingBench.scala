@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   *     and gated (a stuck watermark ⇒ unbounded state is the failure a
   *     100 TB deployment actually fears).
   *
+  * Round 20 closes the remaining declared caveats: the skew sweep
+  * carries its own 20× point (hub degree ~4,400), the two heaviest
+  * late-r19 bounded-collapse kernels join the main curve, and a
+  * growing hot-USER corpus (`holdHotUsers`) exercises the axis neither
+  * the batch skew corpus nor the key-count state axis could: ONE
+  * streaming state key whose row mass grows with the corpus (the
+  * skewed-RocksDB-instance fear) — swept for the keyed-state kernels
+  * and measured with per-key/per-partition state evidence for the band
+  * join.
+  *
   * The exponent is the least-squares slope of log(wall) on log(scale).
   * Interpretation at fixture scale: a scan-bound linear kernel fits
   * ≈1; per-job fixed overhead (streaming init, k-means seeding, round
@@ -74,7 +84,11 @@ object ScalingBench {
     "graph_modularity",
     "corpus_js_divergence",
     "orders_newsvendor_level",
-    "stats_permutation_test")
+    "stats_permutation_test",
+    // round-20: the two heaviest late-r19 bounded-collapse kernels —
+    // their "scan-shaped" claim becomes a measurement (r19 verdict #6)
+    "parts_xyz_classes",
+    "dq_referential_integrity")
 
   /** The r18 curve's three steepest kernels — these alone also run the
     * 20× point (the fit has four points; everything else keeps three).
@@ -100,6 +114,23 @@ object ScalingBench {
 
   /** How many hot parts the skew corpus holds across copies. */
   private[graft] val skewHotParts = 50
+
+  /** The growing hot-USER streaming-state axis (r19 verdict ask #2):
+    * keyed-state kernels run on ScaleGen's `holdHotUsers` corpus, where
+    * the most active sub-bound users keep their id across copies at the
+    * SAME timestamps — one state key's row mass (sessions it must merge,
+    * band rows it must buffer and probe) grows `factor`× while its share
+    * stays constant. This is the skewed-RocksDB-instance fear a 100 TB
+    * streaming deployment actually has; the batch skew corpus (hot
+    * parts) and the state axis (growing key COUNT) both leave it
+    * unexercised.
+    */
+  private[graft] val hotUserQueries: Seq[String] = Seq(
+    "stream_session_window",
+    "stream_dedup_within_wm")
+
+  /** How many hot users the hot-user corpus holds across copies. */
+  private[graft] val hotUserHeld = 5
 
   /** Least-squares slope of ln(wall) on ln(scale). */
   private[graft] def fitExponent(points: Seq[(Double, Double)]): Double = {
@@ -253,10 +284,19 @@ object ScalingBench {
       ("sf0.5", 5.0, s"$scaleRoot/sf0.5"),
       ("sf1.0", 10.0, s"$scaleRoot/sf1.0"))
     val topPoint = ("sf2.0", 20.0, s"$scaleRoot/sf2.0")
+    // the skew sweep carries its own 20x top end (r19 verdict ask #4):
+    // at 20x the held hub's co-purchase degree is ~4,400, halving the
+    // extrapolation distance to where the link-prediction family's
+    // dg <= 1000 hot-middle cap starts to bind (~170x on this base)
     val skewPoints: Seq[(String, Double, String)] = Seq(
       ("sf0.1", 1.0, src),
       ("skew0.5", 5.0, s"$scaleRoot/skew-sf0.5"),
-      ("skew1.0", 10.0, s"$scaleRoot/skew-sf1.0"))
+      ("skew1.0", 10.0, s"$scaleRoot/skew-sf1.0"),
+      ("skew2.0", 20.0, s"$scaleRoot/skew-sf2.0"))
+    val hotUserPoints: Seq[(String, Double, String)] = Seq(
+      ("sf0.1", 1.0, src),
+      ("ustate0.5", 5.0, s"$scaleRoot/ustate-sf0.5"),
+      ("ustate1.0", 10.0, s"$scaleRoot/ustate-sf1.0"))
     for ((name, f, dir) <- points :+ topPoint if f > 1.0) {
       System.err.println(s"[scaling] ensuring $name at $dir (${f.toInt}x)")
       ScaleGen.generate(spark, src, dir, f.toInt)
@@ -266,6 +306,12 @@ object ScalingBench {
         s"[scaling] ensuring $name at $dir (${f.toInt}x, skew)")
       ScaleGen.generate(spark, src, dir, f.toInt,
         holdHotParts = skewHotParts)
+    }
+    for ((name, f, dir) <- hotUserPoints if f > 1.0) {
+      System.err.println(
+        s"[scaling] ensuring $name at $dir (${f.toInt}x, hot-user)")
+      ScaleGen.generate(spark, src, dir, f.toInt,
+        holdHotUsers = hotUserHeld)
     }
     // the same warm-up discipline as Bench: JVM/codegen/streaming init
     // must not land on the first timed kernel
@@ -285,6 +331,49 @@ object ScalingBench {
     val skewRows = sweep(spark,
       skewQueries.flatMap(byName.get),
       _ => skewPoints, "skew")
+    val ustateRows = sweep(spark,
+      hotUserQueries.flatMap(byName.get),
+      _ => hotUserPoints, "ustate")
+    // hot-KEY state axis: the band join at the FIXED shipped bound
+    // (user_id < 100) on the hot-user corpus — retained state is
+    // copy-0's sub-bound users (constant tail) plus the held head
+    // (growing f×), so the axis isolates one key's state mass. The
+    // join's OUTPUT is genuinely quadratic in that mass (copies share
+    // timestamps, so every cross-copy pair of a held user is in-band);
+    // the honest wall gate is therefore wall-vs-output, not
+    // wall-vs-scale — both exponents ship, plus batch-side evidence of
+    // the skew itself (held-head rows and the hottest of the 4 hash
+    // partitions the state store shuffles into).
+    val hotUsers = ScaleGen.hotUserHead(spark, src, hotUserHeld)
+    val hotPts = hotUserPoints.map { case (pn, f, dir) =>
+      val (w1, r1, s1) = bandJoinState(spark, dir, 100)
+      val (w2, r2, s2) = bandJoinState(spark, dir, 100)
+      val wall = math.min(w1, w2)
+      val st = math.max(s1, s2)
+      val ev = Tables.events(spark, dir).where(col("user_id") < 100)
+      val hot = ev.where(col("user_id").isInCollection(hotUsers)).count()
+      val per = ev.groupBy(pmod(hash(col("user_id")), lit(4)).as("p"))
+        .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+      System.err.println(s"[scaling:ustate] band join hot @ $pn " +
+        s"(${f}x, user_id<100): ${sec(wall)} s, " +
+        s"rows ${math.max(r1, r2)}, state_rows $st, hot_rows $hot, " +
+        s"max_partition_rows ${per.max} of ${per.sum}")
+      (pn, f, wall, math.max(r1, r2), st, hot, per.max)
+    }
+    val hotWallExp = fitExponent(hotPts.map(p => (p._2, p._3)))
+    val hotRowsExp = fitExponent(hotPts.map(p => (p._2, p._4.toDouble)))
+    val hotKeyExp = fitExponent(hotPts.map(p => (p._2, p._6.toDouble)))
+    def hotMap[A](v: ((String, Double, Double, Long, Long, Long, Long))
+        => A): String =
+      hotPts.map(p => "\"" + p._1 + "\":" + v(p)).mkString("{", ",", "}")
+    val hotJson =
+      s""""stream_stream_band_hot_user":{"walls":${
+        hotMap(p => sec(p._3))},"rows":${hotMap(_._4)},"state_rows":${
+        hotMap(_._5)},"hot_rows":${hotMap(_._6)},""" +
+        s""""max_partition_rows":${hotMap(_._7)},""" +
+        s""""exponent":${sec(hotWallExp)},""" +
+        s""""rows_exponent":${sec(hotRowsExp)},""" +
+        s""""hot_rows_exponent":${sec(hotKeyExp)}}"""
     // state axis: min-of-2 walls per point, max state across runs
     val stateRows = points.map { case (pn, f, dir) =>
       val bound = (100 * f).toInt
@@ -312,9 +401,12 @@ object ScalingBench {
         .stripMargin.replace("\n", "")
     val json =
       s"""{"metric":"scaling","unit":"sec","scales":[1,5,10],""" +
-        s""""scales_top":[1,5,10,20],"skew_hot_parts":$skewHotParts,""" +
+        s""""scales_top":[1,5,10,20],"scales_skew":[1,5,10,20],""" +
+        s""""skew_hot_parts":$skewHotParts,""" +
+        s""""hot_users_held":$hotUserHeld,""" +
         s""""sf_base":"sf0.1","queries":{${mainRows.mkString(",")}},""" +
         s""""skew":{${skewRows.mkString(",")}},""" +
+        s""""ustate":{${(ustateRows :+ hotJson).mkString(",")}},""" +
         s""""state":{$stateJson}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -57,4 +57,47 @@ class ScaleGenSpec extends SparkSuite {
       .select("p_partkey").distinct().count() == hotSet.size,
       "held parts must exist in the amplified part dimension")
   }
+
+  test("growing hot-user amplification: held users gain factor× event " +
+      "mass at verbatim timestamps, non-held users stay per-copy") {
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_scalegen_hotuser_").toString
+    try {
+      ScaleGen.generate(spark, sf, out, factor = 2, holdHotUsers = 2)
+      spark.conf.set(nanosKey, "true")
+      val base = spark.read.parquet(s"$sf/events.parquet")
+      val amp = spark.read.parquet(s"$out/events.parquet")
+      assert(amp.count() == 2 * base.count(), "amplified row count")
+      val hot = ScaleGen.hotUserHead(spark, sf, 2)
+      assert(hot.size == 2 && hot.forall(_ < 100),
+        "held users must come from the sub-bound (< 100) id range")
+      for (u <- hot) {
+        val n = base.where(col("user_id") === u).count()
+        assert(amp.where(col("user_id") === u).count() == 2 * n,
+          s"held user $u must gain factor× event mass")
+        // timestamps copy VERBATIM: the held copies land in the same
+        // session gaps / join bands (distinct ts set is unchanged,
+        // every ts just doubles its multiplicity)
+        val bTs = base.where(col("user_id") === u)
+          .select("ts").distinct().count()
+        assert(amp.where(col("user_id") === u)
+          .select("ts").distinct().count() == bTs,
+          s"held user $u timestamps must copy verbatim")
+      }
+      // a NON-held sub-bound user keeps exactly its base mass (its
+      // copy shifted to a new id above the power-of-10 offset)
+      val cold = base.where(col("user_id") < 100 &&
+          !col("user_id").isInCollection(hot))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(1).head
+      assert(amp.where(col("user_id") === cold.getLong(0)).count()
+        == cold.getLong(1),
+        "non-held user mass must be scale-invariant")
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
+  }
 }

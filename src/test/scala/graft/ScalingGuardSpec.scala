@@ -69,6 +69,55 @@ class ScalingGuardSpec extends AnyFunSuite {
       assert(walls.contains("\"sf2.0\":"),
         s"$q lacks the 20x point: $walls")
     }
+    // the skew sweep carries its own 20x top end (r19 verdict ask #4:
+    // the link-prediction family's hot-middle cap is otherwise pinned
+    // only at fixture-scale hub degrees)
+    for (q <- ScalingBench.skewQueries) {
+      val entry = ("\"" + q + "\":\\{\"walls\":\\{([^}]*)\\}").r
+      val walls = entry.findFirstMatchIn(s)
+        .getOrElse(fail(s"$q missing")).group(1)
+      assert(walls.contains("\"skew2.0\":"),
+        s"$q lacks the skew 20x point: $walls")
+    }
+  }
+
+  test("hot-user streaming-state axis: keyed-state kernels stay " +
+      "near-linear while one key's state mass grows with the corpus") {
+    val s = committed()
+    assert(s.contains("\"ustate\":{"),
+      "ustate section missing — the skewed-state-partition axis " +
+        "(one hot key growing with the corpus) is unguarded")
+    for (q <- ScalingBench.hotUserQueries) {
+      val entry =
+        ("\"" + q + "\":\\{\"walls\":\\{[^}]*\\},\"rows\":\\{[^}]*\\}," +
+          "\"exponent\":(-?[0-9.]+)\\}").r
+      val e = entry.findFirstMatchIn(s)
+        .getOrElse(fail(s"$q missing from ustate")).group(1).toDouble
+      assert(e <= maxExponent,
+        s"$q fits x^$e on the hot-user corpus (gate $maxExponent) — " +
+          "a skewed state partition is super-linear")
+    }
+    // the band join under a growing hot key: the held head's state
+    // mass must genuinely grow ~linearly (else the axis regressed to
+    // measuring nothing)...
+    val hot = "\"hot_rows_exponent\":(-?[0-9.]+)".r
+      .findFirstMatchIn(s)
+      .getOrElse(fail("no hot_rows_exponent")).group(1).toDouble
+    assert(hot > 0.5 && hot <= maxExponent,
+      s"hot-key state-mass exponent $hot outside (0.5, $maxExponent]")
+    // ...and the wall may grow only as fast as the OUTPUT the corpus
+    // makes genuinely quadratic in that mass (copies share timestamps,
+    // so cross-copy pairs of a held user are all in-band): wall-bound-
+    // by-output is the correct behavior; wall ABOVE output is not
+    val entry = ("\"stream_stream_band_hot_user\":\\{.*?" +
+      "\"exponent\":(-?[0-9.]+),\"rows_exponent\":(-?[0-9.]+)").r
+    val m = entry.findFirstMatchIn(s)
+      .getOrElse(fail("no band_hot_user exponents"))
+    val wallExp = m.group(1).toDouble
+    val rowsExp = m.group(2).toDouble
+    assert(wallExp <= math.max(maxExponent, rowsExp + 0.35),
+      s"hot-key band join wall fits x^$wallExp but its output only " +
+        s"x^$rowsExp — super-linear work beyond the output")
   }
 
   test("state axis: walls and state_rows both grow near-linearly") {

@@ -2165,6 +2165,148 @@ object Stats {
             / lit(3.0) / (lit(3) * col("s") - col("r2")).cast("double"))
           .as("q_stat"))
     },
+
+    // Cohen's kappa between two deterministic document-quality raters —
+    // the agreement statistic every labeling/filtering pipeline needs
+    // before trusting a cheap rater as a proxy for an expensive one
+    // (raw percent agreement rewards agreeing on the majority class;
+    // kappa subtracts the agreement two INDEPENDENT raters with these
+    // marginals would reach by chance). Rater A passes docs of ≥ 300
+    // chars, rater B docs of ≥ 55 whitespace tokens — correlated but
+    // not identical signals, so the fixture exercises all four
+    // confusion cells. Exactness: kappa = (po−pe)/(1−pe) clears its
+    // denominators into pure BIGINT arithmetic —
+    // (n·(n11+n00) − pe_num) / (n² − pe_num) with
+    // pe_num = a1·b1 + a0·b0 — so the only double op is ONE final
+    // division of identical integers on both engines. Plan: one
+    // map-side combine collapses the corpus to a single confusion row.
+    Q("stats_cohen_kappa",
+      """WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN len(string_split(text, ' ')) >= 55
+        |         THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |ct AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n00
+        |  FROM r),
+        |k AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    (n11 + n10) * (n11 + n01)
+        |      + (n01 + n00) * (n10 + n00) AS pe_num
+        |  FROM ct)
+        |SELECT n AS n_docs, n11, n10, n01, n00,
+        |  CASE WHEN n * n - pe_num > 0 THEN
+        |    CAST(n * (n11 + n00) - pe_num AS DOUBLE)
+        |      / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+        |FROM k""".stripMargin) { (s, d) =>
+      val r = Tables.documents(s, d).select(
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("ra"),
+        when(size(split(col("text"), " ")) >= 55, 1L).otherwise(0L)
+          .as("rb"))
+      val ct = r.agg(count(lit(1)).as("n"),
+        sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L))
+          .as("n00"))
+      val k = ct.select(col("n"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .as("pe_num"))
+      k.select(col("n").as("n_docs"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        when(col("n") * col("n") - col("pe_num") > 0,
+          (col("n") * (col("n11") + col("n00")) - col("pe_num"))
+            .cast("double")
+            / (col("n") * col("n") - col("pe_num")).cast("double"))
+          .as("kappa"))
+    },
+
+    // Population stability index of the event-value distribution
+    // between the corpus's early and late halves — THE production
+    // drift monitor (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 act):
+    // a pipeline retraining on "the same" stream needs to know when
+    // the feature distribution quietly moved. Fixed-width bins
+    // (value/50, clamped to 10) so binning is a single identical FP op
+    // on both engines — never engine-computed quantiles; bins empty in
+    // either half are excluded (the standard finite-PSI convention,
+    // declared in n_bins). Exactness: each bin's ln(p_ref/p_cur)
+    // enters as a BIGINT micro-log difference (the text_zipf/NPMI
+    // discipline), the ratio difference is one double expression over
+    // exact BIGINTs, and the per-bin product is floored to nano units
+    // so the cross-bin total is an exact BIGINT sum — shuffle-order-
+    // free. Plan: ONE combiner aggregate collapses the fact to ≤10
+    // (bin, half) cells; the localCheckpoint pins the two consumers
+    // (totals + terms) to that single scan.
+    Q("stats_psi_drift",
+      """WITH b AS (
+        |  SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |         THEN 1 ELSE 0 END AS isr
+        |  FROM events),
+        |c AS (
+        |  SELECT bin, CAST(sum(isr) AS BIGINT) AS n_ref,
+        |    CAST(sum(1 - isr) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
+        |m AS (
+        |  SELECT tr, tc,
+        |    CAST(floor(
+        |      (CAST(n_ref AS DOUBLE) / tr - CAST(n_cur AS DOUBLE) / tc)
+        |      * CAST(
+        |          CAST(floor(ln(CAST(n_ref AS DOUBLE)) * 1000000)
+        |               AS BIGINT)
+        |        - CAST(floor(ln(CAST(tr AS DOUBLE)) * 1000000)
+        |               AS BIGINT)
+        |        - CAST(floor(ln(CAST(n_cur AS DOUBLE)) * 1000000)
+        |               AS BIGINT)
+        |        + CAST(floor(ln(CAST(tc AS DOUBLE)) * 1000000)
+        |               AS BIGINT) AS DOUBLE)
+        |      * 1000.0) AS BIGINT) AS t9
+        |  FROM c CROSS JOIN t
+        |  WHERE n_ref > 0 AND n_cur > 0)
+        |SELECT max(tr) AS n_ref, max(tc) AS n_cur,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(t9) AS DOUBLE) / 1000000000.0 AS psi
+        |FROM m""".stripMargin) { (s, d) =>
+      def mlog(c: Column) =
+        floor(log(c.cast("double")) * lit(1000000)).cast("long")
+      val cut = lit("2024-01-16").cast("timestamp")
+      val cells = Tables.events(s, d)
+        .select(least(floor(col("value") / 50.0), lit(9L)).as("bin"),
+          when(col("ts") < cut, 1L).otherwise(0L).as("isr"))
+        .groupBy("bin")
+        .agg(sum(col("isr")).as("n_ref"),
+          sum(lit(1L) - col("isr")).as("n_cur"))
+        .localCheckpoint(true)
+      val tot = cells.agg(sum(col("n_ref")).as("tr"),
+        sum(col("n_cur")).as("tc"))
+      val m = cells.where(col("n_ref") > 0 && col("n_cur") > 0)
+        .crossJoin(broadcast(tot))
+        .select(col("tr"), col("tc"),
+          floor((col("n_ref").cast("double") / col("tr")
+            - col("n_cur").cast("double") / col("tc"))
+            * (mlog(col("n_ref")) - mlog(col("tr"))
+              - mlog(col("n_cur")) + mlog(col("tc"))).cast("double")
+            * lit(1000.0)).cast("long").as("t9"))
+      m.agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        count(lit(1)).as("n_bins"),
+        (sum(col("t9")).cast("double") / lit(1000000000.0)).as("psi"))
+    },
   )
 
   /** One-way ANOVA F of `value` (an EXACT decimal/integer column

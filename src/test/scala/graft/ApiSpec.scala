@@ -1182,13 +1182,14 @@ class ApiSpec extends SparkSuite {
       r.getString(4) == (if (r.getLong(2) > 0) "rewritten" else "kept")),
       census1.mkString(", "))
     // compaction consumed the tombstones as part of the generation
-    // commit: the published generation has no tombstones dir and the
-    // superseded bare layers are GC'd
+    // commit: the published generation has no tombstones dir; the
+    // superseded bare layers (including their tombstones) are GRACE-
+    // RETAINED until the next publish so in-flight readers complete
     val root1 = Ann.indexRoot(dir1)
     assert(root1 != dir1, "compaction must publish a new generation")
     assert(!java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(root1, "tombstones")))
-    assert(!java.nio.file.Files.isDirectory(
+    assert(java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(dir1, "tombstones")))
     assert(spark.read.parquet(s"$root1/cells").count() == n - nDel1)
     assert(spark.read.parquet(s"$root1/cells")

@@ -454,6 +454,43 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(s) < 1e6)
   }
 
+  test("cohen kappa: confusion cells partition the corpus and kappa " +
+      "matches the exact BIGINT closed form") {
+    val r = SparkEntry.queries("stats_cohen_kappa")(spark, sf).head()
+    val n = r.getAs[Long]("n_docs")
+    val (n11, n10, n01, n00) = (r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n11 + n10 + n01 + n00 == n,
+      "confusion cells must partition the corpus")
+    assert(n == Tables.documents(spark, sf).count())
+    // the fixture raters disagree sometimes — all four cells live, so
+    // kappa is measuring agreement, not a degenerate marginal
+    assert(n10 + n01 > 0, "raters never disagree — degenerate fixture")
+    assert(n11 > 0 && n00 > 0)
+    val peNum = BigInt(n11 + n10) * BigInt(n11 + n01) +
+      BigInt(n01 + n00) * BigInt(n10 + n00)
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa == (BigInt(n) * BigInt(n11 + n00) - peNum).toDouble
+      / (BigInt(n) * BigInt(n) - peNum).toDouble,
+      "kappa must be the one-division closed form of the exact cells")
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
+  test("psi drift: halves cover the stream, bins populated, psi " +
+      "nonnegative up to quantization") {
+    val r = SparkEntry.queries("stats_psi_drift")(spark, sf).head()
+    val (nr, nc) = (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"))
+    assert(nr > 0 && nc > 0, "both halves must be populated")
+    assert(nr + nc == Tables.events(spark, sf).count(),
+      "halves must cover the stream exactly")
+    assert(r.getAs[Long]("n_bins") >= 2)
+    // every true PSI term is >= 0 ((pa-pb) and ln(pa/pb) share sign);
+    // the nano quantization can push a near-zero term one ulp under
+    val psi = r.getAs[Double]("psi")
+    assert(psi >= -1e-5, s"psi $psi materially negative")
+    assert(psi < 25.0)
+  }
+
   test("kmeans 1d: ordered centroids partition the price domain") {
     val rows = SparkEntry.queries("stats_kmeans_1d")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))

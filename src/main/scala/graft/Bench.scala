@@ -226,6 +226,58 @@ object Bench {
     }
   }
 
+  /** Denominator-protection gate (r20 verdict task #1, made structural
+    * in r21): may THIS run's detail overwrite the clean
+    * BENCH_DETAIL.json path? The r16 sidecar rule (>10% of wall lost to
+    * steal/iowait → dirty) protects against unadjudicable runs; r20
+    * showed it is not enough — the round driver's 8.4%-steal sweep
+    * passed it, landed on the clean path, and was auto-committed,
+    * poisoning 11 priors at 2–15×. When a committed clean baseline
+    * EXISTS, overwriting it demands a window at least as good:
+    *   - steal+iowait ≤ 5% of wall (half the adjudication bar), AND
+    *   - not a provably slower placement measuring a slower sweep
+    *     (loaded calib > 1.25× the committed run's AND total above the
+    *     committed total — a faster total is always allowed to land:
+    *     better denominators tighten the guard).
+    * A deliberate re-baseline on a changed placement class overrules
+    * with SPARK_GRAFT_FORCE_DETAIL=1. Pure and unit-tested
+    * (BenchGuardSpec); returns (eligible, optional stderr note).
+    */
+  private[graft] def detailWriteEligible(prior: Option[String],
+      stealFrac: Double, calibLoaded: Double, total: Double,
+      force: Boolean): (Boolean, Option[String]) = {
+    def scalar(p: String, key: String): Option[Double] =
+      ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(p)
+        .map(_.group(1).toDouble)
+    if (force) (true, None)
+    else if (stealFrac > 0.10)
+      (false, Some(f"[bench-detail] run lost ${stealFrac * 100}%.1f%% of " +
+        "wall to steal/iowait — writing BENCH_DETAIL.dirty.json"))
+    else prior match {
+      case None => (true, None)
+      case Some(p) =>
+        if (stealFrac > 0.05)
+          (false, Some(f"[bench-detail] steal+iowait " +
+            f"${stealFrac * 100}%.1f%% of wall exceeds the 5%% " +
+            "overwrite bar while a committed clean denominator exists — " +
+            "writing BENCH_DETAIL.dirty.json (the committed artifact " +
+            "stays the guard baseline; SPARK_GRAFT_FORCE_DETAIL=1 " +
+            "overrules)"))
+        else {
+          val slowerHostSlowerRun = for {
+            pc <- scalar(p, "calib_loaded"); pt <- scalar(p, "value")
+          } yield calibLoaded > 1.25 * pc && total > pt
+          if (slowerHostSlowerRun.contains(true))
+            (false, Some(f"[bench-detail] loaded calib $calibLoaded%.3f " +
+              "is >1.25x the committed denominator's and the sweep is " +
+              "slower — placement, not code; writing " +
+              "BENCH_DETAIL.dirty.json (SPARK_GRAFT_FORCE_DETAIL=1 " +
+              "overrules)"))
+          else (true, None)
+        }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -527,22 +579,31 @@ object Bench {
     // (unit-tested in BenchGuardSpec): wall AND cpu must both regress
     // beyond the idle-calib / loaded-calib / fleet-median-cpu host
     // normalization before a query flags.
-    // An unadjudicable run (>10% of wall lost to steal/iowait — the same
-    // threshold guardFlags refuses per-query adjudication at) must never
-    // become the guard's committed input: r16's driver sweep lost 59% of
-    // wall to steal, overwrote the working-tree BENCH_DETAIL.json, and
-    // was one `git add` away from poisoning every later round's
-    // denominator. Dirty runs persist to a sidecar; the comparison
-    // baseline is ALWAYS the clean file (committed, or the working-tree
-    // BENCH_DETAIL.json outside a git checkout) — only the WRITE path
-    // switches to the sidecar, so a dirty run can never adjudicate
-    // against a previous dirty run.
-    val dirtyRun = busy.exists { case (i, s) => s + i > 0.1 * total }
+    // A quality-degraded run must never become the guard's committed
+    // input: r16's driver sweep lost 59% of wall to steal and was one
+    // `git add` away from poisoning every later round's denominator;
+    // r20's driver sweep PASSED the old 10% gate at 8.4% and did poison
+    // it (reverted in r21). Eligibility now lives in detailWriteEligible
+    // (unit-tested): >10% steal is always dirty, and overwriting an
+    // EXISTING committed denominator additionally demands ≤5% steal and
+    // no slower-placement-measuring-a-slower-sweep signature. Dirty
+    // runs persist to the sidecar; the comparison baseline is ALWAYS
+    // the clean file, so a dirty run can never adjudicate against a
+    // previous dirty run.
+    val stealFrac = busy match {
+      case Some((i, s)) if total > 0 => (i + s) / total
+      case _ => 0.0
+    }
+    val committedPrior = committedDetail()
+    val (detailEligible, detailNote) = detailWriteEligible(
+      committedPrior, stealFrac, calibLoaded, total,
+      sys.env.get("SPARK_GRAFT_FORCE_DETAIL").contains("1"))
+    detailNote.foreach(System.err.println)
     val detailPath = java.nio.file.Paths.get(
-      if (dirtyRun) "BENCH_DETAIL.dirty.json" else "BENCH_DETAIL.json")
+      if (detailEligible) "BENCH_DETAIL.json" else "BENCH_DETAIL.dirty.json")
     val cleanPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     try {
-      val baseline = committedDetail().orElse {
+      val baseline = committedPrior.orElse {
         if (java.nio.file.Files.isRegularFile(cleanPath))
           Some(new String(java.nio.file.Files.readAllBytes(cleanPath),
             java.nio.charset.StandardCharsets.UTF_8))
@@ -551,10 +612,6 @@ object Bench {
       for (prior <- baseline) {
         val triples = results.collect {
           case (n, t, c, _, None) => (n, t, c)
-        }
-        val stealFrac = busy match {
-          case Some((i, s)) if total > 0 => (i + s) / total
-          case _ => 0.0
         }
         val (flags, notes) =
           guardFlags(prior, triples, calib, calibLoaded, sfDir, stealFrac,

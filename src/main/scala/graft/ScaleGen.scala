@@ -53,12 +53,21 @@ object ScaleGen {
     */
   private[graft] def hotUserHead(spark: SparkSession, src: String,
       n: Int): Seq[Long] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$src/events.parquet")
+    // save/restore the session-wide legacy conf instead of leaking it:
+    // ScalingBench calls this mid-run and unrelated reads must not
+    // silently inherit the nanos coercion (ADVICE r20)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.read.parquet(s"$src/events.parquet")
       .where(col("user_id") < 100)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("user_id"))
       .limit(n).collect().map(_.getLong(0)).toSeq
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Union of `factor` copies of `df`, with each column in `offs`

@@ -1056,12 +1056,15 @@ object Graft {
     * row (n_points, n_pairs, sen_slope): the median of all pairwise
     * slopes, index-selected deterministically. O(n²) pairs — feed an
     * AGGREGATED series (calendar buckets), not raw events; series
-    * beyond 10k points fail fast before the pair explode rather than
-    * OOMing an executor.
+    * beyond `maxPoints` (default 2k ≈ 2·10⁶ pairs) fail fast before
+    * the pair explode rather than OOMing an executor. Callers with a
+    * legitimately longer aggregated series raise `maxPoints`
+    * explicitly — the pair sort is a single task, O(maxPoints²).
     */
-  def theilSenTrend(series: DataFrame, tCol: String,
-      yCol: String): DataFrame =
-    graft.operators.Analytics.theilSenOf(series, tCol, yCol)
+  def theilSenTrend(series: DataFrame, tCol: String, yCol: String,
+      maxPoints: Long = graft.operators.Analytics.TheilSenMaxPoints)
+      : DataFrame =
+    graft.operators.Analytics.theilSenOf(series, tCol, yCol, maxPoints)
 
   /** Right-censored Kaplan–Meier survival of subject lifetime over
     * (idCol, tsCol) event rows → per duration month (months, n_risk,

@@ -6501,25 +6501,29 @@ object Analytics {
         (sum(col("s2")).cast("double") / lit(10000.0)).as("hhi"))
   }
 
-  /** Hard ceiling on the Theil–Sen series length: the estimator
+  /** Default ceiling on the Theil–Sen series length: the estimator
     * explodes n(n-1)/2 pairwise slopes and selects their median under
     * ONE global order (an unpartitioned sort), so the pair frame must
-    * fit a single task. 10k points ≈ 5·10⁷ pairs is the most that
-    * does; anything larger means the caller skipped the calendar
-    * aggregation and is about to OOM an executor — fail loud instead.
+    * fit a single task comfortably. 2k points ≈ 2·10⁶ pairs keeps that
+    * task in the tens-of-MB class; anything larger usually means the
+    * caller skipped the calendar aggregation — fail loud instead. A
+    * caller who KNOWS its aggregated series is longer can raise the
+    * bound explicitly via `maxPoints` (the single-task sort grows
+    * O(maxPoints²), ~5·10⁷ pairs ≈ GB-scale at 10k — size executors
+    * accordingly).
     */
-  private[graft] val TheilSenMaxPoints = 10000L
+  private[graft] val TheilSenMaxPoints = 2000L
 
   /** Theil–Sen robust trend over an integer series (tCol, yCol) →
     * one row (n_points, n_pairs, sen_slope). The median of all
     * pairwise slopes, index-selected under a total order — see the
     * `ts_theil_sen_weekly` query scaladoc. The O(n²) pair join means
     * the series must be an AGGREGATED frame (calendar buckets, not
-    * raw events) — enforced: series longer than [[TheilSenMaxPoints]]
-    * fail fast before the pair explode.
+    * raw events) — enforced: series longer than `maxPoints` (default
+    * [[TheilSenMaxPoints]]) fail fast before the pair explode.
     */
   private[graft] def theilSenOf(series: DataFrame, tCol: String,
-      yCol: String): DataFrame = {
+      yCol: String, maxPoints: Long = TheilSenMaxPoints): DataFrame = {
     // the series is consumed three ways (both pair sides + the point
     // count); localCheckpoint pins the caller's lineage to one pass
     val ix = series.select(col(tCol).cast("long").as("t"),
@@ -6527,10 +6531,11 @@ object Analytics {
     // the checkpoint is already materialized (eager), so this count is
     // a metadata-cheap job — the price of not OOMing on raw events
     val n = ix.count()
-    require(n <= TheilSenMaxPoints,
+    require(n <= maxPoints,
       s"theilSen: series has $n points; the O(n²) pairwise-slope " +
-        s"median is bounded at $TheilSenMaxPoints points — " +
-        "aggregate the series to calendar buckets before calling")
+        s"median is bounded at $maxPoints points — " +
+        "aggregate the series to calendar buckets before calling, or " +
+        "raise maxPoints explicitly if the series is already aggregated")
     val a = ix.select(col("t").as("ti"), col("c").as("ca"))
     val b = ix.select(col("t").as("tj"), col("c").as("cb"))
     val pr = a.join(broadcast(b), col("tj") > col("ti"))

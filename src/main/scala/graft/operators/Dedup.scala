@@ -182,6 +182,20 @@ object Dedup {
     * rpb=2 bucket was dropped, pushing recall_vs_finest above 1.0), and
     * still melt-proofs every config: a surviving rpb=4/8 bucket is a
     * subset of its surviving rpb=2 sub-buckets, hence ≤ maxBucket.
+    *
+    * Plan shape (optimization r21): containment means the rpb=2
+    * candidate set IS the union candidate set, so ONLY the finest
+    * banding pays a band self-join; rpb=4/8 membership is decided PER
+    * CANDIDATE PAIR from each doc's 8/4 coarser band-hash arrays
+    * (zip-equality under a 16-bit dropped-sub-band mask — exactly the
+    * old "row dropped iff any covered rpb=2 sub-band dropped for that
+    * doc" rule), fused into the verification pass. This replaces the
+    * former 3-config band union (28 rows/doc), two extra self-joins +
+    * pair DISTINCTs, and the 48-rows/doc drop-propagation explode with
+    * two broadcast joins over the candidate pairs and ONE global
+    * aggregate — counts are pair-for-pair identical (same xxhash64 band
+    * hashes, same cap rule; DedupSpec cross-gates the 8×4 row against
+    * the shipped LSH pipeline and the monotone containment ordering).
     */
   private[graft] def bandSweepOf(docs: DataFrame, threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
@@ -190,54 +204,51 @@ object Dedup {
       .select(col("doc_id"),
         minhash_shingles(col("text"), 32, 3).as("sig"))
       .persist()
-    def bandsFor(r: Int): DataFrame = {
-      val nb = 32 / r
-      val args = (1 to r).map(i => s"element_at(sig, $r * bi + $i)")
-        .mkString(", ")
-      sig.select(lit(r).as("rpb"), col("doc_id"),
-          explode(expr(
-            s"""transform(sequence(0, ${nb - 1}), bi -> named_struct(
-               |  'band', bi, 'bh', xxhash64($args)))""".stripMargin))
-            .as("e"))
-        .select(col("rpb"), col("doc_id"),
-          col("e.band").as("band"), col("e.bh").as("bh"))
-    }
-    val rawBands = bandsFor(8).unionAll(bandsFor(4)).unionAll(bandsFor(2))
+    // finest banding only (16 bands × 2 rows): the ONE band self-join
+    val bands2 = sig.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 15), bi -> named_struct(
+            |  'band', bi,
+            |  'bh', xxhash64(element_at(sig, 2 * bi + 1),
+            |                 element_at(sig, 2 * bi + 2))))""".stripMargin))
+          .as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
       .persist()
-    val cand = {
-      val hot2 = rawBands.where(col("rpb") === 2)
-        .groupBy("band", "bh")
-        .agg(count(lit(1)).as("bn"))
-        .where(col("bn") > maxBucket)
-        .select("band", "bh")
-      // per-doc finest-band indices that fell into a hot bucket
-      val dropped2 = rawBands.where(col("rpb") === 2)
-        .join(broadcast(hot2), Seq("band", "bh"), "left_semi")
-        .select(col("doc_id"), col("band").as("band2"))
-      // a band row at rpb=r covers rpb=2 sub-bands
-      // (band*r) div 2 .. ((band+1)*r) div 2 - 1; drop the row iff ANY
-      // covered sub-band was dropped for that doc (empty in the common
-      // no-hot-bucket case — dropped2 has zero rows and both joins are
-      // no-ops)
-      val dropAny = rawBands
-        .select(col("rpb"), col("doc_id"), col("band"),
-          explode(expr("sequence((band * rpb) div 2, " +
-            "((band + 1) * rpb) div 2 - 1)")).as("band2"))
-        .join(dropped2, Seq("doc_id", "band2"), "left_semi")
-        .select("rpb", "doc_id", "band").distinct()
-      val bands = rawBands.join(dropAny,
-        Seq("rpb", "doc_id", "band"), "left_anti")
-      bands.as("x").join(bands.as("y"),
-          col("x.rpb") === col("y.rpb") && col("x.band") === col("y.band")
-            && col("x.bh") === col("y.bh")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.rpb").as("rpb"), col("x.doc_id").as("doc_a"),
-          col("y.doc_id").as("doc_b"))
-        .distinct()
-        .persist()
-    }
+    val hot2 = bands2.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucket)
+      .select("band", "bh")
+    // per-doc 16-bit mask of finest-band indices that fell into a hot
+    // bucket (zero rows in the common no-hot-bucket case)
+    val dropMask = bands2
+      .join(broadcast(hot2), Seq("band", "bh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(1L, cast(band AS int))")).as("dm"))
+    // per-doc coarser band-hash arrays + drop mask: rpb=4/8 pair
+    // membership is decided from these, never from another self-join
+    val docFeat = sig
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 7), bi -> xxhash64(
+               |  element_at(sig, 4 * bi + 1), element_at(sig, 4 * bi + 2),
+               |  element_at(sig, 4 * bi + 3), element_at(sig, 4 * bi + 4)))"""
+          .stripMargin).as("bh4"),
+        expr("""transform(sequence(0, 3), bi -> xxhash64(
+               |  element_at(sig, 8 * bi + 1), element_at(sig, 8 * bi + 2),
+               |  element_at(sig, 8 * bi + 3), element_at(sig, 8 * bi + 4),
+               |  element_at(sig, 8 * bi + 5), element_at(sig, 8 * bi + 6),
+               |  element_at(sig, 8 * bi + 7), element_at(sig, 8 * bi + 8)))"""
+          .stripMargin).as("bh8"))
+      .join(dropMask, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dm"))
+    val surviving = bands2.join(broadcast(hot2), Seq("band", "bh"),
+      "left_anti")
+    val pairs = surviving.as("x").join(surviving.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .persist()
     try {
-      val pairs = cand.select("doc_a", "doc_b").distinct()
       val candIds = pairs
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
@@ -253,19 +264,53 @@ object Dedup {
         .where(jaccard(col("sha"), col("shb")) >= threshold)
         .select("doc_a", "doc_b")
         .localCheckpoint(true)
-      val perCfg = cand.groupBy("rpb").agg(count(lit(1)).as("n_candidates"))
-      val verCfg = cand.join(verified, Seq("doc_a", "doc_b"), "left_semi")
-        .groupBy("rpb").agg(count(lit(1)).as("n_verified"))
-      // global aggregate → always exactly one row, even when the finest
-      // banding verifies zero pairs (max over empty = NULL → 0), so the
-      // crossJoin below can never annihilate the three config rows
-      val finest = verCfg.where(col("rpb") === 2)
-        .agg(coalesce(max(col("n_verified")), lit(0L)).as("n_finest"))
-      perCfg.join(verCfg, Seq("rpb"), "left")
-        .na.fill(0L, Seq("n_verified"))
-        .crossJoin(broadcast(finest))
-        .select((lit(32) / col("rpb")).cast("long").as("n_bands"),
-          col("rpb").cast("long").as("rows_per_band"),
+      // a pair is an rpb=r candidate iff some band index agrees on the
+      // r-row hash AND no covered rpb=2 sub-band was dropped for EITHER
+      // doc (mask bits 2bi..2bi+1 for rpb=4, 4bi..4bi+3 for rpb=8) —
+      // the exact drop-propagation rule of the 3-config join version
+      val flagged = pairs
+        .join(broadcast(docFeat.select(col("doc_id").as("doc_a"),
+          col("bh4").as("bh4a"), col("bh8").as("bh8a"),
+          col("dm").as("dma"))), "doc_a")
+        .join(broadcast(docFeat.select(col("doc_id").as("doc_b"),
+          col("bh4").as("bh4b"), col("bh8").as("bh8b"),
+          col("dm").as("dmb"))), "doc_b")
+        .join(verified.withColumn("v", lit(true)),
+          Seq("doc_a", "doc_b"), "left")
+        .select(
+          expr("""exists(sequence(0, 7), bi ->
+                 |  element_at(bh4a, bi + 1) = element_at(bh4b, bi + 1)
+                 |  AND ((dma | dmb) & shiftleft(3L, 2 * bi)) = 0)"""
+            .stripMargin).as("m4"),
+          expr("""exists(sequence(0, 3), bi ->
+                 |  element_at(bh8a, bi + 1) = element_at(bh8b, bi + 1)
+                 |  AND ((dma | dmb) & shiftleft(15L, 4 * bi)) = 0)"""
+            .stripMargin).as("m8"),
+          coalesce(col("v"), lit(false)).as("v"))
+      val counts = flagged.agg(
+        count(lit(1)).as("c2"),
+        count_if(col("m4")).as("c4"),
+        count_if(col("m8")).as("c8"),
+        count_if(col("v")).as("v2"),
+        count_if(col("m4") && col("v")).as("v4"),
+        count_if(col("m8") && col("v")).as("v8"))
+      // one output row per config that HAS candidates (the 3-config
+      // join version emitted no row for a candidate-less config);
+      // recall is vs the finest config's verified count, as before
+      counts
+        .select(explode(array(
+          struct(lit(4L).as("n_bands"), lit(8L).as("rows_per_band"),
+            col("c8").as("n_candidates"), col("v8").as("n_verified"),
+            col("v2").as("n_finest")),
+          struct(lit(8L).as("n_bands"), lit(4L).as("rows_per_band"),
+            col("c4").as("n_candidates"), col("v4").as("n_verified"),
+            col("v2").as("n_finest")),
+          struct(lit(16L).as("n_bands"), lit(2L).as("rows_per_band"),
+            col("c2").as("n_candidates"), col("v2").as("n_verified"),
+            col("v2").as("n_finest")))).as("r"))
+        .select(col("r.*"))
+        .where(col("n_candidates") > 0)
+        .select(col("n_bands"), col("rows_per_band"),
           col("n_candidates"), col("n_verified"),
           (col("n_verified").cast("double") / col("n_finest"))
             .as("recall_vs_finest"),
@@ -274,7 +319,7 @@ object Dedup {
         .orderBy("n_bands")
         .localCheckpoint(true)
     } finally {
-      cand.unpersist(false); rawBands.unpersist(false); sig.unpersist(false)
+      pairs.unpersist(false); bands2.unpersist(false); sig.unpersist(false)
     }
   }
 

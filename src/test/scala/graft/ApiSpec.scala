@@ -1513,11 +1513,18 @@ class ApiSpec extends SparkSuite {
       s"guard message should steer the caller: ${ex.getMessage}")
     // at the bound itself the estimator still runs (no off-by-one
     // lockout of a legitimately large aggregated series): probe the
-    // guard with the count check only — the full 10k-point pair
+    // guard with the count check only — a full max-length pair
     // explode is a bench job, not a unit test
     val ok = Seq((0L, 0L), (1L, 2L), (2L, 4L)).toDF("t", "y")
     assert(Graft.theilSenTrend(ok, "t", "y").head()
       .getAs[Double]("sen_slope") == 2.0)
+    // a caller who KNOWS its series is aggregated raises the bound
+    // explicitly and the same over-default series runs
+    val r = Graft.theilSenTrend(raw, "t", "y",
+      maxPoints = graft.operators.Analytics.TheilSenMaxPoints + 1).head()
+    assert(r.getAs[Long]("n_points") ==
+      graft.operators.Analytics.TheilSenMaxPoints + 1)
+    assert(r.getAs[Double]("sen_slope") == 2.0)
   }
 
   test("survivalKm censors the tail and books the lone event") {

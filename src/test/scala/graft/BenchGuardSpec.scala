@@ -361,4 +361,32 @@ class BenchGuardSpec extends AnyFunSuite {
       f"committed baseline covers $coverage%.2f of the declared " +
       "inventory — re-commit from a full clean sweep")
   }
+
+  test("detailWriteEligible: denominator-protection gate (r20 task #1)") {
+    def elig(p: Option[String], steal: Double, loaded: Double,
+        total: Double, force: Boolean = false) =
+      Bench.detailWriteEligible(p, steal, loaded, total, force)._1
+    // no committed baseline: only the 10% dirty rule applies
+    assert(elig(None, 0.08, 9.9, 999.0))
+    assert(!elig(None, 0.12, 0.50, 3.5))
+    // committed baseline present: the r20 failure mode (8.4% steal,
+    // slower total) now routes to the sidecar
+    assert(!elig(Some(prior), 0.084, 0.50, 244.0))
+    // quiet window, comparable placement: overwrite allowed even slower
+    // (a genuine code regression must still be able to land)
+    assert(elig(Some(prior), 0.02, 0.52, 4.0))
+    // slower placement (loaded calib 1.8x) measuring a slower sweep:
+    // placement, not code — sidecar
+    assert(!elig(Some(prior), 0.02, 0.90, 4.0))
+    // same slow placement but a FASTER total: better denominators
+    // always land
+    assert(elig(Some(prior), 0.02, 0.90, 3.0))
+    // deliberate re-baseline overrules everything
+    assert(elig(Some(prior), 0.084, 0.90, 244.0, force = true))
+    // ineligible paths say why (stderr note present)
+    assert(Bench.detailWriteEligible(Some(prior), 0.084, 0.50, 244.0,
+      force = false)._2.exists(_.contains("overwrite bar")))
+    assert(Bench.detailWriteEligible(Some(prior), 0.02, 0.90, 4.0,
+      force = false)._2.exists(_.contains("placement")))
+  }
 }

@@ -183,6 +183,86 @@ class DedupSpec extends SparkSuite {
       s"8x4 verified ${rows(1)._4} != shipped LSH pairs $shipped")
   }
 
+  test("bandSweepOf hot-bucket cap propagation matches the 3-config " +
+      "self-join reference (r21 fused-membership rewrite)") {
+    // maxBucket=2 makes many finest-band buckets hot on the dup-heavy
+    // fixture, producing PARTIAL per-doc drop masks — the case the fused
+    // rpb=4/8 membership check must get right. Reference = the former
+    // implementation (3-config band union, drop propagated by covered
+    // sub-band explode, per-config self-join), computed inline.
+    val docs = Tables.documents(spark, sf)
+    val got = operators.Dedup.bandSweepOf(docs, threshold = 0.5,
+        maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    val sig = docs
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.minhash_shingles(col("text"), 32, 3).as("sig"))
+    def bandsFor(r: Int) = {
+      val nb = 32 / r
+      val args = (1 to r).map(i => s"element_at(sig, $r * bi + $i)")
+        .mkString(", ")
+      sig.select(lit(r).as("rpb"), col("doc_id"),
+          explode(expr(
+            s"""transform(sequence(0, ${nb - 1}), bi -> named_struct(
+               |  'band', bi, 'bh', xxhash64($args)))""".stripMargin))
+            .as("e"))
+        .select(col("rpb"), col("doc_id"),
+          col("e.band").as("band"), col("e.bh").as("bh"))
+    }
+    val rawBands = bandsFor(8).unionAll(bandsFor(4)).unionAll(bandsFor(2))
+    val hot2 = rawBands.where(col("rpb") === 2)
+      .groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .where(col("bn") > 2).select("band", "bh")
+    assert(hot2.count() > 0, "fixture must produce hot buckets at cap=2")
+    val dropped2 = rawBands.where(col("rpb") === 2)
+      .join(hot2, Seq("band", "bh"), "left_semi")
+      .select(col("doc_id"), col("band").as("band2"))
+    val dropAny = rawBands
+      .select(col("rpb"), col("doc_id"), col("band"),
+        explode(expr("sequence((band * rpb) div 2, " +
+          "((band + 1) * rpb) div 2 - 1)")).as("band2"))
+      .join(dropped2, Seq("doc_id", "band2"), "left_semi")
+      .select("rpb", "doc_id", "band").distinct()
+    val bands = rawBands.join(dropAny,
+      Seq("rpb", "doc_id", "band"), "left_anti")
+    val refCand = bands.as("x").join(bands.as("y"),
+        col("x.rpb") === col("y.rpb") && col("x.band") === col("y.band")
+          && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.rpb").as("rpb"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+    val refCounts = refCand.groupBy("rpb")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    // candidate counts pair-for-pair identical per config
+    assert(got.map(r => (r._2, r._3)).toMap ==
+      Map(8L -> refCounts.getOrElse(8L, 0L),
+          4L -> refCounts.getOrElse(4L, 0L),
+          2L -> refCounts.getOrElse(2L, 0L)).filter(_._2 > 0),
+      s"got $got vs ref $refCounts")
+    // verified counts: re-verify the reference candidate set exactly
+    val sh = docs
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.word_ngrams(col("text"), 3)).as("sh"))
+    val refVer = refCand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        "doc_b")
+      .where(size(array_intersect(col("sha"), col("shb"))).cast("double")
+        / size(array_union(col("sha"), col("shb"))) >= 0.5)
+      .groupBy("rpb").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    got.foreach { case (_, rpb, _, v) =>
+      assert(v == refVer.getOrElse(rpb, 0L),
+        s"verified mismatch at rpb=$rpb: $v vs ${refVer.getOrElse(rpb, 0L)}")
+    }
+  }
+
   test("ann_recall_nprobe_curve: recall monotone in nprobe, full-probe " +
       "endpoint exact") {
     val rows = SparkEntry.queries("ann_recall_nprobe_curve")(spark, sf)

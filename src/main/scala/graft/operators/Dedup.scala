@@ -224,22 +224,6 @@ object Dedup {
       .join(broadcast(hot2), Seq("band", "bh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sum(expr("shiftleft(1L, cast(band AS int))")).as("dm"))
-    // per-doc coarser band-hash arrays + drop mask: rpb=4/8 pair
-    // membership is decided from these, never from another self-join
-    val docFeat = sig
-      .select(col("doc_id"),
-        expr("""transform(sequence(0, 7), bi -> xxhash64(
-               |  element_at(sig, 4 * bi + 1), element_at(sig, 4 * bi + 2),
-               |  element_at(sig, 4 * bi + 3), element_at(sig, 4 * bi + 4)))"""
-          .stripMargin).as("bh4"),
-        expr("""transform(sequence(0, 3), bi -> xxhash64(
-               |  element_at(sig, 8 * bi + 1), element_at(sig, 8 * bi + 2),
-               |  element_at(sig, 8 * bi + 3), element_at(sig, 8 * bi + 4),
-               |  element_at(sig, 8 * bi + 5), element_at(sig, 8 * bi + 6),
-               |  element_at(sig, 8 * bi + 7), element_at(sig, 8 * bi + 8)))"""
-          .stripMargin).as("bh8"))
-      .join(dropMask, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("dm"))
     val surviving = bands2.join(broadcast(hot2), Seq("band", "bh"),
       "left_anti")
     val pairs = surviving.as("x").join(surviving.as("y"),
@@ -256,6 +240,28 @@ object Dedup {
         .join(broadcast(candIds), "doc_id")
         .where(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles3.as("sh"))
+      // per-doc coarser band-hash arrays + drop mask, restricted to
+      // CANDIDATE docs (semi-join on candIds — the same discipline as
+      // candSh) BEFORE the broadcast: only candidate-pair docs are ever
+      // looked up below, and the unrestricted frame is O(corpus) — a
+      // broadcast that dies at 100 TB (guide §3.1 / VERDICT r21 #1).
+      // rpb=4/8 pair membership is decided from these arrays, never
+      // from another self-join.
+      val docFeat = sig
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          expr("""transform(sequence(0, 7), bi -> xxhash64(
+                 |  element_at(sig, 4 * bi + 1), element_at(sig, 4 * bi + 2),
+                 |  element_at(sig, 4 * bi + 3), element_at(sig, 4 * bi + 4)))"""
+            .stripMargin).as("bh4"),
+          expr("""transform(sequence(0, 3), bi -> xxhash64(
+                 |  element_at(sig, 8 * bi + 1), element_at(sig, 8 * bi + 2),
+                 |  element_at(sig, 8 * bi + 3), element_at(sig, 8 * bi + 4),
+                 |  element_at(sig, 8 * bi + 5), element_at(sig, 8 * bi + 6),
+                 |  element_at(sig, 8 * bi + 7), element_at(sig, 8 * bi + 8)))"""
+            .stripMargin).as("bh8"))
+        .join(dropMask, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dm"))
       val verified = pairs
         .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
           "doc_a")

@@ -245,10 +245,16 @@ object Bench {
     */
   private[graft] def detailWriteEligible(prior: Option[String],
       stealFrac: Double, calibLoaded: Double, total: Double,
-      force: Boolean): (Boolean, Option[String]) = {
+      force: Boolean, sfDir: String = ""): (Boolean, Option[String]) = {
+    // "value" is anchored to the document prefix: the committed detail
+    // artifact leads with {"metric":"total","value":...} by construction,
+    // and an unanchored first-occurrence match would silently misread a
+    // future format that nests another "value" key earlier. Other keys
+    // (calib_loaded) are top-level-unique, first occurrence is fine.
     def scalar(p: String, key: String): Option[Double] =
-      ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(p)
-        .map(_.group(1).toDouble)
+      (if (key == "value") "^\\{\"metric\":\"total\",[^{}]*?\"value\":([0-9.]+)"
+       else "\"" + key + "\":([0-9.]+)").r
+        .findFirstMatchIn(p).map(_.group(1).toDouble)
     if (force) (true, None)
     else if (stealFrac > 0.10)
       (false, Some(f"[bench-detail] run lost ${stealFrac * 100}%.1f%% of " +
@@ -256,7 +262,17 @@ object Bench {
     else prior match {
       case None => (true, None)
       case Some(p) =>
-        if (stealFrac > 0.05)
+        // a committed denominator at a DIFFERENT scale factor must never
+        // be overwritten by a small-sf dev sweep: its total is trivially
+        // "faster", which the faster-always-lands rule would otherwise
+        // wave through (r22: an sf0.001 smoke run from the repo cwd was
+        // one eligible write away from replacing the sf0.1 baseline)
+        if (sfDir.nonEmpty && p.contains("\"sf\":\"") &&
+            !p.contains(s""""sf":"$sfDir""""))
+          (false, Some("[bench-detail] run sf " + sfDir + " differs from " +
+            "the committed denominator's — writing BENCH_DETAIL.dirty.json " +
+            "(SPARK_GRAFT_FORCE_DETAIL=1 overrules)"))
+        else if (stealFrac > 0.05)
           (false, Some(f"[bench-detail] steal+iowait " +
             f"${stealFrac * 100}%.1f%% of wall exceeds the 5%% " +
             "overwrite bar while a committed clean denominator exists — " +
@@ -597,7 +613,7 @@ object Bench {
     val committedPrior = committedDetail()
     val (detailEligible, detailNote) = detailWriteEligible(
       committedPrior, stealFrac, calibLoaded, total,
-      sys.env.get("SPARK_GRAFT_FORCE_DETAIL").contains("1"))
+      sys.env.get("SPARK_GRAFT_FORCE_DETAIL").contains("1"), sfDir)
     detailNote.foreach(System.err.println)
     val detailPath = java.nio.file.Paths.get(
       if (detailEligible) "BENCH_DETAIL.json" else "BENCH_DETAIL.dirty.json")
@@ -622,12 +638,16 @@ object Bench {
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case t: Throwable =>
       System.err.println(s"[bench-detail] persist/compare failed: $t") }
-    // the detail line above is ~3 KB — longer than the driver's 2000-char
-    // stdout tail, so its leading "value" was truncated away in rounds 1-4
-    // (BENCH parsed:null). This short LAST line (~150 chars) always sits
-    // complete inside the tail window; cpu/gc ride along so even the
-    // truncated view self-diagnoses a host-contended run (wall ≫ cpu).
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},$calibs,$hostBusy"failed":${failed.size},"sf":"$sfDir"}""")
+    // The LAST line is the driver contract line. It now carries the
+    // per-query seconds map (r21 verdict ask #7): a driver that captures
+    // only this line can still compute per-query round-over-round deltas
+    // (r20's capture kept only the last line and produced a blind
+    // n_common:0 PERF artifact). The leading fields ("value" first,
+    // cpu/gc/steal next) keep the historical property that even a
+    // truncated HEAD of this line parses the total and self-diagnoses a
+    // host-contended run (wall ≫ cpu); the queries map rides at the end.
+    // Additions-only vs the pre-r22 format.
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","cpu":${sec(totalCpu)},"gc":${sec(totalGc)},$calibs,$hostBusy"failed":${failed.size},"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

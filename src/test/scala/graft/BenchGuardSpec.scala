@@ -389,4 +389,38 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.detailWriteEligible(Some(prior), 0.02, 0.90, 4.0,
       force = false)._2.exists(_.contains("placement")))
   }
+
+  test("detailWriteEligible: committed total parse is anchored to the " +
+      "top-level prefix, not the first \"value\" occurrence") {
+    // A decoy "value" nested inside an earlier object must not be read as
+    // the committed total (it would corrupt the slower-placement
+    // comparison): the match may only cross top-level keys, never enter a
+    // nested object. prior total here is 244.0 with a 0.001 decoy first —
+    // a 4.0 s sweep on a 1.8x-loaded placement is FASTER than the real
+    // committed total, so it stays eligible; misreading the decoy would
+    // make it "slower" and route it to the sidecar.
+    val decoy =
+      """{"metric":"total","host":{"value":0.001},"value":244.0,""" +
+        """"unit":"sec","calib":0.45,"calib_loaded":0.50,"failed":0}"""
+    assert(Bench.detailWriteEligible(Some(decoy), 0.02, 0.90, 4.0,
+      force = false)._1)
+    // and the anchored parse still reads the real leading format
+    assert(!Bench.detailWriteEligible(Some(prior), 0.02, 0.90, 4.0,
+      force = false)._1)
+  }
+
+  test("detailWriteEligible: an sf-mismatched sweep routes to the sidecar") {
+    // prior is an sf0.1 denominator; a clean, fast sf0.001 dev sweep must
+    // not replace it (its total is trivially faster, which the
+    // faster-always-lands rule would otherwise accept)
+    val r = Bench.detailWriteEligible(Some(prior), 0.01, 0.45, 2.0,
+      force = false, sfDir = "/root/testdata/sf0.001")
+    assert(!r._1 && r._2.exists(_.contains("differs")))
+    // same sf: unaffected
+    assert(Bench.detailWriteEligible(Some(prior), 0.01, 0.45, 2.0,
+      force = false, sfDir = "/root/testdata/sf0.1")._1)
+    // force overrules a deliberate re-baseline at a new sf
+    assert(Bench.detailWriteEligible(Some(prior), 0.01, 0.45, 2.0,
+      force = true, sfDir = "/root/testdata/sf0.001")._1)
+  }
 }

@@ -49,7 +49,10 @@ object DevBasketAB {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         Thread.sleep(300)
-        println(f"== $n r$r wall=$dt%.3f")
+        var cpuMs = 0L
+        stages.synchronized { cpuMs = stages.map(_._5).sum }
+        val cpuSum = cpuMs / 1e3
+        println(f"== $n r$r wall=$dt%.3f cpu=$cpuSum%.3f")
         stages.synchronized {
           stages.sortBy(_._1).foreach { case (id, dur, nt, rt, ct) =>
             if (dur >= 30 || ct >= 30)

@@ -1120,13 +1120,31 @@ object Analytics {
   private def bcastUpTo(df: DataFrame, n: Long, cap: Long): DataFrame =
     if (n <= cap) broadcast(df) else df
 
+  /** Both orientations of an undirected (u, v[, carry...]) edge frame in
+    * ONE pass: each row explodes into (u,v) and (v,u). Row-equivalent to
+    * unionAll of the two swapped projections, but the input is scanned
+    * once — a union's two branches each rescan it (and, before the
+    * derivation checkpoint went eager, RACED to materialize it, each
+    * recomputing the whole lineitem fan-out) — and the task count halves.
+    */
+  private def symmetrize(e: DataFrame, u: String, v: String,
+      outA: String, outB: String, carry: Seq[String] = Nil): DataFrame = {
+    val fwd = struct(col(u).as(outA) +: col(v).as(outB) +:
+      carry.map(col): _*)
+    val rev = struct(col(v).as(outA) +: col(u).as(outB) +:
+      carry.map(col): _*)
+    e.select(explode(array(fwd, rev)).as("se")).select(col("se.*"))
+  }
+
   private[graft] def kCoreOf(edges0: DataFrame, k: Int): DataFrame = {
     var edges = edges0
     var cnt = edges.count()
     var changed = cnt > 0
     var rounds = 0
+    // explode, not unionAll: one scan of the (checkpointed) edge blocks
+    // per round instead of two, same (nd -> occurrences) multiset
     def degrees(e: DataFrame) = e
-      .select(col("u").as("nd")).unionAll(e.select(col("v").as("nd")))
+      .select(explode(array(col("u"), col("v"))).as("nd"))
       .groupBy("nd").agg(count(lit(1)).as("dg"))
     while (changed && rounds < GraphMaxRounds) {
       // keep is ≤ 2·cnt nodes, so gating on the edge count already in
@@ -1269,8 +1287,7 @@ object Analytics {
 
   private[graft] def commonNeighborsOf(edges: DataFrame,
       topN: Int, maxMiddleDegree: Int = 1000): DataFrame = {
-    val sym = edges.select(col("u").as("a"), col("v").as("x"))
-      .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
+    val sym = symmetrize(edges, "u", "v", "a", "x")
     val deg = sym.groupBy("a").agg(count(lit(1)).as("dg"))
     val hotMid = deg.where(col("dg") > maxMiddleDegree)
       .select(col("a").as("x"))
@@ -1307,8 +1324,7 @@ object Analytics {
     */
   private[graft] def resourceAllocationOf(edges: DataFrame,
       topN: Int, maxMiddleDegree: Int = 1000): DataFrame = {
-    val sym = edges.select(col("u").as("a"), col("v").as("x"))
-      .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
+    val sym = symmetrize(edges, "u", "v", "a", "x")
     val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
     val hotMid = deg.where(col("dg") > maxMiddleDegree)
       .select(col("dn").as("x"))
@@ -1342,8 +1358,7 @@ object Analytics {
     */
   private[graft] def jaccardLinksOf(edges: DataFrame, topN: Int,
       maxMiddleDegree: Int = 1000): DataFrame = {
-    val sym = edges.select(col("u").as("a"), col("v").as("x"))
-      .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
+    val sym = symmetrize(edges, "u", "v", "a", "x")
     val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
     val hotMid = deg.where(col("dg") > maxMiddleDegree)
       .select(col("dn").as("x"))
@@ -1387,8 +1402,7 @@ object Analytics {
     */
   private[graft] def adamicAdarOf(edges: DataFrame, topN: Int,
       maxMiddleDegree: Int = 1000): DataFrame = {
-    val sym = edges.select(col("u").as("a"), col("v").as("x"))
-      .unionAll(edges.select(col("v").as("a"), col("u").as("x")))
+    val sym = symmetrize(edges, "u", "v", "a", "x")
     val deg = sym.groupBy(col("a").as("dn")).agg(count(lit(1)).as("dg"))
     val hotMid = deg.where(col("dg") > maxMiddleDegree)
       .select(col("dn").as("x"))
@@ -1433,13 +1447,23 @@ object Analytics {
       maxHops: Int): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    // LAZY checkpoints (see shortestCostOf): the first round's count
-    // materializes both init frames along with the round itself
-    val e = edges0.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(false)
+    // The symmetric edge frame is hash-partitioned by dst ONCE, before
+    // the loop: the frontier semi-join (broadcast-gated) preserves that
+    // partitioning, and the neighbor dedup keys on node = dst (the
+    // alias-aware partitioning survives the rename), so each BFS round
+    // runs with ZERO exchanges while the set frames stay inside
+    // broadcast range — this kernel used to pay one frontier-edge-sized
+    // repartition per round. Partition count is sized to the
+    // materialized edge set (rows-per-partition rule); edges0 is
+    // checkpoint-pinned by caller contract so the count is a cheap
+    // cached-block scan.
     val sessParts =
       spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val eparts = math.max(1, math.min(sessParts,
+      (edges0.count() * 2 / 50000L + 1L).toInt))
+    val e = symmetrize(edges0, "u", "v", "src", "dst")
+      .repartition(eparts, col("dst"))
+      .localCheckpoint(false)
     var visited = Seq((source, 0L)).toDF("node", "hops")
       .localCheckpoint(false)
     var frontier = visited.select(col("node"))
@@ -1448,22 +1472,17 @@ object Analytics {
     var h = 0L
     while (fcnt > 0 && h < maxHops) {
       h += 1
-      // ONE exchange per round: the explicit frontier-sized repartition
-      // is the round's only shuffle (the dedup aggregate reuses its
-      // partitioning, both set joins are broadcast-gated). The frame is
-      // localCheckpoint'd — plan TRUNCATION matters here, not just
-      // caching: the next round references this frame twice (frontier
-      // and inside visited), so an untruncated plan would nest
-      // exponentially across rounds. visited stays a LAZY union of the
-      // checkpointed per-round frames — unioning pinned blocks is
-      // free, so re-checkpointing it every round would only add a job.
-      val parts = math.max(1, math.min(sessParts,
-        (fcnt / 50000L + 1L).toInt))
+      // The round frame is localCheckpoint'd — plan TRUNCATION matters
+      // here, not just caching: the next round references this frame
+      // twice (frontier and inside visited), so an untruncated plan
+      // would nest exponentially across rounds. visited stays a LAZY
+      // union of the checkpointed per-round frames — unioning pinned
+      // blocks is free, so re-checkpointing it every round would only
+      // add a job.
       val nxt = e
         .join(bcastUpTo(frontier, fcnt, 4000000L),
           col("src") === col("node"), "left_semi")
         .select(col("dst").as("node"))
-        .repartition(parts, col("node"))
         .distinct()
         .join(bcastUpTo(visited, vcnt, 4000000L),
           Seq("node"), "left_anti")
@@ -1512,27 +1531,25 @@ object Analytics {
     // blocks on first computation. Broadcast/partition gates use the
     // symmetric edge count (computed once; dist is node-sized and
     // nodes ≤ edge rows) instead of a per-round dist count.
-    val e = edges0.select(col("u").as("src"), col("v").as("dst"),
-        col("cost"))
-      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst"),
-        col("cost")))
+    val e = symmetrize(edges0, "u", "v", "src", "dst", Seq("cost"))
       .localCheckpoint(false)
     val ecnt = e.count()
-    val sessParts =
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(1, math.min(sessParts,
-      (ecnt / 50000L + 1L).toInt))
     var dist = Seq((source, 0L)).toDF("node", "cost")
       .localCheckpoint(false)
     for (_ <- 1 to rounds) {
-      // one dist-sized repartition is the round's only exchange (the
-      // min-combine reuses it, the relaxation join is broadcast-gated)
+      // One exchange per round, carrying NODE-sized partial minima: the
+      // min-combine's map-side partial aggregation collapses the
+      // relaxation candidates (edge-sized) to at most one row per node
+      // per map partition before anything is shuffled. The explicit
+      // raw-row repartition this kernel used to pay shipped the whole
+      // candidate union un-aggregated — partial aggregation is the
+      // cheaper shuffle at every scale (guide §2.3), and AQE coalesces
+      // the node-sized tails.
       val dd = dist.select(col("node").as("dn"), col("cost").as("d"))
       dist = e
         .join(bcastUpTo(dd, ecnt, 4000000L), col("src") === col("dn"))
         .select(col("dst").as("node"), (col("d") + col("cost")).as("cost"))
         .unionAll(dist)
-        .repartition(parts, col("node"))
         .groupBy("node").agg(min(col("cost")).as("cost"))
         .localCheckpoint(false)
     }
@@ -1558,32 +1575,38 @@ object Analytics {
     */
   private[graft] def labelPropagationOf(edges0: DataFrame,
       iters: Int): DataFrame = {
-    // LAZY checkpoints throughout (see shortestCostOf): fixed-round
-    // kernel, so the only driver sync is the node count the gates need
-    // — every round's plan truncates but materializes in one cascade
-    // at the caller's first action.
-    val e = edges0.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges0.select(col("v").as("src"), col("u").as("dst")))
+    // The symmetric edge frame is hash-partitioned by src ONCE, before
+    // the loop — every round's broadcast label join preserves that
+    // partitioning (the streamed side passes through a
+    // BroadcastHashJoin unchanged), hash(src) satisfies the clustering
+    // of BOTH per-round aggregates ((src, lbl) count and the src-keyed
+    // argmax), and the per-round node-sized repartition this kernel
+    // used to pay is gone: ZERO exchanges per round while the label
+    // frame stays inside broadcast range. (Past the gate the join
+    // shuffles on dst as before — partitioning e by src cannot serve a
+    // dst-keyed shuffle join — so nothing is lost at that scale.)
+    // Partition count is sized to the materialized edge set, the same
+    // rows-per-partition rule as the other kernels; edges0 is
+    // checkpoint-pinned by caller contract so the count is a cheap
+    // cached-block scan.
+    val ecnt2 = edges0.count() * 2
+    val parts = math.max(1, math.min(
+      edges0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      (ecnt2 / 50000L + 1L).toInt))
+    val e = symmetrize(edges0, "u", "v", "src", "dst")
+      .repartition(parts, col("src"))
       .localCheckpoint(false)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(false)
     val nNodes = labels.count()
-    val parts = math.max(1, math.min(
-      edges0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      (nNodes / 50000L + 1L).toInt))
     for (_ <- 1 to iters) {
-      // ONE exchange per round: the node-sized repartition after the
-      // broadcast join satisfies BOTH aggregates' clustering (hash(src)
-      // co-locates every (src, lbl) group and every src group), so the
-      // neighbor-label count and the argmax pick run exchange-free on
-      // top of it; max_by over (count, -label) structs replaces the
-      // former row_number window (no per-partition sort). Ties are
-      // impossible in the struct (labels are distinct per group), so
-      // the pick is exactly "max count, then smallest label".
+      // max_by over (count, -label) structs replaces the former
+      // row_number window (no per-partition sort). Ties are impossible
+      // in the struct (labels are distinct per group), so the pick is
+      // exactly "max count, then smallest label".
       labels = e
         .join(bcastUpTo(labels, nNodes, 4000000L),
           col("dst") === col("node"))
-        .repartition(parts, col("src"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("src"))
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
@@ -1616,11 +1639,18 @@ object Analytics {
     counted
       .select(col("pa").as(aName) +: col("pb").as(bName) +:
         supportName.map(col("n").as(_)).toSeq: _*)
-      // LAZY checkpoint: the plan is truncated here (so every kernel
-      // consumer shares ONE pinned frame instead of replaying the
-      // lineitem explode), but materialization rides the first
-      // consumer's job instead of paying its own
-      .localCheckpoint(false)
+      // EAGER checkpoint (was lazy): every kernel consumer shares ONE
+      // pinned frame instead of replaying the lineitem explode. Lazy
+      // materialization only wins when exactly one consumer subtree
+      // exists — the kernels and link-prediction queries consume this
+      // frame through SEVERAL subtrees of one job (symmetric union
+      // branches, broadcast degree tables, adjacency anti-joins), and
+      // concurrent first consumers RACE the block store: each branch
+      // recomputes the whole derivation and all but one result is
+      // discarded ("Block rdd_N already exists" warnings; measured
+      // ~2x the derivation CPU inside graph_label_propagation's first
+      // round). One eager job pays the derivation exactly once.
+      .localCheckpoint(true)
   }
 
   val defs: Seq[Q] = Seq(
@@ -5187,8 +5217,7 @@ object Analytics {
         |      / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
         |FROM es, sq""".stripMargin) { (s, d) =>
       val eu = thresholdedCopurchaseEdges(s, d, "u", "v")
-      val e = eu.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(eu.select(col("v").as("src"), col("u").as("dst")))
+      val e = symmetrize(eu, "u", "v", "src", "dst")
       val lab = labelPropagationOf(eu, iters = 5)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       val j = e

@@ -1461,9 +1461,17 @@ object Analytics {
       spark.conf.get("spark.sql.shuffle.partitions").toInt
     val eparts = math.max(1, math.min(sessParts,
       (edges0.count() * 2 / 50000L + 1L).toInt))
+    // persist, NOT localCheckpoint (see labelPropagationOf): AQE-era
+    // checkpoints surface as UnknownPartitioning and would re-introduce
+    // the per-round dedup exchange
     val e = symmetrize(edges0, "u", "v", "src", "dst")
       .repartition(eparts, col("dst"))
-      .localCheckpoint(false)
+      .persist()
+    // materialize the cache NOW: a round planned before the cache is
+    // built sees AQE's UnknownPartitioning and re-inserts the dedup
+    // exchange for that round (labelPropagationOf gets this for free
+    // from its node count; BFS has no natural pre-loop action)
+    e.count()
     var visited = Seq((source, 0L)).toDF("node", "hops")
       .localCheckpoint(false)
     var frontier = visited.select(col("node"))
@@ -1479,7 +1487,7 @@ object Analytics {
       // union of the checkpointed per-round frames — unioning pinned
       // blocks is free, so re-checkpointing it every round would only
       // add a job.
-      val nxt = e
+      val round = e
         .join(bcastUpTo(frontier, fcnt, 4000000L),
           col("src") === col("node"), "left_semi")
         .select(col("dst").as("node"))
@@ -1487,9 +1495,12 @@ object Analytics {
         .join(bcastUpTo(visited, vcnt, 4000000L),
           Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
-        // LAZY: the loop-condition count materializes the round's
-        // blocks in its own job — one job per round, not two
-        .localCheckpoint(false)
+      // plan-audit hook (see labelPropagationOf)
+      if (h == 1L && sys.env.contains("GRAFT_EXPLAIN_ROUNDS"))
+        round.explain("formatted")
+      // LAZY: the loop-condition count materializes the round's
+      // blocks in its own job — one job per round, not two
+      val nxt = round.localCheckpoint(false)
       fcnt = nxt.count()
       if (fcnt > 0) {
         visited = visited.unionAll(nxt)
@@ -1536,7 +1547,7 @@ object Analytics {
     val ecnt = e.count()
     var dist = Seq((source, 0L)).toDF("node", "cost")
       .localCheckpoint(false)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // One exchange per round, carrying NODE-sized partial minima: the
       // min-combine's map-side partial aggregation collapses the
       // relaxation candidates (edge-sized) to at most one row per node
@@ -1546,12 +1557,15 @@ object Analytics {
       // cheaper shuffle at every scale (guide §2.3), and AQE coalesces
       // the node-sized tails.
       val dd = dist.select(col("node").as("dn"), col("cost").as("d"))
-      dist = e
+      val round = e
         .join(bcastUpTo(dd, ecnt, 4000000L), col("src") === col("dn"))
         .select(col("dst").as("node"), (col("d") + col("cost")).as("cost"))
         .unionAll(dist)
         .groupBy("node").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(false)
+      // plan-audit hook (see labelPropagationOf)
+      if (r == 1 && sys.env.contains("GRAFT_EXPLAIN_ROUNDS"))
+        round.explain("formatted")
+      dist = round.localCheckpoint(false)
     }
     dist
   }
@@ -1593,18 +1607,24 @@ object Analytics {
     val parts = math.max(1, math.min(
       edges0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       (ecnt2 / 50000L + 1L).toInt))
+    // persist, NOT localCheckpoint: under AQE a checkpointed frame comes
+    // back as Scan ExistingRDD with UnknownPartitioning, silently
+    // re-introducing the per-round exchange this layout exists to avoid;
+    // the cached InMemoryRelation keeps hash(src) visible to every
+    // round's aggregates. Lineage here is shallow (pinned edges0 →
+    // explode → one exchange), so truncation is not needed.
     val e = symmetrize(edges0, "u", "v", "src", "dst")
       .repartition(parts, col("src"))
-      .localCheckpoint(false)
+      .persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(false)
     val nNodes = labels.count()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // max_by over (count, -label) structs replaces the former
       // row_number window (no per-partition sort). Ties are impossible
       // in the struct (labels are distinct per group), so the pick is
       // exactly "max count, then smallest label".
-      labels = e
+      val round = e
         .join(bcastUpTo(labels, nNodes, 4000000L),
           col("dst") === col("node"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -1612,7 +1632,11 @@ object Analytics {
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
           .as("lbl"))
         .select(col("src").as("node"), col("lbl"))
-        .localCheckpoint(false)
+      // plan-audit hook: the per-round frames are checkpoint-truncated,
+      // so a caller-side explain can never show the round shape
+      if (i == 1 && sys.env.contains("GRAFT_EXPLAIN_ROUNDS"))
+        round.explain("formatted")
+      labels = round.localCheckpoint(false)
     }
     labels.select(col("node"), col("lbl").as("community"))
   }

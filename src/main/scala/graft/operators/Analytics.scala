@@ -1253,14 +1253,22 @@ object Analytics {
     // the first's shuffle files.
     val baskets = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .groupBy("bk").agg(collect_set(col("it")).as("ps"))
+      // persist (the basket_lift discipline): ReusedExchange only shares
+      // the orderkey SHUFFLE between the pair miner and the prune — each
+      // branch still re-ran the final collect_set over the full item
+      // stream on top of it; the cache computes the baskets once
+      .persist()
     val pairs = baskets
       .select(col("ps"), explode(col("ps")).as("pa"))
       .select(col("pa"),
         explode(expr("filter(ps, x -> x > pa)")).as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
       .where(col("n") >= minSupport)
-    val freqItems = pairs.select(col("pa").as("pk"))
-      .unionAll(pairs.select(col("pb").as("pk"))).distinct()
+    // explode, not a two-branch union: the union duplicated the whole
+    // frequent-pair subtree (basket build + pair explode + count — the
+    // expensive half of the query) once per endpoint projection
+    val freqItems = pairs
+      .select(explode(array(col("pa"), col("pb"))).as("pk")).distinct()
     // prune INSIDE the existing bk partitioning: explode preserves the
     // basket hash layout and the frequent-item filter is a broadcast
     // semi-join, so the re-collect adds NO new Exchange (EnsureRequirements

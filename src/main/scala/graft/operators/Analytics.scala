@@ -4141,6 +4141,12 @@ object Analytics {
         .select(col("u"), col("v")).distinct()
       val deg = e.groupBy(col("u").as("x"))
         .agg(count(lit(1)).as("dg"))
+      // unpartitioned rank over the NODE domain (|parts| rows after the
+      // degree rollup — corpus-sublinear but unbounded at 100 TB; the
+      // Gini index needs a total order by construction). Scale route:
+      // range-partition by (dg, x) and add per-partition rank offsets
+      // (exact, two-pass), or the abcApproxOf histogram trick if a
+      // bounded-error Gini is acceptable.
       val rk = deg.select(col("dg"),
         row_number().over(Window.orderBy(col("dg"), col("x")))
           .cast("long").as("i"))
@@ -6073,6 +6079,10 @@ object Analytics {
         .groupBy("c").agg(sum(col("a")).as("h")), "h")
       val a2n = renorm(e.join(h1n, Seq("c"))
         .groupBy("p").agg(sum(col("h")).as("a")), "a")
+      // unpartitioned rank over the node domain: bounded here by the
+      // top-20 LIMIT downstream — at 100 TB replace with orderBy+limit
+      // BEFORE the rank (TakeOrdered heap) exactly like rag_hybrid_rrf,
+      // whose 50-row-frame comment documents the identical-ranks proof
       val auth = a2n.select(lit("authority").as("kind"),
           col("p").as("id"), col("a").as("score"))
         .withColumn("rk", row_number().over(

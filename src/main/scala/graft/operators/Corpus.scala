@@ -976,6 +976,13 @@ object Corpus {
       val ds = wts.join(
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id")
+      // unpartitioned rank over the CORPUS (one row per doc) — the
+      // top-quartile cut needs a global order. At 100 TB: the keep set
+      // is rnk <= nd/4, so compute the quartile boundary weight with
+      // approx_percentile (or percentile_disc for exactness) and keep
+      // by comparison — no global sort; only boundary ties differ,
+      // which the declared query here must preserve, hence the exact
+      // rank at fixture scale.
       val rk = ds
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("weight_scaled").desc, col("doc_id"))))

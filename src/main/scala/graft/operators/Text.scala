@@ -846,6 +846,12 @@ object Text {
         |  / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta
         |FROM ml, sl ORDER BY bucket""".stripMargin) { (s, d) =>
+      // unpartitioned rank over the CORPUS, used only to cut doc_id
+      // order into 10 growth buckets. At 100 TB replace with bucket =
+      // (doc_id's position by range boundaries): range-partition doc_id
+      // into 10 quantile ranges via approx_percentile and bucket by
+      // comparison — identical buckets whenever doc_ids are dense, no
+      // global sort.
       val rk = Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .withColumn("rk", row_number().over(Window.orderBy("doc_id")))
